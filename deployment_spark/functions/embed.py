@@ -1,0 +1,75 @@
+"""Embedding stage (V1/V2, SURVEY §2.9).
+
+Two embedders behind one interface:
+
+1. ``hash_embed`` — deterministic, dependency-free pseudo-embedder built
+   entirely from Catalyst built-ins (``xxhash64`` per dimension →
+   uniform [-1, 1] → L2 normalize). Same text ⇒ same vector on every
+   executor, which is what the correctness suite hashes against
+   (SURVEY §5.2(2), §7.3(4)). No Python, no model download.
+
+2. ``sentence_transformer_embed`` — the real model path, an Arrow-batched
+   iterator pandas UDF mirroring the reference's batched
+   ``model.encode(texts, convert_to_numpy=True)`` + L2-normalize
+   (``FAISS/PlainDemo/pipeline.py:313-314``, ``Milvus/stream1.py:91-93``).
+   The model loads once per executor process (iterator form), not once
+   per batch. Gated behind import — sentence-transformers is not in the
+   test container.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+
+def hash_embed(text: Column | str, dim: int = 64, normalize: bool = True) -> Column:
+    """Deterministic pseudo-embedding: component i = xxhash64(text, i)
+    scaled to [-1, 1], then L2-normalized. Pure JVM expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.xxhash64(c, i) / F.lit(float(2**63))).cast("double"),
+    )
+    if normalize:
+        from deployment_spark.functions.vector import l2_normalize
+
+        comps = l2_normalize(comps)
+    return comps.cast("array<float>")
+
+
+def sentence_transformer_embed(model_name: str, batch_size: int = 32):
+    """Real-model embedding UDF factory. Returns a pandas UDF producing
+    L2-normalized ``array<float>`` vectors.
+
+    Reference parity: batch size 32 (``Milvus/stream1.py:19``), float32,
+    L2 norm at every encode site (``FAISS/PlainDemo/pipeline.py:63,...``).
+    """
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - model stack absent in CI
+        raise NotImplementedError(
+            "sentence-transformers is not installed in this environment; "
+            "use hash_embed for deterministic tests"
+        ) from e
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _embed(batches: Iterator) -> Iterator:  # pragma: no cover
+        import numpy as np
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name, device="cpu")
+        for texts in batches:
+            emb = model.encode(
+                texts.tolist(), convert_to_numpy=True, batch_size=batch_size
+            ).astype("float32")
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            yield (emb / norms).tolist()
+
+    return _embed

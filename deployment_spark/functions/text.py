@@ -1,0 +1,105 @@
+"""Text / string scalar functions (SURVEY §2.3) — all Catalyst built-ins,
+no Python UDFs, so every expression stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _s(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _filled(c: Column | str) -> Column:
+    # fillna('') parity — FAISS/PlainDemo/pipeline.py:281-287
+    return F.coalesce(_s(c).cast("string"), F.lit(""))
+
+
+def packet_text_v1(
+    ip_src="ip_src",
+    ip_dst="ip_dst",
+    protocol="_ws_col_protocol",
+    srcport="tcp_srcport",
+    dstport="tcp_dstport",
+    frame_len="frame_len",
+) -> Column:
+    """F1 — PlainDemo serialization (``FAISS/PlainDemo/pipeline.py:280-288``).
+
+    Preserves the reference's quirk of including the protocol token TWICE
+    (positions 3 and 6) — documented in SURVEY §7.3(3); parity with the
+    reference's embeddings requires identical input text.
+    """
+    return F.concat_ws(
+        " ",
+        _filled(ip_src),
+        _filled(ip_dst),
+        _filled(protocol),
+        _filled(srcport),
+        _filled(dstport),
+        _filled(protocol),
+        _filled(frame_len),
+    )
+
+
+def packet_text_v2(
+    ip_src="ip_src",
+    ip_dst="ip_dst",
+    protocol="_ws_col_protocol",
+    srcport="tcp_srcport",
+    dstport="tcp_dstport",
+    frame_len="frame_len",
+) -> Column:
+    """F1 variant — UI-Demo serialization, 6 fields, protocol once
+    (``FAISS/UI-Demo/pipeline+ui.py:322-329``)."""
+    return F.concat_ws(
+        " ",
+        _filled(ip_src),
+        _filled(ip_dst),
+        _filled(protocol),
+        _filled(srcport),
+        _filled(dstport),
+        _filled(frame_len),
+    )
+
+
+def combined_text(cols: list[str]) -> Column:
+    """F2 — Milvus all-columns space-join (``Milvus/stream1.py:222``):
+    ``df[cols].apply(lambda r: ' '.join(r.astype(str)), axis=1)`` without
+    the row-at-a-time Python; ``concat_ws`` skips NULLs, matching the
+    reference's dropna-before-join path."""
+    return F.concat_ws(" ", *[_s(c).cast("string") for c in cols])
+
+
+def sanitize_name(c: Column | str) -> Column:
+    """F3 — model/collection name sanitization
+    (``FAISS/PlainDemo/pipeline.py:310``; ``Milvus/stream1.py:97``)."""
+    return F.regexp_replace(_s(c), r"[/\-.]", "_")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of non-empty text → array<string>."""
+    return F.split(F.trim(_s(c)), r"\s+")
+
+
+def token_at(c: Column | str, i: int) -> Column:
+    """F4 — token extraction, e.g. protocol = text.split()[2]
+    (``FAISS/UI-Demo/pipeline+ui.py:643-646``)."""
+    return tokens(c).getItem(i)
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string>, distinct.
+
+    Built from ``sequence`` + ``transform`` + ``slice`` — pure Catalyst
+    higher-order functions, no UDF. Texts shorter than ``n`` words yield a
+    single shingle of all their words (never an empty array for non-empty
+    text), matching the usual MinHash convention.
+    """
+    toks = tokens(c)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )

@@ -1,0 +1,90 @@
+"""Cleaning / projection / predicate operators (SURVEY §2.2).
+
+These are thin, named wrappers over Catalyst primitives — the point is
+parity documentation (each maps to a cited reference behavior), not
+abstraction. All stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_present(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P1/P11 — column-presence-tolerant projection
+    (``Milvus/stream1.py:221``): silently skip requested columns the
+    frame doesn't have. Spark ``select`` is strict, so filter the list."""
+    present = [c for c in cols if c in df.columns]
+    return df.select(*present)
+
+
+def coerce_long(df: DataFrame, col: str) -> DataFrame:
+    """P3/P9 — ``pd.to_numeric(errors='coerce')`` + int64 cast
+    (``Milvus/stream1.py:213,220``). Spark ``cast('long')`` yields NULL on
+    unparsable input — identical null-on-failure semantics."""
+    return df.withColumn(col, F.col(col).cast("long"))
+
+
+def drop_null_key(df: DataFrame, key: str) -> DataFrame:
+    """P2 — ``dropna(subset=[key])`` (``Milvus/stream1.py:212,214``)."""
+    return df.na.drop(subset=[key])
+
+
+def dedup_keep_first(df: DataFrame, key: str, order_col: str | Column | None = None) -> DataFrame:
+    """P4 — ``drop_duplicates(subset=[key], keep='first')``
+    (``Milvus/stream1.py:215``).
+
+    pandas "first" means file order; distributed frames have no implicit
+    order, so "first" is defined by ``order_col`` (ascending). Without an
+    order column this falls back to ``dropDuplicates`` (any winner) —
+    fine when rows are exact duplicates."""
+    if order_col is None:
+        return df.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(F.asc(order_col) if isinstance(order_col, str) else order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def clean_packet_frame(df: DataFrame, key: str = "frame_number") -> DataFrame:
+    """The Milvus ingest cleaning chain (``Milvus/stream1.py:212-220``):
+    dropna(key) → to_numeric coerce → dropna(key) → dedup keep-first →
+    cast int64. Keep-first order = original key string order is not
+    defined in pandas either; we dedup on the coerced key."""
+    out = drop_null_key(df, key)
+    out = out.withColumn("_key_long", F.col(key).cast("long"))
+    out = out.na.drop(subset=["_key_long"])
+    out = dedup_keep_first(out, "_key_long")
+    return out.drop(key).withColumnRenamed("_key_long", key)
+
+
+def fill_empty(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P5 — ``fillna('')`` (``FAISS/PlainDemo/pipeline.py:281-287``)."""
+    return df.na.fill("", subset=cols)
+
+
+def point_filter(df: DataFrame, key: str, value) -> DataFrame:
+    """P6 — equality point lookup (``Milvus/stream1.py:331,340``).
+    Catalyst pushes the predicate into the scan (S5 full-rescan fallback
+    becomes a pruned scan for free)."""
+    return df.filter(F.col(key) == F.lit(value))
+
+
+def in_list_filter(df: DataFrame, key: str, values: list) -> DataFrame:
+    """P8 — ``expr = f"frame_number in {ids}"`` (``Milvus/stream1.py:313``).
+    For large id sets use a broadcast semi-join instead (see
+    ``crud.delete_ids`` anti-join)."""
+    return df.filter(F.col(key).isin(values))
+
+
+def range_filter(df: DataFrame, predicate: str) -> DataFrame:
+    """P7 — expression-string predicate (``Milvus/stream1.py:299``)."""
+    return df.filter(predicate)
+
+
+def nonempty_lines(df: DataFrame, col: str) -> DataFrame:
+    """P10 — strip + drop empty lines (``FAISS/UI-Demo/pipeline+ui.py:507``)."""
+    return df.withColumn(col, F.trim(F.col(col))).filter(F.col(col) != "")
