@@ -1,0 +1,927 @@
+"""Query catalog: every implemented operator exposed as a (Spark
+callable, DuckDB oracle SQL) pair for the driver's correctness gate
+(__spark_entry__.queries / oracle_sql).
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash):
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded (2 dp for big sums, 4 dp for ratios/scores) on
+  BOTH sides so fp accumulation-order differences can't flip the hash;
+- rank/size-like ints are cast to long (DuckDB's BIGINT);
+- timestamps are rendered to strings on both sides (UTC session TZ).
+
+Each query's docstring cites the reference operator(s) it covers
+(SURVEY §2 inventory ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.text import tokens, word_shingles
+from deployment_spark.functions.vector import (
+    cosine_similarity,
+    l2_norm,
+)
+from deployment_spark.operators import similarity as sim_ops
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) on disk → read as long ns; convert to a
+    # real timestamp (µs precision) with integer division — ns-since-epoch
+    # (~1.7e18) overflows double precision, so no float math here.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Vector / similarity queries (J1, J2, T1, T3, V2, V5-V7)
+# ---------------------------------------------------------------------------
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/T1/T3 — exact top-5 cosine neighbors for 10 in-corpus queries
+    (queries drawn from the data itself, as Milvus/stream1.py:26,398).
+    Scale path: broadcast queries + per-partition numpy top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = sim_ops.topk_similarity_join(emb, queries, k=5)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("similarity", 4).alias("similarity"),
+    )
+
+
+SQL_TOPK_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS sim
+  FROM embeddings c CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, rank, round(sim, 4) AS similarity
+FROM r WHERE rank <= 5
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 — L2 norms of raw embeddings (normalization denominator,
+    FAISS/PlainDemo/pipeline.py:314)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(l2_norm("embedding"), 4).alias("l2_norm")
+    )
+
+
+SQL_VECTOR_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3-V5 analog — sign-bit LSH bucketing (8 hyperplane signs → bucket
+    key) + per-bucket top-3: the SQL-expressible cousin of IVF nprobe
+    partition pruning (FAISS/PlainDemo/pipeline.py:257). The candidate
+    set is pruned to the query's bucket before ranking — on a partitioned
+    index table this is partition pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def bucket(vec):
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.slice(F.col(vec).cast("array<double>"), 1, 8),
+                lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        )
+
+    c = emb.select("vec_id", "embedding", bucket("embedding").alias("bucket"))
+    q = c.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
+    ).withColumn("sim", cosine_similarity("embedding", "qv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("similarity"),
+        )
+    )
+
+
+SQL_LSH_BUCKET_ANN = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         array_to_string(list_transform(list_slice(embedding::DOUBLE[], 1, 8),
+                                        x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, b.vec_id, list_cosine_similarity(b.v, q.qv) AS sim
+  FROM b JOIN q ON b.bucket = q.qbucket
+), r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, rank, round(sim, 4) AS similarity FROM r WHERE rank <= 3
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 near-dup — plant perturbed copies of 20 vectors (deterministic,
+    same construction in the oracle), then find pairs with cosine ≥ 0.99.
+    Natural max pairwise cosine in this data is ~0.51, so exactly the
+    planted pairs must surface."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x * (1.0 + 0.001 * (i % 3)),
+        ).alias("embedding"),
+    )
+    allv = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(planted)
+    pairs = sim_ops.cosine_neardup_pairs(allv, threshold=0.99, id_col="vec_id", vec_col="embedding")
+    return pairs.select("a_id", "b_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] * (1.0 + 0.001 * (i % 3))) AS v
+  FROM base WHERE vec_id < 20
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
+
+
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 analog over the vector table — per-label count and mean
+    norm (partial+final hash agg; map-side combine at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("n", l2_norm("embedding"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n"), 4).alias("avg_norm"),
+        )
+    )
+
+
+SQL_LABEL_CENTROID_STATS = """
+SELECT label, count(*) AS cnt,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / cleaning / CRUD queries (S, P, F, A, T, U, J, C families)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — grouped mean/min/max/sum summary (pipeline+ui.py:77-88 shape)
+    as the classic pricing-summary report with a pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with broadcast dims: customer ⋈ orders ⋈ nation →
+    revenue per nation. nation/customer are broadcast (small dims);
+    only orders shuffles — and with AQE usually not even that."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/S5 — equality point lookup (Milvus/stream1.py:331,340); the
+    predicate reaches the parquet scan (PushedFilters)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey = 42
+"""
+
+
+def q_filter_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — IN-list predicate (Milvus/stream1.py:313)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_FILTER_INLIST = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+"""
+
+
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — range predicate as expression string (Milvus/stream1.py:299)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter("value >= 50 AND value < 100")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_FILTER_RANGE = """
+SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value
+FROM events WHERE value >= 50 AND value < 100
+GROUP BY event_type
+"""
+
+
+def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — value_counts top-10 (protocol histogram,
+    FAISS/UI-Demo/pipeline+ui.py:649-650)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+SQL_EVENT_TYPE_COUNTS = """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (ST4 extension): event-time tumbling window agg —
+    the watermarked streaming query's batch shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_json_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P9 — extract-and-coerce with null-on-failure semantics
+    (pd.to_numeric(errors='coerce'), Milvus/stream1.py:213)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1)
+    return (
+        ev.withColumn("k", F.when(k == "", None).otherwise(k).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("k").alias("k_nonnull"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SQL_JSON_NUMERIC_COERCION = """
+SELECT event_type, count(*) AS cnt,
+       count(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)) AS k_nonnull,
+       round(avg(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_concat_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — space-join row serialization (the packet_text /
+    combined_text derivation) on the events table; decimal-cast keeps the
+    double→string rendering identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat_ws(
+            " ",
+            F.col("event_id").cast("string"),
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.col("value").cast("decimal(12,2)").cast("string"),
+            F.regexp_extract("props", r"(\d+)", 1),
+        ).alias("serialized"),
+    )
+
+
+SQL_CONCAT_SERIALIZE = """
+SELECT event_id,
+       concat_ws(' ', event_id::VARCHAR, coalesce(event_type, ''),
+                 (value::DECIMAL(12,2))::VARCHAR,
+                 regexp_extract(props, '(\\d+)', 1)) AS serialized
+FROM events
+"""
+
+
+def q_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — drop_duplicates(keep='first') with a defined order
+    (Milvus/stream1.py:215): first line of each order by l_linenumber."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in this synthetic data, so
+    # "first" is defined over a full deterministic ordering.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey"), F.asc("l_quantity")
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", F.round("l_quantity", 2).alias("l_quantity"))
+    )
+
+
+SQL_DEDUP_KEEPFIRST = """
+SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 2) AS l_quantity
+FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — rank within group: top-3 orders per customer by totalprice
+    (the window shape behind per-query top-k ranking)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rank").cast("long").alias("rank"),
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SQL_RANK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 analog — reproducible sample via modulo (the reference's
+    np.random.choice is unseeded; fixtures pin determinism, FIXTURES §4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag"
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+FROM lineitem WHERE l_orderkey % 97 = 0
+"""
+
+
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/C1 — append (index.add / collection.insert) as unionByName,
+    then verify by aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).withColumn("tag", F.lit("hi"))
+    lo = o.filter(F.col("o_totalprice") < 50000).withColumn("tag", F.lit("lo"))
+    return hi.unionByName(lo).groupBy("tag").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+SQL_UNION_APPEND = """
+SELECT tag, count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM (
+  SELECT o_totalprice, 'hi' AS tag FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_totalprice, 'lo' AS tag FROM orders WHERE o_totalprice < 50000
+) GROUP BY tag
+"""
+
+
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/J3/U2 — delete-by-id-set as left_anti join
+    (index.remove_ids, FAISS/PlainDemo/pipeline.py:110-112); summary
+    aggregate verifies the surviving corpus."""
+    li = _t(spark, sf_dir, "lineitem")
+    doomed = li.select("l_orderkey").distinct().filter(F.col("l_orderkey") % 10 == 3)
+    kept = li.join(doomed, "l_orderkey", "left_anti")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("total_price")
+    )
+
+
+SQL_DELETE_ANTIJOIN = """
+SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem WHERE l_orderkey NOT IN (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 10 = 3
+) GROUP BY l_returnflag
+"""
+
+
+def q_delete_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 Milvus variant — delete last-N by pk desc (T2 + J3,
+    Milvus/stream1.py:305-315) WITHOUT the 16,384-row scan cap (the
+    documented reference bug our engine fixes, SURVEY §3.2)."""
+    o = _t(spark, sf_dir, "orders")
+    last_n = o.orderBy(F.desc("o_orderkey")).limit(100).select("o_orderkey")
+    kept = o.join(last_n, "o_orderkey", "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SQL_DELETE_LAST_N = """
+SELECT count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey NOT IN (
+  SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100
+)
+"""
+
+
+def q_upsert_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/J4 — upsert by pk, last-wins merge (collection.upsert,
+    Milvus/stream1.py:370): updates override base rows on key."""
+    o = _t(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 50 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("_prio", F.lit(1))
+    )
+    merged = updates.unionByName(o.withColumn("_prio", F.lit(0)))
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_prio"))
+    final = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+SQL_UPSERT_LASTWINS = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice, 1 AS prio
+  FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS prio FROM orders
+), final AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rn FROM merged
+)
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+FROM final WHERE rn = 1 GROUP BY o_orderstatus
+"""
+
+
+def q_update_delete_reinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — update = delete + re-insert with mutated payload
+    (FAISS/PlainDemo/pipeline.py:91-104,114-123): rows keyed %37==0 are
+    replaced by modified versions."""
+    o = _t(spark, sf_dir, "orders")
+    victims = F.col("o_orderkey") % 37 == 0
+    kept = o.filter(~victims)
+    # no per-row rounding: HALF_UP vs banker's rounding on doubles diverges
+    # between engines; round once at the aggregate instead
+    reinserted = o.filter(victims).withColumn(
+        "o_orderstatus", F.lit("U")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    out = kept.unionByName(reinserted)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+SQL_UPDATE_DELETE_REINSERT = """
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 37 <> 0
+  UNION ALL
+  SELECT 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 37 = 0
+) GROUP BY o_orderstatus
+"""
+
+
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — count(*) (index.ntotal / collection.num_entities)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_COUNT_STAR = "SELECT count(*) AS n_rows FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Documents / training-data pipeline queries (M8: dedup, text analysis)
+# ---------------------------------------------------------------------------
+
+def q_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — positional token extraction (text.split()[2],
+    FAISS/UI-Demo/pipeline+ui.py:643-646) + A1 histogram over it."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("third_word", tokens("text").getItem(2))
+        .groupBy("third_word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_TOKEN_EXTRACT = """
+SELECT regexp_split_to_array(trim(text), '\\s+')[3] AS third_word, count(*) AS cnt
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 text analysis — whitespace token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+SQL_DOC_TOKEN_COUNT = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_measured
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 text analysis — quality scoring: token count, mean word length,
+    stopword ratio, alpha ratio; composite score."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length("text").cast("double")
+    stop_hits = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|of|and|to|in)\b")).cast("double")
+    alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+    mean_wlen = (alpha_chars / n_tok)
+    stop_ratio = stop_hits / n_tok
+    return d.select(
+        "doc_id",
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
+        F.round(
+            F.least(n_tok / 100.0, F.lit(1.0)) * 0.5 + stop_ratio * 0.3 + (alpha_chars / n_chars) * 0.2,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+SQL_DOC_QUALITY = """
+WITH s AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS n_tok,
+         length(text)::DOUBLE AS n_chars,
+         len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b'))::DOUBLE AS stop_hits,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha_chars
+  FROM documents
+)
+SELECT doc_id,
+       round(alpha_chars / n_tok, 4) AS mean_word_len,
+       round(stop_hits / n_tok, 4) AS stopword_ratio,
+       round(alpha_chars / n_chars, 4) AS alpha_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.5 + (stop_hits / n_tok) * 0.3
+             + (alpha_chars / n_chars) * 0.2, 4) AS quality_score
+FROM s
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 text analysis — n-gram/stopword-heuristic language ID with a
+    fixed priority tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    en = F.regexp_count(F.col("text"), F.lit(r"\b(the|and|of|to)\b")).cast("long")
+    es = F.regexp_count(F.col("text"), F.lit(r"\b(el|la|de|que)\b")).cast("long")
+    de = F.regexp_count(F.col("text"), F.lit(r"\b(der|die|und|das)\b")).cast("long")
+    fr = F.regexp_count(F.col("text"), F.lit(r"\b(le|la|et|les)\b")).cast("long")
+    best = F.greatest(en, es, de, fr)
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .when(de == best, "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", en.alias("en_hits"), es.alias("es_hits"),
+                    de.alias("de_hits"), fr.alias("fr_hits"), pred.alias("predicted_lang"))
+
+
+SQL_DOC_LANG_ID = """
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\b(the|and|of|to)\\b'))::BIGINT AS en_hits,
+         len(regexp_extract_all(text, '\\b(el|la|de|que)\\b'))::BIGINT AS es_hits,
+         len(regexp_extract_all(text, '\\b(der|die|und|das)\\b'))::BIGINT AS de_hits,
+         len(regexp_extract_all(text, '\\b(le|la|et|les)\\b'))::BIGINT AS fr_hits
+  FROM documents
+)
+SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+            WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+            WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+            WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM s
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 exact dedup — md5-hash groupBy keep-first. Exact copies of docs
+    0-49 are planted at doc_id+100000 (same construction in the oracle);
+    only the lowest doc_id of each content group survives."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    alld = d.unionByName(planted)
+    w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
+    return (
+        alld.withColumn("content_hash", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+), h AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM alld
+)
+SELECT doc_id, content_hash FROM h WHERE rn = 1
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 near-dedup — word-3-gram Jaccard similarity. Near-copies of
+    docs 0-29 (first word dropped) are planted at doc_id+100000; pairs
+    with J ≥ 0.6 must surface. Explode-join-group shape: distributed,
+    no driver-side sets."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    alld = d.unionByName(planted)
+    sh = alld.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+SQL_DOC_NGRAM_JACCARD = """
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+  FROM documents WHERE doc_id < 30
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM alld
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.6
+"""
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 near-dedup at scale — MinHash + LSH banding. 16 hash functions
+    (lexicographic min of md5(seed || shingle) — a valid uniform MinHash),
+    4 bands × 4 rows; candidate pairs share ≥1 band signature. Near-copies
+    of docs 0-29 planted as in the Jaccard query; the shuffle unit is
+    (band_id, signature), never the O(N²) pair space."""
+    H, BANDS = 16, 4
+    rows_per_band = H // BANDS
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    alld = d.unionByName(planted)
+    sh = alld.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    seeded = sh.select(
+        "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(H - 1))).alias("seed")
+    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))))
+    minhash = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    bands = (
+        minhash.withColumn("band_id", F.floor(F.col("seed") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+SQL_DOC_MINHASH_LSH = """
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+  FROM documents WHERE doc_id < 30
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM alld
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM words
+), seeded AS (
+  SELECT doc_id, sh.sh, s.seed, md5(s.seed::VARCHAR || '|' || sh.sh) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+), minhash AS (
+  SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+  FROM minhash GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_callable, oracle_sql | None)
+REGISTRY: dict = {
+    "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
+    "vector_norms": (q_vector_norms, SQL_VECTOR_NORMS),
+    "lsh_bucket_ann": (q_lsh_bucket_ann, SQL_LSH_BUCKET_ANN),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "label_centroid_stats": (q_label_centroid_stats, SQL_LABEL_CENTROID_STATS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "filter_inlist": (q_filter_inlist, SQL_FILTER_INLIST),
+    "filter_range": (q_filter_range, SQL_FILTER_RANGE),
+    "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "json_numeric_coercion": (q_json_numeric_coercion, SQL_JSON_NUMERIC_COERCION),
+    "concat_serialize": (q_concat_serialize, SQL_CONCAT_SERIALIZE),
+    "dedup_keepfirst": (q_dedup_keepfirst, SQL_DEDUP_KEEPFIRST),
+    "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
+    "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
+    "union_append": (q_union_append, SQL_UNION_APPEND),
+    "delete_antijoin": (q_delete_antijoin, SQL_DELETE_ANTIJOIN),
+    "delete_last_n": (q_delete_last_n, SQL_DELETE_LAST_N),
+    "upsert_lastwins": (q_upsert_lastwins, SQL_UPSERT_LASTWINS),
+    "update_delete_reinsert": (q_update_delete_reinsert, SQL_UPDATE_DELETE_REINSERT),
+    "count_star": (q_count_star, SQL_COUNT_STAR),
+    "token_extract": (q_token_extract, SQL_TOKEN_EXTRACT),
+    "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
+    "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
+}
