@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set covers every execution shape the engine has: parquet scan +
+hash agg, broadcast join chain, window top-k, numpy-mapInPandas top-k
+similarity join, explode/shuffle-heavy MinHash LSH, and regex text
+analysis. Each query is fully materialized via count() (no driver-side
+row transfer beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deployment_spark import get_spark
+from deployment_spark.queries import REGISTRY
+
+HEADLINE = [
+    "topk_cosine",
+    "lsh_bucket_ann",
+    "embedding_neardup",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_hourly",
+    "rank_per_group",
+    "dedup_keepfirst",
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "doc_ngram_jaccard",
+    "doc_quality",
+    "doc_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="deployment-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session so query timings measure the queries
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.1 M8).
+
+Five families, each a DataFrame-in/DataFrame-out operator:
+
+- exact:      content-hash groupBy, keep lowest-key row
+- minhash:    MinHash signatures + LSH banding → candidate pairs
+- simhash:    64-bit SimHash + hamming-ball candidate pairs
+- jaccard:    word-n-gram Jaccard over explode-join (exact verify step)
+- embedding:  cosine near-dup (see operators.similarity)
+
+Scale shape: everything shuffles on content keys (hash, band signature,
+shingle, simhash block) — never on the O(N²) pair space. The standard
+pipeline is minhash/simhash → candidate pairs → exact jaccard verify →
+connected components → keep one doc per component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 content hash, keep the lowest-id row per hash.
+    One hash-shuffle; at 100 TB this is the cheapest first pass."""
+    w = Window.partitionBy("content_hash").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signatures: hash h_s(doc) = min over shingles of
+    md5(s || '|' || shingle). Lexicographic min of a salted cryptographic
+    hash is a valid uniform MinHash (each seed induces an independent
+    pseudo-random permutation of shingle space).
+
+    Output: (id_col, seed, mh). Portable across engines (md5 only) so the
+    DuckDB oracle can replay it exactly (queries.q_doc_minhash_lsh)."""
+    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_words)).alias("sh"))
+    seeded = sh.select(
+        id_col, "sh", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))))
+    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding → candidate near-dup pairs (a_id < b_id).
+
+    Docs sharing any band signature become candidates; with r rows per
+    band, P(candidate) = 1 - (1 - J^r)^bands. The join key is
+    (band_id, signature) — group sizes bound the pair blowup, never N²."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    band_sigs = (
+        sig.withColumn("band_id", F.floor(F.col("seed") / rows_per_band).cast("long"))
+        .groupBy(id_col, "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit j of the fingerprint is
+    the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+
+    Pure Catalyst: explode tokens → per-token 64-bit hash → per-bit ±1
+    vote via aggregate over bit positions → sign-pack. xxhash64 is
+    Spark-side only, so correctness is covered by property tests
+    (similar texts ⇒ small hamming distance), not the SQL oracle.
+
+    Output: (id_col, simhash LONG)."""
+    toks = df.select(id_col, F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    hashed = toks.withColumn("th", F.xxhash64("tok"))
+    # votes[j] = sum of +1/-1 for bit j across tokens
+    votes = hashed.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"b{j}")
+                for j in range(64)
+            ]
+        ).alias("votes")
+    )
+    # pack sign bits into one long: bit j set iff votes[j] > 0
+    # (bit 63 is the sign bit: 1<<63 as two's-complement long is -2^63)
+    packed = F.lit(0).cast("long")
+    for j in range(64):
+        bit_val = (1 << j) if j < 63 else -(2**63)
+        packed = packed + F.when(
+            F.element_at(F.col("votes"), j + 1) > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, packed.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates: block the 64-bit fingerprint into
+    ``blocks`` segments; by pigeonhole, any pair within hamming distance
+    < blocks shares at least one exact block — join on (block_idx, block
+    value), then filter by true hamming distance. Shuffle key is the
+    16-bit block value, never the pair space."""
+    assert max_hamming < blocks, "pigeonhole guarantee needs max_hamming < blocks"
+    bits = 64 // blocks
+    sh = simhash(df, text_col, id_col)
+    mask = (1 << bits) - 1
+    blocked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            hamming_distance("a.simhash", "b.simhash").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.6,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity per pair (a_id < b_id,
+    J ≥ threshold). With ``candidates`` (from LSH) the join is restricted
+    to candidate pairs — the standard verify step; without it, all pairs
+    sharing ≥1 shingle are scored (exact but quadratic in group sizes)."""
+    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_words)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(F.broadcast(candidates.select("a_id", "b_id")), ["a_id", "b_id"], "inner")
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs to a kept set: union-find via iterative
+    min-label propagation (small fixed number of passes — components from
+    dedup pairs are shallow), then keep the minimum id per component.
+
+    For adversarial deep chains, increase ``max_iters``; each pass is one
+    join + groupBy (no driver-side graph)."""
+    # label[i] starts as i; propagate min over pair edges until fixpoint
+    labels = df.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
+    edges = pairs.select(
+        F.col("a_id").alias("x"), F.col("b_id").alias("y")
+    ).unionByName(pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y")))
+    for _ in range(5):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node, "inner")
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
+    return df.join(keep, id_col, "inner")

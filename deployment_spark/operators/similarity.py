@@ -194,9 +194,69 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (SURVEY §7.1 M8): all (a, b)
-    with a < b and cosine ≥ threshold. Intended for candidate sets (after
-    LSH bucketing) — the raw form is O(N²/2) and is used on small/bucketed
-    inputs only."""
+    with a < b and cosine ≥ threshold.
+
+    Execution: the normalized corpus matrix is broadcast once; each
+    partition scores its own rows against it with one numpy matmul and
+    emits only the above-threshold pairs — work is O(N²·d) flops but the
+    shuffle is only the surviving pairs. This exact all-pairs form is for
+    corpora whose matrix fits in executor memory (N·d·8 bytes); at 100 TB
+    scale, LSH-bucket first (``dedup.minhash_lsh_candidates`` or the
+    sign-bit buckets in ``queries.q_lsh_bucket_ann``) and run this within
+    buckets."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    b = spark.sparkContext.broadcast((ids, mat))
+    thr = float(threshold)
+
+    out_schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        all_ids, m = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            local = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ln = np.linalg.norm(local, axis=1, keepdims=True)
+            ln[ln == 0] = 1.0
+            local = local / ln
+            sims = local @ m.T  # (n_local, N)
+            lids = pdf[id_col].to_numpy(dtype=np.int64)
+            ii, jj = np.nonzero(sims >= thr)
+            if len(ii) == 0:
+                continue
+            a_ids, b_ids, s = lids[ii], all_ids[jj], sims[ii, jj]
+            keep = a_ids < b_ids  # each unordered pair once, from its low-id side
+            yield pd.DataFrame(
+                {"a_id": a_ids[keep], "b_id": b_ids[keep], "cosine": s[keep]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def cosine_neardup_pairs_expr(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-Catalyst all-pairs variant (no Python): self-join + HOF cosine.
+    Cross-check twin of ``cosine_neardup_pairs``; fine for small candidate
+    sets, slower on wide corpora (per-pair interpreted lambdas)."""
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     return (

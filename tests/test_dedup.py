@@ -1,0 +1,94 @@
+"""Dedup operator family (M8): exact, MinHash+LSH, SimHash, Jaccard,
+pair-resolution. Golden facts are constructed: planted dup/near-dup rows
+must be found; unrelated rows must not."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(documents):
+    base = documents.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = base.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(docs_with_dups, documents):
+    n_base = documents.count()
+    kept = dedup.exact_dedup(docs_with_dups)
+    assert kept.count() == n_base + 10  # near-dups survive exact dedup
+    # every survivor of a planted exact-dup group is the original (lowest id)
+    assert kept.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_neardups(docs_with_dups):
+    pairs = dedup.minhash_lsh_candidates(docs_with_dups).cache()
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    # all exact dups must be candidates (J=1 ⇒ every band matches)
+    for i in range(10):
+        assert (i, i + 100000) in found
+    # near-dups (one word dropped) should mostly surface
+    near_hits = sum(1 for i in range(10, 20) if (i, i + 200000) in found)
+    assert near_hits >= 8
+
+
+def test_jaccard_verify_step(docs_with_dups):
+    cands = dedup.minhash_lsh_candidates(docs_with_dups)
+    verified = dedup.ngram_jaccard_pairs(
+        docs_with_dups, threshold=0.6, candidates=cands
+    ).collect()
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in verified}
+    for i in range(10):
+        assert pairs.get((i, i + 100000)) == pytest.approx(1.0)
+
+
+def test_simhash_similar_texts_close(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "completely different words about spark clusters and shuffle partitions everywhere"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert d12 < d13
+    assert d12 <= 12
+
+
+def test_simhash_candidates_block_join(spark):
+    # one replaced token out of 30 distinct words flips only the bits whose
+    # vote margin was near zero — expect hamming well under random (~32)
+    common = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi "
+        "omicron pi rho sigma tau upsilon phi chi psi omega one two three four five"
+    )
+    rows = [
+        (1, common + " kappz"),
+        (2, common + " kappy"),
+        (3, "totally different vocabulary about spark shuffle partitions and broadcast joins everywhere today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_candidates(df, max_hamming=12, blocks=16).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_dedup_by_pairs_resolves_components(spark):
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], ["a_id", "b_id"])
+    kept = sorted(r.doc_id for r in dedup.dedup_by_pairs(df, pairs).collect())
+    assert kept == [0, 3, 5]

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deployment_spark.operators import textstats
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("single",)], ["text"])
+    got = [r.n for r in df.select(textstats.token_count("text").alias("n")).collect()]
+    assert got == [3, 1]
+
+
+def test_bpe_ish_count_exceeds_word_count_for_long_words(spark):
+    df = spark.createDataFrame([("internationalization works",)], ["text"])
+    r = df.select(
+        textstats.token_count("text").alias("words"),
+        textstats.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()[0]
+    assert r.words == 2
+    assert r.bpe == 7  # inte|rnat|iona|liza|tion + work|s
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "el perro de la casa que ladra"),
+        (3, "der hund und die katze und das haus"),
+        (4, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.predicted_lang for r in textstats.add_lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "unknown"}
+
+
+def test_quality_metrics_bounds(documents):
+    out = textstats.add_quality_metrics(documents)
+    rows = out.select("quality_score", "alpha_ratio", "stopword_ratio").collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(0.0 <= r.alpha_ratio <= 1.0 for r in rows)
+
+
+def test_fingerprint_stability(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi"
+    rows = [(1, base), (2, base), (3, base + " omicron"), (4, "totally different words here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", textstats.content_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_add_text_stats_all_columns(documents):
+    out = textstats.add_text_stats(documents.limit(20))
+    for col in ["n_tokens", "quality_score", "predicted_lang", "fingerprint", "n_tokens_bpe"]:
+        assert col in out.columns
+    assert out.count() == 20
