@@ -1,0 +1,130 @@
+"""Reference benchmark grid (SURVEY §2.13 B1-B4).
+
+Reproduces the FAISS PlainDemo benchmark protocol on the Spark engine:
+op sizes × {insertion, deletion, update, query} over a corpus store,
+emitting the reference's long-format metrics schema
+(``FAISS/PlainDemo/README.md:96-99``, ``pipeline.py:135-175``)::
+
+    model_name, operation_type, operation_size, execution_time,
+    cpu_usage, memory_usage
+
+B1 timed-execution wrapper → ``_measure``; B2 resource sampling →
+psutil deltas on the driver (parity with the reference's process-level
+sampling); B3 long-format accumulation; B4 the size grid
+(``pipeline.py:325``: 2500…30000, reduced grids for small SF).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.embed import hash_embed
+from deployment_spark.functions.text import packet_text_v1
+from deployment_spark.operators.crud import SnapshotStore
+from deployment_spark.operators.similarity import topk_similarity_join
+from deployment_spark.schemas import sample_packet_rows
+
+REFERENCE_GRID = [2500, 5000, 7500, 10000, 20000, 30000]  # pipeline.py:325
+
+
+def _measure(func):
+    """B1 — (result, wall_time, Δcpu%, Δrss_mb), clamped ≥0 like the UI
+    variant (pipeline+ui.py:108-111)."""
+    try:
+        import psutil
+
+        proc = psutil.Process()
+        cpu0 = proc.cpu_percent(interval=None)
+        rss0 = proc.memory_info().rss / 1024 / 1024
+    except ImportError:  # psutil absent: wall time only
+        proc = None
+        cpu0 = rss0 = 0.0
+    t0 = time.perf_counter()
+    result = func()
+    elapsed = time.perf_counter() - t0
+    if proc is not None:
+        cpu = max(proc.cpu_percent(interval=None) - cpu0, 0.0)
+        mem = max(proc.memory_info().rss / 1024 / 1024 - rss0, 0.0)
+    else:
+        cpu = mem = 0.0
+    return result, elapsed, cpu, mem
+
+
+def _synthetic_batch(spark: SparkSession, start: int, n: int, dim: int) -> DataFrame:
+    """S7 — synthetic packet rows with text + hash-embedding (the
+    generator pattern at pipeline.py:329 at any offset)."""
+    return (
+        sample_packet_rows(spark, start + n)
+        .filter(F.col("frame_number").cast("long") >= start)
+        .withColumn("frame_number", F.col("frame_number").cast("long"))
+        .withColumn("packet_text", packet_text_v1())
+        .withColumn("vector", hash_embed("packet_text", dim=dim))
+    )
+
+
+def run_reference_grid(
+    spark: SparkSession,
+    store_root: str,
+    model_name: str = "hash-embedder-64d",
+    sizes: list[int] | None = None,
+    initial_rows: int = 10000,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """B4 — the benchmark loop (pipeline.py:306-346) on the Spark engine:
+    build corpus, then per size: insert synthetic rows, delete a sample,
+    update (delete+reinsert), query top-k. Returns the metrics DataFrame
+    in the reference's long format."""
+    sizes = sizes or REFERENCE_GRID
+    store = SnapshotStore(spark, store_root, key="frame_number")
+    store.create(_synthetic_batch(spark, 0, initial_rows, dim))
+    next_id = initial_rows
+
+    metrics: list[tuple] = []
+
+    def record(op: str, size: int, elapsed: float, cpu: float, mem: float) -> None:
+        # B3 — long-format row (pipeline.py:135-175)
+        metrics.append((model_name, op, size, elapsed, cpu, mem))
+
+    for size in sizes:
+        batch = _synthetic_batch(spark, next_id, size, dim)
+        _, t, c, m = _measure(lambda: store.insert(batch))
+        record("insertion", size, t, c, m)
+        next_id += size
+
+        # deletion: deterministic sample of current ids (reference uses
+        # unseeded np.random.choice, pipeline.py:78; we pin determinism)
+        victim_ids = store.read().select("frame_number").filter(
+            F.col("frame_number") % 7 == 3
+        ).limit(size)
+        _, t, c, m = _measure(lambda: store.delete_ids(victim_ids))
+        record("deletion", size, t, c, m)
+
+        # update = delete + re-insert with new ids (C3 quirk preserved)
+        upd_victims = store.read().select("frame_number").filter(
+            F.col("frame_number") % 11 == 5
+        ).limit(size)
+        new_rows = _synthetic_batch(spark, next_id, size, dim)
+        _, t, c, m = _measure(lambda: store.update(upd_victims, new_rows))
+        record("update", size, t, c, m)
+        next_id += size
+
+        # query: top-k for 3 sample queries (stream1.py:26 NUM_QUERY_SAMPLES)
+        corpus = store.read()
+        queries = corpus.limit(3).select(
+            F.col("frame_number").alias("query_id"), F.col("vector").alias("query_vec")
+        )
+        _, t, c, m = _measure(
+            lambda: topk_similarity_join(
+                corpus, queries, k=k, corpus_id="frame_number", corpus_vec="vector"
+            ).count()
+        )
+        record("query", size, t, c, m)
+
+    return spark.createDataFrame(
+        metrics,
+        ["model_name", "operation_type", "operation_size", "execution_time", "cpu_usage", "memory_usage"],
+    )

@@ -1,0 +1,165 @@
+"""IVF (inverted-file) vector index on Spark (SURVEY §2.9 V3-V5, §4).
+
+The reference builds ``faiss.IndexIVFFlat``: k-means coarse quantizer
+with ``nlist = min(100, √n)`` lists, search probes the ``nprobe = 10``
+nearest lists (``FAISS/PlainDemo/pipeline.py:316-321,257``).
+
+Spark-first equivalent:
+- **train** (V3): ``pyspark.ml.clustering.KMeans`` on the vector column
+  → the centroid set IS the coarse quantizer;
+- **add** (V4): assign each row its nearest centroid → ``cluster_id``
+  column → ``write.partitionBy("cluster_id")`` parquet — one disk
+  partition per inverted list;
+- **search** (V5): query→centroid distances are computed driver-side
+  (centroids are tiny: ≤100 × dim floats), the top-nprobe cluster ids
+  become an ``isin`` filter, and Spark **partition pruning** skips every
+  non-probed list on disk — the distributed analog of FAISS scanning 10
+  of 100 lists. Candidates are then ranked by exact cosine, top-k per
+  query.
+
+Recall semantics match FAISS: results are exact within probed lists;
+nprobe = nlist degrades to exact search (tested in tests/test_ivf.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import cosine_similarity
+
+
+def reference_nlist(n: int) -> int:
+    """nlist = max(1, min(100, √n)) — FAISS/PlainDemo/pipeline.py:317 with
+    the UI-Demo ``max(1, …)`` guard (pipeline+ui.py:338)."""
+    return max(1, min(100, int(n**0.5)))
+
+
+class IVFIndex:
+    """Partitioned-parquet IVF index: ``root/data/cluster_id=*/...`` plus
+    ``root/centroids.json``."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    @property
+    def _data_path(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def _centroids_path(self) -> str:
+        return os.path.join(self.root, "centroids.json")
+
+    # -- build (V3 train + V4 add) ------------------------------------------
+
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        nlist: int | None = None,
+        seed: int = 42,
+        train_fraction: float | None = None,
+    ) -> "IVFIndex":
+        """Train k-means (optionally on a sample — at 100 TB you never
+        k-means the full corpus), assign clusters, write partitioned."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        n = df.count()
+        k = nlist or reference_nlist(n)
+        feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+        train = feat if train_fraction is None else feat.sample(train_fraction, seed=seed)
+        model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="cluster_id").fit(train)
+        assigned = model.transform(feat).drop("_features")
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(self._data_path)
+        centroids = [c.tolist() for c in model.clusterCenters()]
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._centroids_path, "w") as f:
+            json.dump({"nlist": k, "dim": len(centroids[0]), "centroids": centroids}, f)
+        return self
+
+    # -- read ----------------------------------------------------------------
+
+    def centroids(self) -> np.ndarray:
+        with open(self._centroids_path) as f:
+            return np.array(json.load(f)["centroids"], dtype=np.float64)
+
+    def data(self) -> DataFrame:
+        return self.spark.read.parquet(self._data_path)
+
+    def ntotal(self) -> int:
+        return self.data().count()
+
+    # -- search (V5 nprobe pruning + J1 top-k) --------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Top-k by cosine within the nprobe nearest lists per query.
+
+        Plan shape: scan(data, cluster_id ∈ probed) [partition-pruned]
+        ⋈_broadcast (query_id, cluster_id) routing table → exact cosine →
+        per-query window top-k. Output: (query_id, vec_id, rank,
+        similarity)."""
+        cents = self.centroids()  # (nlist, dim) — tiny, driver-side like FAISS's quantizer
+        qrows = queries.select(query_id, query_vec).collect()
+        if not qrows:
+            return self.search_empty(query_id, id_col)
+        nprobe = min(nprobe, cents.shape[0])
+        qn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+        routing = []  # (qid, cluster_id) — the nprobe routing table
+        for r in qrows:
+            v = np.asarray(r[query_vec], dtype=np.float64)
+            v = v / max(np.linalg.norm(v), 1e-12)
+            # nearest centroids by cosine ≡ by L2 on normalized vectors
+            order = np.argsort(-(qn @ v))[:nprobe]
+            routing.extend((r[query_id], int(c)) for c in order)
+
+        routing_df = self.spark.createDataFrame(routing, [query_id, "cluster_id"])
+        probed = sorted({c for _, c in routing})
+
+        q = F.broadcast(
+            queries.withColumnRenamed(query_vec, "_qvec")
+            .join(routing_df, query_id)
+        )
+        # isin(probed) prunes non-probed cluster_id partitions at the scan
+        candidates = self.data().filter(F.col("cluster_id").isin(probed))
+        scored = candidates.join(q, "cluster_id").withColumn(
+            "_sim", cosine_similarity(vec_col, "_qvec")
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc(id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
+        )
+
+    def search_empty(self, query_id: str, id_col: str) -> DataFrame:
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        return self.spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(query_id, LongType()),
+                    StructField(id_col, LongType()),
+                    StructField("rank", LongType()),
+                    StructField("similarity", DoubleType()),
+                ]
+            ),
+        )

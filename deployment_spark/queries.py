@@ -27,15 +27,7 @@ from deployment_spark.functions.vector import (
 from deployment_spark.operators import similarity as sim_ops
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) on disk → read as long ns; convert to a
-    # real timestamp (µs precision) with integer division — ns-since-epoch
-    # (~1.7e18) overflows double precision, so no float math here.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+from deployment_spark.schemas import load_table as _t  # noqa: E402 — shared loader
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Streaming ingest (SURVEY §2.11 ST1-ST5).
+
+The reference's de-facto streaming model is "append-only CSV tailed by
+row offset": the Milvus app ingests the next 1,000 rows by tracking how
+many were already loaded (``skiprows=entity_count+1``,
+``Milvus/stream1.py:251-260``) — brittle offset bookkeeping our engine
+replaces with Structured Streaming file-source checkpoints (exactly-once
+per file, no skip-count math, no 16k caps).
+
+- ``packet_csv_stream``     — ST1/ST3 source: the tshark-style CSV dir
+- ``ingest_to_store``       — ST5: ``foreachBatch`` micro-batch insert
+  into a SnapshotStore (dedup-on-key per batch, like stream1.py:265)
+- ``windowed_event_counts`` — ST4 (flagged beyond-reference): watermarked
+  tumbling-window counts, the streaming protocol histogram
+
+All run with ``Trigger.AvailableNow`` in tests (drain-everything then
+stop), which is also the production backfill mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deployment_spark.schemas import PACKET_SCHEMA
+
+
+def packet_csv_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """ST3 — streaming scan of the packet CSV landing directory. Each
+    landed file ≈ one reference micro-batch (1,000-row chunks,
+    Milvus/stream1.py:21)."""
+    reader = (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .option("header", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
+
+
+def ingest_to_store(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    transform=None,
+    available_now: bool = True,
+):
+    """ST5 — micro-batch maintenance: each batch is cleaned/transformed
+    then inserted into the snapshot store inside ``foreachBatch``; the
+    checkpoint replaces the reference's manual entity-count offset.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        if store.exists():
+            store.insert(out)
+        else:
+            store.create(out)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST4 — event-time tumbling-window counts with a watermark for late
+    data. The reference never parses ``frame.time``; this is the flagged
+    beyond-reference extension (SURVEY §2.11)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "cnt",
+        )
+    )

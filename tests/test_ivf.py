@@ -1,0 +1,68 @@
+"""IVF index (V3-V5): nprobe=nlist must equal exact search; nprobe<nlist
+must reach a recall floor (SURVEY §5.2(2))."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.operators.ivf import IVFIndex, reference_nlist
+from deployment_spark.operators.similarity import topk_similarity_join
+
+
+def test_reference_nlist():
+    assert reference_nlist(4) == 2
+    assert reference_nlist(10000) == 100
+    assert reference_nlist(1000000) == 100  # capped at 100
+    assert reference_nlist(0) == 1  # UI-Demo max(1, ...) guard
+
+
+@pytest.fixture(scope="module")
+def index(spark, embeddings, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivf"))
+    idx = IVFIndex(spark, root).build(embeddings, nlist=16)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def queries_df(embeddings):
+    return embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_index_roundtrip(index, embeddings):
+    assert index.ntotal() == embeddings.count()
+    assert index.centroids().shape == (16, 64)
+    assert "cluster_id" in index.data().columns
+
+
+def test_full_probe_equals_exact(index, embeddings, queries_df):
+    exact = topk_similarity_join(embeddings, queries_df, k=5)
+    ivf = index.search(queries_df, k=5, nprobe=16)
+    e = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    g = {(r.query_id, r.rank): r.vec_id for r in ivf.collect()}
+    assert e == g
+
+
+def test_pruned_probe_recall(index, embeddings, queries_df):
+    exact = topk_similarity_join(embeddings, queries_df, k=10)
+    ivf = index.search(queries_df, k=10, nprobe=4)
+    e, g = {}, {}
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ivf.collect():
+        g.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(e[q] & g.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5  # nprobe=4/16 recall floor
+    # rank-1 self-hit must survive pruning: query's own cluster is probed first
+    for r in ivf.collect():
+        if r.rank == 1:
+            assert r.vec_id == r.query_id
+
+
+def test_partition_pruning_in_plan(index, queries_df):
+    """The probed-cluster filter must reach the scan as a partition filter."""
+    plan = index.search(queries_df, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan

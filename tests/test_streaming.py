@@ -1,0 +1,98 @@
+"""Streaming ingest parity (ST3): streamed micro-batch ingest total must
+equal batch ingest of the same files; checkpoint resume ingests only new
+files (the reference's skiprows-offset bookkeeping, done right)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.text import packet_text_v1
+from deployment_spark.operators.crud import SnapshotStore
+from deployment_spark.schemas import PACKET_COLUMNS, sample_packet_rows
+from deployment_spark.streaming.ingest import (
+    ingest_to_store,
+    packet_csv_stream,
+    windowed_event_counts,
+)
+
+
+def write_chunk(spark, path: str, start: int, n: int) -> None:
+    (
+        sample_packet_rows(spark, start + n)
+        .filter(F.col("frame_number").cast("long") >= start)
+        .coalesce(1)
+        .write.mode("append")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+def clean(df):
+    return df.withColumn("packet_text", packet_text_v1()).withColumn(
+        "frame_number", F.col("frame_number").cast("long")
+    )
+
+
+def test_stream_ingest_equals_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    # reference cadence: 1,000-row chunks landed incrementally (stream1.py:21)
+    write_chunk(spark, landing, 0, 1000)
+    write_chunk(spark, landing, 1000, 1000)
+
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="frame_number")
+    q = ingest_to_store(packet_csv_stream(spark, landing), store, ckpt, transform=clean)
+    q.awaitTermination(120)
+    assert store.count() == 2000
+
+    # resume: only the NEW file is ingested (checkpoint, not skiprows math)
+    write_chunk(spark, landing, 2000, 500)
+    q2 = ingest_to_store(packet_csv_stream(spark, landing), store, ckpt, transform=clean)
+    q2.awaitTermination(120)
+    assert store.count() == 2500
+
+    # batch read of the same landing dir agrees (ST3 parity assertion)
+    batch = clean(spark.read.option("header", "true").schema(
+        spark.read.option("header", "true").csv(landing).schema
+    ).csv(landing))
+    assert batch.count() == 2500
+    assert store.read().select("packet_text").distinct().count() == batch.select(
+        packet_text_v1().alias("packet_text")
+    ).distinct().count()
+
+
+def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
+    # land the events table as files, stream them through the windowed agg
+    from deployment_spark.schemas import load_table
+
+    src = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "events_landing")
+    src.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema(src.schema).parquet(landing)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.cnt
+        for r in (
+            src.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        ).collect()
+    }
+    assert streamed == batch
