@@ -1,0 +1,51 @@
+"""Sinks and catalog helpers (SURVEY §2.1 S8-S9, §2.10 C7).
+
+The reference's sinks: per-model metrics CSV (``df.to_csv``,
+``FAISS/PlainDemo/pipeline.py:179,400``) and the bulk index load
+(``index.add`` / ``collection.insert``). Spark-side: a CSV/parquet
+writer pair plus SQL-catalog registration so the whole testdata star
+schema is queryable via ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deployment_spark.schemas import TESTDATA_TABLES, load_table
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """S8 — CSV sink. ``single_file=True`` mirrors the reference's one
+    ``metrics.csv`` per model (fine for metrics-sized data; distributed
+    many-file layout is the default for corpus-sized data)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """S9 — bulk load of a queryable artifact; with ``partition_by``
+    this is the IVF inverted-list layout (cluster_id) or any hive-style
+    pruned layout."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[str]:
+    """Register the driver testdata tables as temp views so the full SQL
+    surface (including grouping sets / cube / rollup — free in Spark SQL,
+    SURVEY §2.4 note) is available via ``spark.sql``."""
+    registered = []
+    for name in names or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        registered.append(name)
+    return registered
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """C7 — existence check (``utility.has_collection``,
+    ``Milvus/stream1.py:105``) against the Spark catalog."""
+    return spark.catalog.tableExists(name)
