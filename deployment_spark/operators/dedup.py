@@ -132,6 +132,54 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return votes.select(id_col, packed.alias("simhash"))
 
 
+def simhash_portable(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with an md5-derived token hash, emitted as a 16-char
+    hex string — semantically identical to :func:`simhash` but every
+    primitive (md5, substring, instr, integer div/mod) exists in ANSI SQL,
+    so the result is oracle-checkable against DuckDB (the xxhash64 variant
+    is Spark-only). Prefer :func:`simhash` in production: one 64-bit hash
+    per token beats 64 per-bit expressions over a 32-char digest.
+
+    Bit j of the fingerprint = sign of Σ_tokens ±1, where the vote is bit
+    (j%4) of hex digit (j//4) of md5(token); nibble n of the output hex
+    string packs bits 4n..4n+3. Docs with no tokens produce no row.
+    """
+    toks = (
+        df.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.md5("tok"))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"((instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+                        f" div {2 ** (j % 4)}) % 2 = 1"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    nibbles = [
+        F.substring(
+            F.lit("0123456789abcdef"),
+            sum(
+                [
+                    F.when(F.col(f"v{4 * n + i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+                    for i in range(4)
+                ],
+                F.lit(1),
+            ),
+            1,
+        )
+        for n in range(16)
+    ]
+    return votes.select(id_col, F.concat(*nibbles).alias("simhash"))
+
+
 def hamming_distance(a, b):
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     a = F.col(a) if isinstance(a, str) else a

@@ -123,6 +123,46 @@ def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> Data
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+PAYLOAD_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("byte_sum", LongType(), True),
+    ]
+)
+
+
+def payload_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact payload statistics via the same Arrow/mapInPandas
+    path as :func:`extract_features` — byte length and byte sum per media
+    row. Being integer math, the result is bit-reproducible anywhere,
+    which makes the binary-column plumbing oracle-checkable end to end."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sizes, sums = [], []
+            for payload in pdf["payload"]:
+                raw = np.frombuffer(payload or b"", dtype=np.uint8)
+                sizes.append(len(raw))
+                sums.append(int(raw.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": sizes,
+                    "byte_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(run, schema=PAYLOAD_STATS_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode per-media sample timestamps
     from metadata (decode stubbed). Output one row per planned frame —

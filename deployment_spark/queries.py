@@ -880,6 +880,169 @@ FROM bands a JOIN bands b
 """
 
 
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 SimHash dedup fingerprint (portable md5 variant so DuckDB can
+    replay it bit-for-bit; the production op is the xxhash64 simhash in
+    operators.dedup, property-tested in tests/test_dedup.py)."""
+    from deployment_spark.operators.dedup import simhash_portable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_portable(docs).orderBy("doc_id")
+
+
+def _simhash_oracle_sql() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    nibbles = " || ".join(
+        "substring('0123456789abcdef', 1 + "
+        + " + ".join(f"(CASE WHEN v{4 * n + i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(4))
+        + ", 1)"
+        for n in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {nibbles} AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+SQL_DOC_SIMHASH = _simhash_oracle_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 document fingerprint — min-k sketch (md5 of the 8 smallest word
+    4-gram hashes; operators.textstats.content_fingerprint). Stable under
+    edits away from the selected grams; the groupBy key for fuzzy-exact
+    dedup at scale."""
+    from deployment_spark.operators.textstats import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", content_fingerprint("text").alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(w) - 3, 1) + 1),
+             i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS g
+  FROM words
+), hashed AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_transform(g, s -> md5(s))), 1, 8) AS smallest
+  FROM grams
+)
+SELECT doc_id, md5(array_to_string(smallest, '|')) AS fingerprint FROM hashed
+"""
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3-V5 + J1 — IVF index build (KMeans quantizer → cluster-partitioned
+    parquet) and top-k search. Probing every list (nprobe = nlist) makes
+    IVF search exact, so the oracle is the same brute-force top-k SQL as
+    q_topk_cosine — the partition-pruned plan must not change results.
+    The nprobe < nlist recall path is covered in tests/test_ivf.py."""
+    import tempfile
+
+    from deployment_spark.operators.ivf import IVFIndex, reference_nlist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _IVF_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="ivf_idx_")
+        IVFIndex(spark, root).build(emb, nlist=min(16, reference_nlist(emb.count())))
+        _IVF_CACHE[sf_dir] = root
+    index = IVFIndex(spark, root)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = index.search(queries, k=5, nprobe=10**9)  # probe all lists ⇒ exact
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("similarity", 4).alias("similarity"),
+    )
+
+
+def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 multimodal plumbing — opaque binary payloads pushed through the
+    Arrow/mapInPandas decode path (operators.multimodal). The synthetic
+    payload is reconstructible in SQL (repeat(sha256(id), 8) as utf-8
+    bytes), so byte-exact integer stats oracle the whole binary round
+    trip: schema, Arrow transfer, per-batch numpy work."""
+    from deployment_spark.operators.multimodal import payload_stats, synthetic_media
+
+    media = synthetic_media(spark, n=100)
+    return payload_stats(media).select("media_id", "media_type", "n_bytes", "byte_sum")
+
+
+SQL_MEDIA_PAYLOAD_STATS = """
+WITH m AS (
+  SELECT range AS media_id, 'image' AS media_type,
+         repeat(sha256(range::VARCHAR), 8) AS s
+  FROM range(100)
+)
+SELECT media_id, media_type,
+       length(s)::BIGINT AS n_bytes,
+       list_sum(list_transform(range(1, length(s) + 1),
+                               p -> ascii(substring(s, p, 1))))::BIGINT AS byte_sum
+FROM m
+"""
+
+
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3/ST4 — Structured Streaming ingest of the events table
+    (AvailableNow drain, complete-mode windowed counts into a memory
+    sink). Same answer as the batch q_events_hourly shape, via the
+    streaming engine; oracled by the equivalent batch SQL."""
+    import uuid
+
+    from deployment_spark.streaming.ingest import windowed_event_counts
+
+    # schema must match the file bytes (ts is INT64 nanos on disk), not the
+    # batch loader's converted view — conversion happens after the scan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = windowed_event_counts(stream, ts_col="ts", key_col="event_type")
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    return spark.table(sink).select("window_start", "event_type", F.col("cnt").cast("long").alias("cnt"))
+
+
+SQL_STREAMING_HOURLY_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -916,4 +1079,9 @@ REGISTRY: dict = {
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
+    "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
+    "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
+    "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
 }

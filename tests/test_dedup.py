@@ -87,6 +87,32 @@ def test_simhash_candidates_block_join(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_portable_matches_xxhash_variant_shape(spark):
+    # portable (md5) simhash: identical texts → identical fingerprint;
+    # near-identical → small hamming; disjoint vocab → large hamming
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4, "completely different words about spark clusters and shuffle partitions everywhere"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r.doc_id: r.simhash for r in dedup.simhash_portable(df).collect()}
+    assert all(len(v) == 16 for v in sh.values())
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert sh[1] == sh[2]
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_simhash_portable_drops_empty_docs(spark):
+    df = spark.createDataFrame([(1, "some words here"), (2, "   "), (3, "")], ["doc_id", "text"])
+    ids = {r.doc_id for r in dedup.simhash_portable(df).collect()}
+    assert ids == {1}
+
+
 def test_dedup_by_pairs_resolves_components(spark):
     df = spark.createDataFrame([(i, f"text {i}") for i in range(6)], ["doc_id", "text"])
     pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], ["a_id", "b_id"])

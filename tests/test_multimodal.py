@@ -30,6 +30,19 @@ def test_extract_features_real_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or "real media decoding" in str(exc_info.value)
 
 
+def test_payload_stats_integer_exact(spark):
+    df = multimodal.synthetic_media(spark, 10)
+    rows = {r.media_id: (r.n_bytes, r.byte_sum) for r in multimodal.payload_stats(df).collect()}
+    assert len(rows) == 10
+    # payload = repeat(sha2_hex, 8): 512 utf-8 bytes, sum reproducible driver-side
+    import hashlib
+
+    for mid, (n, s) in rows.items():
+        expected = (hashlib.sha256(str(mid).encode()).hexdigest() * 8).encode()
+        assert n == len(expected) == 512
+        assert s == sum(expected)
+
+
 def test_frame_sample_plan(spark):
     df = multimodal.synthetic_media(spark, 5, media_type="video").withColumn(
         "meta",
