@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from deployment_spark.functions.text import word_shingles
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism when the input arrives
+    in fewer partitions than cores. Small single-row-group parquet files
+    scan as ONE task, which would serialize the CPU-heavy map work
+    (hashing, shingling) that follows; the ~MB-scale exchange this adds is
+    noise next to 32× parallelism. At 100 TB inputs already arrive in
+    thousands of splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5 content hash, keep the lowest-id row per hash.
     One hash-shuffle; at 100 TB this is the cheapest first pass."""
@@ -31,6 +45,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def _minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_words: int
+) -> DataFrame:
+    """Wide MinHash table (id, mh0..mh{H-1}) in ONE pass and ONE shuffle:
+    explode shingles, hash each shingle against all H seeds in a single
+    projection (each md5 computed exactly once), then per-doc column-wise
+    min. Shingle rows stay partition-local until the groupBy, where
+    map-side partial aggregation collapses them to one row per doc — so
+    exchange volume is O(docs), independent of document length.
+
+    (A shuffle-free array-expression formulation exists but Catalyst
+    re-evaluates non-trivial subexpressions per reference inside
+    higher-order lambdas, exploding runtime; the wide-agg shape is the
+    fast one in practice.)"""
+    sh = spread_for_cpu(df).select(
+        id_col, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    hs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.md5(F.concat_ws("|", s.cast("string"), F.col("sh"))),
+    )
+    hashed = sh.select(id_col, hs.alias("hs"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.col("hs")[s]).alias(f"mh{s}") for s in range(num_hashes)]
     )
 
 
@@ -48,11 +89,11 @@ def minhash_signatures(
 
     Output: (id_col, seed, mh). Portable across engines (md5 only) so the
     DuckDB oracle can replay it exactly (queries.q_doc_minhash_lsh)."""
-    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_words)).alias("sh"))
-    seeded = sh.select(
-        id_col, "sh", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))))
-    return seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_words)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"mh{s}") for s in range(num_hashes)])).alias("seed", "mh"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -66,25 +107,28 @@ def minhash_lsh_candidates(
     """MinHash + LSH banding → candidate near-dup pairs (a_id < b_id).
 
     Docs sharing any band signature become candidates; with r rows per
-    band, P(candidate) = 1 - (1 - J^r)^bands. The join key is
-    (band_id, signature) — group sizes bound the pair blowup, never N²."""
+    band, P(candidate) = 1 - (1 - J^r)^bands. One shuffle computes the
+    signatures (see _minhash_wide); the only other exchange is the join
+    on (band_id, signature) — group sizes bound the pair blowup, never
+    N²."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
-    band_sigs = (
-        sig.withColumn("band_id", F.floor(F.col("seed") / rows_per_band).cast("long"))
-        .groupBy(id_col, "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                    "|",
-                )
-            ).alias("sig")
-        )
-    )
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_words)
+    band_sigs = wide.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "sig"),
+    ).withColumn("band_id", F.col("band_id").cast("long"))
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(
@@ -108,7 +152,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     (similar texts ⇒ small hamming distance), not the SQL oracle.
 
     Output: (id_col, simhash LONG)."""
-    toks = df.select(id_col, F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    toks = spread_for_cpu(df).select(
+        id_col, F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
     hashed = toks.withColumn("th", F.xxhash64("tok"))
     # votes[j] = sum of +1/-1 for bit j across tokens
     votes = hashed.groupBy(id_col).agg(
@@ -145,7 +191,8 @@ def simhash_portable(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     string packs bits 4n..4n+3. Docs with no tokens produce no row.
     """
     toks = (
-        df.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        spread_for_cpu(df)
+        .select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("h", F.md5("tok"))
     )
@@ -247,29 +294,64 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity per pair (a_id < b_id,
-    J ≥ threshold). With ``candidates`` (from LSH) the join is restricted
-    to candidate pairs — the standard verify step; without it, all pairs
-    sharing ≥1 shingle are scored (exact but quadratic in group sizes)."""
-    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_words)).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    J ≥ threshold). With ``candidates`` (e.g. from LSH) only those pairs
+    are verified. Without, candidates come from AllPairs/PPJoin-style
+    prefix filtering: order each doc's shingles rarest-first (global
+    frequency), keep only the first ``n - ceil(t·n) + 1``, and join
+    prefix-to-prefix — by the prefix-filtering lemma (overlap ≥ α forces
+    prefixes of length n - α + 1 to intersect, and J ≥ t gives overlap
+    ≥ t·max(na, nb)), every qualifying pair shares a prefix shingle on
+    BOTH sides. A pair size filter prunes further. Exact verification
+    then runs on the candidate pairs via array_intersect. Result is
+    identical to the naive all-pairs join, but the join touches only
+    rare-leaning prefix tokens, not hot-token groups squared."""
+    # Plan-shape notes (each measured at sf0.1, see also plans/audit):
+    # - the shingle array feeds explode() INLINE and nothing else in that
+    #   projection: any sibling expression over the array (e.g. size())
+    #   gets hoisted above the Generate and re-evaluated once per exploded
+    #   row, turning an O(docs) computation into O(shingles);
+    # - per-doc shingle counts therefore come from a window count over the
+    #   same doc_id exchange the prefix ranking already needs — free;
+    # - freq is broadcast EXPLICITLY: the exploded side's size estimate is
+    #   the pre-explode file size, so the planner otherwise broadcasts the
+    #   big side.
+    grams = word_shingles(text_col, shingle_words)
+    base = spread_for_cpu(df)
+    docs = base.select(id_col, grams.alias("arr"))
     if candidates is not None:
-        shared = shared.join(F.broadcast(candidates.select("a_id", "b_id")), ["a_id", "b_id"], "inner")
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("nb"))
+        cand = candidates.select("a_id", "b_id")
+    else:
+        sh = base.select(id_col, F.explode(grams).alias("sh"))
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+        wdoc = Window.partitionBy(id_col)
+        w = wdoc.orderBy(F.asc("cnt"), F.asc("sh"))
+        prefix = (
+            sh.join(F.broadcast(freq), "sh")
+            .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                # J ≥ t is impossible outside t ≤ na/nb ≤ 1/t — prune early
+                & (F.col("b.n_sh") >= F.ceil(F.lit(threshold) * F.col("a.n_sh")))
+                & (F.col("a.n_sh") >= F.ceil(F.lit(threshold) * F.col("b.n_sh"))),
+            )
+            .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+            .distinct()
+        )
+    sa = docs.select(F.col(id_col).alias("a_id"), F.col("arr").alias("arr_a"))
+    sb = docs.select(F.col(id_col).alias("b_id"), F.col("arr").alias("arr_b"))
     return (
-        shared.join(sa, "a_id")
+        cand.join(sa, "a_id")
         .join(sb, "b_id")
+        .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn("na", F.size("arr_a"))
+        .withColumn("nb", F.size("arr_b"))
         .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")

@@ -756,23 +756,10 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
     )
     alld = d.unionByName(planted)
-    sh = alld.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
-    return (
-        shared.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
-        .filter(F.col("jaccard") >= 0.6)
-        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
-    )
+    from deployment_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(alld, shingle_words=3, threshold=0.6)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
 
 
 SQL_DOC_NGRAM_JACCARD = """
@@ -809,46 +796,15 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands × 4 rows; candidate pairs share ≥1 band signature. Near-copies
     of docs 0-29 planted as in the Jaccard query; the shuffle unit is
     (band_id, signature), never the O(N²) pair space."""
-    H, BANDS = 16, 4
-    rows_per_band = H // BANDS
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
     )
     alld = d.unionByName(planted)
-    sh = alld.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
-    seeded = sh.select(
-        "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(H - 1))).alias("seed")
-    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))))
-    minhash = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    bands = (
-        minhash.withColumn("band_id", F.floor(F.col("seed") / rows_per_band).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                    "|",
-                )
-            ).alias("sig")
-        )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    from deployment_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(alld, num_hashes=16, bands=4, shingle_words=3)
 
 
 SQL_DOC_MINHASH_LSH = """

@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-heavy stages (hashing, shingling, vector math) produce few
+        # shuffle BYTES; the 1 MB default floor lets AQE coalesce them to
+        # 1-2 partitions and serialize 32 cores' work. 64 KB keeps
+        # parallelism; at real scale partitions are byte-bound anyway.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
