@@ -41,6 +41,32 @@ def hash_embed(text: Column | str, dim: int = 64, normalize: bool = True) -> Col
     return comps.cast("array<float>")
 
 
+def md5_embed(text: Column | str, dim: int = 16, normalize: bool = True) -> Column:
+    """Portable deterministic pseudo-embedding: component j is the first
+    32 bits of md5(text || '|' || j) mapped to [-1, 1), then L2-normalized.
+
+    Slower than :func:`hash_embed` (one md5 per dimension vs one
+    xxhash64), but every primitive is ANSI SQL, so a DuckDB oracle can
+    replay the ENTIRE reference pipeline — serialize → embed → top-k
+    cosine — bit-for-bit (queries.q_packet_topk). Use hash_embed in
+    production, md5_embed where cross-engine verification matters."""
+    c = F.col(text) if isinstance(text, str) else text
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.conv(F.substring(F.md5(F.concat_ws("|", c, j.cast("string"))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(2**31))
+            - 1.0
+        ),
+    )
+    if normalize:
+        from deployment_spark.functions.vector import l2_normalize
+
+        comps = l2_normalize(comps)
+    return comps
+
+
 def sentence_transformer_embed(model_name: str, batch_size: int = 32):
     """Real-model embedding UDF factory. Returns a pandas UDF producing
     L2-normalized ``array<float>`` vectors.

@@ -999,6 +999,67 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_packet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline end-to-end (SURVEY §3.1/§3.3): synthetic
+    packet rows (S7, pipeline.py:329) → packet_text_v1 serialization (F1,
+    duplicated-protocol quirk preserved) → deterministic embedding (V1/V2)
+    → exact top-5 cosine neighbors for 3 query packets (J1/T1/T3) via the
+    scalable broadcast + partition-pre-reduce top-k operator. Uses the
+    portable md5 embedder so DuckDB replays every stage bit-for-bit."""
+    from deployment_spark.functions.embed import md5_embed
+    from deployment_spark.functions.text import packet_text_v1
+    from deployment_spark.schemas import sample_packet_rows
+
+    corpus = sample_packet_rows(spark, 200).select(
+        F.col("frame_number").cast("long").alias("vec_id"),
+        md5_embed(packet_text_v1(), dim=16).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = sim_ops.topk_similarity_join(corpus, queries, k=5)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("similarity", 4).alias("similarity"),
+    )
+
+
+SQL_PACKET_TOPK = """
+WITH ids AS (
+  SELECT range AS id FROM range(200)
+), rows AS (
+  SELECT id,
+         concat_ws(' ',
+           '192.168.1.' || (id % 256)::VARCHAR,
+           '192.168.1.' || ((id + 1) % 256)::VARCHAR,
+           'TCP',
+           ((id % 64511) + 1024)::VARCHAR,
+           '80',
+           'TCP',
+           ((id * 10) % 1460 + 64)::VARCHAR) AS t
+  FROM ids
+), emb AS (
+  SELECT id,
+         list_transform(range(0, 16),
+           j -> ('0x' || substring(md5(t || '|' || j::VARCHAR), 1, 8))::UBIGINT
+                / 2147483648.0 - 1) AS v
+  FROM rows
+), q AS (
+  SELECT id AS query_id, v AS qv FROM emb WHERE id < 3
+), s AS (
+  SELECT q.query_id, e.id AS vec_id, list_cosine_similarity(e.v, q.qv) AS sim
+  FROM emb e CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, rank, round(sim, 4) AS similarity FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1040,4 +1101,5 @@ REGISTRY: dict = {
     "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
+    "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),
 }
