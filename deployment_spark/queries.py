@@ -1060,6 +1060,52 @@ SELECT query_id, vec_id, rank, round(sim, 4) AS similarity FROM r WHERE rank <= 
 """
 
 
+def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 enrichment join + F6 legacy score: top-k results mapped back to
+    corpus payloads (labels), plus the UI's ``1 - d`` display transform
+    computed from cosine via d = √(2 − 2·cos) on unit vectors
+    (FAISS/UI-Demo/pipeline+ui.py:594-600,597). Because vector + payload
+    live in ONE row, this join cannot drift the way the reference's
+    parallel lists do (SURVEY §3.3)."""
+    from deployment_spark.operators.similarity import enrich_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = sim_ops.topk_similarity_join(emb, queries, k=5)
+    enriched = enrich_topk(res, emb.select("vec_id", "label"), corpus_id="vec_id")
+    legacy_d = F.sqrt(F.greatest(2.0 - 2.0 * F.col("similarity"), F.lit(0.0)))
+    return enriched.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("label").cast("long").alias("label"),
+        F.round("similarity", 4).alias("similarity"),
+        F.round(1.0 - legacy_d, 4).alias("legacy_score"),
+    )
+
+
+SQL_TOPK_ENRICHED = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS sim
+  FROM embeddings c CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, rank, label::BIGINT AS label,
+       round(sim, 4) AS similarity,
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4) AS legacy_score
+FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1102,4 +1148,5 @@ REGISTRY: dict = {
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
     "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),
+    "topk_enriched": (q_topk_enriched, SQL_TOPK_ENRICHED),
 }
