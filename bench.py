@@ -40,7 +40,52 @@ HEADLINE = [
 ]
 
 
+def run_grid() -> None:
+    """--grid: the reference's own benchmark protocol (SURVEY §2.13 B4,
+    FAISS/PlainDemo/pipeline.py:306-346) — op sizes × {insertion,
+    deletion, update, query} over a snapshot store, 10k initial rows,
+    hash-embedder. Prints one JSON line with per-op mean seconds and
+    writes the reference's long-format metrics CSV next to the store."""
+    import tempfile
+
+    from deployment_spark.benchmark import REFERENCE_GRID, run_reference_grid
+
+    mode = "mor" if "--mor" in sys.argv else "cow"
+    spark = get_spark(app_name="deployment-spark-grid")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bench_grid_")
+    t0 = time.perf_counter()
+    metrics = run_reference_grid(
+        spark,
+        os.path.join(root, "store"),
+        store_mode=mode,
+        compact_every=3 if mode == "mor" else None,
+    )
+    rows = metrics.collect()
+    total = round(time.perf_counter() - t0, 3)
+    metrics.toPandas().to_csv(os.path.join(root, "metrics.csv"), index=False)
+    per_op: dict[str, list[float]] = {}
+    for r in rows:
+        per_op.setdefault(r.operation_type, []).append(float(r.execution_time))
+    print(
+        json.dumps(
+            {
+                "metric": "reference_grid_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {op: round(sum(v) / len(v), 3) for op, v in sorted(per_op.items())},
+                "sf": REFERENCE_GRID[-1],
+                "metrics_csv": os.path.join(root, "metrics.csv"),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--grid" in sys.argv:
+        run_grid()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="deployment-spark-bench")

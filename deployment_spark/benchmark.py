@@ -73,13 +73,19 @@ def run_reference_grid(
     initial_rows: int = 10000,
     dim: int = 64,
     k: int = 5,
+    store_mode: str = "cow",
+    compact_every: int | None = None,
 ) -> DataFrame:
     """B4 — the benchmark loop (pipeline.py:306-346) on the Spark engine:
     build corpus, then per size: insert synthetic rows, delete a sample,
     update (delete+reinsert), query top-k. Returns the metrics DataFrame
-    in the reference's long format."""
+    in the reference's long format.
+
+    ``store_mode="mor"`` runs the grid against the merge-on-read store
+    (mutations cost O(batch), reads merge segments); ``compact_every=N``
+    compacts after every N grid sizes, the realistic maintenance cadence."""
     sizes = sizes or REFERENCE_GRID
-    store = SnapshotStore(spark, store_root, key="frame_number")
+    store = SnapshotStore(spark, store_root, key="frame_number", mode=store_mode)
     store.create(_synthetic_batch(spark, 0, initial_rows, dim))
     next_id = initial_rows
 
@@ -89,7 +95,10 @@ def run_reference_grid(
         # B3 — long-format row (pipeline.py:135-175)
         metrics.append((model_name, op, size, elapsed, cpu, mem))
 
-    for size in sizes:
+    for i, size in enumerate(sizes):
+        if compact_every and i and i % compact_every == 0:
+            _, t, c, m = _measure(store.compact)
+            record("compaction", size, t, c, m)
         batch = _synthetic_batch(spark, next_id, size, dim)
         _, t, c, m = _measure(lambda: store.insert(batch))
         record("insertion", size, t, c, m)

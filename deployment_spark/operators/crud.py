@@ -13,11 +13,23 @@ By construction this fixes two documented reference bugs:
 - the 16,384-row pk-scan cap (``Milvus/stream1.py:299``): last-N delete
   is a real ORDER BY/LIMIT plan, not a capped client scan.
 
-Scale notes: mutations are joins/unions that shuffle only on the key;
-delete is a broadcast anti-join when the id-set is small. Snapshots are
-written partitioned when a partition column is configured (e.g.
-``cluster_id`` for the IVF layout, §4). Old versions are retained for
-time travel until ``vacuum``.
+Two storage strategies behind one API (``mode=``):
+
+- ``"cow"`` (copy-on-write, default): every mutation materializes the
+  full next snapshot. Reads are a plain scan; mutation cost is O(corpus).
+- ``"mor"`` (merge-on-read): the lakehouse shape. A snapshot is a
+  MANIFEST of immutable data segments plus key tombstones; insert/upsert
+  append one segment (O(batch)), delete appends one tombstone file
+  (O(ids)). Reads reconstruct last-wins state: union segments tagged
+  with their commit sequence, keep the newest row per key, anti-join
+  tombstones newer than the surviving row. ``compact()`` folds
+  everything back to a single segment (plain-scan reads again). At
+  100 TB, mor is the only shape where the reference's 2,500-30,000-row
+  mutation grid doesn't rewrite the corpus 24 times.
+
+Snapshots are written partitioned when a partition column is configured
+(e.g. ``cluster_id`` for the IVF layout, §4). Old versions are retained
+for time travel until ``vacuum``.
 """
 
 from __future__ import annotations
@@ -48,11 +60,15 @@ class SnapshotStore:
         root: str,
         key: str = "id",
         partition_by: str | None = None,
+        mode: str = "cow",
     ) -> None:
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.root = root
         self.key = key
         self.partition_by = partition_by
+        self.mode = mode
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping ------------------------------------------------
@@ -91,13 +107,87 @@ class SnapshotStore:
         os.replace(tmp, self._pointer)
         return version
 
+    # -- merge-on-read manifest bookkeeping ---------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"m{version:06d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, segments: list[dict], tombstones: list[dict]) -> int:
+        """C5 barrier, mor flavor: the new segment/tombstone files are
+        fully written before the manifest that references them appears;
+        pointer swap is atomic as in cow."""
+        version = self.current_version() + 1
+        with open(self._manifest_path(version), "w") as f:
+            json.dump(
+                {"version": version, "segments": segments, "tombstones": tombstones}, f
+            )
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "mode": self.mode, "ts": time.time()}, f)
+        os.replace(tmp, self._pointer)
+        return version
+
+    def _write_files(self, df: DataFrame, name: str) -> str:
+        path = os.path.join(self.root, name)
+        writer = df.write.mode("overwrite")
+        if self.partition_by and self.partition_by in df.columns:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(path)
+        return name
+
+    def _keys_df(self, ids: "DataFrame | list", like: DataFrame) -> DataFrame:
+        if isinstance(ids, list):
+            return self.spark.createDataFrame(
+                [(i,) for i in ids], schema=like.select(self.key).schema
+            )
+        return ids.select(F.col(ids.columns[0]).alias(self.key))
+
     # -- reads --------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.current_version() if version is None else version
         if v == 0:
             raise ValueError(f"snapshot store {self.root} is empty")
-        return self.spark.read.parquet(self._snapshot_path(v))
+        if self.mode == "cow":
+            return self.spark.read.parquet(self._snapshot_path(v))
+        m = self._read_manifest(v)
+        segs, tombs = m["segments"], m["tombstones"]
+        if len(segs) == 1 and not tombs:  # compacted fast path: plain scan
+            return self.spark.read.parquet(os.path.join(self.root, segs[0]["path"]))
+        data = None
+        for s in segs:
+            part = self.spark.read.parquet(os.path.join(self.root, s["path"])).withColumn(
+                "_seq", F.lit(int(s["seq"]))
+            )
+            data = part if data is None else data.unionByName(part)
+        # last-wins per key across segments (upsert lands as a newer segment)
+        w = Window.partitionBy(self.key).orderBy(F.desc("_seq"))
+        live = data.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        if tombs:
+            # a tombstone kills rows from segments OLDER than it; a
+            # re-insert after delete lands in a newer segment and survives.
+            # All tombstone files fold into ONE aggregated anti-join
+            # (key → max seq), so the plan stays flat however many
+            # deletes accumulated between compactions.
+            tdf = None
+            for t in tombs:
+                part = (
+                    self.spark.read.parquet(os.path.join(self.root, t["path"]))
+                    .select(F.col(self.key).alias("_tkey"))
+                    .withColumn("_tseq", F.lit(int(t["seq"])))
+                )
+                tdf = part if tdf is None else tdf.unionByName(part)
+            latest_tomb = tdf.groupBy("_tkey").agg(F.max("_tseq").alias("_tseq"))
+            live = live.join(
+                F.broadcast(latest_tomb),
+                (F.col(self.key) == F.col("_tkey")) & (F.col("_tseq") > F.col("_seq")),
+                "left_anti",
+            )
+        return live.drop("_rn", "_seq")
 
     def count(self) -> int:
         """A6 — ``index.ntotal`` / ``collection.num_entities``."""
@@ -106,41 +196,54 @@ class SnapshotStore:
     # -- mutations (each returns the new version) ---------------------------
 
     def create(self, df: DataFrame) -> int:
+        if self.mode == "mor":
+            v = self.current_version() + 1
+            seg = self._write_files(df, f"s{v:06d}")
+            return self._commit_manifest([{"path": seg, "seq": v}], [])
         return self._commit(df)
 
     def insert(self, rows: DataFrame, dedup_new: bool = True) -> int:
         """C1 — append (``index.add`` / ``collection.insert``). The Milvus
         path dedups incoming rows on pk first (``stream1.py:215,265``);
         rows whose key already exists in the corpus are dropped, matching
-        primary-key insert semantics."""
+        primary-key insert semantics. mor cost: one O(batch) segment
+        write (plus the key anti-join read)."""
         if not self.exists():
-            base = rows.limit(0)
-        else:
-            base = self.read()
+            return self.create(rows.dropDuplicates([self.key]) if dedup_new else rows)
+        base = self.read()
         new = rows
         if dedup_new:
             new = new.dropDuplicates([self.key])
         new = new.join(base.select(self.key), on=self.key, how="left_anti")
+        if self.mode == "mor":
+            m = self._read_manifest(self.current_version())
+            v = self.current_version() + 1
+            seg = self._write_files(new, f"s{v:06d}")
+            return self._commit_manifest(
+                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"]
+            )
         return self._commit(base.unionByName(new))
 
     def delete_ids(self, ids: DataFrame | list) -> int:
-        """C2/J3 — delete by id-set as a broadcast left_anti join
-        (``index.remove_ids``, ``FAISS/PlainDemo/pipeline.py:110-112``)."""
+        """C2/J3 — delete by id-set (``index.remove_ids``,
+        ``FAISS/PlainDemo/pipeline.py:110-112``). cow: broadcast
+        left_anti rewrite; mor: one O(ids) tombstone file."""
         base = self.read()
-        if isinstance(ids, list):
-            ids_df = self.spark.createDataFrame(
-                [(i,) for i in ids], schema=base.select(self.key).schema
+        ids_df = self._keys_df(ids, base)
+        if self.mode == "mor":
+            m = self._read_manifest(self.current_version())
+            v = self.current_version() + 1
+            tomb = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
+            return self._commit_manifest(
+                m["segments"], m["tombstones"] + [{"path": tomb, "seq": v}]
             )
-        else:
-            ids_df = ids.select(F.col(ids.columns[0]).alias(self.key))
         return self._commit(base.join(F.broadcast(ids_df), on=self.key, how="left_anti"))
 
     def delete_last_n(self, n: int) -> int:
         """C2 Milvus variant — delete the n largest keys
         (``Milvus/stream1.py:305-315``), WITHOUT the 16,384-row scan cap."""
-        base = self.read()
-        last_n = base.select(self.key).orderBy(F.desc(self.key)).limit(n)
-        return self._commit(base.join(F.broadcast(last_n), on=self.key, how="left_anti"))
+        last_n = self.read().select(self.key).orderBy(F.desc(self.key)).limit(n)
+        return self.delete_ids(last_n)
 
     def update(self, ids: DataFrame | list, new_rows: DataFrame) -> int:
         """C3 — update = delete + re-insert
@@ -152,7 +255,19 @@ class SnapshotStore:
 
     def upsert(self, rows: DataFrame) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,
-        ``Milvus/stream1.py:370``)."""
+        ``Milvus/stream1.py:370``). mor: just append the batch as the
+        newest segment — the last-wins read resolves replacements, so
+        upsert is O(batch) with no corpus read at all."""
+        if self.mode == "mor":
+            new = rows.dropDuplicates([self.key])
+            if not self.exists():
+                return self.create(new)
+            m = self._read_manifest(self.current_version())
+            v = self.current_version() + 1
+            seg = self._write_files(new, f"s{v:06d}")
+            return self._commit_manifest(
+                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"]
+            )
         base = self.read()
         merged = rows.withColumn("_prio", F.lit(1)).unionByName(
             base.withColumn("_prio", F.lit(0))
@@ -165,6 +280,17 @@ class SnapshotStore:
         )
         return self._commit(final)
 
+    def compact(self) -> int:
+        """Fold a mor table back to one segment and zero tombstones —
+        reads return to plain scans. The Spark analog of lakehouse
+        compaction; run after delete-heavy sequences (SURVEY §7.3(2))."""
+        if self.mode != "mor":
+            return self.current_version()  # cow snapshots are always compact
+        current = self.read()
+        v = self.current_version() + 1
+        seg = self._write_files(current, f"s{v:06d}")
+        return self._commit_manifest([{"path": seg, "seq": v}], [])
+
     # -- maintenance --------------------------------------------------------
 
     def drop(self) -> None:
@@ -175,9 +301,29 @@ class SnapshotStore:
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Remove snapshot versions older than the newest ``keep_last``
         (compaction policy for delete-heavy benchmark sequences,
-        SURVEY §7.3(2))."""
+        SURVEY §7.3(2)). mor: drops old manifests plus any segment or
+        tombstone file no surviving manifest references."""
         current = self.current_version()
         removed = []
+        if self.mode == "mor":
+            referenced: set[str] = set()
+            for v in range(max(current - keep_last + 1, 1), current + 1):
+                if os.path.exists(self._manifest_path(v)):
+                    m = self._read_manifest(v)
+                    referenced |= {e["path"] for e in m["segments"] + m["tombstones"]}
+            for v in range(1, max(current - keep_last + 1, 1)):
+                if os.path.exists(self._manifest_path(v)):
+                    os.remove(self._manifest_path(v))
+                    removed.append(v)
+            for name in sorted(os.listdir(self.root)):
+                full = os.path.join(self.root, name)
+                if (
+                    os.path.isdir(full)
+                    and (name.startswith("s") or name.startswith("t"))
+                    and name not in referenced
+                ):
+                    shutil.rmtree(full)
+            return removed
         for v in range(1, max(current - keep_last + 1, 1)):
             path = self._snapshot_path(v)
             if os.path.exists(path):

