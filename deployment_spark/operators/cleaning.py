@@ -21,9 +21,11 @@ def select_present(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def coerce_long(df: DataFrame, col: str) -> DataFrame:
     """P3/P9 — ``pd.to_numeric(errors='coerce')`` + int64 cast
-    (``Milvus/stream1.py:213,220``). Spark ``cast('long')`` yields NULL on
-    unparsable input — identical null-on-failure semantics."""
-    return df.withColumn(col, F.col(col).cast("long"))
+    (``Milvus/stream1.py:213,220``). Spark 4 runs ANSI mode by default,
+    where a plain ``cast('long')`` THROWS on unparsable input; ``try_cast``
+    yields NULL instead — the null-on-failure semantics the reference's
+    ``errors='coerce'`` has."""
+    return df.withColumn(col, F.col(col).try_cast("long"))
 
 
 def drop_null_key(df: DataFrame, key: str) -> DataFrame:
@@ -55,7 +57,9 @@ def clean_packet_frame(df: DataFrame, key: str = "frame_number") -> DataFrame:
     cast int64. Keep-first order = original key string order is not
     defined in pandas either; we dedup on the coerced key."""
     out = drop_null_key(df, key)
-    out = out.withColumn("_key_long", F.col(key).cast("long"))
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes cast throw on
+    # garbage keys — the exact dirty input this chain exists to clean.
+    out = out.withColumn("_key_long", F.col(key).try_cast("long"))
     out = out.na.drop(subset=["_key_long"])
     out = dedup_keep_first(out, "_key_long")
     return out.drop(key).withColumnRenamed("_key_long", key)

@@ -182,8 +182,12 @@ class SnapshotStore:
                 )
                 tdf = part if tdf is None else tdf.unionByName(part)
             latest_tomb = tdf.groupBy("_tkey").agg(F.max("_tseq").alias("_tseq"))
+            # No broadcast hint: under the delete-heavy sequences mor
+            # exists for, accumulated tombstone keys between compactions
+            # can exceed broadcastable size — let AQE pick the strategy
+            # (it broadcasts small key sets at runtime anyway).
             live = live.join(
-                F.broadcast(latest_tomb),
+                latest_tomb,
                 (F.col(self.key) == F.col("_tkey")) & (F.col("_tseq") > F.col("_seq")),
                 "left_anti",
             )
@@ -249,9 +253,33 @@ class SnapshotStore:
         """C3 — update = delete + re-insert
         (``FAISS/PlainDemo/pipeline.py:91-104,114-123``). As in the
         reference, new rows may carry new ids — old id slots are not
-        preserved (documented quirk, SURVEY §7.3(3))."""
-        self.delete_ids(ids)
-        return self.insert(new_rows)
+        preserved (documented quirk, SURVEY §7.3(3)).
+
+        Unlike the reference's two separate index mutations, delete and
+        re-insert land in ONE commit (version bumps by exactly 1): a
+        concurrent snapshot reader sees either the old state or the fully
+        updated state, never the deleted-but-not-reinserted gap — which is
+        what the store's snapshot-isolation claim requires."""
+        base = self.read()
+        ids_df = self._keys_df(ids, base)
+        remaining = base.join(F.broadcast(ids_df), on=self.key, how="left_anti")
+        new = new_rows.dropDuplicates([self.key]).join(
+            remaining.select(self.key), on=self.key, how="left_anti"
+        )
+        if self.mode == "mor":
+            m = self._read_manifest(self.current_version())
+            v = self.current_version() + 1
+            # One manifest commit carries both the tombstone and the new
+            # segment at the same seq: the tombstone only kills rows from
+            # strictly OLDER segments (read() uses _tseq > _seq), so the
+            # re-inserted rows survive their sibling tombstone.
+            tomb = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
+            seg = self._write_files(new, f"s{v:06d}")
+            return self._commit_manifest(
+                m["segments"] + [{"path": seg, "seq": v}],
+                m["tombstones"] + [{"path": tomb, "seq": v}],
+            )
+        return self._commit(remaining.unionByName(new))
 
     def upsert(self, rows: DataFrame) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,

@@ -151,9 +151,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Spark-side only, so correctness is covered by property tests
     (similar texts ⇒ small hamming distance), not the SQL oracle.
 
+    Degenerate docs (empty / whitespace-only) emit NO fingerprint row —
+    the same contract as :func:`simhash_portable`, so the two variants
+    agree on every input.
+
     Output: (id_col, simhash LONG)."""
-    toks = spread_for_cpu(df).select(
-        id_col, F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    toks = (
+        spread_for_cpu(df)
+        .select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
     )
     hashed = toks.withColumn("th", F.xxhash64("tok"))
     # votes[j] = sum of +1/-1 for bit j across tokens
@@ -358,30 +364,72 @@ def ngram_jaccard_pairs(
     )
 
 
-def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Resolve near-dup pairs to a kept set: union-find via iterative
-    min-label propagation (small fixed number of passes — components from
-    dedup pairs are shallow), then keep the minimum id per component.
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components over near-dup pairs via large-star/small-star
+    style min-label propagation, iterated TO FIXPOINT: each round, every
+    node adopts the minimum label in its closed neighborhood; stop when a
+    round changes zero labels (checked with one cheap count per round).
 
-    For adversarial deep chains, increase ``max_iters``; each pass is one
-    join + groupBy (no driver-side graph)."""
-    # label[i] starts as i; propagate min over pair edges until fixpoint
-    labels = df.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
-    edges = pairs.select(
-        F.col("a_id").alias("x"), F.col("b_id").alias("y")
-    ).unionByName(pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y")))
-    for _ in range(5):
+    Convergence needs at most O(longest chain) rounds — ``max_iters`` is
+    a safety valve against pathological inputs, and hitting it raises
+    rather than silently returning a half-merged labeling.
+
+    Output: (node, label) — label = min node id of the component. Only
+    nodes that appear in some pair are emitted (singletons are trivially
+    their own component and don't need resolving)."""
+    edges = (
+        pairs.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+        .unionByName(pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y")))
+        .distinct()
+    )
+    labels = edges.groupBy("x").agg(F.min("y").alias("nmin")).select(
+        F.col("x").alias("node"),
+        F.least(F.col("x"), F.col("nmin")).alias("label"),
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node, "inner")
             .groupBy("x")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
+        new_labels = labels.join(neighbor_min, labels.node == neighbor_min.x, "left").select(
+            F.col("node"),
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
-    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
-    return df.join(keep, id_col, "inner")
+        # localCheckpoint: truncate the iterative lineage so each round's
+        # plan stays O(1), not O(round) — and materialize once so the
+        # convergence count below doesn't recompute the join.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iters={max_iters}; "
+        "the pair graph has a chain longer than max_iters — raise it."
+    )
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 50
+) -> DataFrame:
+    """Resolve near-dup pairs to a kept set: connected components via
+    min-label propagation iterated to fixpoint (see
+    :func:`connected_components`), then keep the minimum id per
+    component. ``max_iters`` bounds the propagation rounds; deep chains
+    beyond it raise instead of silently resolving wrong."""
+    labels = connected_components(pairs, max_iters=max_iters)
+    # survivors: nodes that are their own component min, plus every doc
+    # not mentioned in any pair (trivial singleton components).
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

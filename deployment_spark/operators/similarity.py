@@ -153,14 +153,19 @@ def topk_similarity_join(
             sims = cmat @ qm.T  # (n_local, nq)
             n_local = sims.shape[0]
             take = min(kk, n_local)
-            # argpartition: O(n) local select of the k best per query
-            top = np.argpartition(-sims, take - 1, axis=0)[:take, :]
+            cid_arr = pdf["_cid"].to_numpy()
             out_q, out_c, out_s = [], [], []
             for j, qid in enumerate(ids):
-                rows = top[:, j]
-                out_q.extend([qid] * len(rows))
-                out_c.extend(pdf["_cid"].iloc[rows].tolist())
-                out_s.extend(sims[rows, j].tolist())
+                # Tie-aware local select: order by the SAME composite key
+                # the global window uses (sim desc, cid asc), so a tied
+                # candidate at the local k-boundary is never dropped in
+                # favor of one the global tie-break would discard.
+                # argpartition alone breaks exact-similarity ties
+                # arbitrarily — nondeterministic under duplicate vectors.
+                order = np.lexsort((cid_arr, -sims[:, j]))[:take]
+                out_q.extend([qid] * len(order))
+                out_c.extend(cid_arr[order].tolist())
+                out_s.extend(sims[order, j].tolist())
             yield pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
 
     candidates = c.mapInPandas(local_topk, schema=out_schema)

@@ -53,10 +53,10 @@ def ingest_to_store(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        if store.exists():
-            store.insert(out)
-        else:
-            store.create(out)
+        # insert() unconditionally: it handles the not-yet-created case
+        # itself AND applies the per-batch pk dedup (stream1.py:265) that
+        # a raw create() would bypass for the first micro-batch.
+        store.insert(out)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)

@@ -44,6 +44,24 @@ def test_update_delete_reinsert_semantics(spark, store):
     assert sorted(r.id for r in store.read().collect()) == [1, 3, 20]
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_is_single_commit(spark, tmp_path, mode):
+    """C3 snapshot isolation: delete + re-insert land in ONE commit, so a
+    concurrent reader can never observe the deleted-but-not-reinserted
+    intermediate state (round-1 verdict: update double-committed)."""
+    s = SnapshotStore(spark, str(tmp_path / f"u_{mode}"), key="id", mode=mode)
+    s.create(mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v_before = s.current_version()
+    v_after = s.update([2], mk(spark, [(20, "b2")]))
+    assert v_after == v_before + 1  # exactly one version bump
+    assert sorted(r.id for r in s.read().collect()) == [1, 3, 20]
+    # every historical version is a consistent state: either pre-update
+    # (has 2, lacks 20) or post-update (has 20, lacks 2) — never neither
+    for v in range(1, v_after + 1):
+        ids = {r.id for r in s.read(version=v).collect()}
+        assert (2 in ids) != (20 in ids)
+
+
 def test_upsert_lastwins(spark, store):
     store.create(mk(spark, [(1, "a"), (2, "b")]))
     store.upsert(mk(spark, [(2, "B"), (9, "new")]))

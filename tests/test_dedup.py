@@ -107,9 +107,13 @@ def test_simhash_portable_matches_xxhash_variant_shape(spark):
     assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
 
 
-def test_simhash_portable_drops_empty_docs(spark):
+@pytest.mark.parametrize("impl", [dedup.simhash, dedup.simhash_portable])
+def test_simhash_variants_drop_empty_docs(spark, impl):
+    """Both variants agree on degenerate docs: empty / whitespace-only
+    text emits NO fingerprint row (round-1 advice: the xxhash64 variant
+    used to hash the empty token and emit one)."""
     df = spark.createDataFrame([(1, "some words here"), (2, "   "), (3, "")], ["doc_id", "text"])
-    ids = {r.doc_id for r in dedup.simhash_portable(df).collect()}
+    ids = {r.doc_id for r in impl(df).collect()}
     assert ids == {1}
 
 
@@ -118,3 +122,30 @@ def test_dedup_by_pairs_resolves_components(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], ["a_id", "b_id"])
     kept = sorted(r.doc_id for r in dedup.dedup_by_pairs(df, pairs).collect())
     assert kept == [0, 3, 5]
+
+
+def test_dedup_by_pairs_deep_chain_fixpoint(spark):
+    """A 12-deep chain (longer than the old hard-coded 5 passes) must
+    still collapse to one component — propagation iterates to fixpoint,
+    not a fixed round count."""
+    n = 13
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(n + 3)], ["doc_id", "text"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"])
+    kept = sorted(r.doc_id for r in dedup.dedup_by_pairs(df, chain).collect())
+    assert kept == [0, n, n + 1, n + 2]
+
+
+def test_dedup_by_pairs_max_iters_raises_not_silent(spark):
+    """Hitting max_iters raises — never a silently half-merged answer."""
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(40)], ["doc_id", "text"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(39)], ["a_id", "b_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_by_pairs(df, chain, max_iters=2)
+
+
+def test_connected_components_labels(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (11, 12), (7, 3)], ["a_id", "b_id"]
+    )
+    labels = {r.node: r.label for r in dedup.connected_components(pairs).collect()}
+    assert labels == {5: 2, 9: 2, 2: 2, 11: 11, 12: 11, 7: 3, 3: 3}

@@ -92,6 +92,29 @@ def test_enrich_topk(embeddings, queries_df):
     assert "label" in enriched.columns
 
 
+def test_topk_tie_break_deterministic_across_partitions(spark):
+    """Exact-similarity ties straddling the local k-boundary (common in
+    dedup-style corpora with duplicate vectors) must resolve by the
+    documented (sim desc, id asc) order — the local pre-reduce has to be
+    tie-aware, or a lower-id tied candidate gets dropped before the
+    global window sees it (round-1 advice)."""
+    # 40 identical vectors spread over 8 partitions, ids shuffled so low
+    # ids land in different partitions; all sims tie at 1.0.
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(40))
+    rng.shuffle(ids)
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in ids], ["vec_id", "embedding"]
+    ).repartition(8)
+    queries = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["query_id", "query_vec"])
+    for _ in range(3):  # repeated runs: determinism, not luck
+        got = topk_similarity_join(corpus, queries, k=5).orderBy("rank").collect()
+        assert [r.vec_id for r in got] == [0, 1, 2, 3, 4]
+        assert all(abs(r.similarity - 1.0) < 1e-12 for r in got)
+
+
 def test_cosine_neardup_pairs(embeddings):
     sub = embeddings.filter(F.col("vec_id") < 50)
     pairs = cosine_neardup_pairs(sub, threshold=-1.0).collect()

@@ -63,6 +63,23 @@ def test_stream_ingest_equals_batch(spark, tmp_path):
     ).distinct().count()
 
 
+def test_first_batch_dedups_on_key(spark, tmp_path):
+    """The FIRST micro-batch goes through store.insert's pk dedup too
+    (round-1 advice: it used to call create() directly, letting in-batch
+    duplicate keys land in the store — stream1.py:265 parity)."""
+    landing = str(tmp_path / "landing")
+    # one file with duplicate frame_numbers: rows 0..499 written twice
+    chunk = sample_packet_rows(spark, 500)
+    chunk.unionByName(chunk).coalesce(1).write.mode("append").option(
+        "header", "true"
+    ).csv(landing)
+
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="frame_number")
+    q = ingest_to_store(packet_csv_stream(spark, landing), store, str(tmp_path / "ckpt"), transform=clean)
+    q.awaitTermination(120)
+    assert store.count() == 500  # not 1000
+
+
 def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
     # land the events table as files, stream them through the windowed agg
     from deployment_spark.schemas import load_table
