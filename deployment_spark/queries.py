@@ -148,7 +148,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 near-dup — plant perturbed copies of 20 vectors (deterministic,
     same construction in the oracle), then find pairs with cosine ≥ 0.99.
     Natural max pairwise cosine in this data is ~0.51, so exactly the
-    planted pairs must surface."""
+    planted pairs must surface.
+
+    At threshold 0.99 this exercises the bucket-first LSH path of
+    ``cosine_neardup_pairs`` (sign-bit band join → exact cosine verify;
+    no driver-side collect) — the 100 TB default — and the exact oracle
+    match below proves recall 1.0 on this corpus."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
