@@ -841,6 +841,90 @@ FROM bands a JOIN bands b
 """
 
 
+def q_doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 end-to-end dedup pipeline — the standard production chain
+    (SURVEY §7.1): MinHash+LSH candidates → exact n-gram Jaccard verify
+    on candidates only → connected components (min-label propagation to
+    fixpoint) → keep the lowest doc_id per component. Near-copies of
+    docs 0-29 planted at +100000 as in the candidate/verify entries; the
+    returned rows are the SURVIVING doc ids, so the whole chain — not
+    just candidate pairs — is driver-checked (round-1 verdict item 2).
+    Oracle replays components with a recursive transitive-closure CTE."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    alld = d.unionByName(planted)
+    from deployment_spark.operators.dedup import (
+        dedup_by_pairs,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    cand = minhash_lsh_candidates(alld, num_hashes=16, bands=4, shingle_words=3)
+    verified = ngram_jaccard_pairs(
+        alld, shingle_words=3, threshold=0.6, candidates=cand
+    )
+    return dedup_by_pairs(alld, verified).select("doc_id")
+
+
+SQL_DOC_DEDUP_PIPELINE = """
+WITH RECURSIVE alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+  FROM documents WHERE doc_id < 30
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM alld
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM words
+), seeded AS (
+  SELECT doc_id, sh.sh, s.seed, md5(s.seed::VARCHAR || '|' || sh.sh) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+), minhash AS (
+  SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+  FROM minhash GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT c.a_id, c.b_id, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+  GROUP BY 1, 2
+), verified AS (
+  SELECT a_id, b_id
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.6
+), edges AS (
+  SELECT a_id AS x, b_id AS y FROM verified
+  UNION
+  SELECT b_id AS x, a_id AS y FROM verified
+), reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+), labels AS (
+  SELECT x AS node, least(x, min(y)) AS label FROM reach GROUP BY x
+)
+SELECT doc_id FROM alld
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node > label)
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 SimHash dedup fingerprint (portable md5 variant so DuckDB can
     replay it bit-for-bit; the production op is the xxhash64 simhash in
@@ -1147,6 +1231,7 @@ REGISTRY: dict = {
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
+    "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
