@@ -92,3 +92,28 @@ def range_filter(df: DataFrame, predicate: str) -> DataFrame:
 def nonempty_lines(df: DataFrame, col: str) -> DataFrame:
     """P10 — strip + drop empty lines (``FAISS/UI-Demo/pipeline+ui.py:507``)."""
     return df.withColumn(col, F.trim(F.col(col))).filter(F.col(col) != "")
+
+
+def categorical_sort_key(col: str, order: list[str]) -> Column:
+    """T4 sort key — position of ``col`` in the fixed category list;
+    values outside the list sort last (pandas puts unseen categorical
+    values at NaN, which also sorts last). ``array_position`` returns 0
+    for not-found, so 0 is remapped past the end."""
+    pos = F.array_position(F.array(*[F.lit(v) for v in order]), F.col(col))
+    return F.when(pos == 0, F.lit(len(order) + 1)).otherwise(pos)
+
+
+def categorical_sort(
+    df: DataFrame, col: str, order: list[str], extra_order: list[str] | None = None
+) -> DataFrame:
+    """T4 — categorical ordered sort (``Milvus/stream1.py:548-556``): the
+    reference renders its per-stage metrics view sorted by the fixed
+    pipeline order ``["Initial Load", "After Add", "After Delete",
+    "After Update"]`` via an ordered ``pd.Categorical`` index. Here the
+    category list becomes an ``array_position`` sort key — pure Catalyst,
+    no join, stays in codegen. ``extra_order`` breaks ties within a
+    category deterministically."""
+    keys = [categorical_sort_key(col, order)]
+    if extra_order:
+        keys += [F.col(c) for c in extra_order]
+    return df.orderBy(*keys)

@@ -841,6 +841,48 @@ FROM bands a JOIN bands b
 """
 
 
+def q_stage_ordered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — categorical ordered sort (``Milvus/stream1.py:548-556``): the
+    reference orders its per-stage performance view by the fixed pipeline
+    sequence Initial Load → Add → Delete → Update via an ordered
+    ``pd.Categorical``. Analog here: per-event-type metrics sorted by a
+    fixed category list with ``array_position`` (values outside the list
+    sort last, like pandas' unseen categoricals). The driver compare is
+    order-insensitive, so the categorical ordering is materialized as a
+    ``stage_rank`` column."""
+    from deployment_spark.operators.cleaning import categorical_sort_key
+
+    order = ["signup", "view", "purchase"]  # click/error outside the list
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    w = Window.orderBy(
+        categorical_sort_key("event_type", order), F.asc("event_type")
+    )
+    return agg.withColumn("stage_rank", F.row_number().over(w).cast("long")).select(
+        "stage_rank", "event_type", "cnt", "avg_value"
+    )
+
+
+SQL_STAGE_ORDERED_METRICS = """
+WITH agg AS (
+  SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT row_number() OVER (
+         ORDER BY CASE event_type
+                    WHEN 'signup' THEN 1
+                    WHEN 'view' THEN 2
+                    WHEN 'purchase' THEN 3
+                    ELSE 4 END,
+                  event_type) AS stage_rank,
+       event_type, cnt, avg_value
+FROM agg
+"""
+
+
 def q_doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 end-to-end dedup pipeline — the standard production chain
     (SURVEY §7.1): MinHash+LSH candidates → exact n-gram Jaccard verify
@@ -1232,6 +1274,7 @@ REGISTRY: dict = {
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
     "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
+    "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),

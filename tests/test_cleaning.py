@@ -96,3 +96,29 @@ def test_point_in_list_range_filters(spark):
 def test_nonempty_lines(spark):
     df = spark.createDataFrame([("  x  ",), ("   ",), ("",), ("y",)], ["line"])
     assert sorted(r.line for r in nonempty_lines(df, "line").collect()) == ["x", "y"]
+
+
+def test_categorical_sort_fixed_order_unknown_last(spark):
+    """T4 — the reference's stage ordering (Milvus/stream1.py:548-556):
+    rows sort by position in the fixed category list; values outside the
+    list go last (pandas unseen-categorical behavior)."""
+    from deployment_spark.operators.cleaning import categorical_sort
+
+    df = spark.createDataFrame(
+        [("After Update", 4), ("Initial Load", 1), ("Mystery", 9),
+         ("After Add", 2), ("After Delete", 3)],
+        ["stage", "v"],
+    )
+    order = ["Initial Load", "After Add", "After Delete", "After Update"]
+    got = [r.stage for r in categorical_sort(df, "stage", order).collect()]
+    assert got == order + ["Mystery"]
+
+
+def test_sanitize_name(spark):
+    """F3 — model/collection name sanitization (/ - . -> _)."""
+    from deployment_spark.functions.text import sanitize_name
+
+    df = spark.createDataFrame([("sentence-transformers/all-MiniLM-L6.v2",)], ["m"])
+    assert df.select(sanitize_name("m").alias("s")).first().s == (
+        "sentence_transformers_all_MiniLM_L6_v2"
+    )
