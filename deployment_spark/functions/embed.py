@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
@@ -67,35 +68,52 @@ def md5_embed(text: Column | str, dim: int = 16, normalize: bool = True) -> Colu
     return comps
 
 
-def sentence_transformer_embed(model_name: str, batch_size: int = 32):
-    """Real-model embedding UDF factory. Returns a pandas UDF producing
-    L2-normalized ``array<float>`` vectors.
+def _default_model_loader(model_name: str):  # pragma: no cover - lib absent in CI
+    from sentence_transformers import SentenceTransformer
+
+    return SentenceTransformer(model_name, device="cpu")
+
+
+def sentence_transformer_embed(model_name: str, batch_size: int = 32, model_loader=None):
+    """Real-model embedding UDF factory. Returns an iterator pandas UDF
+    producing L2-normalized ``array<float>`` vectors.
 
     Reference parity: batch size 32 (``Milvus/stream1.py:19``), float32,
-    L2 norm at every encode site (``FAISS/PlainDemo/pipeline.py:63,...``).
-    """
-    try:
-        import sentence_transformers  # noqa: F401
-    except ImportError as e:  # pragma: no cover - model stack absent in CI
-        raise NotImplementedError(
-            "sentence-transformers is not installed in this environment; "
-            "use hash_embed for deterministic tests"
-        ) from e
+    L2 norm at every encode site (``FAISS/PlainDemo/pipeline.py:63,313-314``).
+
+    ``model_loader(model_name) -> model`` defaults to loading a
+    ``SentenceTransformer``; tests inject a fake with the same
+    ``.encode(texts, convert_to_numpy=True, batch_size=n)`` interface so
+    the UDF body — iterator form (load once per task, not per Arrow
+    batch), float32 cast, zero-norm guard — runs for real without the
+    model stack (round-1 verdict item 4). The loader runs on executors,
+    inside the UDF, never on the driver."""
+    if model_loader is None:
+        try:
+            import sentence_transformers  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "sentence-transformers is not installed in this environment; "
+                "use hash_embed for deterministic tests or pass model_loader"
+            ) from e
+        model_loader = _default_model_loader
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(FloatType()))
-    def _embed(batches: Iterator) -> Iterator:  # pragma: no cover
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import numpy as np
-        from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(model_name, device="cpu")
+        model = model_loader(model_name)  # once per task, amortized over batches
         for texts in batches:
-            emb = model.encode(
-                texts.tolist(), convert_to_numpy=True, batch_size=batch_size
-            ).astype("float32")
+            emb = np.asarray(
+                model.encode(
+                    texts.tolist(), convert_to_numpy=True, batch_size=batch_size
+                ),
+                dtype="float32",
+            )
             norms = np.linalg.norm(emb, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            yield (emb / norms).tolist()
+            yield pd.Series(list(emb / norms))
 
     return _embed
