@@ -70,3 +70,48 @@ def test_partition_pruning_in_plan(index, queries_df):
     assert audit.has_partition_filters(df)
     plan = audit.physical_plan(df)
     assert "cluster_id" in plan
+
+
+def test_ivf_recall_entry_reports_operating_point(spark, sf_dir):
+    """V5 — the driver-visible recall entry: nprobe=10 of 16 lists (the
+    reference's operating point, FAISS/PlainDemo/pipeline.py:257) must
+    report per-query recall@10, averaging well above chance but below
+    1.0 (it IS approximate)."""
+    from deployment_spark.queries import q_ivf_recall
+
+    rows = q_ivf_recall(spark, sf_dir).collect()
+    assert len(rows) == 20
+    mean = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert 0.5 <= mean <= 1.0
+    assert all(0.0 <= r.recall_at_10 <= 1.0 for r in rows)
+
+
+def test_brp_lsh_radius_join_cannot_do_topk(spark, sf_dir):
+    """SURVEY §4's flagged BucketedRandomProjectionLSH comparison,
+    measured and retired: its approxSimilarityJoin is radius-based — at
+    a radius wide enough for high top-k recall on this corpus (natural
+    neighbor cosines mostly < 0.5), the candidate set approaches the
+    full cross join, i.e. the LSH prefilter prunes nothing. IVF/nprobe
+    keeps pruned scans at recall 0.89 instead."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+    )
+    norm = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(feat).select(
+        "vec_id", "features"
+    )
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "features"
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=8, seed=42,
+    ).fit(norm)
+    # d=1.45 on unit vectors == cos >= -0.05: the radius needed for
+    # recall@10 ~ 0.995 (measured r2). The join must degenerate.
+    pairs = model.approxSimilarityJoin(queries, norm, 1.45, distCol="d").count()
+    assert pairs > 0.5 * 20 * n, f"expected degenerate join, got {pairs} of {20*n}"
