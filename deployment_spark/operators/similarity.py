@@ -337,15 +337,27 @@ def cosine_neardup_pairs(
 
     bb, nb = plan
     sigs = _signbit_band_signatures(df, id_col, vec_col, bb, nb, seed)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a._sid") < F.col("b._sid")),
+    # Candidates in ONE pass over the signatures: group each (band, sig)
+    # bucket, emit its id pairs with a nested-transform expression. A
+    # self-join would evaluate the signature UDF twice and shuffle both
+    # sides; this shape shuffles the signature rows once and the pair
+    # blowup stays bounded by bucket sizes (same bound as the join).
+    ids = F.array_sort(F.collect_list("_sid"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
         )
-        .select(F.col("a._sid").alias("a_id"), F.col("b._sid").alias("b_id"))
+    )
+    cand = (
+        sigs.groupBy("band", "sig")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
     av = df.select(
