@@ -95,3 +95,66 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("fingerprint", content_fingerprint(text_col)).withColumn(
         "n_tokens_bpe", bpe_ish_token_count(text_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + repetition metrics (training-data cleaning, SURVEY §7.1 M8)
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately lookaround-free so the exact same regex runs
+# under Java regex (Spark) and RE2 (DuckDB oracle) with identical matches.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\+?[0-9]{1,2}[\s.-]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+}
+# Replacement order matters: emails first (their domains contain dots that
+# the ip pattern would otherwise chew on), then ips (digit.dot runs), then
+# phones (bare digit runs).
+_PII_ORDER = ["email", "ip", "phone"]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers with <EMAIL>/<IP>/<PHONE>
+    placeholders and record per-kind match counts (n_email, n_ip,
+    n_phone) for audit. Pure Catalyst regexp — codegen'd, linear scan,
+    no UDFs; the shuffle-free shape every 100 TB cleaning pass wants."""
+    out_col = out_col or f"{text_col}_clean"
+    out = df
+    for kind in _PII_ORDER:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind])).cast("long"),
+        )
+    clean = F.col(text_col)
+    for kind in _PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn(out_col, clean)
+
+
+def add_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition — the classic low-quality-text signal
+    (boilerplate, keyword stuffing, degenerate generations):
+
+    - ``dup_word_ratio``   = 1 − distinct words / words
+    - ``dup_bigram_ratio`` = 1 − distinct word-bigrams / bigrams
+
+    All array expressions (split / transform / array_distinct) — JVM-side,
+    per-row, no shuffle. NULL for degenerate docs (< 1 word / < 2 words)
+    via try_divide rather than an ANSI division failure."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    bigrams = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with NULL -> drop the trailing pad
+    bigrams = F.filter(bigrams, lambda x: x.contains(" "))
+    nb = F.size(bigrams).cast("double")
+    nbd = F.size(F.array_distinct(bigrams)).cast("double")
+    return (
+        df.withColumn("n_words", n.cast("long"))
+        .withColumn("dup_word_ratio", F.round(F.lit(1.0) - F.try_divide(nd, n), 4))
+        .withColumn("dup_bigram_ratio", F.round(F.lit(1.0) - F.try_divide(nbd, nb), 4))
+    )

@@ -843,6 +843,95 @@ FROM bands a JOIN bands b
 """
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 PII scrubbing — emails / IPv4s / phone numbers redacted with
+    typed placeholders, per-kind counts for audit. PII is planted on docs
+    0-24 (id-dependent strings, same construction in the oracle); the
+    cleaned text is value-checked via md5 so a single mis-replaced
+    character fails the gate. Patterns are lookaround-free so Java regex
+    (Spark) and RE2 (DuckDB) match identically."""
+    from deployment_spark.operators.textstats import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or call +1 (555) 123-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 25, F.concat(F.col("text"), suffix)).otherwise(
+            F.col("text")
+        ),
+    )
+    return scrub_pii(planted).select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("text_clean").alias("clean_hash"),
+    )
+
+
+SQL_DOC_PII_SCRUB = """
+WITH alld AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 25
+              THEN text || ' contact user' || doc_id::VARCHAR
+                   || '@mail.example.com or 10.0.' || (doc_id % 256)::VARCHAR
+                   || '.7 or call +1 (555) 123-'
+                   || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' now'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip,
+       len(regexp_extract_all(text, '(\\+?[0-9]{1,2}[\\s.-]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phone,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '(\\+?[0-9]{1,2}[\\s.-]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+       ) AS clean_hash
+FROM alld
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 repetition metrics — intra-document duplicate-word and
+    duplicate-bigram ratios (boilerplate / keyword-stuffing / degenerate-
+    generation signal). Pure array expressions, per-row, shuffle-free."""
+    from deployment_spark.operators.textstats import add_repetition_metrics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_repetition_metrics(d).select(
+        "doc_id", "n_words", "dup_word_ratio", "dup_bigram_ratio"
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), bi AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM words
+)
+SELECT doc_id,
+       len(w)::BIGINT AS n_words,
+       round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 4) AS dup_word_ratio,
+       round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE, 4) AS dup_bigram_ratio
+FROM bi
+"""
+
+
 def q_stage_ordered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 — categorical ordered sort (``Milvus/stream1.py:548-556``): the
     reference orders its per-stage performance view by the fixed pipeline
@@ -1327,6 +1416,8 @@ REGISTRY: dict = {
     "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
     "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
     "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
+    "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),

@@ -59,3 +59,44 @@ def test_add_text_stats_all_columns(documents):
     for col in ["n_tokens", "quality_score", "predicted_lang", "fingerprint", "n_tokens_bpe"]:
         assert col in out.columns
     assert out.count() == 20
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from deployment_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@test-mail.example.org and x@y.io now"),
+            (2, "server 10.0.42.7 and 192.168.1.255 up"),
+            (3, "call +1 (555) 123-4567 or 555-123-9999"),
+            (4, "clean text with no pii at all"),
+            (5, ""),
+        ],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in scrub_pii(df).collect()}
+    assert rows[1].n_email == 2 and "<EMAIL>" in rows[1].text_clean
+    assert "@" not in rows[1].text_clean
+    assert rows[2].n_ip == 2 and rows[2].text_clean == "server <IP> and <IP> up"
+    assert rows[3].n_phone == 2 and rows[3].text_clean == "call <PHONE> or <PHONE>"
+    assert rows[4].text_clean == "clean text with no pii at all"
+    assert rows[5].n_email == rows[5].n_ip == rows[5].n_phone == 0
+
+
+def test_repetition_metrics_formulas(spark):
+    from deployment_spark.operators.textstats import add_repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 words, 1 distinct; 3 bigrams, 1 distinct
+            (2, "w x y z"),          # all distinct
+            (3, "solo"),             # 1 word: no bigrams -> NULL ratio
+        ],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in add_repetition_metrics(df).collect()}
+    assert rows[1].n_words == 4
+    assert rows[1].dup_word_ratio == 0.75
+    assert rows[1].dup_bigram_ratio == round(1 - 1 / 3, 4)
+    assert rows[2].dup_word_ratio == 0.0 and rows[2].dup_bigram_ratio == 0.0
+    assert rows[3].dup_bigram_ratio is None
