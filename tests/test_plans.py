@@ -46,3 +46,48 @@ def test_projection_only_reads_needed_columns(spark, sf_dir):
 def test_codegen_present_in_agg_pipeline(spark, sf_dir):
     df = q_pricing_summary(spark, sf_dir)
     assert audit.codegen_stage_count(df) >= 1
+
+
+def test_neardup_lsh_path_plan_shape(spark, sf_dir):
+    """The bucket-first near-dup plan must contain NO cartesian product
+    and evaluate the signature UDF exactly once (the one-pass
+    groupBy(band, sig) shape — a self-join would run it twice)."""
+    from deployment_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = cosine_neardup_pairs(emb, 0.99, method="lsh")
+    plan = audit.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
+
+
+def test_neardup_exact_path_no_cartesian(spark, sf_dir):
+    """The distributed exact path is a grouped block-pair computation —
+    no cartesian product node, no broadcast of the corpus."""
+    from deployment_spark.operators.similarity import cosine_neardup_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = cosine_neardup_pairs_exact(emb, 0.5, num_blocks=4)
+    plan = audit.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_pii_scrub_stays_in_codegen(spark, sf_dir):
+    """PII scrubbing is a per-row regexp projection: single scan, zero
+    exchanges, whole-stage codegen."""
+    from deployment_spark.operators.textstats import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = scrub_pii(docs)
+    assert audit.count_exchanges(df) == 0
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_categorical_sort_no_join(spark):
+    """T4's array_position key is an expression, not a lookup join."""
+    from deployment_spark.operators.cleaning import categorical_sort
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["stage", "v"])
+    plan = audit.physical_plan(categorical_sort(df, "stage", ["b", "a"]))
+    assert "Join" not in plan
