@@ -843,6 +843,52 @@ FROM bands a JOIN bands b
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 batch twin — gap-based user sessionization (24 h gap): lag
+    window flags session starts, running sum numbers them, one aggregate
+    per session. The streaming implementation of the same semantics
+    (applyInPandasWithState) is tested for batch≡stream parity in
+    tests/test_streaming.py; this entry value-checks the session
+    boundaries against DuckDB's window replay."""
+    from deployment_spark.streaming.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, gap_minutes=1440)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 1440::BIGINT * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 PII scrubbing — emails / IPv4s / phone numbers redacted with
     typed placeholders, per-kind counts for audit. PII is planted on docs
@@ -1417,6 +1463,7 @@ REGISTRY: dict = {
     "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
     "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

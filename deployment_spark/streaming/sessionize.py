@@ -1,0 +1,150 @@
+"""User sessionization (SURVEY §2.12 ST5 — custom stateful operator).
+
+The classic gap-based session split: a user's events belong to one
+session until a silence longer than ``gap_minutes`` opens a new one.
+
+Two implementations with identical semantics:
+
+- :func:`sessionize` / :func:`session_stats` — batch: lag-window session
+  flags → running-sum session sequence → per-session aggregate. One
+  shuffle on the user key; the windows and the aggregate share that
+  exchange. SQL-expressible, so the catalog entry is value-checked
+  against DuckDB (`user_sessions`).
+- :func:`sessionize_stream` — streaming: ``applyInPandasWithState``
+  keeps (session_start, last_ts, n_events, sum_value) per user across
+  micro-batches and EMITS a session the moment a later event closes it
+  (gap exceeded). Open sessions stay in state — production closes them
+  with a timeout or a flush sentinel; the test suite closes them with
+  successor events and checks emitted sessions ≡ the batch twin minus
+  each user's still-open last session.
+
+State size is O(active users) × 4 longs — at 100 TB-scale event streams
+the bound is live users, not events, which is the point of the
+gap-session formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Add ``session_seq`` (1-based per user). Ties on ``ts_col`` are
+    ordered by ``order_col`` for determinism; tie order cannot move a
+    session boundary (gap 0 never exceeds the threshold), it only fixes
+    the window evaluation order."""
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = (
+        prev.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us)
+    ).cast("long")
+    return df.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session aggregate: start/end/n_events. The groupBy reuses the
+    user-key exchange the sessionize window already created — one shuffle
+    total (verified in tests/test_plans.py)."""
+    s = sessionize(df, user_col, ts_col, order_col, gap_minutes)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Streaming gap sessions via ``applyInPandasWithState``.
+
+    Emits (user_id, session_start_us, session_end_us, n_events) for every
+    session CLOSED by a successor event. State per user is four longs;
+    micro-batch boundaries are invisible (state carries the open session
+    across batches — asserted by the multi-batch test)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        ts_us = (
+            rows[ts_col].astype("datetime64[us]").astype("int64").sort_values().to_numpy()
+        )
+        if state.exists:
+            start, last, cnt = state.get
+        else:
+            start, last, cnt = int(ts_us[0]), int(ts_us[0]) - 1, 0
+            # last < first ts and cnt 0: the first event below opens the
+            # session instead of closing a phantom empty one
+        closed = []
+        for t in ts_us:
+            t = int(t)
+            if cnt > 0 and t - last > gap_us:
+                closed.append((key[0], start, last, cnt))
+                start, cnt = t, 0
+            last = max(last, t)
+            cnt += 1
+        state.update((start, last, cnt))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=StructType(
+                [
+                    StructField("start", LongType()),
+                    StructField("last", LongType()),
+                    StructField("cnt", LongType()),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -91,3 +91,13 @@ def test_categorical_sort_no_join(spark):
     df = spark.createDataFrame([("a", 1), ("b", 2)], ["stage", "v"])
     plan = audit.physical_plan(categorical_sort(df, "stage", ["b", "a"]))
     assert "Join" not in plan
+
+
+def test_session_stats_single_shuffle(spark, sf_dir):
+    """Sessionize window + per-session aggregate must share ONE user-key
+    exchange — the aggregate reuses the window's partitioning."""
+    from deployment_spark.streaming.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    df = session_stats(ev, gap_minutes=1440)
+    assert audit.count_exchanges(df) == 1, audit.physical_plan(df)

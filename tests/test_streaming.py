@@ -113,3 +113,76 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """ST5 — applyInPandasWithState gap sessions: sessions closed by a
+    successor event must exactly equal the batch twin's sessions minus
+    each user's final (still-open) one, across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1), proving state carries open sessions over
+    batch boundaries."""
+    import datetime as dt
+    import uuid
+
+    from deployment_spark.streaming.sessionize import session_stats, sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 users; per user: events at minute offsets forming known sessions
+    # with a 30-min gap. Session boundaries deliberately straddle the
+    # 4-file split below.
+    offs = [0, 5, 10, 50, 55, 120, 125, 126, 300, 301]
+    for u in range(3):
+        for m in offs:
+            rows.append((eid, u, base + dt.timedelta(minutes=m, seconds=u)))
+            eid += 1
+    rows.sort(key=lambda r: r[2])  # arrival order = event time
+    landing = str(tmp_path / "events_landing")
+    os.makedirs(landing)
+    files = 4
+    per = (len(rows) + files - 1) // files
+    for i in range(files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(
+                chunk, "event_id LONG, user_id LONG, ts TIMESTAMP"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{i}")
+
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/f*")
+    )
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql(f"select * from {sink}").collect()
+    }
+
+    batch_df = spark.createDataFrame(rows, schema)
+    stats = session_stats(batch_df, gap_minutes=30)
+    # drop each user's last session (open at end-of-stream, not emitted)
+    last = stats.groupBy("user_id").agg(F.max("session_seq").alias("last_seq"))
+    closed = stats.join(last, "user_id").filter(F.col("session_seq") < F.col("last_seq"))
+    want = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp() * 1_000_000),
+            int(r.session_end.timestamp() * 1_000_000),
+            r.n_events,
+        )
+        for r in closed.collect()
+    }
+    assert want  # the construction really produces closed sessions
+    assert got == want
