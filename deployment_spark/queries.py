@@ -1255,6 +1255,54 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-vector search quality at the 100 TB memory design
+    point: 16-byte codes vs 256-byte float vectors (16×). Per-query
+    recall@10 of raw ADC and of the production shape (ADC shortlist-50 →
+    exact re-rank) against exact cosine top-k. Deterministic (seeded
+    k-means++, deterministic tie-breaks); rows-only — a trained
+    quantizer's recall is not SQL-expressible."""
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.pq import PQCodec
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    k = 10
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codec = PQCodec.train(norm, m=16, ksub=64, seed=42)
+    codes = codec.encode(norm)
+    exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
+    adc = codec.search(codes, queries, k=k).select("query_id", "vec_id")
+    rr = codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+
+    def hits(approx, name):
+        return (
+            exact.join(approx, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    qids = queries.select("query_id")
+    return (
+        qids.join(hits(adc, "hits_adc"), "query_id", "left")
+        .join(hits(rr, "hits_rerank"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits_adc", F.lit(0)).alias("hits_adc"),
+            F.round(F.coalesce("hits_adc", F.lit(0)) / F.lit(k), 4).alias("recall_adc"),
+            F.coalesce("hits_rerank", F.lit(0)).alias("hits_rerank"),
+            F.round(F.coalesce("hits_rerank", F.lit(0)) / F.lit(k), 4).alias(
+                "recall_rerank"
+            ),
+        )
+    )
+
+
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 multimodal plumbing — opaque binary payloads pushed through the
     Arrow/mapInPandas decode path (operators.multimodal). The synthetic
@@ -1469,6 +1517,7 @@ REGISTRY: dict = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
     "ivf_recall": (q_ivf_recall, None),
+    "pq_recall": (q_pq_recall, None),
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
     "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),

@@ -1,0 +1,99 @@
+"""Product quantization (operators/pq.py): codec contract, ADC error
+bounds, and retrieval recall against exact search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import l2_normalize
+from deployment_spark.operators.pq import PQCodec
+from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+
+@pytest.fixture(scope="module")
+def norm_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def codec(norm_emb):
+    return PQCodec.train(norm_emb, m=16, ksub=64, seed=42)
+
+
+def test_encode_shape_and_determinism(norm_emb, codec):
+    codes = codec.encode(norm_emb)
+    rows = {r.vec_id: r.code for r in codes.collect()}
+    again = {r.vec_id: r.code for r in codec.encode(norm_emb).collect()}
+    assert rows == again
+    assert all(len(c) == 16 for c in rows.values())  # m bytes per vector
+
+
+def test_adc_approximates_true_distance(norm_emb, codec):
+    """ADC(q, code(x)) must approximate ||q - x||² with bounded
+    quantization error — and be exactly Σ_j ||q_j - c_{code_j}||²."""
+    rows = norm_emb.limit(50).collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    codes = {r.vec_id: r.code for r in codec.encode(norm_emb.limit(50)).collect()}
+    q = x[0]
+    m, dsub = codec.m, codec.dsub
+    errs = []
+    for i, r in enumerate(rows):
+        code = np.frombuffer(codes[r.vec_id], dtype=np.uint8)
+        adc = sum(
+            ((codec.codebooks[j, code[j]] - q[j * dsub : (j + 1) * dsub]) ** 2).sum()
+            for j in range(m)
+        )
+        true = ((x[i] - q) ** 2).sum()
+        errs.append(abs(adc - true))
+    # unit vectors: pairwise sq-L2 in [0, 4]; mean quantization error well under
+    assert np.mean(errs) < 0.35, np.mean(errs)
+
+
+def test_pq_recall_floor_and_self_retrieval(spark, norm_emb, codec):
+    k = 10
+    queries = norm_emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = codec.encode(norm_emb)
+    approx = codec.search(codes, queries, k=k)
+    exact = topk_similarity_join_expr(norm_emb, queries, k=k)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # random (clusterless) vectors are PQ's worst case; 16 bytes vs 256
+    # still keeps over half the exact top-10
+    assert recall >= 0.5, recall
+    # self-retrieval: each query is in the corpus; its own code must rank 1
+    top1 = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
+    hits = sum(1 for qid, cid in top1.items() if qid == cid)
+    assert hits >= 18, top1
+
+
+def test_rerank_recovers_recall(spark, norm_emb, codec):
+    """The production shape: ADC shortlist -> exact re-rank of only the
+    shortlist rows. Near-exact results at 16x compression."""
+    k = 10
+    queries = norm_emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = codec.encode(norm_emb)
+    rr = codec.search_rerank(codes, queries, norm_emb, k=k, shortlist=50)
+    exact = topk_similarity_join_expr(norm_emb, queries, k=k)
+    a = {(r.query_id, r.vec_id) for r in rr.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.9
+
+
+def test_codec_roundtrip_persistence(tmp_path, codec, norm_emb):
+    p = str(tmp_path / "pq" / "codebook.json")
+    codec.save(p)
+    loaded = PQCodec.load(p)
+    assert np.allclose(loaded.codebooks, codec.codebooks)
+    a = {r.vec_id: r.code for r in codec.encode(norm_emb.limit(20)).collect()}
+    b = {r.vec_id: r.code for r in loaded.encode(norm_emb.limit(20)).collect()}
+    assert a == b
