@@ -843,6 +843,48 @@ FROM bands a JOIN bands b
 """
 
 
+def q_skewed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-N (operators/skew.py): top-5 lineitems by
+    extended price within each (returnflag, linestatus) — 6 keys over
+    600k rows at sf0.1, exactly the hot-key shape a single window
+    serializes at scale. The salted plan spreads each key over 16 tasks;
+    the oracle is the PLAIN one-window SQL, so the gate proves the
+    two-phase rewrite is result-identical."""
+    from deployment_spark.operators.skew import salted_topn_per_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    top = salted_topn_per_key(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        order_col="l_extendedprice",
+        n=5,
+        salt=16,
+        tie_cols=["l_orderkey", "l_linenumber"],
+    )
+    return top.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("rank").cast("long").alias("rank"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+
+
+SQL_SKEWED_TOPN = """
+WITH r AS (
+  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, rank, l_orderkey, l_linenumber, l_extendedprice
+FROM r WHERE rank <= 5
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 batch twin — gap-based user sessionization (24 h gap): lag
     window flags session starts, running sum numbers them, one aggregate
@@ -1512,6 +1554,7 @@ REGISTRY: dict = {
     "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

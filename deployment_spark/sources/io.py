@@ -34,6 +34,43 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+):
+    """JSONL source — the interchange format LLM training-data pipelines
+    actually ship (one JSON doc per line, optionally .gz/.zst compressed;
+    Spark's text codecs handle compression transparently from the file
+    extension). With ``schema`` the reader skips its inference pass —
+    ALWAYS pass one at scale: schema inference is a full extra read of
+    100 TB. Malformed lines land in ``_corrupt_record`` (PERMISSIVE mode)
+    instead of killing the job — dirty lines are data, not errors, in a
+    web-scale corpus."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("multiLine", multiline).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """JSONL sink (one doc per line, many files — the distributed layout
+    downstream trainers shard-read). ``compression``: 'gzip', 'bzip2',
+    'xz', … per Spark's text codecs."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[str]:
     """Register the driver testdata tables as temp views so the full SQL
     surface (including grouping sets / cube / rollup — free in Spark SQL,
