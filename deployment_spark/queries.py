@@ -271,6 +271,73 @@ GROUP BY n_name
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family widening — hierarchical ROLLUP (region → nation →
+    grand total) in one pass: Spark expands the grouping sets into a
+    single partial+final aggregate, no self-union of three aggs. NULL
+    grouping levels are labeled 'ALL' so the oracle compare is
+    null-free."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "order_cnt",
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family widening — lead/lag analytics: per-user inter-event gap
+    seconds and value delta for the first 20 users. One user-key window
+    exchange serves both lag columns."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+SQL_EVENTS_LAG_DELTA = """
+SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+       round(value - lag(value) OVER w, 4) AS value_delta
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/S5 — equality point lookup (Milvus/stream1.py:331,340); the
     predicate reaches the parquet scan (PushedFilters)."""
@@ -1527,6 +1594,8 @@ REGISTRY: dict = {
     "label_centroid_stats": (q_label_centroid_stats, SQL_LABEL_CENTROID_STATS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG_DELTA),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "filter_inlist": (q_filter_inlist, SQL_FILTER_INLIST),
     "filter_range": (q_filter_range, SQL_FILTER_RANGE),
