@@ -91,20 +91,35 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming gap sessions via ``applyInPandasWithState``.
 
     Emits (user_id, session_start_us, session_end_us, n_events) for every
-    session CLOSED by a successor event. State per user is four longs;
-    micro-batch boundaries are invisible (state carries the open session
-    across batches — asserted by the multi-batch test)."""
+    session CLOSED — by a successor event, or, when ``watermark_delay``
+    is set, by the event-time watermark passing ``last_event + gap``
+    (EventTimeTimeout: idle users' sessions flush without waiting for
+    their next event; state is removed, so state size tracks ACTIVE
+    users). Without a watermark, open sessions stay in state
+    (NoTimeout) and production closes them with a flush sentinel.
+
+    State per user is three longs; micro-batch boundaries are invisible
+    (state carries the open session across batches — asserted by the
+    multi-batch tests)."""
     gap_us = gap_minutes * 60_000_000
+    use_timeout = watermark_delay is not None
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+        if use_timeout and state.hasTimedOut:
+            start, last, cnt = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], start, last, cnt)], columns=cols)
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         if rows.empty:
             return
@@ -126,25 +141,33 @@ def sessionize_stream(
             last = max(last, t)
             cnt += 1
         state.update((start, last, cnt))
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+        if use_timeout:
+            # flush when the watermark passes session end + gap; the API
+            # requires a timestamp beyond the current watermark
+            timeout_ms = (last + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
             )
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
 
-    return (
-        stream_df.groupBy(user_col)
-        .applyInPandasWithState(
-            update,
-            outputStructType=SESSION_SCHEMA,
-            stateStructType=StructType(
-                [
-                    StructField("start", LongType()),
-                    StructField("last", LongType()),
-                    StructField("cnt", LongType()),
-                ]
-            ),
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = (
+        stream_df.withWatermark(ts_col, watermark_delay) if use_timeout else stream_df
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("start", LongType()),
+                StructField("last", LongType()),
+                StructField("cnt", LongType()),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -186,3 +186,66 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     }
     assert want  # the construction really produces closed sessions
     assert got == want
+
+
+def test_sessionize_stream_event_time_timeout_flushes_idle_users(spark, tmp_path):
+    """With a watermark, an idle user's open session must flush via
+    EventTimeTimeout once other users' events advance the watermark past
+    session_end + gap — no successor event needed, state removed."""
+    import datetime as dt
+    import uuid
+
+    from deployment_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes):
+        return (eid, uid, base + dt.timedelta(minutes=minutes))
+
+    us = 1_000_000
+
+    def at(minutes):
+        return int((base + dt.timedelta(minutes=minutes)).timestamp() * us)
+
+    # user 0: two events early, then silence. user 1 keeps the watermark
+    # moving across files.
+    files = [
+        [ev(0, 0, 0), ev(1, 0, 5), ev(2, 1, 0)],
+        [ev(3, 1, 100)],
+        [ev(4, 1, 200)],
+        [ev(5, 1, 300)],
+    ]
+    landing = str(tmp_path / "ett_landing")
+    os.makedirs(landing)
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(
+            chunk, "event_id LONG, user_id LONG, ts TIMESTAMP"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{i}")
+
+    stream = (
+        spark.readStream.schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/f*")
+    )
+    sink = f"ett_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql(f"select * from {sink}").collect()
+    }
+    want = {
+        (0, at(0), at(5), 2),      # idle user: flushed by TIMEOUT
+        (1, at(0), at(0), 1),      # closed by successor at minute 100
+        (1, at(100), at(100), 1),  # closed by successor at minute 200
+        (1, at(200), at(200), 1),  # closed by successor at minute 300
+        # user 1's session at minute 300 stays open (watermark never passes)
+    }
+    assert got == want
