@@ -910,6 +910,78 @@ FROM bands a JOIN bands b
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — the observability pass every training-data
+    pipeline runs before a job: per-column row count, null count,
+    distinct count, min/max/mean/stddev and exact interpolated median
+    for lineitem's numeric columns. One wide aggregate — a single scan
+    and a single reduce regardless of how many columns are profiled (the
+    unpivot to long form happens on the 1-row aggregate result, free).
+    Exact (not sketched) so DuckDB replays it bit-for-bit; at 100 TB the
+    same shape runs with approx_count_distinct / approx_percentile —
+    sketches are engine-specific, which is why the GATE uses the exact
+    forms."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}__stddev"),
+            F.round(F.percentile(F.col(c), F.lit(0.5)), 4).alias(f"{c}__median"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max, "
+        f"{c}__mean, {c}__stddev, {c}__median"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as "
+        "(column, rows, nulls, n_distinct, min_v, max_v, mean_v, stddev_v, median_v)"
+    )
+
+
+SQL_TABLE_PROFILE = """
+WITH w AS (
+  SELECT
+    {cols}
+  FROM lineitem
+)
+SELECT * FROM w UNPIVOT (
+  (rows, nulls, n_distinct, min_v, max_v, mean_v, stddev_v, median_v)
+  FOR "column" IN (
+    (l_quantity__rows, l_quantity__nulls, l_quantity__distinct, l_quantity__min,
+     l_quantity__max, l_quantity__mean, l_quantity__stddev, l_quantity__median)
+      AS 'l_quantity',
+    (l_extendedprice__rows, l_extendedprice__nulls, l_extendedprice__distinct,
+     l_extendedprice__min, l_extendedprice__max, l_extendedprice__mean,
+     l_extendedprice__stddev, l_extendedprice__median) AS 'l_extendedprice',
+    (l_discount__rows, l_discount__nulls, l_discount__distinct, l_discount__min,
+     l_discount__max, l_discount__mean, l_discount__stddev, l_discount__median)
+      AS 'l_discount',
+    (l_tax__rows, l_tax__nulls, l_tax__distinct, l_tax__min, l_tax__max,
+     l_tax__mean, l_tax__stddev, l_tax__median) AS 'l_tax'
+  )
+)
+""".format(
+    cols=",\n    ".join(
+        f"count(*) AS {c}__rows, "
+        f"count(CASE WHEN {c} IS NULL THEN 1 END) AS {c}__nulls, "
+        f"count(DISTINCT {c}) AS {c}__distinct, "
+        f"round(min({c}), 4) AS {c}__min, round(max({c}), 4) AS {c}__max, "
+        f"round(avg({c}), 4) AS {c}__mean, round(stddev_samp({c}), 4) AS {c}__stddev, "
+        f"round(quantile_cont({c}, 0.5), 4) AS {c}__median"
+        for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+)
+
+
 def q_skewed_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase top-N (operators/skew.py): top-5 lineitems by
     extended price within each (returnflag, linestatus) — 6 keys over
@@ -1624,6 +1696,7 @@ REGISTRY: dict = {
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
