@@ -82,6 +82,32 @@ def register_testdata_views(spark: SparkSession, sf_dir: str, names: list[str] |
     return registered
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink — the co-located-join layout (SURVEY §4).
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle: each scan task reads matching bucket files, so the
+    exchange that dominates a 100 TB fact-fact join disappears from the
+    plan entirely (asserted in tests/test_skew.py). ``sort_cols`` also
+    skips the sort inside SortMergeJoin. Bucketing metadata lives in the
+    session catalog, so this writes a TABLE (optionally external via
+    ``path``), not a bare directory."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
     """C7 — existence check (``utility.has_collection``,
     ``Milvus/stream1.py:105``) against the Spark catalog."""

@@ -80,3 +80,38 @@ def test_jsonl_malformed_lines_survive(spark, tmp_path):
     good = {r.doc_id for r in rows if r._corrupt_record is None}
     bad = [r for r in rows if r._corrupt_record is not None]
     assert good == {1, 2} and len(bad) == 1
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: orders and customer bucketed on custkey with the
+    same bucket count must SortMergeJoin with ZERO exchanges — the
+    layout that makes a 100 TB fact-fact join feasible."""
+    from deployment_spark.plans import audit
+    from deployment_spark.schemas import load_table
+    from deployment_spark.sources.io import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "b_orders", ["custkey"], 8, path=str(tmp_path / "b_orders"),
+        sort_cols=["custkey"],
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "b_customer", ["custkey"], 8, path=str(tmp_path / "b_customer"),
+        sort_cols=["custkey"],
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+        plan = audit.physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert audit.count_exchanges(joined) == 0, plan
+        # and it actually computes the right thing
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
