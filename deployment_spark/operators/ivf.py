@@ -97,6 +97,31 @@ class IVFIndex:
     def ntotal(self) -> int:
         return self.data().count()
 
+    def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """V4 for INCREMENTAL ingest: nearest-centroid assignment from
+        the persisted centroid set — no KMeans model object needed, so a
+        streaming micro-batch (or any later batch) can route new rows
+        into the same inverted-list layout the index was built with.
+        Pure Catalyst: the centroid array is a literal (≤100 × dim — the
+        same size FAISS keeps in RAM), the argmin is an ``aggregate``
+        over (index, distance) pairs; stays in codegen, no Python."""
+        cents = self.centroids()
+        cent_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        v = F.col(vec_col).cast("array<double>")
+        dists = F.transform(
+            cent_lits,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # first-min tie-break == np.argmin == the builder's assignment
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return df.withColumn("cluster_id", cluster)
+
     # -- search (V5 nprobe pruning + J1 top-k) --------------------------------
 
     def search(
