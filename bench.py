@@ -40,6 +40,12 @@ HEADLINE = [
     # r2 additions (VERDICT item 8): time the index path too
     "ivf_topk",
     "packet_topk",
+    # r2 new execution shapes: regex-projection cleaning, session
+    # window+agg, two-phase skew top-N, grouping-sets rollup
+    "doc_pii_scrub",
+    "user_sessions",
+    "skewed_topn",
+    "revenue_rollup",
 ]
 
 
