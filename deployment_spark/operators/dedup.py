@@ -28,7 +28,11 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     scan as ONE task, which would serialize the CPU-heavy map work
     (hashing, shingling) that follows; the ~MB-scale exchange this adds is
     noise next to 32× parallelism. At 100 TB inputs already arrive in
-    thousands of splits and this is a no-op."""
+    thousands of splits and this is a no-op.
+
+    ``df.rdd`` here converts the plan but launches no job — measured
+    ~25 ms on a warm session (r2); acceptable for a per-query setup
+    cost."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -97,3 +97,19 @@ def test_codec_roundtrip_persistence(tmp_path, codec, norm_emb):
     a = {r.vec_id: r.code for r in codec.encode(norm_emb.limit(20)).collect()}
     b = {r.vec_id: r.code for r in loaded.encode(norm_emb.limit(20)).collect()}
     assert a == b
+
+
+def test_pq_search_empty_queries(spark, norm_emb, codec):
+    codes = codec.encode(norm_emb)
+    empty = spark.createDataFrame([], "query_id LONG, query_vec ARRAY<DOUBLE>")
+    assert codec.search(codes, empty, k=5).count() == 0
+
+
+def test_pq_k_larger_than_corpus(spark, norm_emb, codec):
+    small = norm_emb.limit(3)
+    codes = codec.encode(small)
+    queries = small.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = codec.search(codes, queries, k=50).collect()
+    assert len(res) == 9  # 3 queries x 3 corpus rows, capped

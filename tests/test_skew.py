@@ -115,3 +115,11 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_topn_empty_and_tiny(spark):
+    empty = spark.createDataFrame([], "k LONG, v DOUBLE, tid LONG")
+    assert salted_topn_per_key(empty, ["k"], "v", 3, tie_cols=["tid"]).count() == 0
+    one = spark.createDataFrame([(1, 2.0, 7)], ["k", "v", "tid"])
+    rows = salted_topn_per_key(one, ["k"], "v", 3, tie_cols=["tid"]).collect()
+    assert len(rows) == 1 and rows[0].rank == 1
