@@ -910,6 +910,50 @@ FROM bands a JOIN bands b
 """
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py) — each click matched to the same
+    user's most recent preceding purchase (point-in-time correctness: no
+    future leakage). The tagged-union sweep shuffles ONCE on user_id with
+    zero row blowup; the oracle is DuckDB's native ASOF LEFT JOIN, so
+    the gate pins our semantics (>= at equal timestamps, NULL when no
+    preceding purchase) to the industry operator."""
+    from deployment_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, purchases, time_col="ts", by=["user_id"], right_cols=["value"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.date_format("ts_right", fmt).alias("purchase_ts"),
+        F.round("value", 4).alias("last_purchase_value"),
+    )
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       round(p.value, 4) AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling — the observability pass every training-data
     pipeline runs before a job: per-column row count, null count,
@@ -1697,6 +1741,7 @@ REGISTRY: dict = {
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
