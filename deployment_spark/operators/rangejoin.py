@@ -1,0 +1,63 @@
+"""Range (interval) join — point-in-interval matching at scale (brief:
+custom operators list).
+
+``left.point BETWEEN right.lo AND right.hi`` is planned by Catalyst as a
+broadcast-nested-loop (or cartesian) join: O(|L|·|R|) comparisons, the
+classic scale cliff. The standard rewrite is BINNING: discretize the
+domain into fixed-width buckets, explode each interval to the buckets it
+covers, map each point to its single bucket, equi-join on the bucket id,
+then apply the exact BETWEEN as a post-filter.
+
+- Each (point, interval) pair meets in EXACTLY one bucket — the point's
+  bucket — so no dedup pass is needed.
+- Shuffle is O(|L| + |R| · avg_span/bucket_width) hash-partitioned rows;
+  the join is a plain hash/sort-merge equi-join AQE can also skew-split.
+- ``bucket_width`` tunes replication vs bucket population: pick ≈ the
+  median interval span (replication factor ~2) — at 100 TB this is the
+  difference between a shuffle and a cross join.
+
+Exactness: the bucket pre-join is a superset filter; the final BETWEEN
+keeps semantics identical to the naive join (proven by the
+``value_band_counts`` catalog entry, whose oracle is the plain BETWEEN
+join in DuckDB, and by the equivalence test against Spark's own
+nested-loop plan on a small slice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to every right interval containing their point.
+    Column names must be disjoint between the two sides (select/alias
+    first — same contract as a plain join)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = float(bucket_width)
+    lb = left.withColumn("_bk", F.floor(F.col(point_col) / w))
+    rb = right.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bk", how)
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bk")
+    )

@@ -954,6 +954,40 @@ ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_value_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py) — events matched into
+    OVERLAPPING value bands (40 bands, width 25, stride 12.5: every point
+    hits ~2 bands, so this is a real interval join, not disguised
+    binning). Binned equi-join + exact BETWEEN post-filter; the oracle is
+    the naive BETWEEN join in DuckDB, proving the rewrite is
+    result-identical."""
+    from deployment_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(40).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 12.5).alias("lo"),
+        (F.col("id") * 12.5 + 25.0).alias("hi"),
+    )
+    j = range_join(ev, bands, point_col="value", lo_col="lo", hi_col="hi",
+                   bucket_width=25.0)
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SQL_VALUE_BAND_COUNTS = """
+WITH bands AS (
+  SELECT range AS band_id, range * 12.5 AS lo, range * 12.5 + 25.0 AS hi
+  FROM range(40)
+)
+SELECT band_id, count(*) AS cnt, round(sum(value), 2) AS total_value
+FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+GROUP BY band_id
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling — the observability pass every training-data
     pipeline runs before a job: per-column row count, null count,
@@ -1742,6 +1776,7 @@ REGISTRY: dict = {
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
+    "value_band_counts": (q_value_band_counts, SQL_VALUE_BAND_COUNTS),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -100,3 +100,49 @@ def test_asof_single_shuffle(spark):
     assert audit.count_exchanges(df) == 1, audit.physical_plan(df)
     plan = audit.physical_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# range join (operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_matches_naive(spark):
+    """Binned range join == Spark's own nested-loop BETWEEN join, across
+    bucket widths (including widths that split intervals mid-span)."""
+    from deployment_spark.operators.rangejoin import range_join
+
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.7 % 97).alias("v")
+    )
+    iv = spark.range(30).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 3.1).alias("lo"),
+        (F.col("id") * 3.1 + F.col("id") % 11 + 0.5).alias("hi"),
+    )
+    naive = {
+        (r.pid, r.band_id)
+        for r in pts.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    for width in (1.0, 5.0, 40.0):
+        got = {
+            (r.pid, r.band_id)
+            for r in range_join(pts, iv, "v", "lo", "hi", width).collect()
+        }
+        assert got == naive, width
+
+
+def test_range_join_no_nested_loop_in_plan(spark):
+    from deployment_spark.operators.rangejoin import range_join
+    from deployment_spark.plans import audit
+
+    pts = spark.range(100).select(F.col("id").alias("pid"), (F.col("id") * 1.0).alias("v"))
+    iv = spark.range(10).select(
+        F.col("id").alias("band_id"), (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 15.0).alias("hi"),
+    )
+    plan = audit.physical_plan(range_join(pts, iv, "v", "lo", "hi", 10.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
