@@ -1,0 +1,120 @@
+"""Continuous aggregate ("hypertable rollup", brief: custom operators
+list) — a materialized time-bucket rollup maintained INCREMENTALLY by
+the stream, so dashboard queries scan the tiny aggregate table instead
+of re-aggregating raw events.
+
+TimescaleDB's continuous-aggregate semantics, Spark-first:
+
+- the rollup table is a :class:`~deployment_spark.operators.crud.SnapshotStore`
+  keyed by (bucket, dims) — snapshot isolation means a dashboard read
+  never sees a half-refreshed rollup;
+- each micro-batch computes PARTIAL aggregates (count, sum — the
+  mergeable forms; avg is derived at read time, never stored) for the
+  buckets it touches, merges them with the stored partials for ONLY
+  those buckets, and upserts — O(batch + touched buckets) per refresh,
+  independent of table history;
+- late events within the watermark land in their true bucket and simply
+  re-merge it: the rollup is eventually exact, which the test asserts
+  (streamed rollup == batch groupBy over the same rows, including a
+  late-arrival file).
+
+At 100 TB the raw table is append-only parquet and this rollup is the
+only thing interactive queries touch; the same shape extends to
+multiple resolutions (hour → day → month) by chaining rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ContinuousAggregate:
+    """Incrementally-maintained time-bucket rollup over a stream."""
+
+    def __init__(
+        self,
+        store,
+        bucket: str = "1 hour",
+        ts_col: str = "ts",
+        dims: list[str] | None = None,
+        value_col: str = "value",
+    ) -> None:
+        self.store = store
+        self.bucket = bucket
+        self.ts_col = ts_col
+        self.dims = dims or []
+        self.value_col = value_col
+        # the upsert key: bucket start + dims, packed into one string key
+        # (SnapshotStore is single-key; a composite natural key is the
+        # standard workaround)
+        self.key_cols = ["bucket_start", *self.dims]
+        if store.key != "agg_key":
+            raise ValueError(
+                "ContinuousAggregate needs a SnapshotStore keyed by 'agg_key' "
+                f"(got {store.key!r})"
+            )
+
+    def _partials(self, df: DataFrame) -> DataFrame:
+        b = F.window(F.col(self.ts_col), self.bucket)
+        return (
+            df.withColumn("bucket_start", b.start)
+            .groupBy("bucket_start", *self.dims)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(self.value_col).alias("val_sum"),
+            )
+            .withColumn(
+                "agg_key",
+                F.concat_ws(
+                    "|",
+                    F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss"),
+                    *self.dims,
+                ),
+            )
+        )
+
+    def refresh(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch hook: merge this batch's partial aggregates into
+        the stored rollup — read-modify-write of ONLY the touched keys
+        (everything else rides along untouched in the upsert's base)."""
+        newp = self._partials(batch_df)
+        if not self.store.exists():
+            self.store.create(newp)
+            return
+        base = self.store.read()
+        merged = (
+            newp.alias("n")
+            .join(base.alias("o"), "agg_key", "left")
+            .select(
+                F.col("agg_key"),
+                F.col("n.bucket_start").alias("bucket_start"),
+                *[F.col(f"n.{d}").alias(d) for d in self.dims],
+                (F.col("n.cnt") + F.coalesce(F.col("o.cnt"), F.lit(0))).alias("cnt"),
+                (
+                    F.col("n.val_sum") + F.coalesce(F.col("o.val_sum"), F.lit(0.0))
+                ).alias("val_sum"),
+            )
+        )
+        self.store.upsert(merged)
+
+    def read(self) -> DataFrame:
+        """The dashboard view: derived averages computed at read time
+        from the mergeable partials."""
+        return self.store.read().select(
+            "bucket_start",
+            *self.dims,
+            "cnt",
+            F.round("val_sum", 4).alias("val_sum"),
+            F.round(F.try_divide(F.col("val_sum"), F.col("cnt")), 4).alias("val_avg"),
+        )
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        """Wire the rollup into a stream via foreachBatch."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self.refresh)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

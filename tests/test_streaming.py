@@ -249,3 +249,63 @@ def test_sessionize_stream_event_time_timeout_flushes_idle_users(spark, tmp_path
         # user 1's session at minute 300 stays open (watermark never passes)
     }
     assert got == want
+
+
+def test_continuous_aggregate_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Hypertable-rollup semantics: the incrementally-maintained hourly
+    rollup (foreachBatch partial-merge upserts) must equal a batch
+    groupBy over all raw rows — including a LATE file that re-merges
+    already-written buckets."""
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.schemas import load_table
+    from deployment_spark.streaming.rollup import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    # wave 1: events outside 10:00-11:00 on Jan 2; wave 2 (the "late"
+    # file): exactly that hour — its buckets may already exist
+    late_lo = "2024-01-02 10:00:00"
+    late_hi = "2024-01-02 11:00:00"
+    wave1 = ev.filter(~F.col("ts").between(late_lo, late_hi))
+    wave2 = ev.filter(F.col("ts").between(late_lo, late_hi))
+    assert wave2.count() > 0
+    landing = str(tmp_path / "roll_landing")
+    wave1.coalesce(2).write.mode("append").parquet(landing)
+
+    store = SnapshotStore(spark, str(tmp_path / "rollup_store"), key="agg_key")
+    agg = ContinuousAggregate(store, bucket="1 hour", dims=["event_type"])
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = agg.attach(stream, str(tmp_path / "roll_ckpt"))
+    q.awaitTermination(120)
+
+    # late arrival: wave 2 lands, stream resumes from checkpoint
+    wave2.coalesce(1).write.mode("append").parquet(landing)
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q2 = agg.attach(stream2, str(tmp_path / "roll_ckpt"))
+    q2.awaitTermination(120)
+
+    got = {
+        (str(r.bucket_start), r.event_type): (r.cnt, r.val_sum, r.val_avg)
+        for r in agg.read().collect()
+    }
+    want = {
+        (str(r.bucket_start), r.event_type): (r.cnt, r.val_sum, r.val_avg)
+        for r in (
+            ev.withColumn("bucket_start", F.window("ts", "1 hour").start)
+            .groupBy("bucket_start", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 4).alias("val_sum"),
+                F.round(F.avg("value"), 4).alias("val_avg"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
