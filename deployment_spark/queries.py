@@ -954,6 +954,34 @@ ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketch.py) vs exact counts for the
+    event_type column: per value, the sketch estimate, the true count,
+    and the overcount. One-sided error by construction (est ≥ true);
+    deterministic (seeded xxhash64 rows) but not SQL-replayable (DuckDB
+    lacks xxhash64), so rows-only — the driver sees the error margins
+    directly."""
+    from deployment_spark.operators.sketch import cms_build, cms_estimate
+
+    W, D = 1024, 5
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    sketch = cms_build(ev, "event_type", width=W, depth=D)
+    probes = ev.distinct()
+    est = cms_estimate(sketch, probes, "event_type", width=W, depth=D)
+    true = ev.groupBy(F.col("event_type").alias("probe")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return (
+        est.join(true, "probe")
+        .select(
+            "probe",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+    )
+
+
 def q_value_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/rangejoin.py) — events matched into
     OVERLAPPING value bands (40 bands, width 25, stride 12.5: every point
@@ -1777,6 +1805,7 @@ REGISTRY: dict = {
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
     "value_band_counts": (q_value_band_counts, SQL_VALUE_BAND_COUNTS),
+    "event_freq_cms": (q_event_freq_cms, None),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

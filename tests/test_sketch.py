@@ -1,0 +1,61 @@
+"""Count-Min sketch (operators/sketch.py): one-sided error, heavy-hitter
+accuracy, and merge algebra."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+W, D = 512, 5
+
+
+@pytest.fixture(scope="module")
+def zipfish(spark):
+    # zipf-ish: value v appears ~ 3000/(v+1) times; hot head, long tail
+    return spark.range(30000).select(
+        (F.floor(3000 / (F.pmod(F.xxhash64("id"), 3000) + 1))).cast("string").alias("v")
+    ).cache()
+
+
+def true_counts(df):
+    return {r.v: r.c for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+
+def test_cms_never_undercounts_and_is_tight_for_heavy_hitters(spark, zipfish):
+    sketch = cms_build(zipfish, "v", width=W, depth=D)
+    truth = true_counts(zipfish)
+    probes = zipfish.select("v").distinct()
+    est = {
+        r.probe: r.est_count
+        for r in cms_estimate(sketch, probes, "v", width=W, depth=D).collect()
+    }
+    n = sum(truth.values())
+    eps_bound = 2.71828 / W * n  # classical CMS guarantee
+    for v, c in truth.items():
+        assert est[v] >= c, (v, est[v], c)  # one-sided
+        assert est[v] - c <= eps_bound, (v, est[v], c)
+    # heavy hitters (top 5) should be near-exact
+    for v in sorted(truth, key=truth.get, reverse=True)[:5]:
+        assert est[v] - truth[v] <= 0.02 * truth[v] + 50
+
+
+def test_cms_merge_equals_whole(spark, zipfish):
+    a = zipfish.filter(F.pmod(F.xxhash64("v", F.lit(7)), 2) == 0)
+    b = zipfish.filter(F.pmod(F.xxhash64("v", F.lit(7)), 2) == 1)
+    merged = cms_merge(
+        cms_build(a, "v", width=W, depth=D), cms_build(b, "v", width=W, depth=D)
+    )
+    whole = cms_build(zipfish, "v", width=W, depth=D)
+    ma = {(r.depth, r.cell): r.cnt for r in merged.collect()}
+    mw = {(r.depth, r.cell): r.cnt for r in whole.collect()}
+    assert ma == mw
+
+
+def test_cms_unseen_value_estimates_near_zero(spark, zipfish):
+    sketch = cms_build(zipfish, "v", width=W, depth=D)
+    probes = spark.createDataFrame([("never-seen-xyz",)], ["v"])
+    est = cms_estimate(sketch, probes, "v", width=W, depth=D).first().est_count
+    n = sum(true_counts(zipfish).values())
+    assert est <= 2.71828 / W * n
