@@ -46,6 +46,9 @@ HEADLINE = [
     "user_sessions",
     "skewed_topn",
     "revenue_rollup",
+    # r2 custom join shapes
+    "events_asof_purchase",
+    "value_band_counts",
 ]
 
 
