@@ -61,6 +61,7 @@ class SnapshotStore:
         key: str = "id",
         partition_by: str | None = None,
         mode: str = "cow",
+        schema_evolution: bool = False,
     ) -> None:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
@@ -69,7 +70,27 @@ class SnapshotStore:
         self.key = key
         self.partition_by = partition_by
         self.mode = mode
+        # opt-in additive schema evolution: inserts/upserts may carry NEW
+        # columns (old rows read as NULL) and may omit existing ones.
+        # Off by default — strict schemas catch writer bugs.
+        self.schema_evolution = schema_evolution
         os.makedirs(root, exist_ok=True)
+
+    def _union(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(b, allowMissingColumns=self.schema_evolution)
+
+    def _check_schema(self, rows: DataFrame) -> None:
+        """Strict mode fails FAST on column drift — mor would otherwise
+        accept a divergent segment and only explode at read() time."""
+        if self.schema_evolution or not self.exists():
+            return
+        base = sorted(self.read().columns)
+        new = sorted(rows.columns)
+        if base != new:
+            raise ValueError(
+                f"schema drift rejected (schema_evolution=False): table has "
+                f"{base}, incoming rows have {new}"
+            )
 
     # -- version bookkeeping ------------------------------------------------
 
@@ -163,7 +184,7 @@ class SnapshotStore:
             part = self.spark.read.parquet(os.path.join(self.root, s["path"])).withColumn(
                 "_seq", F.lit(int(s["seq"]))
             )
-            data = part if data is None else data.unionByName(part)
+            data = part if data is None else self._union(data, part)
         # last-wins per key across segments (upsert lands as a newer segment)
         w = Window.partitionBy(self.key).orderBy(F.desc("_seq"))
         live = data.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -214,6 +235,7 @@ class SnapshotStore:
         write (plus the key anti-join read)."""
         if not self.exists():
             return self.create(rows.dropDuplicates([self.key]) if dedup_new else rows)
+        self._check_schema(rows)
         base = self.read()
         new = rows
         if dedup_new:
@@ -226,7 +248,7 @@ class SnapshotStore:
             return self._commit_manifest(
                 m["segments"] + [{"path": seg, "seq": v}], m["tombstones"]
             )
-        return self._commit(base.unionByName(new))
+        return self._commit(self._union(base, new))
 
     def delete_ids(self, ids: DataFrame | list) -> int:
         """C2/J3 — delete by id-set (``index.remove_ids``,
@@ -279,13 +301,14 @@ class SnapshotStore:
                 m["segments"] + [{"path": seg, "seq": v}],
                 m["tombstones"] + [{"path": tomb, "seq": v}],
             )
-        return self._commit(remaining.unionByName(new))
+        return self._commit(self._union(remaining, new))
 
     def upsert(self, rows: DataFrame) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,
         ``Milvus/stream1.py:370``). mor: just append the batch as the
         newest segment — the last-wins read resolves replacements, so
         upsert is O(batch) with no corpus read at all."""
+        self._check_schema(rows)
         if self.mode == "mor":
             new = rows.dropDuplicates([self.key])
             if not self.exists():
@@ -297,8 +320,8 @@ class SnapshotStore:
                 m["segments"] + [{"path": seg, "seq": v}], m["tombstones"]
             )
         base = self.read()
-        merged = rows.withColumn("_prio", F.lit(1)).unionByName(
-            base.withColumn("_prio", F.lit(0))
+        merged = self._union(
+            rows.withColumn("_prio", F.lit(1)), base.withColumn("_prio", F.lit(0))
         )
         w = Window.partitionBy(self.key).orderBy(F.desc("_prio"))
         final = (

@@ -67,6 +67,25 @@ def ingest_to_store(
     return writer.start()
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — M8's first pass, in-flight: duplicate keys
+    arriving ANYWHERE within the watermark horizon are dropped before
+    they ever land, and the dedup state self-expires with the watermark
+    (``dropDuplicatesWithinWatermark``), so state size is bounded by the
+    horizon's key cardinality, not the stream's history — the property
+    that makes streaming dedup viable on an unbounded 100 TB/day feed.
+    Exactly-once per key within the horizon; cross-horizon dupes are the
+    batch dedup pass's job (operators/dedup.py)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

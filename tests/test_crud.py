@@ -150,3 +150,33 @@ def test_exists_drop_prefix(spark, tmp_path):
     dropped = drop_stores_by_prefix(root, "bench_")
     assert dropped == ["bench_model_a", "bench_model_b"]
     assert not os.path.exists(s1.root) and os.path.exists(s3.root)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_schema_evolution_additive_column(spark, tmp_path, mode):
+    """Opt-in evolution: an insert carrying a NEW column widens the
+    table; old rows read NULL for it; a later insert OMITTING a column
+    still lands (NULL-filled). Strict mode still rejects drift."""
+    from pyspark.sql import functions as F
+
+    s = SnapshotStore(
+        spark, str(tmp_path / f"ev_{mode}"), key="id", mode=mode,
+        schema_evolution=True,
+    )
+    s.create(mk(spark, [(1, "a"), (2, "b")]))
+    s.insert(
+        spark.createDataFrame([(3, "c", 9.5)], ["id", "payload", "score"])
+    )
+    rows = {r.id: (r.payload, r.score) for r in s.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # omit a column on the next insert
+    s.insert(spark.createDataFrame([(4, 1.5)], ["id", "score"]))
+    rows = {r.id: (r.payload, r.score) for r in s.read().collect()}
+    assert rows[4] == (None, 1.5)
+
+    strict = SnapshotStore(spark, str(tmp_path / f"strict_{mode}"), key="id", mode=mode)
+    strict.create(mk(spark, [(1, "a")]))
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        strict.insert(spark.createDataFrame([(2, "b", 1.0)], ["id", "payload", "extra"]))

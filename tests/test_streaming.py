@@ -309,3 +309,42 @@ def test_continuous_aggregate_rollup_matches_batch(spark, sf_dir, tmp_path):
         )
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys across micro-batches (within the watermark) are
+    dropped in-flight; each key lands exactly once."""
+    import datetime as dt
+    import uuid
+
+    from deployment_spark.streaming.ingest import streaming_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    f1 = [(i, base + dt.timedelta(minutes=i)) for i in range(50)]
+    # second file: 30 dupes of the first (same key, same ts) + 20 new
+    f2 = f1[:30] + [(100 + i, base + dt.timedelta(minutes=50 + i)) for i in range(20)]
+    landing = str(tmp_path / "dedup_landing")
+    os.makedirs(landing)
+    for i, chunk in enumerate([f1, f2]):
+        spark.createDataFrame(chunk, "k LONG, ts TIMESTAMP").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{landing}/f{i}")
+
+    stream = (
+        spark.readStream.schema("k LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/f*")
+    )
+    sink = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(stream, ["k"], watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.k for r in spark.sql(f"select k from {sink}").collect()]
+    assert sorted(got) == sorted(set(got))  # no dupes landed
+    assert set(got) == set(range(50)) | {100 + i for i in range(20)}
