@@ -106,6 +106,9 @@ def sentence_transformer_embed(model_name: str, batch_size: int = 32, model_load
 
         model = model_loader(model_name)  # once per task, amortized over batches
         for texts in batches:
+            if len(texts) == 0:
+                yield pd.Series([], dtype="object")
+                continue
             emb = np.asarray(
                 model.encode(
                     texts.tolist(), convert_to_numpy=True, batch_size=batch_size

@@ -96,11 +96,13 @@ def nonempty_lines(df: DataFrame, col: str) -> DataFrame:
 
 def categorical_sort_key(col: str, order: list[str]) -> Column:
     """T4 sort key — position of ``col`` in the fixed category list;
-    values outside the list sort last (pandas puts unseen categorical
-    values at NaN, which also sorts last). ``array_position`` returns 0
-    for not-found, so 0 is remapped past the end."""
+    values outside the list AND NULLs sort last (pandas maps both unseen
+    categories and NaN to NaN, which sorts last). ``array_position``
+    returns 0 for not-found and NULL for NULL input, so both are
+    remapped past the end (a bare NULL key would otherwise sort FIRST
+    under Spark's default NULLS FIRST)."""
     pos = F.array_position(F.array(*[F.lit(v) for v in order]), F.col(col))
-    return F.when(pos == 0, F.lit(len(order) + 1)).otherwise(pos)
+    return F.when(pos.isNull() | (pos == 0), F.lit(len(order) + 1)).otherwise(pos)
 
 
 def categorical_sort(

@@ -104,6 +104,16 @@ class SnapshotStore:
         with open(self._pointer) as f:
             return json.load(f)["version"]
 
+    def commit_meta(self) -> dict:
+        """Caller-supplied metadata of the LAST commit (e.g. a streaming
+        batch_id) — rides in the atomically-swapped pointer file, so it
+        is exactly as durable as the commit it describes; the replay
+        check in streaming.rollup relies on that atomicity."""
+        if not os.path.exists(self._pointer):
+            return {}
+        with open(self._pointer) as f:
+            return json.load(f).get("meta", {})
+
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:06d}")
 
@@ -112,7 +122,7 @@ class SnapshotStore:
         ``Milvus/stream1.py:105``)."""
         return self.current_version() > 0
 
-    def _commit(self, df: DataFrame) -> int:
+    def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
         """C5 — flush/persist barrier (``collection.flush()``,
         ``Milvus/stream1.py:226``): write the new snapshot fully, then
         atomically swap the pointer (write-temp + rename)."""
@@ -124,7 +134,15 @@ class SnapshotStore:
         writer.parquet(path)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "path": os.path.basename(path), "ts": time.time()}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "path": os.path.basename(path),
+                    "ts": time.time(),
+                    "meta": meta or {},
+                },
+                f,
+            )
         os.replace(tmp, self._pointer)
         return version
 
@@ -137,7 +155,9 @@ class SnapshotStore:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit_manifest(self, segments: list[dict], tombstones: list[dict]) -> int:
+    def _commit_manifest(
+        self, segments: list[dict], tombstones: list[dict], meta: dict | None = None
+    ) -> int:
         """C5 barrier, mor flavor: the new segment/tombstone files are
         fully written before the manifest that references them appears;
         pointer swap is atomic as in cow."""
@@ -148,7 +168,15 @@ class SnapshotStore:
             )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "mode": self.mode, "ts": time.time()}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "mode": self.mode,
+                    "ts": time.time(),
+                    "meta": meta or {},
+                },
+                f,
+            )
         os.replace(tmp, self._pointer)
         return version
 
@@ -220,12 +248,12 @@ class SnapshotStore:
 
     # -- mutations (each returns the new version) ---------------------------
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, meta: dict | None = None) -> int:
         if self.mode == "mor":
             v = self.current_version() + 1
             seg = self._write_files(df, f"s{v:06d}")
-            return self._commit_manifest([{"path": seg, "seq": v}], [])
-        return self._commit(df)
+            return self._commit_manifest([{"path": seg, "seq": v}], [], meta=meta)
+        return self._commit(df, meta=meta)
 
     def insert(self, rows: DataFrame, dedup_new: bool = True) -> int:
         """C1 — append (``index.add`` / ``collection.insert``). The Milvus
@@ -282,6 +310,7 @@ class SnapshotStore:
         concurrent snapshot reader sees either the old state or the fully
         updated state, never the deleted-but-not-reinserted gap — which is
         what the store's snapshot-isolation claim requires."""
+        self._check_schema(new_rows)
         base = self.read()
         ids_df = self._keys_df(ids, base)
         remaining = base.join(F.broadcast(ids_df), on=self.key, how="left_anti")
@@ -303,7 +332,7 @@ class SnapshotStore:
             )
         return self._commit(self._union(remaining, new))
 
-    def upsert(self, rows: DataFrame) -> int:
+    def upsert(self, rows: DataFrame, meta: dict | None = None) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,
         ``Milvus/stream1.py:370``). mor: just append the batch as the
         newest segment — the last-wins read resolves replacements, so
@@ -312,12 +341,12 @@ class SnapshotStore:
         if self.mode == "mor":
             new = rows.dropDuplicates([self.key])
             if not self.exists():
-                return self.create(new)
+                return self.create(new, meta=meta)
             m = self._read_manifest(self.current_version())
             v = self.current_version() + 1
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"]
+                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"], meta=meta
             )
         base = self.read()
         merged = self._union(
@@ -329,7 +358,7 @@ class SnapshotStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_prio")
         )
-        return self._commit(final)
+        return self._commit(final, meta=meta)
 
     def compact(self) -> int:
         """Fold a mor table back to one segment and zero tombstones —

@@ -116,6 +116,11 @@ class PQCodec:
         """Driver-side training on a bounded sample (``limit``, not a full
         collect — the FAISS ``train(sample)`` contract). dim must divide
         evenly into m subspaces."""
+        if ksub > 256:
+            raise ValueError(
+                f"ksub={ksub} > 256: codes are uint8; larger codebooks would "
+                "silently wrap centroid indices"
+            )
         sample = df.select(vec_col).limit(sample_rows).collect()
         x = np.array([r[vec_col] for r in sample], dtype=np.float64)
         d = x.shape[1]

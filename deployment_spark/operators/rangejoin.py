@@ -40,9 +40,17 @@ def range_join(
 ) -> DataFrame:
     """Join left rows to every right interval containing their point.
     Column names must be disjoint between the two sides (select/alias
-    first — same contract as a plain join)."""
+    first — same contract as a plain join). Only ``how='inner'`` — an
+    outer variant cannot be expressed as post-filtered bucket join
+    (the BETWEEN filter would silently drop the null-extended rows,
+    degrading it to inner); rejected loudly rather than wrong quietly."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}); for "
+            "left semantics, anti-join the inner result's left keys back"
+        )
     w = float(bucket_width)
     lb = left.withColumn("_bk", F.floor(F.col(point_col) / w))
     rb = right.withColumn(
@@ -54,7 +62,7 @@ def range_join(
         ),
     )
     return (
-        lb.join(rb, "_bk", how)
+        lb.join(rb, "_bk")
         .filter(
             (F.col(point_col) >= F.col(lo_col))
             & (F.col(point_col) <= F.col(hi_col))

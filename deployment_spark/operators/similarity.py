@@ -224,7 +224,11 @@ def _lsh_band_plan(threshold: float, target_miss: float) -> tuple[int, int] | No
     if r < 8:  # threshold ≲ 0.87: banding can't separate from background
         return None
     band_bits = min(64, math.ceil(r))
-    bands = math.ceil(math.log(target_miss) / math.log(0.75))
+    # bands from the ACTUAL per-band collision at the chosen integer
+    # band_bits (ceil(r) pushes it below the 0.25 design point, so a
+    # fixed log(0.75) base would overshoot target_miss)
+    p_band = p_bit**band_bits
+    bands = math.ceil(math.log(target_miss) / math.log(1.0 - p_band))
     return band_bits, bands
 
 

@@ -118,18 +118,23 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     """Redact emails / IPv4s / phone numbers with <EMAIL>/<IP>/<PHONE>
     placeholders and record per-kind match counts (n_email, n_ip,
     n_phone) for audit. Pure Catalyst regexp — codegen'd, linear scan,
-    no UDFs; the shuffle-free shape every 100 TB cleaning pass wants."""
+    no UDFs; the shuffle-free shape every 100 TB cleaning pass wants.
+
+    Counts are taken on the PROGRESSIVELY-REDACTED text (email count on
+    the original, ip count after emails are gone, phone count after ips
+    are gone), so each count equals the number of placeholders of that
+    kind actually inserted — a phone-shaped local part consumed by an
+    email match is not double-reported as a phone."""
     out_col = out_col or f"{text_col}_clean"
     out = df
+    stage = F.col(text_col)
     for kind in _PII_ORDER:
         out = out.withColumn(
             f"n_{kind}",
-            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind])).cast("long"),
+            F.regexp_count(stage, F.lit(PII_PATTERNS[kind])).cast("long"),
         )
-    clean = F.col(text_col)
-    for kind in _PII_ORDER:
-        clean = F.regexp_replace(clean, PII_PATTERNS[kind], f"<{kind.upper()}>")
-    return out.withColumn(out_col, clean)
+        stage = F.regexp_replace(stage, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn(out_col, stage)
 
 
 def add_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1220,20 +1220,25 @@ WITH alld AS (
                    || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' now'
               ELSE text END AS text
   FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM alld
+), s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+  FROM s1
 )
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip,
-       len(regexp_extract_all(text, '(\\+?[0-9]{1,2}[\\s.-]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phone,
-       md5(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+       len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip,
+       len(regexp_extract_all(t2, '(\\+?[0-9]{1,2}[\\s.-]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phone,
+       md5(regexp_replace(t2,
            '(\\+?[0-9]{1,2}[\\s.-]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
        ) AS clean_hash
-FROM alld
+FROM s2
 """
 
 

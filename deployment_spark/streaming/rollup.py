@@ -77,10 +77,23 @@ class ContinuousAggregate:
     def refresh(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         """foreachBatch hook: merge this batch's partial aggregates into
         the stored rollup — read-modify-write of ONLY the touched keys
-        (everything else rides along untouched in the upsert's base)."""
+        (everything else rides along untouched in the upsert's base).
+
+        Replay-safe: foreachBatch is at-least-once (a crash between this
+        merge and the checkpoint commit re-runs the same batch_id), so
+        the batch_id is committed ATOMICALLY with the merge (it rides in
+        the store's pointer swap) and a replayed batch is skipped instead
+        of double-merging its deltas."""
+        meta = {"rollup_batch_id": batch_id} if batch_id is not None else None
+        if (
+            batch_id is not None
+            and self.store.exists()
+            and self.store.commit_meta().get("rollup_batch_id") == batch_id
+        ):
+            return  # replay of an already-merged batch
         newp = self._partials(batch_df)
         if not self.store.exists():
-            self.store.create(newp)
+            self.store.create(newp, meta=meta)
             return
         base = self.store.read()
         merged = (
@@ -96,7 +109,7 @@ class ContinuousAggregate:
                 ).alias("val_sum"),
             )
         )
-        self.store.upsert(merged)
+        self.store.upsert(merged, meta=meta)
 
     def read(self) -> DataFrame:
         """The dashboard view: derived averages computed at read time

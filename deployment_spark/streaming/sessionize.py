@@ -105,7 +105,18 @@ def sessionize_stream(
 
     State per user is three longs; micro-batch boundaries are invisible
     (state carries the open session across batches — asserted by the
-    multi-batch tests)."""
+    multi-batch tests).
+
+    Out-of-order contract (three-long state cannot re-split history):
+    within a batch, events are sorted. Across batches, a straggler
+    within ``gap`` of the open session's start EXTENDS the session
+    backwards (start = min(start, t)); a straggler more than ``gap``
+    older can never merge with the open session and emits as its own
+    single-event session. Stragglers older than an ALREADY-EMITTED
+    session can therefore produce a separate session where the batch
+    twin would have merged them — bound that window with the watermark
+    (events older than the watermark are dropped upstream), or use the
+    batch twin for exact retrospective sessionization."""
     gap_us = gap_minutes * 60_000_000
     use_timeout = watermark_delay is not None
 
@@ -135,9 +146,19 @@ def sessionize_stream(
         closed = []
         for t in ts_us:
             t = int(t)
+            if cnt > 0 and t < start - gap_us:
+                # cross-batch straggler older than the open session by
+                # more than the gap: it can never merge with the open
+                # session, and everything between it and `start` was
+                # already processed — emit it as its own closed
+                # single-event session. (A straggler WITHIN gap of
+                # `start` extends the session backwards below.)
+                closed.append((key[0], t, t, 1))
+                continue
             if cnt > 0 and t - last > gap_us:
                 closed.append((key[0], start, last, cnt))
                 start, cnt = t, 0
+            start = min(start, t) if cnt > 0 else start
             last = max(last, t)
             cnt += 1
         state.update((start, last, cnt))

@@ -164,16 +164,12 @@ def test_streaming_ingest_maintains_ivf_layout(spark, sf_dir, tmp_path):
     assert store.count() == emb.count()
 
     # the streamed store IS the index data: point the searcher at it
-    streamed_idx = IVFIndex(spark, str(tmp_path / "ivf_stream"))
     data = store.read()
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cents = streamed_idx.centroids()
-    got = None
     # search over the streamed store via the same routing/pruning path:
     # reuse IVFIndex.search by writing data under a root with centroids
-    import json as _json
     import shutil as _shutil
 
     root2 = str(tmp_path / "ivf_from_stream")
