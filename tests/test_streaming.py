@@ -348,3 +348,83 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = [r.k for r in spark.sql(f"select k from {sink}").collect()]
     assert sorted(got) == sorted(set(got))  # no dupes landed
     assert set(got) == set(range(50)) | {100 + i for i in range(20)}
+
+
+def test_rollup_refresh_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME batch_id
+    (crash-before-checkpoint replay) must not double-merge partials."""
+    import datetime as dt
+
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.streaming.rollup import ContinuousAggregate
+
+    base = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), "click", 2.0) for i in range(10)],
+        "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "replay_store"), key="agg_key")
+    agg = ContinuousAggregate(store, bucket="1 hour", dims=["event_type"])
+    agg.refresh(batch, batch_id=0)
+    first = {(str(r.bucket_start), r.event_type): (r.cnt, r.val_sum) for r in agg.read().collect()}
+    agg.refresh(batch, batch_id=0)  # replay
+    again = {(str(r.bucket_start), r.event_type): (r.cnt, r.val_sum) for r in agg.read().collect()}
+    assert first == again
+    # a genuinely NEW batch still merges
+    agg.refresh(batch, batch_id=1)
+    final = {(str(r.bucket_start), r.event_type): r.cnt for r in agg.read().collect()}
+    assert all(c == 20 for c in final.values())
+
+
+def test_sessionize_stream_straggler_contract(spark, tmp_path):
+    """Cross-batch stragglers: within-gap ones extend the open session
+    BACKWARDS (emitted bounds contain every member); older-than-gap ones
+    emit as their own single-event session."""
+    import datetime as dt
+    import uuid
+
+    from deployment_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    us = 1_000_000
+
+    def at(minutes):
+        return int((base + dt.timedelta(minutes=minutes)).timestamp() * us)
+
+    def ev(eid, m):
+        return (eid, 0, base + dt.timedelta(minutes=m))
+
+    # batch 1: open session at minute 60. batch 2: straggler at 45
+    # (within gap 30 of start) + straggler at 10 (older than gap) +
+    # closer at minute 200.
+    files = [[ev(0, 60), ev(1, 61)], [ev(2, 45), ev(3, 10), ev(4, 200)]]
+    landing = str(tmp_path / "straggle")
+    os.makedirs(landing)
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, "event_id LONG, user_id LONG, ts TIMESTAMP").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/f{i}")
+    stream = (
+        spark.readStream.schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/f*")
+    )
+    sink = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql(f"select * from {sink}").collect()
+    }
+    want = {
+        (at(10), at(10), 1),   # older-than-gap straggler: own session
+        (at(45), at(61), 3),   # session EXTENDED backwards to 45, closed by 200
+    }
+    assert got == want
