@@ -137,6 +137,25 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return out.withColumn(out_col, stage)
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    strip_punct: bool = True,
+) -> DataFrame:
+    """Canonicalization pass that precedes every dedup/fingerprint step:
+    lowercase → (optionally) strip punctuation → collapse whitespace
+    runs → trim. Deterministic, engine-portable (lower/regexp only — no
+    locale/ICU dependence), so exact-dedup after normalization gives the
+    same groups on any engine; per-row Catalyst, shuffle-free."""
+    out_col = out_col or f"{text_col}_norm"
+    c = F.lower(F.col(text_col))
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
 def add_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition — the classic low-quality-text signal
     (boilerplate, keyword stuffing, degenerate generations):

@@ -1242,6 +1242,49 @@ FROM s2
 """
 
 
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 canonicalization — normalize (lower / strip punct / collapse
+    ws) then exact-dedup on the NORMALIZED form: near-identical docs that
+    differ only in case/punctuation/spacing collapse. Case-mangled
+    near-copies of docs 0-39 are planted (same construction in the
+    oracle); output is each doc's normalized-content group key and
+    whether it survived keep-lowest-id dedup."""
+    from deployment_spark.operators.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!  ")).alias("text"),
+    )
+    alld = d.unionByName(planted)
+    norm = normalize_text(alld)
+    w = Window.partitionBy("norm_hash").orderBy(F.asc("doc_id"))
+    return (
+        norm.withColumn("norm_hash", F.md5("text_norm"))
+        .withColumn("kept", (F.row_number().over(w) == 1))
+        .select("doc_id", "norm_hash", "kept")
+    )
+
+
+SQL_DOC_NORMALIZE = """
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) || '  !!  ' AS text
+  FROM documents WHERE doc_id < 40
+), norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS norm_hash
+  FROM alld
+)
+SELECT doc_id, norm_hash,
+       row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1 AS kept
+FROM norm
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 repetition metrics — intra-document duplicate-word and
     duplicate-bigram ratios (boilerplate / keyword-stuffing / degenerate-
@@ -1805,6 +1848,7 @@ REGISTRY: dict = {
     "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
     "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
+    "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

@@ -100,3 +100,17 @@ def test_repetition_metrics_formulas(spark):
     assert rows[1].dup_bigram_ratio == round(1 - 1 / 3, 4)
     assert rows[2].dup_word_ratio == 0.0 and rows[2].dup_bigram_ratio == 0.0
     assert rows[3].dup_bigram_ratio is None
+
+
+def test_normalize_text(spark):
+    from deployment_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! "), (2, "hello world"), (3, "a-b c.d")],
+        ["id", "text"],
+    )
+    out = {r.id: r.text_norm for r in normalize_text(df).collect()}
+    assert out[1] == "hello world" == out[2]
+    assert out[3] == "a b c d"
+    keep = {r.id: r.text_norm for r in normalize_text(df, strip_punct=False).collect()}
+    assert keep[1] == "hello, world!!"
