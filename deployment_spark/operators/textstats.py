@@ -137,6 +137,54 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return out.withColumn(out_col, stage)
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window splitter every
+    RAG / training-sample pipeline runs: overlapping chunks of
+    ``window_tokens`` whitespace tokens advancing by ``stride``
+    (overlap = window − stride). Pure Catalyst: tokenize once, generate
+    chunk start offsets with ``sequence``, slice + rejoin per offset,
+    explode. Per-row work, shuffle-free; chunk counts scale with doc
+    length, not corpus size.
+
+    Output: (id_col, chunk_id, n_chunk_tokens, chunk). The final chunk is
+    the remainder (may be shorter); empty docs produce zero chunks."""
+    if stride <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # starts: 1, 1+stride, ... while start <= n (1-based slice); a doc
+    # shorter than one window still yields exactly one chunk
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                ((s - 1) / stride).cast("long").alias("chunk_id"),
+                F.slice(toks, s, window_tokens).alias("_toks"),
+            ),
+        ),
+        # drop phantom trailing windows fully covered by the previous one
+        lambda c: (F.size(c["_toks"]) > 0)
+        & ((c["chunk_id"] == 0) | (F.size(c["_toks"]) > window_tokens - stride)),
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c._toks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("c._toks", " ").alias("chunk"),
+        )
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -1285,6 +1285,79 @@ FROM norm
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 chunking — sliding-window token chunks (window 32, stride 24,
+    8-token overlap), the RAG/context-window splitter. Value-checked per
+    chunk: id, token count, and the chunk text itself."""
+    from deployment_spark.operators.textstats import chunk_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(d, window_tokens=32, stride=24)
+
+
+SQL_DOC_CHUNKS = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) != ''
+), c AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(1, greatest(len(w), 1) + 1, 24),
+             s -> struct_pack(chunk_id := (s - 1) // 24,
+                              toks := w[s:least(s + 31, len(w))])),
+           x -> len(x.toks) > 0 AND (x.chunk_id = 0 OR len(x.toks) > 8)
+         )) AS ch
+  FROM words
+)
+SELECT doc_id, ch.chunk_id AS chunk_id,
+       len(ch.toks)::BIGINT AS n_chunk_tokens,
+       array_to_string(ch.toks, ' ') AS chunk
+FROM c
+"""
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 sequence packing — greedy first-fit token packing (budget 256,
+    16 shards, whitespace token counts) for training-sample assembly.
+    Output is per-pack (n_docs, total_tokens) — the fill ledger. The
+    DuckDB oracle REPLAYS the greedy fold with a recursive CTE stepping
+    one document per shard per iteration, so the driver value-checks the
+    exact packing, not just totals."""
+    from deployment_spark.operators.packing import pack_greedy
+    from deployment_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    packed = pack_greedy(d, budget=256)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+SQL_DOC_PACKING = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id % 16 AS shard, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM documents
+), g AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS pack_id, n_tokens AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN g.fill + d.n_tokens <= 256 THEN g.pack_id ELSE g.pack_id + 1 END,
+         CASE WHEN g.fill + d.n_tokens <= 256 THEN g.fill + d.n_tokens ELSE d.n_tokens END
+  FROM g JOIN docs d ON d.shard = g.shard AND d.rn = g.rn + 1
+)
+SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM g GROUP BY 1, 2
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 repetition metrics — intra-document duplicate-word and
     duplicate-bigram ratios (boilerplate / keyword-stuffing / degenerate-
@@ -1849,6 +1922,8 @@ REGISTRY: dict = {
     "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "doc_packing": (q_doc_packing, SQL_DOC_PACKING),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

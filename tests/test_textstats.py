@@ -114,3 +114,56 @@ def test_normalize_text(spark):
     assert out[3] == "a b c d"
     keep = {r.id: r.text_norm for r in normalize_text(df, strip_punct=False).collect()}
     assert keep[1] == "hello, world!!"
+
+
+def test_chunk_text_overlap_and_remainder(spark):
+    from deployment_spark.operators.textstats import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_text(df, window_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens, r.chunk))
+    # doc 1: 10 tokens, window 4, stride 3 -> starts 1,4,7,10; last start
+    # yields 1 token which is <= window-stride so dropped -> 3 chunks
+    assert [c[0] for c in sorted(by_doc[1])] == [0, 1, 2]
+    assert sorted(by_doc[1])[0][2] == "w0 w1 w2 w3"
+    assert sorted(by_doc[1])[2] == (2, 4, "w6 w7 w8 w9")
+    assert by_doc[2] == [(0, 2, "a b")]  # short doc: one remainder chunk
+    assert 3 not in by_doc  # empty doc: no chunks
+
+
+def test_pack_greedy_matches_python_reference(spark):
+    import random
+
+    from deployment_spark.operators.packing import pack_greedy
+
+    rng = random.Random(3)
+    rows = [(i, i % 5, rng.randint(10, 120)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    got = {
+        (r.shard, r.doc_id): r.pack_id
+        for r in pack_greedy(df, budget=256).collect()
+    }
+    # python reference: greedy first-fit in id order per shard
+    want = {}
+    for sh in range(5):
+        pid, fill = 0, 0
+        for i, s, t in sorted(rows):
+            if s != sh:
+                continue
+            if fill > 0 and fill + t > 256:
+                pid, fill = pid + 1, 0
+            fill += t
+            want[(sh, i)] = pid
+    assert got == want
+    # no pack overflows (except single oversized docs, absent here)
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    for (sh, i), pid in got.items():
+        fills[(sh, pid)] += dict((r[0], r[2]) for r in rows)[i]
+    assert all(v <= 256 for v in fills.values())
