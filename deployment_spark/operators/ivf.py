@@ -122,6 +122,50 @@ class IVFIndex:
         cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         return df.withColumn("cluster_id", cluster)
 
+    def assignment_stats(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Quantizer-drift monitor (SURVEY §4: "re-train when drift
+        exceeds a threshold" — the reference retrains never). Per
+        cluster: row count and mean/max squared distance to the assigned
+        centroid, computed against the PERSISTED centroids. Rising mean
+        distance on fresh data vs the build-time corpus = the quantizer
+        no longer fits the distribution = re-train signal. One scan, one
+        tiny aggregate."""
+        cents = self.centroids()
+        cent_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        v = F.col(vec_col).cast("array<double>")
+        dists = F.transform(
+            cent_lits,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = df.select(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+            F.array_min(dists).alias("_d2"),
+        )
+        return assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_d2").alias("mean_sq_dist"),
+            F.max("_d2").alias("max_sq_dist"),
+        )
+
+    def drift_score(self, df: DataFrame, vec_col: str = "embedding") -> float:
+        """Corpus-level mean squared assignment distance — compare fresh
+        data against the build corpus's score; a sustained ratio above
+        ~1.5 is the standard re-train trigger."""
+        row = (
+            self.assignment_stats(df, vec_col)
+            .agg((F.sum(F.col("mean_sq_dist") * F.col("n")) / F.sum("n")).alias("s"))
+            .first()
+        )
+        return float(row.s)
+
     # -- search (V5 nprobe pruning + J1 top-k) --------------------------------
 
     def search(

@@ -1737,6 +1737,42 @@ FROM m
 """
 
 
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 multimodal — video frame-sampling PLAN: per clip, the exploded
+    sample timestamps a decoder would extract (decode itself is honestly
+    stubbed — codecs absent; the plumbing is the Spark-side deliverable).
+    Synthetic clips with id-dependent durations, replayed in SQL."""
+    from deployment_spark.operators.multimodal import frame_sample_plan, synthetic_media
+
+    media = synthetic_media(spark, n=60, media_type="video")
+    clips = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width"),
+            F.col("meta.height"),
+            ((F.col("media_id") % 7 + 1) * 1000).cast("int").alias("duration_ms"),
+            F.col("meta.format"),
+        ),
+    )
+    plan = frame_sample_plan(clips, every_ms=400)
+    return plan.select(
+        "media_id",
+        F.col("sample_ts_ms").cast("long").alias("sample_ts_ms"),
+        F.col("meta.duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+SQL_MEDIA_FRAME_PLAN = """
+WITH clips AS (
+  SELECT range AS media_id, (range % 7 + 1) * 1000 AS duration_ms
+  FROM range(60)
+)
+SELECT media_id, unnest(range(0, duration_ms + 1, 400)) AS sample_ts_ms,
+       duration_ms
+FROM clips
+"""
+
+
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3/ST4 — Structured Streaming ingest of the events table
     (AvailableNow drain, complete-mode windowed counts into a memory
@@ -1937,6 +1973,7 @@ REGISTRY: dict = {
     "ivf_recall": (q_ivf_recall, None),
     "pq_recall": (q_pq_recall, None),
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
+    "media_frame_plan": (q_media_frame_plan, SQL_MEDIA_FRAME_PLAN),
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
     "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),
     "topk_enriched": (q_topk_enriched, SQL_TOPK_ENRICHED),

@@ -191,3 +191,24 @@ def test_streaming_ingest_maintains_ivf_layout(spark, sf_dir, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_drift_monitor_flags_distribution_shift(spark, sf_dir, tmp_path):
+    """Fresh data from the TRAINED distribution scores like the build
+    corpus; shifted data (vectors scaled + offset) scores measurably
+    higher — the re-train signal SURVEY §4 calls for."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = IVFIndex(spark, str(tmp_path / "ivf_drift")).build(emb, nlist=8)
+    base_score = idx.drift_score(emb)
+    shifted = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 3.0 + 2.0
+        ).alias("embedding"),
+    )
+    drift = idx.drift_score(shifted)
+    assert drift > 1.5 * base_score, (base_score, drift)
+    stats = idx.assignment_stats(emb)
+    assert stats.agg(F.sum("n")).first()[0] == emb.count()
