@@ -1130,6 +1130,78 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel signup → click → purchase: a user
+    converts at step N only via events AT OR AFTER their previous step's
+    first conversion time. Three grouped aggregates chained by user —
+    each reuses the user-key exchange; no window, no explode."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    wide = s3.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("signup"),
+        F.count(F.when(F.col("t2").isNotNull(), 1)).alias("click_after_signup"),
+        F.count(F.when(F.col("t3").isNotNull(), 1)).alias("purchase_after_click"),
+    )
+    return wide.selectExpr(
+        "stack(3, 1L, 'signup', signup, 2L, 'click_after_signup', "
+        "click_after_signup, 3L, 'purchase_after_click', purchase_after_click) "
+        "as (step, stage, users)"
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1 THEN e.ts END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id, s1.t1
+), s3 AS (
+  SELECT e.user_id, s2.t1, s2.t2,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2 THEN e.ts END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id, s2.t1, s2.t2
+), wide AS (
+  SELECT count(t1) AS signup, count(t2) AS click_after_signup,
+         count(t3) AS purchase_after_click
+  FROM s3
+)
+SELECT step, stage, users FROM wide
+UNPIVOT (users FOR x IN (signup, click_after_signup, purchase_after_click))
+  , LATERAL (SELECT (CASE x WHEN 'signup' THEN 1
+                           WHEN 'click_after_signup' THEN 2
+                           ELSE 3 END)::BIGINT AS step, x AS stage)
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 batch twin — gap-based user sessionization (24 h gap): lag
     window flags session starts, running sum numbers them, one aggregate
@@ -1961,6 +2033,7 @@ REGISTRY: dict = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_packing": (q_doc_packing, SQL_DOC_PACKING),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
