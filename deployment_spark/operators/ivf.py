@@ -97,6 +97,24 @@ class IVFIndex:
     def ntotal(self) -> int:
         return self.data().count()
 
+    def _sq_dists(self, vec_col: str):
+        """Column expr: array of squared L2 distances from ``vec_col`` to
+        every persisted centroid — shared by assign() and the drift
+        monitor so their distance semantics can never diverge."""
+        cents = self.centroids()
+        cent_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        v = F.col(vec_col).cast("array<double>")
+        return F.transform(
+            cent_lits,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
     def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """V4 for INCREMENTAL ingest: nearest-centroid assignment from
         the persisted centroid set — no KMeans model object needed, so a
@@ -105,19 +123,7 @@ class IVFIndex:
         Pure Catalyst: the centroid array is a literal (≤100 × dim — the
         same size FAISS keeps in RAM), the argmin is an ``aggregate``
         over (index, distance) pairs; stays in codegen, no Python."""
-        cents = self.centroids()
-        cent_lits = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-        )
-        v = F.col(vec_col).cast("array<double>")
-        dists = F.transform(
-            cent_lits,
-            lambda c: F.aggregate(
-                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        dists = self._sq_dists(vec_col)
         # first-min tie-break == np.argmin == the builder's assignment
         cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         return df.withColumn("cluster_id", cluster)
@@ -130,19 +136,7 @@ class IVFIndex:
         distance on fresh data vs the build-time corpus = the quantizer
         no longer fits the distribution = re-train signal. One scan, one
         tiny aggregate."""
-        cents = self.centroids()
-        cent_lits = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-        )
-        v = F.col(vec_col).cast("array<double>")
-        dists = F.transform(
-            cent_lits,
-            lambda c: F.aggregate(
-                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        dists = self._sq_dists(vec_col)
         assigned = df.select(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
@@ -164,7 +158,8 @@ class IVFIndex:
             .agg((F.sum(F.col("mean_sq_dist") * F.col("n")) / F.sum("n")).alias("s"))
             .first()
         )
-        return float(row.s)
+        # empty input (quiet ingest window): no data is not a crash
+        return float(row.s) if row.s is not None else float("nan")
 
     # -- search (V5 nprobe pruning + J1 top-k) --------------------------------
 

@@ -22,14 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-PACK_SCHEMA = StructType(
-    [
-        StructField("shard", LongType()),
-        StructField("pack_id", LongType()),
-        StructField("doc_id", LongType()),
-        StructField("n_tokens", LongType()),
-    ]
-)
+
 
 
 def pack_greedy(
@@ -41,11 +34,20 @@ def pack_greedy(
 ) -> DataFrame:
     """Assign every document a (shard, pack_id): greedy first-fit in
     ascending id order per shard; a new pack opens when the next doc
-    would overflow ``budget``. Output one row per document."""
+    would overflow ``budget``. Output one row per document, with the
+    CALLER'S column names (shard_col, 'pack_id', id_col, token_col)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    schema = StructType(
+        [
+            StructField(shard_col, LongType()),
+            StructField("pack_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField(token_col, LongType()),
+        ]
+    )
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
         pack_ids = []
         pid, fill = 0, 0
@@ -57,10 +59,10 @@ def pack_greedy(
             pack_ids.append(pid)
         return pd.DataFrame(
             {
-                "shard": key[0],
+                shard_col: key[0],
                 "pack_id": pack_ids,
-                "doc_id": pdf[id_col],
-                "n_tokens": pdf[token_col],
+                id_col: pdf[id_col],
+                token_col: pdf[token_col],
             }
         )
 
@@ -69,4 +71,4 @@ def pack_greedy(
         F.col(id_col).cast("long").alias(id_col),
         F.col(token_col).cast("long").alias(token_col),
     )
-    return src.groupBy(shard_col).applyInPandas(pack, schema=PACK_SCHEMA)
+    return src.groupBy(shard_col).applyInPandas(pack, schema=schema)
