@@ -1,9 +1,14 @@
 """Text analysis operators for training-data pipelines (SURVEY §7.1 M8):
-language-ID heuristic, quality scoring, token counting, fingerprinting.
-All pure Catalyst expressions (regexp/length/split) — JVM-side, no UDFs.
+language-ID heuristic, quality scoring, token counting, fingerprinting,
+PII scrubbing, repetition metrics, normalization, chunking, script
+detection. Pure Catalyst expressions (regexp/length/split/array) —
+JVM-side, no UDFs — with ONE exception: compressibility scoring, which
+inherently needs zlib and runs as an Arrow-batched pandas UDF.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -135,6 +140,64 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
         )
         stage = F.regexp_replace(stage, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out.withColumn(out_col, stage)
+
+
+def add_compressibility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compression-ratio quality signal — the classic boilerplate/spam
+    detector (highly compressible text = repetitive templates; near 1.0
+    = high-entropy noise). zlib level 6 over utf-8 bytes via an
+    Arrow-batched pandas UDF (zlib is stdlib — no external dep); this is
+    one of the few per-row ops that genuinely needs Python, and it stays
+    batched and partition-parallel.
+
+    Adds ``compress_ratio`` = compressed/raw bytes (NULL for empty)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn("compress_ratio", F.round(ratio(F.col(text_col)), 4))
+
+
+SCRIPT_RANGES: dict[str, str] = {
+    # codepoint classes, shared verbatim with the DuckDB oracle
+    "latin": r"[A-Za-z]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "greek": r"[Ͱ-Ͽ]",
+    "cjk": r"[一-鿿]",
+    "arabic": r"[؀-ۿ]",
+}
+
+
+def add_script_detection(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script profile: per-script character counts plus the
+    dominant script (most chars; fixed priority order on ties; 'other'
+    when nothing matches). The cheap first routing step of multilingual
+    pipelines — pure Catalyst regexp_count, shuffle-free."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    dom = F.when(best == 0, "other")
+    for name in SCRIPT_RANGES:
+        dom = dom.when(counts[name] == best, name)
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    return out.withColumn("dominant_script", dom)
 
 
 def chunk_text(

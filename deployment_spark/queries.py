@@ -1430,6 +1430,84 @@ FROM g GROUP BY 1, 2
 """
 
 
+def q_doc_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 script detection — per-script character counts + dominant
+    script. Docs 0-29 get planted non-Latin suffixes (Cyrillic / CJK /
+    Greek by doc_id % 3, same construction in the oracle) so the
+    detector has real multi-script input to classify."""
+    from deployment_spark.operators.textstats import add_script_detection
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир как дела сегодня"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 你好世界今天怎么样很好谢谢"))
+        .otherwise(F.lit(" γειά σου κόσμε τι κάνεις"))
+    )
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 30, F.concat(F.col("text"), suffix)).otherwise(
+            F.col("text")
+        ),
+    )
+    return add_script_detection(planted).select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_cjk", "n_arabic",
+        "dominant_script",
+    )
+
+
+SQL_DOC_SCRIPTS = """
+WITH alld AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 30 THEN text ||
+                CASE doc_id % 3
+                  WHEN 0 THEN ' привет мир как дела сегодня'
+                  WHEN 1 THEN ' 你好世界今天怎么样很好谢谢'
+                  ELSE ' γειά σου κόσμε τι κάνεις' END
+              ELSE text END AS text
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_latin,
+         len(regexp_extract_all(text, '[Ѐ-ӿ]'))::BIGINT AS n_cyrillic,
+         len(regexp_extract_all(text, '[Ͱ-Ͽ]'))::BIGINT AS n_greek,
+         len(regexp_extract_all(text, '[一-鿿]'))::BIGINT AS n_cjk,
+         len(regexp_extract_all(text, '[؀-ۿ]'))::BIGINT AS n_arabic
+  FROM alld
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+       CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) = 0 THEN 'other'
+            WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'latin'
+            WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'cyrillic'
+            WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'greek'
+            WHEN n_cjk = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'cjk'
+            ELSE 'arabic' END AS dominant_script
+FROM counts
+"""
+
+
+def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 compressibility — zlib ratio quality signal over planted
+    extremes (doc 900001: 'spam ' × 200, ratio ≈ 0.02; doc 900002:
+    hex noise, ratio ≈ 1) plus real docs. Deterministic, but zlib is
+    not SQL-expressible → rows-only."""
+    from deployment_spark.operators.textstats import add_compressibility
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 50
+    )
+    planted = spark.createDataFrame(
+        [(900001, "spam " * 200), (900002, None)], ["doc_id", "text"]
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 900002,
+            F.sha2(F.lit("noise"), 512),
+        ).otherwise(F.col("text")),
+    )
+    alld = d.unionByName(planted)
+    return add_compressibility(alld).select("doc_id", "compress_ratio")
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 repetition metrics — intra-document duplicate-word and
     duplicate-bigram ratios (boilerplate / keyword-stuffing / degenerate-
@@ -2031,6 +2109,8 @@ REGISTRY: dict = {
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "doc_scripts": (q_doc_scripts, SQL_DOC_SCRIPTS),
+    "doc_compressibility": (q_doc_compressibility, None),
     "doc_packing": (q_doc_packing, SQL_DOC_PACKING),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),

@@ -167,3 +167,37 @@ def test_pack_greedy_matches_python_reference(spark):
     for (sh, i), pid in got.items():
         fills[(sh, pid)] += dict((r[0], r[2]) for r in rows)[i]
     assert all(v <= 256 for v in fills.values())
+
+
+def test_compressibility_extremes(spark):
+    from deployment_spark.operators.textstats import add_compressibility
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 500), (2, "The quick brown fox jumps over the lazy dog."), (3, ""), (4, None)],
+        ["id", "text"],
+    )
+    out = {r.id: r.compress_ratio for r in add_compressibility(df).collect()}
+    assert out[1] < 0.05          # pure repetition compresses away
+    assert 0.3 < out[2] <= 1.2    # normal prose
+    assert out[3] is None and out[4] is None
+
+
+def test_script_detection(spark):
+    from deployment_spark.operators.textstats import add_script_detection
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир"),
+            (3, "你好世界"),
+            (4, "mixed привет текст здесь"),
+            (5, "12345 !!!"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in add_script_detection(df).collect()}
+    assert rows[1].dominant_script == "latin"
+    assert rows[2].dominant_script == "cyrillic" and rows[2].n_cyrillic == 9
+    assert rows[3].dominant_script == "cjk"
+    assert rows[4].dominant_script == "cyrillic"  # more cyrillic than latin
+    assert rows[5].dominant_script == "other"
