@@ -129,3 +129,71 @@ def test_topk_matches_numpy_reference(spark, n, nq, k, dim, parts, seed):
         order = sorted(range(n), key=lambda i: (-round(sims[i, q], 12), i))[:k]
         want.extend((q, r + 1, i) for r, i in enumerate(order))
     assert got == want
+
+
+@PROP
+@given(
+    n_left=st.integers(1, 25),
+    n_right=st.integers(0, 25),
+    n_keys=st.integers(1, 4),
+    direction=st.sampled_from(["backward", "forward"]),
+    seed=st.integers(0, 2**16),
+)
+def test_asof_join_matches_merge_asof_random(
+    spark, n_left, n_right, n_keys, direction, seed
+):
+    """asof_join == pandas merge_asof on random data with duplicate LEFT
+    timestamps, empty right sides, and keys missing from either side.
+    Right timestamps are kept unique per key (the documented contract)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from deployment_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=int(m))
+
+    lrows = [
+        (i, int(rng.integers(n_keys)), t(rng.integers(0, 50)))
+        for i in range(n_left)
+    ]
+    seen = set()
+    rrows = []
+    for _ in range(n_right):
+        k, m = int(rng.integers(n_keys)), int(rng.integers(0, 50))
+        if (k, m) in seen:
+            continue
+        seen.add((k, m))
+        rrows.append((k, t(m), float(rng.integers(100))))
+    trades = spark.createDataFrame(lrows, "event_id LONG, user_id LONG, ts TIMESTAMP")
+    quotes = spark.createDataFrame(
+        rrows or [(0, t(999), 0.0)], "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    if not rrows:
+        quotes = quotes.filter("user_id < 0")  # truly empty, typed
+
+    got = {
+        r.event_id: r.value
+        for r in asof_join(
+            trades, quotes, by=["user_id"], right_cols=["value"],
+            direction=direction,
+        ).collect()
+    }
+    lt = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rt = pd.DataFrame(rrows, columns=["user_id", "ts", "value"]).sort_values("ts")
+    if rt.empty:
+        want = {e: None for e in lt.event_id}
+    else:
+        m = pd.merge_asof(
+            lt, rt, on="ts", by="user_id", direction=direction,
+            suffixes=("", "_right"),
+        )
+        want = {
+            r.event_id: (None if pd.isna(r.value) else r.value)
+            for r in m.itertuples()
+        }
+    assert got == want
