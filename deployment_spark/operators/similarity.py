@@ -68,11 +68,19 @@ def topk_similarity_join_expr(
         )
     )
     c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
-    score = (
-        dot_product("_cvec", "_qvec")
-        if (metric in ("dot", "ip") or (metric == "cosine" and assume_normalized))
-        else cosine_similarity("_cvec", "_qvec")
-    )
+    if metric == "l2":
+        # FAISS IndexFlatL2 parity on UN-normalized vectors: rank by
+        # smallest distance == largest negated squared distance, so the
+        # same desc window serves every metric
+        from deployment_spark.functions.vector import squared_l2_distance
+
+        score = -squared_l2_distance("_cvec", "_qvec")
+    elif metric in ("dot", "ip") or (metric == "cosine" and assume_normalized):
+        score = dot_product("_cvec", "_qvec")
+    elif metric == "cosine":
+        score = cosine_similarity("_cvec", "_qvec")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     scored = c.crossJoin(q).withColumn("_sim", score)
     return (
         scored.withColumn("rank", F.row_number().over(_rank_window("_qid")))
@@ -118,6 +126,8 @@ def topk_similarity_join(
 
     import numpy as np
 
+    if metric not in ("cosine", "dot", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     qids = [r[query_id] for r in qrows]
     qmat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     if metric == "cosine":
@@ -127,6 +137,7 @@ def topk_similarity_join(
     bq = spark.sparkContext.broadcast((qids, qmat))
     kk = int(k)
     use_cosine = metric == "cosine"
+    use_l2 = metric == "l2"
 
     out_schema = StructType(
         [
@@ -150,7 +161,16 @@ def topk_similarity_join(
                 cn = np.linalg.norm(cmat, axis=1, keepdims=True)
                 cn[cn == 0] = 1.0
                 cmat = cmat / cn
-            sims = cmat @ qm.T  # (n_local, nq)
+            if use_l2:
+                # rank by -||c-q||² so the shared desc ordering applies;
+                # expanded form keeps one matmul per batch
+                sims = (
+                    2.0 * (cmat @ qm.T)
+                    - (cmat**2).sum(axis=1, keepdims=True)
+                    - (qm**2).sum(axis=1)
+                )
+            else:
+                sims = cmat @ qm.T  # (n_local, nq)
             n_local = sims.shape[0]
             take = min(kk, n_local)
             cid_arr = pdf["_cid"].to_numpy()

@@ -184,3 +184,28 @@ def test_neardup_never_touches_the_driver(spark, embeddings, monkeypatch):
     n_lsh = cosine_neardup_pairs(sub, 0.99, method="lsh").count()
     n_exact = cosine_neardup_pairs_exact(sub, 0.5, target_block_rows=16).count()
     assert n_lsh >= 0 and n_exact >= 0
+
+
+@pytest.mark.parametrize("impl", [topk_similarity_join, topk_similarity_join_expr])
+def test_l2_metric_matches_numpy(spark, embeddings, impl):
+    """metric='l2' — FAISS IndexFlatL2 parity on UN-normalized vectors:
+    smallest squared distance wins, desc-similarity window unchanged."""
+    import numpy as np
+
+    sub = embeddings.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    rows = sub.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    queries = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in mat[i]]) for i in range(3)],
+        ["query_id", "query_vec"],
+    )
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in impl(sub, queries, k=5, metric="l2").collect()
+    }
+    for qi in range(3):
+        d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda j: (round(d2[j], 9), ids[j]))[:5]
+        for rank, j in enumerate(order, 1):
+            assert got[(int(ids[qi]), rank)] == int(ids[j])
