@@ -1861,6 +1861,53 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed index — recall@10 at the production shape (nprobe
+    4 of 8 lists over 16-byte codes, shortlist-50 exact re-rank) vs
+    exact top-k. The full three-stage pipeline: partition pruning →
+    compressed ADC → refine. Rows-only (trained quantizers)."""
+    import hashlib
+    import tempfile
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.ivfpq import IVFPQIndex
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    k = 10
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    tag = hashlib.md5(f"ivfpq|{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
+    index = IVFPQIndex(spark, root)
+    if not os.path.exists(os.path.join(root, "codebook.json")):
+        index.build(norm, nlist=8, m=16, ksub=64)
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = index.search(queries, k=k, nprobe=4, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+    exact = topk_similarity_join_expr(norm, queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 multimodal plumbing — opaque binary payloads pushed through the
     Arrow/mapInPandas decode path (operators.multimodal). The synthetic
@@ -2125,6 +2172,7 @@ REGISTRY: dict = {
     "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
     "ivf_recall": (q_ivf_recall, None),
     "pq_recall": (q_pq_recall, None),
+    "ivfpq_recall": (q_ivfpq_recall, None),
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
     "media_frame_plan": (q_media_frame_plan, SQL_MEDIA_FRAME_PLAN),
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),

@@ -1,0 +1,82 @@
+"""IVF x PQ composed index (operators/ivfpq.py): layout, pruning,
+recall, and re-rank refinement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import l2_normalize
+from deployment_spark.operators.ivfpq import IVFPQIndex
+from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+
+@pytest.fixture(scope="module")
+def norm_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select("vec_id", l2_normalize("embedding").alias("embedding")).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, norm_emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivfpq"))
+    return IVFPQIndex(spark, root).build(norm_emb, nlist=8, m=16, ksub=64)
+
+
+def exact_topk(norm_emb, queries, k):
+    return {
+        (r.query_id, r.vec_id)
+        for r in topk_similarity_join_expr(norm_emb, queries, k=k).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def queries(norm_emb):
+    return norm_emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_codes_partitioned_like_vectors(index):
+    """Both tables carry the same cluster layout, so pruning is shared."""
+    vec_clusters = {r.cluster_id for r in index.ivf.data().select("cluster_id").distinct().collect()}
+    code_clusters = {r.cluster_id for r in index.codes().select("cluster_id").distinct().collect()}
+    assert vec_clusters == code_clusters
+    assert index.codes().count() == index.ivf.data().count()
+
+
+def test_probe_all_rerank_recovers_near_exact(norm_emb, index, queries):
+    """nprobe=all removes pruning loss; shortlist re-rank removes most
+    compression loss — recall@10 >= 0.9."""
+    got = {
+        (r.query_id, r.vec_id)
+        for r in index.search(queries, k=10, nprobe=10**9, shortlist=50).collect()
+    }
+    e = exact_topk(norm_emb, queries, 10)
+    assert len(got & e) / len(e) >= 0.9
+
+
+def test_operating_point_recall_floor(norm_emb, index, queries):
+    """The production operating point (nprobe=4 of 8, shortlist re-rank)
+    keeps a sane recall floor on worst-case random vectors."""
+    got = {
+        (r.query_id, r.vec_id)
+        for r in index.search(queries, k=10, nprobe=4, shortlist=50).collect()
+    }
+    e = exact_topk(norm_emb, queries, 10)
+    assert len(got & e) / len(e) >= 0.5
+
+
+def test_adc_only_mode_orders_reasonably(index, queries):
+    """shortlist=None returns pure-ADC results: self-queries still rank
+    themselves first (their own code is their nearest code)."""
+    got = {r.query_id: r.vec_id for r in index.search(
+        queries, k=1, nprobe=10**9, shortlist=None
+    ).collect()}
+    hits = sum(1 for q, v in got.items() if q == v)
+    assert hits >= 18
+
+
+def test_empty_queries(spark, index):
+    empty = spark.createDataFrame([], "query_id LONG, query_vec ARRAY<DOUBLE>")
+    assert index.search(empty, k=5).count() == 0
