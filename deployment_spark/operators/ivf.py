@@ -161,6 +161,30 @@ class IVFIndex:
         # empty input (quiet ingest window): no data is not a crash
         return float(row.s) if row.s is not None else float("nan")
 
+    def route(
+        self,
+        qrows: list,
+        nprobe: int,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> tuple[list, list]:
+        """Driver-side centroid routing shared by IVF and IVF×PQ search:
+        (query_id, cluster_id) pairs for each query's top-nprobe nearest
+        centroids (cosine on the normalized centroid set), plus the
+        sorted union of probed clusters for partition pruning."""
+        cents = self.centroids()
+        nprobe = min(nprobe, cents.shape[0])
+        qn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        routing = []
+        for r in qrows:
+            v = np.asarray(r[query_vec], dtype=np.float64)
+            v = v / max(np.linalg.norm(v), 1e-12)
+            order = np.argsort(-(qn @ v))[:nprobe]
+            routing.extend((r[query_id], int(c)) for c in order)
+        return routing, sorted({c for _, c in routing})
+
     # -- search (V5 nprobe pruning + J1 top-k) --------------------------------
 
     def search(
@@ -179,23 +203,12 @@ class IVFIndex:
         ⋈_broadcast (query_id, cluster_id) routing table → exact cosine →
         per-query window top-k. Output: (query_id, vec_id, rank,
         similarity)."""
-        cents = self.centroids()  # (nlist, dim) — tiny, driver-side like FAISS's quantizer
         qrows = queries.select(query_id, query_vec).collect()
         if not qrows:
             return self.search_empty(query_id, id_col)
-        nprobe = min(nprobe, cents.shape[0])
-        qn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-
-        routing = []  # (qid, cluster_id) — the nprobe routing table
-        for r in qrows:
-            v = np.asarray(r[query_vec], dtype=np.float64)
-            v = v / max(np.linalg.norm(v), 1e-12)
-            # nearest centroids by cosine ≡ by L2 on normalized vectors
-            order = np.argsort(-(qn @ v))[:nprobe]
-            routing.extend((r[query_id], int(c)) for c in order)
-
+        # centroid routing is driver-side like FAISS's quantizer (tiny)
+        routing, probed = self.route(qrows, nprobe, query_id, query_vec)
         routing_df = self.spark.createDataFrame(routing, [query_id, "cluster_id"])
-        probed = sorted({c for _, c in routing})
 
         q = F.broadcast(
             queries.withColumnRenamed(query_vec, "_qvec")

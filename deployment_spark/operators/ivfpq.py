@@ -98,51 +98,108 @@ class IVFPQIndex:
         re-rank of the shortlist against the (equally pruned)
         full-vector lists. Output (query_id, vec_id, rank, similarity) —
         similarity is exact cosine when re-ranking, else the negated ADC
-        distance (comparable ordering, documented approximation)."""
-        cents = self.ivf.centroids()
+        distance (comparable ordering, documented approximation).
+
+        Pruning is PER QUERY: a (query_id, cluster_id) routing table
+        (shared helper with ``IVFIndex.search``) joins the codes scan,
+        so each query scores only codes in ITS nprobe lists — results
+        never depend on which other queries share the batch — while the
+        ``isin`` on the union still prunes partitions at the scan."""
+        import pandas as pd
+
+        from pyspark.sql import Window
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
         qrows = queries.select(query_id, query_vec).collect()  # nq-scale
         if not qrows:
             return self.ivf.search_empty(query_id, id_col)
-        nprobe = min(nprobe, cents.shape[0])
-        qn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-        routing = []
-        for r in qrows:
-            v = np.asarray(r[query_vec], dtype=np.float64)
-            v = v / max(np.linalg.norm(v), 1e-12)
-            order = np.argsort(-(qn @ v))[:nprobe]
-            routing.extend((r[query_id], int(c)) for c in order)
-        probed = sorted({c for _, c in routing})
+        routing, probed = self.ivf.route(qrows, nprobe, query_id, query_vec)
+        routing_df = self.spark.createDataFrame(routing, [query_id, "cluster_id"])
 
         codec = self.codec()
-        pruned_codes = self.codes().filter(F.col("cluster_id").isin(probed))
-        take = shortlist or k
-        short = codec.search(
-            pruned_codes, queries, k=max(take, k), id_col=id_col,
-            query_id=query_id, query_vec=query_vec,
+        m, dsub = codec.m, codec.dsub
+        books = codec.codebooks
+        qids, luts = [], []
+        for r in qrows:
+            qv = np.asarray(r[query_vec], dtype=np.float64)
+            qids.append(r[query_id])
+            luts.append(
+                np.stack(
+                    [
+                        ((books[j] - qv[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                        for j in range(m)
+                    ]
+                )
+            )
+        qindex = {qid: i for i, qid in enumerate(qids)}
+        bq = self.spark.sparkContext.broadcast((qindex, np.stack(luts)))
+        take = k if shortlist is None else max(int(shortlist), k)
+
+        # per-query pruned candidate rows: codes ⋈ routing (broadcast)
+        pruned = (
+            self.codes()
+            .filter(F.col("cluster_id").isin(probed))  # partition pruning
+            .join(F.broadcast(routing_df), "cluster_id")  # per-query routing
+            .select(F.col(query_id).alias("_qid"), F.col(id_col).alias("_cid"), "code")
+        )
+
+        out_schema = StructType(
+            [
+                StructField("_qid", LongType()),
+                StructField("_cid", LongType()),
+                StructField("_d", DoubleType()),
+            ]
+        )
+
+        def adc_topk(batches):
+            qidx_map, lut_all = bq.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes_arr = np.frombuffer(
+                    b"".join(pdf["code"].tolist()), dtype=np.uint8
+                ).reshape(-1, m)
+                qi = pdf["_qid"].map(qidx_map).to_numpy()
+                # dist[i] = Σ_j lut[q_i, j, code[i, j]] — one gather per batch
+                d = lut_all[qi[:, None], np.arange(m)[None, :], codes_arr].sum(axis=1)
+                cid = pdf["_cid"].to_numpy()
+                out_q, out_c, out_d = [], [], []
+                for q in np.unique(qi):
+                    mask = qi == q
+                    order = np.lexsort((cid[mask], d[mask]))[:take]
+                    out_q.extend([qids[q]] * len(order))
+                    out_c.extend(cid[mask][order].tolist())
+                    out_d.extend(d[mask][order].tolist())
+                yield pd.DataFrame({"_qid": out_q, "_cid": out_c, "_d": out_d})
+
+        cand = pruned.mapInPandas(adc_topk, schema=out_schema)
+        w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cid"))
+        short = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= take)
         )
         if shortlist is None:
             return short.filter(F.col("rank") <= k).select(
-                query_id, id_col, "rank",
-                (-F.col("adc_distance")).alias("similarity"),
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                "rank",
+                (-F.col("_d")).alias("similarity"),
             )
         from deployment_spark.functions.vector import cosine_similarity
-        from pyspark.sql import Window
 
         full = self.ivf.data().filter(F.col("cluster_id").isin(probed)).select(
             id_col, vec_col
         )
-        q = F.broadcast(
-            queries.select(query_id, F.col(query_vec).alias("_qv"))
-        )
+        q = F.broadcast(queries.select(query_id, F.col(query_vec).alias("_qv")))
         scored = (
-            short.select(query_id, id_col)
+            short.select(F.col("_qid").alias(query_id), F.col("_cid").alias(id_col))
             .join(full, id_col)
             .join(q, query_id)
             .withColumn("_sim", cosine_similarity(vec_col, "_qv"))
         )
-        w = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc(id_col))
+        w2 = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc(id_col))
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            scored.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )

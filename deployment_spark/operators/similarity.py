@@ -109,6 +109,8 @@ def topk_similarity_join(
 
     Output: (query_id, corpus_id, rank, similarity) — rank 1..k per query.
     """
+    if metric not in ("cosine", "dot", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     spark = corpus.sparkSession
     qid_type = queries.schema[query_id].dataType
     cid_type = corpus.schema[corpus_id].dataType
@@ -126,8 +128,6 @@ def topk_similarity_join(
 
     import numpy as np
 
-    if metric not in ("cosine", "dot", "ip", "l2"):
-        raise ValueError(f"unknown metric {metric!r}")
     qids = [r[query_id] for r in qrows]
     qmat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     if metric == "cosine":

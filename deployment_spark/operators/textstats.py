@@ -8,6 +8,9 @@ inherently needs zlib and runs as an Arrow-batched pandas UDF.
 
 from __future__ import annotations
 
+# pandas at module level ONLY because add_compressibility's pandas-UDF
+# type hints ('pd.Series', postponed annotations) must resolve in module
+# globals at decoration time; everything else here is UDF-free Catalyst.
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame

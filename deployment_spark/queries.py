@@ -1475,7 +1475,8 @@ WITH alld AS (
   FROM alld
 )
 SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
-       CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) = 0 THEN 'other'
+       CASE WHEN n_latin IS NULL THEN NULL
+            WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) = 0 THEN 'other'
             WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'latin'
             WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'cyrillic'
             WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'greek'
@@ -1732,6 +1733,7 @@ SELECT doc_id, md5(array_to_string(smallest, '|')) AS fingerprint FROM hashed
 
 
 _IVF_CACHE: dict[str, str] = {}
+_IVFPQ_BUILT: set[str] = set()
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
@@ -1879,8 +1881,12 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"ivfpq|{sf_dir}".encode()).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
     index = IVFPQIndex(spark, root)
-    if not os.path.exists(os.path.join(root, "codebook.json")):
+    # build once PER PROCESS, overwriting in place (same discipline as
+    # _ivf_index): an on-disk sentinel would silently reuse a stale index
+    # after the testdata under sf_dir is regenerated
+    if sf_dir not in _IVFPQ_BUILT:
         index.build(norm, nlist=8, m=16, ksub=64)
+        _IVFPQ_BUILT.add(sf_dir)
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

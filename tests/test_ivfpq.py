@@ -80,3 +80,22 @@ def test_adc_only_mode_orders_reasonably(index, queries):
 def test_empty_queries(spark, index):
     empty = spark.createDataFrame([], "query_id LONG, query_vec ARRAY<DOUBLE>")
     assert index.search(empty, k=5).count() == 0
+
+
+def test_per_query_pruning_batch_independent(norm_emb, index, queries):
+    """Routing is per query: q0 searched ALONE must return exactly what
+    q0 gets when batched with 19 other queries (the union-pruning bug
+    this guards against made results depend on batch composition)."""
+    solo_q = queries.filter(F.col("query_id") == 0)
+    solo = [
+        (r.vec_id, r.rank)
+        for r in index.search(solo_q, k=10, nprobe=2, shortlist=20).collect()
+    ]
+    batched = [
+        (r.vec_id, r.rank)
+        for r in index.search(queries, k=10, nprobe=2, shortlist=20)
+        .filter(F.col("query_id") == 0)
+        .collect()
+    ]
+    assert sorted(solo) == sorted(batched)
+    assert solo  # non-empty
