@@ -101,3 +101,22 @@ def test_session_stats_single_shuffle(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     df = session_stats(ev, gap_minutes=1440)
     assert audit.count_exchanges(df) == 1, audit.physical_plan(df)
+
+
+def test_ivfpq_codes_scan_partition_pruned(spark, sf_dir, tmp_path):
+    """The composed index's ADC scan must hit PartitionFilters on the
+    codes table — pruning is the point of the IVF half."""
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.ivfpq import IVFPQIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    idx = IVFPQIndex(spark, str(tmp_path / "pq_plan")).build(
+        emb, nlist=8, m=8, ksub=16
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = idx.search(queries, k=3, nprobe=2, shortlist=10)
+    assert audit.has_partition_filters(df), audit.physical_plan(df)
