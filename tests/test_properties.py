@@ -197,3 +197,61 @@ def test_asof_join_matches_merge_asof_random(
             for r in m.itertuples()
         }
     assert got == want
+
+
+@PROP
+@given(
+    n_tokens=st.integers(0, 40),
+    window=st.integers(1, 12),
+    stride_delta=st.integers(0, 8),
+    seed=st.integers(0, 2**16),
+)
+def test_chunk_text_matches_python_reference(spark, n_tokens, window, stride_delta, seed):
+    """chunk_text == a python sliding-window reference for random doc
+    lengths / window / stride combinations (stride <= window), including
+    empty docs, single-chunk docs, and exact-boundary endings."""
+    from deployment_spark.operators.textstats import chunk_text
+
+    stride = max(1, window - stride_delta)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    got = {
+        (r.chunk_id, r.chunk)
+        for r in chunk_text(df, window_tokens=window, stride=stride).collect()
+    }
+    want = set()
+    if toks:
+        pos, cid = 0, 0
+        while pos < len(toks):
+            chunk = toks[pos : pos + window]
+            # drop trailing windows fully covered by the previous one
+            if pos == 0 or len(chunk) > window - stride:
+                want.add((cid, " ".join(chunk)))
+            pos += stride
+            cid += 1
+    assert got == want
+
+
+@PROP
+@given(
+    budget=st.integers(5, 50),
+    sizes=st.lists(st.integers(1, 80), min_size=1, max_size=30),
+)
+def test_pack_greedy_oversized_and_random(spark, budget, sizes):
+    """Random token sizes INCLUDING docs larger than the budget: greedy
+    reference equivalence, and every pack except oversized singletons
+    respects the budget."""
+    from deployment_spark.operators.packing import pack_greedy
+
+    rows = [(i, 0, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    got = {
+        r.doc_id: r.pack_id for r in pack_greedy(df, budget=budget).collect()
+    }
+    pid, fill, want = 0, 0, {}
+    for i, s in enumerate(sizes):
+        if fill > 0 and fill + s > budget:
+            pid, fill = pid + 1, 0
+        fill += s
+        want[i] = pid
+    assert got == want
