@@ -43,6 +43,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the version this mutation computed —
+    re-read the store and retry (optimistic concurrency)."""
+
+
 class SnapshotStore:
     """Versioned parquet table with last-wins upsert semantics.
 
@@ -122,11 +127,50 @@ class SnapshotStore:
         ``Milvus/stream1.py:105``)."""
         return self.current_version() > 0
 
+    def _claim_version(self, version: int) -> None:
+        """Optimistic concurrency: exclusively create a per-version claim
+        marker (O_EXCL — atomic on POSIX) BEFORE publishing. Two writers
+        that both read version N race to claim N+1; the loser gets
+        ConcurrentCommitError instead of silently overwriting the
+        winner's snapshot — the lost-update failure snapshot isolation
+        alone does not prevent. Claims are tiny permanent tombstones of
+        commit attempts; vacuum ignores them."""
+        try:
+            fd = os.open(
+                os.path.join(self.root, f"claim.v{version:06d}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} already claimed by a concurrent writer "
+                f"(store {self.root}); re-read and retry the mutation — or, "
+                "if the claimant crashed mid-commit, run recover_claims() "
+                "once no writer is live"
+            ) from None
+
+    def recover_claims(self) -> list[int]:
+        """Crash recovery: remove claim markers ABOVE the published
+        version (a writer claimed them but never swapped the pointer —
+        it died mid-commit and its half-written files are unreferenced).
+        Only safe when the caller knows no writer is currently live; the
+        published state itself is never touched."""
+        current = self.current_version()
+        freed = []
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("claim.v"):
+                v = int(name[len("claim.v"):])
+                if v > current:
+                    os.remove(os.path.join(self.root, name))
+                    freed.append(v)
+        return freed
+
     def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
         """C5 — flush/persist barrier (``collection.flush()``,
         ``Milvus/stream1.py:226``): write the new snapshot fully, then
         atomically swap the pointer (write-temp + rename)."""
         version = self.current_version() + 1
+        self._claim_version(version)
         path = self._snapshot_path(version)
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -162,6 +206,7 @@ class SnapshotStore:
         fully written before the manifest that references them appears;
         pointer swap is atomic as in cow."""
         version = self.current_version() + 1
+        self._claim_version(version)
         with open(self._manifest_path(version), "w") as f:
             json.dump(
                 {"version": version, "segments": segments, "tombstones": tombstones}, f

@@ -180,3 +180,43 @@ def test_schema_evolution_additive_column(spark, tmp_path, mode):
 
     with pytest.raises(Exception):
         strict.insert(spark.createDataFrame([(2, "b", 1.0)], ["id", "payload", "extra"]))
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_concurrent_commit_loser_fails_loudly(spark, tmp_path, mode):
+    """Optimistic concurrency: two writers that both read version N race
+    to claim N+1; the loser raises ConcurrentCommitError instead of
+    silently overwriting the winner (lost update). Simulated by
+    pre-claiming the next version as a 'concurrent' writer would."""
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    s = SnapshotStore(spark, str(tmp_path / f"occ_{mode}"), key="id", mode=mode)
+    s.create(mk(spark, [(1, "a")]))
+    nxt = s.current_version() + 1
+    # the "other writer" claims the version first
+    open(str(tmp_path / f"occ_{mode}" / f"claim.v{nxt:06d}"), "w").close()
+    with pytest.raises(ConcurrentCommitError):
+        s.insert(mk(spark, [(2, "b")]))
+    # state unchanged; a retry (fresh read -> next version) succeeds
+    assert s.count() == 1
+    # clear the simulated claim as the winner's commit would have consumed it
+    os.remove(str(tmp_path / f"occ_{mode}" / f"claim.v{nxt:06d}"))
+    s.insert(mk(spark, [(2, "b")]))
+    assert s.count() == 2
+
+
+def test_recover_claims_frees_crashed_writer(spark, tmp_path):
+    """A writer that claimed a version and died mid-commit must not burn
+    the version forever: recover_claims() frees claims above the
+    published version, after which mutation succeeds."""
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    s = SnapshotStore(spark, str(tmp_path / "rec"), key="id")
+    s.create(mk(spark, [(1, "a")]))
+    nxt = s.current_version() + 1
+    open(str(tmp_path / "rec" / f"claim.v{nxt:06d}"), "w").close()  # dead claimant
+    with pytest.raises(ConcurrentCommitError):
+        s.insert(mk(spark, [(2, "b")]))
+    assert s.recover_claims() == [nxt]
+    s.insert(mk(spark, [(2, "b")]))
+    assert s.count() == 2
