@@ -430,6 +430,11 @@ class SnapshotStore:
         tombstone file no surviving manifest references."""
         current = self.current_version()
         removed = []
+        # consumed claim markers (<= published version) are spent commit
+        # tombstones — sweep them with the versions they claimed
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("claim.v") and int(name[len("claim.v"):]) <= current:
+                os.remove(os.path.join(self.root, name))
         if self.mode == "mor":
             referenced: set[str] = set()
             for v in range(max(current - keep_last + 1, 1), current + 1):

@@ -220,3 +220,13 @@ def test_recover_claims_frees_crashed_writer(spark, tmp_path):
     assert s.recover_claims() == [nxt]
     s.insert(mk(spark, [(2, "b")]))
     assert s.count() == 2
+
+
+def test_vacuum_sweeps_consumed_claims(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "vc"), key="id")
+    s.create(mk(spark, [(1, "a")]))
+    s.insert(mk(spark, [(2, "b")]))
+    assert any(n.startswith("claim.v") for n in os.listdir(str(tmp_path / "vc")))
+    s.vacuum(keep_last=1)
+    assert not any(n.startswith("claim.v") for n in os.listdir(str(tmp_path / "vc")))
+    assert s.count() == 2
