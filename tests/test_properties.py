@@ -255,3 +255,36 @@ def test_pack_greedy_oversized_and_random(spark, budget, sizes):
         fill += s
         want[i] = pid
     assert got == want
+
+
+@PROP
+@given(
+    n_pts=st.integers(1, 40),
+    n_iv=st.integers(0, 15),
+    width=st.floats(0.5, 30.0),
+    seed=st.integers(0, 2**16),
+)
+def test_range_join_matches_naive_random(spark, n_pts, n_iv, width, seed):
+    """Binned range join == nested-loop BETWEEN join for random points,
+    intervals (including empty / zero-length / overlapping), and bucket
+    widths."""
+    from deployment_spark.operators.rangejoin import range_join
+
+    rng = np.random.default_rng(seed)
+    pts = [(i, float(rng.uniform(0, 100))) for i in range(n_pts)]
+    ivs = []
+    for b in range(n_iv):
+        lo = float(rng.uniform(0, 100))
+        ivs.append((b, lo, lo + float(rng.uniform(0, 20))))
+    pdf = spark.createDataFrame(pts, "pid LONG, v DOUBLE")
+    idf = spark.createDataFrame(ivs or [(0, 1.0, 0.0)], "band_id LONG, lo DOUBLE, hi DOUBLE")
+    if not ivs:
+        idf = idf.filter("band_id < 0")
+    got = {
+        (r.pid, r.band_id)
+        for r in range_join(pdf, idf, "v", "lo", "hi", width).collect()
+    }
+    want = {
+        (p, b) for p, v in pts for b, lo, hi in ivs if lo <= v <= hi
+    }
+    assert got == want
