@@ -89,8 +89,12 @@ class SnapshotStore:
         accept a divergent segment and only explode at read() time."""
         if self.schema_evolution or not self.exists():
             return
-        base = sorted(self.read().columns)
-        new = sorted(rows.columns)
+        # compare (name, type) pairs, not names alone — name-only checks
+        # silently accept type drift (e.g. a long column flipping to
+        # double via coalesce(..., 0.0)) and the store's schema changes
+        # out from under readers on the first merge
+        base = sorted((f.name, f.dataType.simpleString()) for f in self.read().schema.fields)
+        new = sorted((f.name, f.dataType.simpleString()) for f in rows.schema.fields)
         if base != new:
             raise ValueError(
                 f"schema drift rejected (schema_evolution=False): table has "
@@ -200,13 +204,25 @@ class SnapshotStore:
             return json.load(f)
 
     def _commit_manifest(
-        self, segments: list[dict], tombstones: list[dict], meta: dict | None = None
+        self,
+        segments: list[dict],
+        tombstones: list[dict],
+        meta: dict | None = None,
+        version: int | None = None,
     ) -> int:
         """C5 barrier, mor flavor: the new segment/tombstone files are
         fully written before the manifest that references them appears;
-        pointer swap is atomic as in cow."""
-        version = self.current_version() + 1
-        self._claim_version(version)
+        pointer swap is atomic as in cow.
+
+        ``version`` MUST be the value the caller obtained from
+        ``_claim_version`` BEFORE writing any segment/tombstone files:
+        those files live at deterministic paths derived from the version,
+        so a writer that writes first and claims second can overwrite a
+        concurrent winner's already-published files (silent lost update).
+        Claim-first makes the s{v}/t{v} names exclusive to one writer."""
+        if version is None:  # legacy single-writer path
+            version = self.current_version() + 1
+            self._claim_version(version)
         with open(self._manifest_path(version), "w") as f:
             json.dump(
                 {"version": version, "segments": segments, "tombstones": tombstones}, f
@@ -296,8 +312,11 @@ class SnapshotStore:
     def create(self, df: DataFrame, meta: dict | None = None) -> int:
         if self.mode == "mor":
             v = self.current_version() + 1
+            self._claim_version(v)
             seg = self._write_files(df, f"s{v:06d}")
-            return self._commit_manifest([{"path": seg, "seq": v}], [], meta=meta)
+            return self._commit_manifest(
+                [{"path": seg, "seq": v}], [], meta=meta, version=v
+            )
         return self._commit(df, meta=meta)
 
     def insert(self, rows: DataFrame, dedup_new: bool = True) -> int:
@@ -315,11 +334,15 @@ class SnapshotStore:
             new = new.dropDuplicates([self.key])
         new = new.join(base.select(self.key), on=self.key, how="left_anti")
         if self.mode == "mor":
-            m = self._read_manifest(self.current_version())
+            # claim BEFORE writing s{v}: the claim loser must error out
+            # here, not overwrite the winner's segment files (and a claim
+            # on v also certifies manifest v-1 is still the latest)
             v = self.current_version() + 1
+            self._claim_version(v)
+            m = self._read_manifest(v - 1)
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"]
+                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"], version=v
             )
         return self._commit(self._union(base, new))
 
@@ -330,13 +353,18 @@ class SnapshotStore:
         base = self.read()
         ids_df = self._keys_df(ids, base)
         if self.mode == "mor":
-            m = self._read_manifest(self.current_version())
             v = self.current_version() + 1
+            self._claim_version(v)
+            m = self._read_manifest(v - 1)
             tomb = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
             return self._commit_manifest(
-                m["segments"], m["tombstones"] + [{"path": tomb, "seq": v}]
+                m["segments"], m["tombstones"] + [{"path": tomb, "seq": v}], version=v
             )
-        return self._commit(base.join(F.broadcast(ids_df), on=self.key, how="left_anti"))
+        # no broadcast hint: id-list deletes are tiny and AQE broadcasts
+        # them at runtime anyway, but a delete-by-dataframe at 100 TB
+        # scale can exceed broadcastable size — let AQE decide (matches
+        # the mor tombstone read path)
+        return self._commit(base.join(ids_df, on=self.key, how="left_anti"))
 
     def delete_last_n(self, n: int) -> int:
         """C2 Milvus variant — delete the n largest keys
@@ -358,13 +386,14 @@ class SnapshotStore:
         self._check_schema(new_rows)
         base = self.read()
         ids_df = self._keys_df(ids, base)
-        remaining = base.join(F.broadcast(ids_df), on=self.key, how="left_anti")
+        remaining = base.join(ids_df, on=self.key, how="left_anti")
         new = new_rows.dropDuplicates([self.key]).join(
             remaining.select(self.key), on=self.key, how="left_anti"
         )
         if self.mode == "mor":
-            m = self._read_manifest(self.current_version())
             v = self.current_version() + 1
+            self._claim_version(v)
+            m = self._read_manifest(v - 1)
             # One manifest commit carries both the tombstone and the new
             # segment at the same seq: the tombstone only kills rows from
             # strictly OLDER segments (read() uses _tseq > _seq), so the
@@ -374,6 +403,7 @@ class SnapshotStore:
             return self._commit_manifest(
                 m["segments"] + [{"path": seg, "seq": v}],
                 m["tombstones"] + [{"path": tomb, "seq": v}],
+                version=v,
             )
         return self._commit(self._union(remaining, new))
 
@@ -387,11 +417,15 @@ class SnapshotStore:
             new = rows.dropDuplicates([self.key])
             if not self.exists():
                 return self.create(new, meta=meta)
-            m = self._read_manifest(self.current_version())
             v = self.current_version() + 1
+            self._claim_version(v)
+            m = self._read_manifest(v - 1)
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"], meta=meta
+                m["segments"] + [{"path": seg, "seq": v}],
+                m["tombstones"],
+                meta=meta,
+                version=v,
             )
         base = self.read()
         merged = self._union(
@@ -413,8 +447,9 @@ class SnapshotStore:
             return self.current_version()  # cow snapshots are always compact
         current = self.read()
         v = self.current_version() + 1
+        self._claim_version(v)
         seg = self._write_files(current, f"s{v:06d}")
-        return self._commit_manifest([{"path": seg, "seq": v}], [])
+        return self._commit_manifest([{"path": seg, "seq": v}], [], version=v)
 
     # -- maintenance --------------------------------------------------------
 

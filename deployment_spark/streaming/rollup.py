@@ -62,7 +62,11 @@ class ContinuousAggregate:
             .groupBy("bucket_start", *self.dims)
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.sum(self.value_col).alias("val_sum"),
+                # double from day one: the merge in refresh() adds 0.0D,
+                # so an integer-typed sum would flip long -> double on the
+                # first merge — which the store's strict (name, type)
+                # schema check now rejects as drift
+                F.sum(F.col(self.value_col).cast("double")).alias("val_sum"),
             )
             .withColumn(
                 "agg_key",

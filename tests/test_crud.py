@@ -205,6 +205,32 @@ def test_concurrent_commit_loser_fails_loudly(spark, tmp_path, mode):
     assert s.count() == 2
 
 
+def test_mor_loser_never_touches_winner_files(spark, tmp_path):
+    """The mor claim must happen BEFORE any segment/tombstone write:
+    segment paths are deterministic (s{v}/t{v}), so a loser that writes
+    first would overwrite the winner's already-published files — a silent
+    lost update the ConcurrentCommitError contract exists to prevent.
+    With claim-first, the loser errors out leaving NO s{v}/t{v} dirs."""
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    root = tmp_path / "morrace"
+    s = SnapshotStore(spark, str(root), key="id", mode="mor")
+    s.create(mk(spark, [(1, "a"), (2, "b")]))
+    nxt = s.current_version() + 1
+    open(str(root / f"claim.v{nxt:06d}"), "w").close()  # winner holds the claim
+    for mutate in (
+        lambda: s.insert(mk(spark, [(3, "c")])),
+        lambda: s.delete_ids([1]),
+        lambda: s.update([2], mk(spark, [(2, "B")])),
+        lambda: s.upsert(mk(spark, [(2, "B")])),
+        lambda: s.compact(),
+    ):
+        with pytest.raises(ConcurrentCommitError):
+            mutate()
+        assert not os.path.exists(str(root / f"s{nxt:06d}")), "loser wrote a segment"
+        assert not os.path.exists(str(root / f"t{nxt:06d}")), "loser wrote a tombstone"
+
+
 def test_recover_claims_frees_crashed_writer(spark, tmp_path):
     """A writer that claimed a version and died mid-commit must not burn
     the version forever: recover_claims() frees claims above the
