@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -56,14 +57,21 @@ def asof_join(
     out_rcols = {c: f"{c}{suffix}" if c in left.columns else c for c in rcols}
     rtime_out = f"{time_col}{suffix}"
 
+    # The right time AND all payload columns ride in ONE struct carried by
+    # a single last(ignorenulls): per-column carries would backfill a
+    # genuinely-NULL payload field from an OLDER right row, mixing columns
+    # of different right rows — pandas merge_asof / DuckDB ASOF take the
+    # whole nearest row, NULLs included. The struct is non-null for every
+    # right row (even all-NULL payloads), so ignorenulls skips only the
+    # interleaved left rows.
+    rstruct = StructType(
+        [StructField("_rtime", right.schema[time_col].dataType)]
+        + [StructField(f"_r_{c}", right.schema[c].dataType) for c in rcols]
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[time_col].dataType).alias("_rtime"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in rcols
-        ],
+        F.lit(None).cast(rstruct).alias("_r"),
     )
     rhs = right.select(
         *[
@@ -73,8 +81,10 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("_side"),
-        F.col(time_col).alias("_rtime"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.struct(
+            F.col(time_col).alias("_rtime"),
+            *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        ).alias("_r"),
     )
     u = lhs.unionByName(rhs)
 
@@ -90,26 +100,27 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        *[F.col(c) for c in left.columns],
-        F.col("_side"),
-        F.last("_rtime", ignorenulls=True).over(w).alias(rtime_out),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(out_rcols[c])
-            for c in rcols
-        ],
-    ).filter(F.col("_side") == 1).drop("_side")
+    carried = (
+        u.select(
+            *[F.col(c) for c in left.columns],
+            F.col("_side"),
+            F.last("_r", ignorenulls=True).over(w).alias("_rr"),
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
 
     if tolerance_us is not None:
         gap = (
-            F.unix_micros(F.col(time_col)) - F.unix_micros(F.col(rtime_out))
+            F.unix_micros(F.col(time_col)) - F.unix_micros(F.col("_rr._rtime"))
             if direction == "backward"
-            else F.unix_micros(F.col(rtime_out)) - F.unix_micros(F.col(time_col))
+            else F.unix_micros(F.col("_rr._rtime")) - F.unix_micros(F.col(time_col))
         )
-        keep = gap <= tolerance_us
-        carried = carried.select(
-            *[F.col(c) for c in left.columns],
-            F.when(keep, F.col(rtime_out)).alias(rtime_out),
-            *[F.when(keep, F.col(out_rcols[c])).alias(out_rcols[c]) for c in rcols],
-        )
-    return carried
+        # out-of-tolerance drops the WHOLE struct — time and payload null
+        # together, never a half-matched row
+        carried = carried.withColumn("_rr", F.when(gap <= tolerance_us, F.col("_rr")))
+    return carried.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_rr._rtime").alias(rtime_out),
+        *[F.col(f"_rr._r_{c}").alias(out_rcols[c]) for c in rcols],
+    )

@@ -199,6 +199,47 @@ def test_asof_join_matches_merge_asof_random(
     assert got == want
 
 
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A genuinely-NULL payload field in the nearest right row must stay
+    NULL — not be backfilled from an OLDER right row (per-column carries
+    would mix columns of different right rows; merge_asof/DuckDB ASOF
+    take the whole nearest row, NULLs included)."""
+    import datetime as dt
+
+    from deployment_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    # older right row has both fields; nearest has bid NULL
+    quotes = spark.createDataFrame(
+        [(1, t(0), 10.0, 11.0), (1, t(5), None, 22.0)],
+        "user_id LONG, ts TIMESTAMP, bid DOUBLE, ask DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [(100, 1, t(6))], "event_id LONG, user_id LONG, ts TIMESTAMP"
+    )
+    row = asof_join(
+        trades, quotes, by=["user_id"], right_cols=["bid", "ask"]
+    ).collect()[0]
+    assert row.ask == 22.0
+    assert row.bid is None, "NULL bid was backfilled from an older right row"
+    # tolerance excludes the nearest row: time AND payload null together
+    row = asof_join(
+        trades, quotes, by=["user_id"], right_cols=["bid", "ask"],
+        tolerance_us=120_000_000,  # 2 min >= the 1-min gap: row kept
+    ).collect()[0]
+    assert row.ts_right is not None and row.ask == 22.0
+    row = asof_join(
+        trades.withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        quotes, by=["user_id"], right_cols=["bid", "ask"],
+        tolerance_us=60_000_000,
+    ).collect()[0]
+    assert row.ts_right is None and row.ask is None and row.bid is None
+
+
 @PROP
 @given(
     n_tokens=st.integers(0, 40),
