@@ -108,7 +108,7 @@ class IVFPQIndex:
         import pandas as pd
 
         from pyspark.sql import Window
-        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
         qrows = queries.select(query_id, query_vec).collect()  # nq-scale
         if not qrows:
@@ -143,10 +143,11 @@ class IVFPQIndex:
             .select(F.col(query_id).alias("_qid"), F.col(id_col).alias("_cid"), "code")
         )
 
+        # id types follow the inputs (topk_similarity_join contract)
         out_schema = StructType(
             [
-                StructField("_qid", LongType()),
-                StructField("_cid", LongType()),
+                StructField("_qid", queries.schema[query_id].dataType),
+                StructField("_cid", self.codes().schema[id_col].dataType),
                 StructField("_d", DoubleType()),
             ]
         )

@@ -142,11 +142,16 @@ class PQCodec:
         self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     ) -> DataFrame:
         """(id, code BINARY(m)) — one argmin matmul per subspace per Arrow
-        batch; codes are uint8 (ksub ≤ 256)."""
+        batch; codes are uint8 (ksub ≤ 256). The id column keeps its
+        input type (long, string, …) — same contract as
+        ``topk_similarity_join``."""
         books = self.codebooks
         m, dsub = self.m, self.dsub
         out_schema = StructType(
-            [StructField(id_col, LongType()), StructField("code", BinaryType())]
+            [
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField("code", BinaryType()),
+            ]
         )
 
         def enc(batches):
@@ -167,9 +172,7 @@ class PQCodec:
                     }
                 )
 
-        return df.select(
-            F.col(id_col).cast("long").alias(id_col), vec_col
-        ).mapInPandas(enc, schema=out_schema)
+        return df.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
 
     # -- search (ADC) --------------------------------------------------------
 
@@ -187,6 +190,10 @@ class PQCodec:
         L2-normalized corpora ascending L2 ≡ descending cosine, so ranks
         are comparable with the exact searchers'."""
         spark = codes.sparkSession
+        # id types follow the inputs (topk_similarity_join contract) —
+        # hard-coded longs would break or silently null string ids
+        qid_type = queries.schema[query_id].dataType
+        cid_type = codes.schema[id_col].dataType
         qrows = queries.select(query_id, query_vec).collect()  # nq-scale
         m, dsub, ksub = self.m, self.dsub, self.ksub
         books = self.codebooks
@@ -195,8 +202,8 @@ class PQCodec:
                 [],
                 StructType(
                     [
-                        StructField(query_id, LongType()),
-                        StructField(id_col, LongType()),
+                        StructField(query_id, qid_type),
+                        StructField(id_col, cid_type),
                         StructField("rank", LongType()),
                         StructField("adc_distance", DoubleType()),
                     ]
@@ -218,8 +225,8 @@ class PQCodec:
 
         out_schema = StructType(
             [
-                StructField("_qid", LongType()),
-                StructField("_cid", LongType()),
+                StructField("_qid", qid_type),
+                StructField("_cid", cid_type),
                 StructField("_d", DoubleType()),
             ]
         )

@@ -113,3 +113,30 @@ def test_pq_k_larger_than_corpus(spark, norm_emb, codec):
     )
     res = codec.search(codes, queries, k=50).collect()
     assert len(res) == 9  # 3 queries x 3 corpus rows, capped
+
+
+def test_pq_string_ids_roundtrip(spark):
+    """Non-long ids must flow through encode/search/search_rerank intact
+    (id types derive from the input schemas, as in topk_similarity_join)."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    codec = PQCodec.train(corpus, m=4, ksub=16, seed=7)
+    codes = codec.encode(corpus)
+    assert dict(codes.dtypes)["vec_id"] == "string"
+    queries = spark.createDataFrame(
+        [(f"q-{i}", [float(x) for x in vecs[i]]) for i in range(3)],
+        "query_id STRING, query_vec ARRAY<DOUBLE>",
+    )
+    got = codec.search(codes, queries, k=3).collect()
+    assert len(got) == 9
+    assert {r.query_id for r in got} == {"q-0", "q-1", "q-2"}
+    # self-vector should win: q-i used vec i's embedding
+    best = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert best == {"q-0": "doc-0", "q-1": "doc-1", "q-2": "doc-2"}
+    rr = codec.search_rerank(codes, queries, corpus, k=2, shortlist=10).collect()
+    assert {r.query_id: r.vec_id for r in rr if r.rank == 1} == best
