@@ -36,7 +36,7 @@ HEADLINE = [
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
     "doc_quality",
-    "doc_lang_id",
+    "doc_lang_scripts",
     # r2 additions (VERDICT item 8): time the index path too
     "ivf_topk",
     "packet_topk",

@@ -387,6 +387,48 @@ GROUP BY event_type
 """
 
 
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7+P8 in one tagged probe — equality point lookup
+    (Milvus/stream1.py:331,340), range predicate (:299), and IN-list
+    (:313). Each branch is still its own pushed-down scan filter; the
+    union just folds three trivially-cheap registry entries into one
+    driver-gate slot (the gate windows at 50 entries)."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    point = o.filter(F.col("o_orderkey") == 42).select(
+        F.lit("point").alias("probe"),
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_custkey").cast("long").alias("cnt"),
+        F.round("o_totalprice", 2).alias("val"),
+    )
+    inlist = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("val"))
+        .select(F.lit("inlist").alias("probe"), F.col("event_type").alias("grp"), "cnt", "val")
+    )
+    rng = (
+        ev.filter("value >= 50 AND value < 100")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("val"))
+        .select(F.lit("range").alias("probe"), F.col("event_type").alias("grp"), "cnt", "val")
+    )
+    return point.unionByName(inlist).unionByName(rng)
+
+
+SQL_FILTER_PREDICATES = """
+SELECT 'point' AS probe, o_orderstatus AS grp, o_custkey::BIGINT AS cnt,
+       round(o_totalprice, 2) AS val
+FROM orders WHERE o_orderkey = 42
+UNION ALL
+SELECT 'inlist', event_type, count(*), round(sum(value), 2)
+FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY event_type
+UNION ALL
+SELECT 'range', event_type, count(*), round(avg(value), 4)
+FROM events WHERE value >= 50 AND value < 100 GROUP BY event_type
+"""
+
+
 def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 — value_counts top-10 (protocol histogram,
     FAISS/UI-Demo/pipeline+ui.py:649-650)."""
@@ -668,6 +710,54 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COUNT_STAR = "SELECT count(*) AS n_rows FROM lineitem"
 
 
+def q_crud_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C4, J3/J4, T2, U1/U2, A6 as ONE tagged summary — each CRUD
+    shape's verification aggregate rides under an ``op`` tag (append /
+    delete_ids / delete_last_n / upsert / update / count_star), folding
+    six trivially-cheap registry entries into one driver-gate slot. The
+    component queries stay callable individually."""
+    nulld = F.lit(None).cast("double")
+    a = q_union_append(spark, sf_dir).select(
+        F.lit("append").alias("op"), F.col("tag").alias("grp"), "cnt", "total"
+    )
+    d = q_delete_antijoin(spark, sf_dir).select(
+        F.lit("delete_ids").alias("op"), F.col("l_returnflag").alias("grp"),
+        "cnt", F.col("total_price").alias("total"),
+    )
+    n = q_delete_last_n(spark, sf_dir).select(
+        F.lit("delete_last_n").alias("op"),
+        F.concat_ws(":", F.col("min_key"), F.col("max_key")).alias("grp"),
+        "cnt", nulld.alias("total"),
+    )
+    u = q_upsert_lastwins(spark, sf_dir).select(
+        F.lit("upsert").alias("op"), F.col("o_orderstatus").alias("grp"), "cnt", "total"
+    )
+    r = q_update_delete_reinsert(spark, sf_dir).select(
+        F.lit("update").alias("op"), F.col("o_orderstatus").alias("grp"), "cnt", "total"
+    )
+    c = q_count_star(spark, sf_dir).select(
+        F.lit("count_star").alias("op"), F.lit("lineitem").alias("grp"),
+        F.col("n_rows").alias("cnt"), nulld.alias("total"),
+    )
+    return a.unionByName(d).unionByName(n).unionByName(u).unionByName(r).unionByName(c)
+
+
+SQL_CRUD_OPS_SUMMARY = f"""
+SELECT 'append' AS op, tag AS grp, cnt, total FROM ({SQL_UNION_APPEND})
+UNION ALL
+SELECT 'delete_ids', l_returnflag, cnt, total_price FROM ({SQL_DELETE_ANTIJOIN})
+UNION ALL
+SELECT 'delete_last_n', min_key::VARCHAR || ':' || max_key::VARCHAR, cnt,
+       CAST(NULL AS DOUBLE) FROM ({SQL_DELETE_LAST_N})
+UNION ALL
+SELECT 'upsert', o_orderstatus, cnt, total FROM ({SQL_UPSERT_LASTWINS})
+UNION ALL
+SELECT 'update', o_orderstatus, cnt, total FROM ({SQL_UPDATE_DELETE_REINSERT})
+UNION ALL
+SELECT 'count_star', 'lineitem', n_rows, CAST(NULL AS DOUBLE) FROM ({SQL_COUNT_STAR})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents / training-data pipeline queries (M8: dedup, text analysis)
 # ---------------------------------------------------------------------------
@@ -689,26 +779,11 @@ FROM documents GROUP BY 1
 """
 
 
-def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 text analysis — whitespace token counting."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
-    )
-
-
-SQL_DOC_TOKEN_COUNT = """
-SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
-       length(text)::BIGINT AS n_chars_measured
-FROM documents
-"""
-
-
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 text analysis — quality scoring: token count, mean word length,
-    stopword ratio, alpha ratio; composite score."""
+    """M8 text analysis — token/char counting plus quality scoring: mean
+    word length, stopword ratio, alpha ratio; composite score. (Absorbs
+    the former doc_token_count entry — one scan produces both signal
+    families, and one registry slot covers both in the driver gate.)"""
     d = _t(spark, sf_dir, "documents")
     toks = tokens("text")
     n_tok = F.size(toks).cast("double")
@@ -719,6 +794,8 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = stop_hits / n_tok
     return d.select(
         "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
@@ -739,6 +816,8 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       n_chars::BIGINT AS n_chars,
        round(alpha_chars / n_tok, 4) AS mean_word_len,
        round(stop_hits / n_tok, 4) AS stopword_ratio,
        round(alpha_chars / n_chars, 4) AS alpha_ratio,
@@ -1486,6 +1565,20 @@ FROM counts
 """
 
 
+def q_doc_lang_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 language ID + Unicode-script detection joined per doc — two
+    per-row signal families, one registry slot (driver gate windows at
+    50 entries). Components stay callable individually."""
+    return q_doc_lang_id(spark, sf_dir).join(q_doc_scripts(spark, sf_dir), "doc_id")
+
+
+SQL_DOC_LANG_SCRIPTS = f"""
+SELECT l.doc_id, l.en_hits, l.es_hits, l.de_hits, l.fr_hits, l.predicted_lang,
+       s.n_latin, s.n_cyrillic, s.n_greek, s.n_cjk, s.n_arabic, s.dominant_script
+FROM ({SQL_DOC_LANG_ID}) l JOIN ({SQL_DOC_SCRIPTS}) s ON l.doc_id = s.doc_id
+"""
+
+
 def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 compressibility — zlib ratio quality signal over planted
     extremes (doc 900001: 'spam ' × 200, ratio ≈ 0.02; doc 900002:
@@ -1729,6 +1822,19 @@ WITH words AS (
   FROM grams
 )
 SELECT doc_id, md5(array_to_string(smallest, '|')) AS fingerprint FROM hashed
+"""
+
+
+def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 SimHash + min-k content fingerprint joined per doc — the two
+    per-doc dedup hash families in one registry slot (driver gate
+    windows at 50 entries). Components stay callable individually."""
+    return q_doc_simhash(spark, sf_dir).join(q_doc_fingerprint(spark, sf_dir), "doc_id")
+
+
+SQL_DOC_HASHES = f"""
+SELECT a.doc_id, a.simhash, b.fingerprint
+FROM ({SQL_DOC_SIMHASH}) a JOIN ({SQL_DOC_FINGERPRINT}) b ON a.doc_id = b.doc_id
 """
 
 
@@ -2124,8 +2230,25 @@ FROM r WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 # name -> (spark_callable, oracle_sql | None)
+#
+# ORDER MATTERS: the driver's correctness gate runs entries in dict
+# order and windows at 50 — r2 silently dropped the last 9 of 59. Two
+# defenses: (a) the catalog is folded to 49 entries (trivial filter and
+# CRUD probes share tagged-union slots; per-doc signal families share
+# joined slots — every operator still verified, fewer slots), and
+# (b) the entries that lost their r2 rows (the index/recall/streaming/
+# media surface) run FIRST so even a smaller window sees them.
 REGISTRY: dict = {
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
+    "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),
+    "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
+    "topk_enriched": (q_topk_enriched, SQL_TOPK_ENRICHED),
+    "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
+    "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
+    "media_frame_plan": (q_media_frame_plan, SQL_MEDIA_FRAME_PLAN),
+    "ivf_recall": (q_ivf_recall, None),
+    "pq_recall": (q_pq_recall, None),
+    "ivfpq_recall": (q_ivfpq_recall, None),
     "vector_norms": (q_vector_norms, SQL_VECTOR_NORMS),
     "lsh_bucket_ann": (q_lsh_bucket_ann, SQL_LSH_BUCKET_ANN),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
@@ -2134,9 +2257,7 @@ REGISTRY: dict = {
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG_DELTA),
-    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "filter_inlist": (q_filter_inlist, SQL_FILTER_INLIST),
-    "filter_range": (q_filter_range, SQL_FILTER_RANGE),
+    "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
     "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "json_numeric_coercion": (q_json_numeric_coercion, SQL_JSON_NUMERIC_COERCION),
@@ -2144,16 +2265,10 @@ REGISTRY: dict = {
     "dedup_keepfirst": (q_dedup_keepfirst, SQL_DEDUP_KEEPFIRST),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
-    "union_append": (q_union_append, SQL_UNION_APPEND),
-    "delete_antijoin": (q_delete_antijoin, SQL_DELETE_ANTIJOIN),
-    "delete_last_n": (q_delete_last_n, SQL_DELETE_LAST_N),
-    "upsert_lastwins": (q_upsert_lastwins, SQL_UPSERT_LASTWINS),
-    "update_delete_reinsert": (q_update_delete_reinsert, SQL_UPDATE_DELETE_REINSERT),
-    "count_star": (q_count_star, SQL_COUNT_STAR),
+    "crud_ops_summary": (q_crud_ops_summary, SQL_CRUD_OPS_SUMMARY),
     "token_extract": (q_token_extract, SQL_TOKEN_EXTRACT),
-    "doc_token_count": (q_doc_token_count, SQL_DOC_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
-    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
+    "doc_lang_scripts": (q_doc_lang_scripts, SQL_DOC_LANG_SCRIPTS),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
@@ -2162,7 +2277,6 @@ REGISTRY: dict = {
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "doc_scripts": (q_doc_scripts, SQL_DOC_SCRIPTS),
     "doc_compressibility": (q_doc_compressibility, None),
     "doc_packing": (q_doc_packing, SQL_DOC_PACKING),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
@@ -2173,15 +2287,5 @@ REGISTRY: dict = {
     "value_band_counts": (q_value_band_counts, SQL_VALUE_BAND_COUNTS),
     "event_freq_cms": (q_event_freq_cms, None),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
-    "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "ivf_topk": (q_ivf_topk, SQL_TOPK_COSINE),
-    "ivf_recall": (q_ivf_recall, None),
-    "pq_recall": (q_pq_recall, None),
-    "ivfpq_recall": (q_ivfpq_recall, None),
-    "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
-    "media_frame_plan": (q_media_frame_plan, SQL_MEDIA_FRAME_PLAN),
-    "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
-    "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),
-    "topk_enriched": (q_topk_enriched, SQL_TOPK_ENRICHED),
+    "doc_hashes": (q_doc_hashes, SQL_DOC_HASHES),
 }
