@@ -1911,23 +1911,41 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # left join from the full query set: a query with zero hits still rows
     qids = queries.select("query_id")
-    return (
-        qids.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("hits", F.lit(0)).alias("hits"),
-            F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall_at_10"),
-        )
+    per_q = qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall_at_10"),
     )
+    # self-judging: the machine-readable pass criterion rides in the rows
+    # (mean recall@10 >= 0.85 at the reference's nprobe=10 operating
+    # point, FAISS/PlainDemo/pipeline.py:257) so a recall regression
+    # turns the row red instead of silently shipping a worse number
+    summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor", F.col("mean_recall") >= IVF_RECALL_FLOOR
+    )
+
+
+# Recall floors — measured on the sf0.01 fixture (see tests/test_recall_
+# floors.py which pins them); a driver/pytest run failing these means the
+# index quality regressed, not that the fixture moved.
+IVF_RECALL_FLOOR = 0.85     # nprobe 10/16, r2-r3 measured 0.89
+PQ_ADC_FLOOR = 0.80         # m=16 ksub=256 (16 B/code), r3 measured 0.835
+PQ_RERANK_FLOOR = 0.95      # shortlist-50 re-rank, r3 measured 1.00
+IVFPQ_RERANK_FLOOR = 0.85   # nprobe 5/8 pruning dominates, r3 measured 0.875
 
 
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed-vector search quality at the 100 TB memory design
     point: 16-byte codes vs 256-byte float vectors (16×). Per-query
     recall@10 of raw ADC and of the production shape (ADC shortlist-50 →
-    exact re-rank) against exact cosine top-k. Deterministic (seeded
-    k-means++, deterministic tie-breaks); rows-only — a trained
-    quantizer's recall is not SQL-expressible."""
+    exact re-rank) against exact cosine top-k. Geometry m=16 ksub=256
+    (r3 sweep: ADC-only 0.835 vs 0.635 at ksub=64, same 16 B/code —
+    FAISS's 8-bit-per-subquantizer default on small dims). Deterministic
+    (seeded k-means++, deterministic tie-breaks); rows-only — a trained
+    quantizer's recall is not SQL-expressible. The headline number is
+    the RE-RANKED recall (the product shape); ADC-only is the
+    diagnostic column."""
     from deployment_spark.functions.vector import l2_normalize
     from deployment_spark.operators.pq import PQCodec
     from deployment_spark.operators.similarity import topk_similarity_join_expr
@@ -1938,7 +1956,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    codec = PQCodec.train(norm, m=16, ksub=64, seed=42)
+    codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
     codes = codec.encode(norm)
     exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
     adc = codec.search(codes, queries, k=k).select("query_id", "vec_id")
@@ -1954,7 +1972,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     qids = queries.select("query_id")
-    return (
+    per_q = (
         qids.join(hits(adc, "hits_adc"), "query_id", "left")
         .join(hits(rr, "hits_rerank"), "query_id", "left")
         .select(
@@ -1967,13 +1985,26 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    summary = per_q.agg(
+        F.round(F.avg("recall_adc"), 4).alias("mean_recall_adc"),
+        F.round(F.avg("recall_rerank"), 4).alias("mean_recall_rerank"),
+    )
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor",
+        (F.col("mean_recall_rerank") >= PQ_RERANK_FLOOR)
+        & (F.col("mean_recall_adc") >= PQ_ADC_FLOOR),
+    )
 
 
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ composed index — recall@10 at the production shape (nprobe
-    4 of 8 lists over 16-byte codes, shortlist-50 exact re-rank) vs
-    exact top-k. The full three-stage pipeline: partition pruning →
-    compressed ADC → refine. Rows-only (trained quantizers)."""
+    5 of 8 lists over 16-byte ksub=256 codes, shortlist-50 exact
+    re-rank) vs exact top-k. The full three-stage pipeline: partition
+    pruning → compressed ADC → refine. Composed recall ≈ pruning recall
+    × compression recall; re-rank recovers the compression loss, so the
+    floor matches the IVF pruning floor (nprobe 5/8 = the same 62.5%
+    probe ratio as IVF's 10/16; r3 measured 0.875). Rows-only (trained
+    quantizers)."""
     import hashlib
     import tempfile
 
@@ -1991,12 +2022,12 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ivf_index): an on-disk sentinel would silently reuse a stale index
     # after the testdata under sf_dir is regenerated
     if sf_dir not in _IVFPQ_BUILT:
-        index.build(norm, nlist=8, m=16, ksub=64)
+        index.build(norm, nlist=8, m=16, ksub=256)
         _IVFPQ_BUILT.add(sf_dir)
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    approx = index.search(queries, k=k, nprobe=4, shortlist=50).select(
+    approx = index.search(queries, k=k, nprobe=5, shortlist=50).select(
         "query_id", "vec_id"
     )
     exact = topk_similarity_join_expr(norm, queries, k=k).select(
@@ -2007,7 +2038,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    return (
+    per_q = (
         queries.select("query_id")
         .join(hits, "query_id", "left")
         .select(
@@ -2017,6 +2048,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_10"
             ),
         )
+    )
+    summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor", F.col("mean_recall") >= IVFPQ_RERANK_FLOOR
     )
 
 

@@ -1,0 +1,57 @@
+"""Self-judging recall entries (VERDICT r2 item 2): each recall catalog
+entry carries a machine-readable ``meets_floor`` column; these tests pin
+the floors at sf0.01 — the SF the driver's correctness gate runs — so a
+recall regression turns a test (and the driver row) red instead of
+silently shipping a worse number.
+
+Floors (measured r3, see queries.py constants):
+- IVF nprobe 10/16:            mean recall@10 >= 0.85 (measured 0.89)
+- PQ m=16 ksub=256 ADC-only:   mean recall@10 >= 0.80 (measured 0.835)
+- PQ shortlist-50 re-rank:     mean recall@10 >= 0.95 (measured 1.00)
+- IVFxPQ nprobe 5/8 re-rank:   mean recall@10 >= 0.85 (measured 0.875)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF001 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF001), reason="sf0.01 fixture absent"
+)
+
+
+def _floor_rows(fn, spark):
+    rows = fn(spark, SF001).collect()
+    assert rows, "recall entry returned no rows"
+    return rows
+
+
+def test_ivf_recall_meets_floor(spark):
+    from deployment_spark.queries import q_ivf_recall
+
+    rows = _floor_rows(q_ivf_recall, spark)
+    assert all(r.meets_floor for r in rows), rows[0].mean_recall
+
+
+def test_pq_recall_meets_floor(spark):
+    from deployment_spark.queries import q_pq_recall
+
+    rows = _floor_rows(q_pq_recall, spark)
+    assert all(r.meets_floor for r in rows), (
+        rows[0].mean_recall_adc,
+        rows[0].mean_recall_rerank,
+    )
+    # the sweep's chosen geometry clears the stretch target too: exact
+    # re-rank stays effectively lossless on this fixture
+    assert rows[0].mean_recall_rerank >= 0.98
+
+
+def test_ivfpq_recall_meets_floor(spark):
+    from deployment_spark.queries import q_ivfpq_recall
+
+    rows = _floor_rows(q_ivfpq_recall, spark)
+    assert all(r.meets_floor for r in rows), rows[0].mean_recall
