@@ -80,36 +80,77 @@ def synthetic_media(spark, n: int = 100, media_type: str = "image") -> DataFrame
     )
 
 
-def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> DataFrame:
+def _default_codec_loader():  # pragma: no cover - codec libs absent by design
+    """Production codec: PIL for images. Importing here (not module
+    scope) keeps the engine importable without the codec stack; callers
+    in this container get NotImplementedError from extract_features'
+    driver-side availability check before any job launches."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def decode(payload: bytes, media_type: str) -> "np.ndarray":
+        if media_type != "image":
+            raise NotImplementedError(f"no default codec for {media_type!r}")
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"), dtype=np.float64)
+
+    return decode
+
+
+def extract_features(
+    df: DataFrame, decode: str = "fake", dim: int = 16, codec_loader=None
+) -> DataFrame:
     """Decode + feature-extract over media rows via ``mapInPandas``.
 
-    ``fake``: deterministic features from payload bytes (mean/spread of
-    byte chunks) — exercises the full Arrow batch path. ``real``: where a
-    codec (PIL/ffmpeg/torchaudio) would run; raises NotImplementedError.
-    """
+    ``fake``: features straight from payload bytes — exercises the full
+    Arrow batch path with zero dependencies. ``real``: a codec decodes
+    each payload to a sample array first, then the SAME chunked-mean
+    feature math runs on the decoded samples.
+
+    ``codec_loader() -> decode_fn(payload, media_type) -> ndarray``
+    defaults to a PIL-backed image decoder; tests inject a fake with the
+    same contract so the real-path body — per-task loader amortization,
+    per-row decode, shared feature math, empty-payload guard — executes
+    in CI without codec libraries (same pattern as
+    ``sentence_transformer_embed``'s model_loader, which caught a real
+    iterator-contract bug). The loader runs on executors, once per task."""
     if decode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode {decode!r}")
+    if decode == "real" and codec_loader is None:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real media decoding requires codec libraries (PIL/ffmpeg) "
+                "not present in this environment; use decode='fake' or pass "
+                "codec_loader"
+            ) from e
+        codec_loader = _default_codec_loader
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
+        decode_fn = codec_loader() if decode == "real" else None  # once per task
         for pdf in batches:
             if pdf.empty:
                 continue
-            if decode == "real":  # pragma: no cover - codec libs absent by design
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries (PIL/ffmpeg) "
-                    "not present in this environment; use decode='fake'"
-                )
             feats, sizes = [], []
-            for payload in pdf["payload"]:
-                raw = np.frombuffer(payload or b"", dtype=np.uint8)
-                sizes.append(len(raw))
-                if len(raw) == 0:
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                n_bytes = len(payload or b"")
+                sizes.append(n_bytes)
+                if n_bytes == 0:
                     feats.append([0.0] * dim)
                     continue
-                chunks = np.array_split(raw.astype(np.float64), dim)
+                if decode_fn is not None:
+                    raw = np.asarray(decode_fn(payload, mtype), dtype=np.float64).ravel()
+                else:
+                    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                if raw.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                chunks = np.array_split(raw, dim)
                 feats.append([float(c.mean() / 255.0) if len(c) else 0.0 for c in chunks])
             yield pd.DataFrame(
                 {

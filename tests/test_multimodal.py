@@ -30,6 +30,75 @@ def test_extract_features_real_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or "real media decoding" in str(exc_info.value)
 
 
+def _make_fake_codec_loader():
+    """Injected stand-in for PIL/ffmpeg with the real contract:
+    loader() -> decode(payload, media_type) -> ndarray of samples.
+    Deterministic — 'decodes' each byte to byte*2 — so expected features
+    are computable driver-side. Built inside a factory (not at module
+    scope) so cloudpickle ships it by value; executors cannot import the
+    test module."""
+
+    def loader():
+        import numpy as np
+
+        def decode(payload: bytes, media_type: str):
+            assert media_type == "image"
+            return np.frombuffer(payload, dtype=np.uint8).astype(np.float64) * 2.0
+
+        return decode
+
+    return loader
+
+
+def test_extract_features_real_body_via_injected_codec(spark):
+    """decode='real' executes the actual decode body (per-task loader,
+    per-row decode, shared chunked-mean feature math) under an injected
+    fake codec — the pattern that caught a real Series-contract bug in
+    the embed UDF. Features must equal the python reference on the
+    decoded samples, and be exactly 2x the fake path's (decode doubles
+    every byte)."""
+    import numpy as np
+
+    df = multimodal.synthetic_media(spark, 12).repartition(3)
+    got = {
+        r.media_id: (r.n_bytes, r.feature)
+        for r in multimodal.extract_features(
+            df, decode="real", codec_loader=_make_fake_codec_loader()
+        ).collect()
+    }
+    fake = {
+        r.media_id: r.feature for r in multimodal.extract_features(df).collect()
+    }
+    import hashlib
+
+    for mid, (n, feat) in got.items():
+        payload = (hashlib.sha256(str(mid).encode()).hexdigest() * 8).encode()
+        assert n == len(payload) == 512  # n_bytes stays ENCODED size
+        decoded = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) * 2.0
+        want = [float(c.mean() / 255.0) for c in np.array_split(decoded, 16)]
+        assert feat == pytest.approx(want, abs=1e-6)
+        assert feat == pytest.approx([2 * x for x in fake[mid]], abs=1e-6)
+
+
+def test_extract_features_real_empty_payload_guard(spark):
+    """NULL/empty payloads bypass the codec (no decode call on zero
+    bytes) and produce the zero feature vector."""
+    df = multimodal.synthetic_media(spark, 3).withColumn(
+        "payload",
+        F.when(F.col("media_id") == 1, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {
+        r.media_id: (r.n_bytes, r.feature)
+        for r in multimodal.extract_features(
+            df, decode="real", codec_loader=_make_fake_codec_loader()
+        ).collect()
+    }
+    assert rows[1] == (0, [0.0] * 16)
+    assert rows[0][0] == 512 and any(x > 0 for x in rows[0][1])
+
+
 def test_payload_stats_integer_exact(spark):
     df = multimodal.synthetic_media(spark, 10)
     rows = {r.media_id: (r.n_bytes, r.byte_sum) for r in multimodal.payload_stats(df).collect()}
