@@ -129,14 +129,16 @@ def main() -> None:
     # was stable). Methodology stated in BASELINE.md.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        best = float("inf")
+        times = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(round(time.perf_counter() - t0, 3))
+        raw_runs[name] = times
+        timings[name] = min(times)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -148,6 +150,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": runs,
+                # every raw timing, not just the min: lets a reader separate
+                # plan regressions from host scheduling noise (the r2
+                # methodology note) without re-running the bench
+                "raw_runs": raw_runs,
             }
         )
     )
