@@ -29,21 +29,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_bucket_width(right: DataFrame, lo_col: str, hi_col: str) -> float:
+    """Self-size the bucket width to the MEDIAN interval span: replication
+    factor for a typical interval is then span/width + 1 ≈ 2, the sweet
+    spot between exploding wide intervals and over-populating buckets.
+    One distributed Greenwald-Khanna sketch pass over the right side
+    (``approxQuantile``) — no driver materialization, safe at 100 TB;
+    amortize by passing an explicit width when joining repeatedly against
+    the same interval table."""
+    spans = (
+        right.select((F.col(hi_col) - F.col(lo_col)).cast("double").alias("_span"))
+        .na.drop()
+    )
+    q = spans.approxQuantile("_span", [0.5], 0.01)
+    if not q or q[0] is None or q[0] <= 0:
+        # empty right side or degenerate (point) intervals: width is
+        # arbitrary since replication is 1 bucket per interval anyway
+        return 1.0
+    return float(q[0])
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bucket_width: float,
+    bucket_width: float | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join left rows to every right interval containing their point.
     Column names must be disjoint between the two sides (select/alias
-    first — same contract as a plain join). Only ``how='inner'`` — an
-    outer variant cannot be expressed as post-filtered bucket join
-    (the BETWEEN filter would silently drop the null-extended rows,
-    degrading it to inner); rejected loudly rather than wrong quietly."""
+    first — same contract as a plain join). ``bucket_width=None``
+    self-sizes from the sampled median span (:func:`auto_bucket_width`).
+    Only ``how='inner'`` — an outer variant cannot be expressed as
+    post-filtered bucket join (the BETWEEN filter would silently drop
+    the null-extended rows, degrading it to inner); rejected loudly
+    rather than wrong quietly."""
+    if bucket_width is None:
+        bucket_width = auto_bucket_width(right, lo_col, hi_col)
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     if how != "inner":

@@ -329,3 +329,118 @@ def test_range_join_matches_naive_random(spark, n_pts, n_iv, width, seed):
         (p, b) for p, v in pts for b, lo, hi in ivs if lo <= v <= hi
     }
     assert got == want
+
+
+def test_range_join_auto_bucket_width():
+    """auto width = median interval span (replication ~2x for the
+    typical interval); degenerate/empty right sides fall back to 1.0."""
+    from deployment_spark.operators.rangejoin import auto_bucket_width
+
+    from deployment_spark import get_spark
+
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    ivs = spark.createDataFrame(
+        [(0, 0.0, 2.0), (1, 10.0, 14.0), (2, 20.0, 26.0), (3, 30.0, 38.0), (4, 40.0, 50.0)],
+        "band_id LONG, lo DOUBLE, hi DOUBLE",
+    )
+    w = auto_bucket_width(ivs, "lo", "hi")
+    assert w == pytest.approx(6.0, rel=0.2)  # spans 2,4,6,8,10 -> median 6
+    degen = spark.createDataFrame([(0, 5.0, 5.0)], "band_id LONG, lo DOUBLE, hi DOUBLE")
+    assert auto_bucket_width(degen, "lo", "hi") == 1.0
+    empty = degen.filter("band_id < 0")
+    assert auto_bucket_width(empty, "lo", "hi") == 1.0
+
+
+def test_custom_joins_scale_stress(spark):
+    """Scale probe (VERDICT r2 item 6): the two custom joins on a 10x-ish
+    fixture keep their designed distributed shapes AND stay exact.
+
+    range_join: 60k points x 3k intervals with self-sized buckets — the
+    naive plan is 180M comparisons; the binned plan must (a) contain no
+    CartesianProduct/BroadcastNestedLoopJoin, (b) match a numpy
+    reference exactly, (c) keep interval replication near the ~2x the
+    median-span width predicts (the 100 TB knob).
+
+    asof_join: 100k trades x 10k quotes over 50 keys — must stay the
+    tagged-union single-window shape (no join operator in the plan) and
+    match pandas merge_asof."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from deployment_spark.operators.asof import asof_join
+    from deployment_spark.operators.rangejoin import auto_bucket_width, range_join
+
+    rng = np.random.default_rng(11)
+
+    # ---- range join ----
+    n_pts, n_iv = 60_000, 3_000
+    pts_v = rng.uniform(0, 10_000, n_pts)
+    lo = rng.uniform(0, 10_000, n_iv)
+    span = rng.uniform(0, 20, n_iv)
+    pdf = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(pts_v)], "pid LONG, v DOUBLE"
+    ).repartition(8)
+    idf = spark.createDataFrame(
+        [(int(b), float(lo[b]), float(lo[b] + span[b])) for b in range(n_iv)],
+        "band_id LONG, lo DOUBLE, hi DOUBLE",
+    )
+    joined = range_join(pdf, idf, "v", "lo", "hi")  # bucket_width=None
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = joined.groupBy("band_id").count()
+    got_counts = {r.band_id: r["count"] for r in got.collect()}
+    hi = lo + span
+    want_counts = {}
+    for b in range(n_iv):
+        c = int(((pts_v >= lo[b]) & (pts_v <= hi[b])).sum())
+        if c:
+            want_counts[b] = c
+    assert got_counts == want_counts
+    # replication bound: exploded right rows ~ sum(span/width)+|R| <= 3|R|
+    w = auto_bucket_width(idf, "lo", "hi")
+    repl = int(np.sum(np.floor(hi / w) - np.floor(lo / w) + 1))
+    assert repl <= 3 * n_iv, (w, repl)
+
+    # ---- as-of join ----
+    n_l, n_r, n_keys = 100_000, 10_000, 50
+    base = dt.datetime(2024, 1, 1)
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "user_id": rng.integers(n_keys, size=n_l),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 10**6, n_l)],
+        }
+    )
+    # unique (key, ts) on the right: the documented contract
+    rt = pd.DataFrame(
+        {
+            "user_id": rng.integers(n_keys, size=n_r),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 10**6, n_r)],
+            "value": rng.uniform(0, 100, n_r),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    trades = spark.createDataFrame(lt).repartition(8)
+    quotes = spark.createDataFrame(rt)
+    out = asof_join(trades, quotes, by=["user_id"], right_cols=["value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "asof must stay the tagged-union window shape"
+    got_asof = {r.event_id: r.value for r in out.collect()}
+    m = pd.merge_asof(
+        lt.sort_values("ts"),
+        rt.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    )
+    want_asof = {
+        r.event_id: (None if pd.isna(r.value) else r.value) for r in m.itertuples()
+    }
+    assert len(got_asof) == n_l
+    mism = [
+        k
+        for k in want_asof
+        if (got_asof[k] is None) != (want_asof[k] is None)
+        or (got_asof[k] is not None and abs(got_asof[k] - want_asof[k]) > 1e-9)
+    ]
+    assert not mism, mism[:5]
