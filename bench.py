@@ -94,7 +94,47 @@ def run_grid() -> None:
     spark.stop()
 
 
+def run_model_grid_bench() -> None:
+    """--model-grid: the reference's outer per-model loop
+    (FAISS/PlainDemo/pipeline.py:290-307) over the 2-model hash-embedder
+    axis (32 vs 64 dims) — one JSON line keyed model|operation, plus the
+    combined long-format metrics CSV (pipeline.py:397-401)."""
+    import tempfile
+
+    from deployment_spark.benchmark import run_model_grid
+
+    spark = get_spark(app_name="deployment-spark-model-grid")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bench_model_grid_")
+    t0 = time.perf_counter()
+    metrics = run_model_grid(spark, os.path.join(root, "stores"), sizes=[2500, 5000])
+    rows = metrics.collect()
+    total = round(time.perf_counter() - t0, 3)
+    metrics.toPandas().to_csv(os.path.join(root, "combined_metrics.csv"), index=False)
+    per: dict[str, list[float]] = {}
+    for r in rows:
+        per.setdefault(f"{r.model_name}|{r.operation_type}", []).append(
+            float(r.execution_time)
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "model_grid_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {kk: round(sum(v) / len(v), 3) for kk, v in sorted(per.items())},
+                "sf": 5000,
+                "metrics_csv": os.path.join(root, "combined_metrics.csv"),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--model-grid" in sys.argv:
+        run_model_grid_bench()
+        return
     if "--grid" in sys.argv:
         run_grid()
         return

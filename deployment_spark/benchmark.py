@@ -137,3 +137,41 @@ def run_reference_grid(
         metrics,
         ["model_name", "operation_type", "operation_size", "execution_time", "cpu_usage", "memory_usage"],
     )
+
+
+def run_model_grid(
+    spark: SparkSession,
+    root: str,
+    models: list[tuple[str, int]] | None = None,
+    sizes: list[int] | None = None,
+    initial_rows: int = 10000,
+    k: int = 5,
+    store_mode: str = "cow",
+) -> DataFrame:
+    """The reference's OUTER per-model loop
+    (``FAISS/PlainDemo/pipeline.py:290-307``): run the full CRUD grid
+    once per embedding model — each model gets its own store under a
+    sanitized directory name (F3, ``pipeline.py:310``) and its own
+    vector dimension, exactly as the 7-model list spans 256-768 dims —
+    then union the long-format metrics into the combined table
+    (``pipeline.py:397-401``). Default model axis: the two hash
+    embedders (32 vs 64 dims), the deterministic stand-ins for the
+    sentence-transformer grid."""
+    import re
+
+    models = models or [("hash-embedder-32d", 32), ("hash-embedder-64d", 64)]
+    combined: DataFrame | None = None
+    for model_name, dim in models:
+        safe = re.sub(r"[/\-.]", "_", model_name)  # F3 name sanitization
+        m = run_reference_grid(
+            spark,
+            f"{root}/{safe}",
+            model_name=model_name,
+            sizes=sizes,
+            initial_rows=initial_rows,
+            dim=dim,
+            k=k,
+            store_mode=store_mode,
+        )
+        combined = m if combined is None else combined.unionByName(m)
+    return combined

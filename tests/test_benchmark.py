@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from deployment_spark.benchmark import run_reference_grid
+from deployment_spark.benchmark import run_model_grid, run_reference_grid
 
 
 def test_reference_grid_schema_and_rows(spark, tmp_path):
@@ -25,3 +25,30 @@ def test_reference_grid_schema_and_rows(spark, tmp_path):
     ops = {r.operation_type for r in rows}
     assert ops == {"insertion", "deletion", "update", "query"}
     assert all(r.execution_time > 0 for r in rows)
+
+
+def test_model_grid_runs_per_model(spark, tmp_path):
+    """The reference's outer 7-model loop (pipeline.py:290-307), proven
+    end-to-end on a 2-model hash-embedder axis: every model runs the full
+    CRUD grid at its own vector dimension into its own store, and the
+    combined metrics table carries the model dimension in the reference's
+    long format (pipeline.py:397-401)."""
+    metrics = run_model_grid(
+        spark,
+        str(tmp_path / "model_grid"),
+        models=[("hash-embedder-16d", 16), ("hash-embedder-32d", 32)],
+        sizes=[50, 100],
+        initial_rows=200,
+    )
+    rows = metrics.collect()
+    assert metrics.columns[0] == "model_name"
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r.model_name, set()).add(r.operation_type)
+    assert set(by_model) == {"hash-embedder-16d", "hash-embedder-32d"}
+    # each model ran the whole op grid
+    assert all(ops == {"insertion", "deletion", "update", "query"} for ops in by_model.values())
+    assert len(rows) == 2 * 2 * 4  # models x sizes x ops
+    # per-model stores really are separate (sanitized dirs)
+    assert (tmp_path / "model_grid" / "hash_embedder_16d").exists()
+    assert (tmp_path / "model_grid" / "hash_embedder_32d").exists()
