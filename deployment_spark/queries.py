@@ -1566,10 +1566,32 @@ FROM counts
 
 
 def q_doc_lang_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 language ID + Unicode-script detection joined per doc — two
-    per-row signal families, one registry slot (driver gate windows at
-    50 entries). Components stay callable individually."""
-    return q_doc_lang_id(spark, sf_dir).join(q_doc_scripts(spark, sf_dir), "doc_id")
+    """M8 language ID + Unicode-script detection per doc — two per-row
+    signal families in one registry slot (driver gate windows at 50
+    entries). Both are pure projections, so they compute in ONE scan
+    with zero exchanges (the oracle SQL joins the two component queries;
+    result-identical). Components stay callable individually."""
+    from deployment_spark.operators.textstats import add_lang_id, add_script_detection
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир как дела сегодня"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 你好世界今天怎么样很好谢谢"))
+        .otherwise(F.lit(" γειά σου κόσμε τι κάνεις"))
+    )
+    # lang ID reads the ORIGINAL text, script detection the planted one —
+    # matching the two component entries exactly
+    planted = F.when(F.col("doc_id") < 30, F.concat(F.col("text"), suffix)).otherwise(
+        F.col("text")
+    )
+    with_both = add_script_detection(
+        add_lang_id(d, text_col="text").withColumn("text", planted),
+        text_col="text",
+    )
+    return with_both.select(
+        "doc_id", "en_hits", "es_hits", "de_hits", "fr_hits", "predicted_lang",
+        "n_latin", "n_cyrillic", "n_greek", "n_cjk", "n_arabic", "dominant_script",
+    )
 
 
 SQL_DOC_LANG_SCRIPTS = f"""
