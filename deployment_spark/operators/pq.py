@@ -172,7 +172,13 @@ class PQCodec:
                     }
                 )
 
-        return df.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+        from deployment_spark.operators.dedup import spread_for_cpu
+
+        # argmin matmuls parallelize per-partition; spread single-file
+        # scans to full parallelism (no-op at scale)
+        return spread_for_cpu(df.select(id_col, vec_col)).mapInPandas(
+            enc, schema=out_schema
+        )
 
     # -- search (ADC) --------------------------------------------------------
 
@@ -253,8 +259,10 @@ class PQCodec:
                     out_d.extend(d[order].tolist())
                 yield pd.DataFrame({"_qid": out_q, "_cid": out_c, "_d": out_d})
 
-        cand = codes.select(
-            F.col(id_col).alias("vec_id"), "code"
+        from deployment_spark.operators.dedup import spread_for_cpu
+
+        cand = spread_for_cpu(
+            codes.select(F.col(id_col).alias("vec_id"), "code")
         ).mapInPandas(local_topk, schema=out_schema)
         w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cid"))
         return (

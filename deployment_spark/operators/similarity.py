@@ -147,7 +147,13 @@ def topk_similarity_join(
         ]
     )
 
-    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
+    from deployment_spark.operators.dedup import spread_for_cpu
+
+    # the matmul stage parallelizes per-partition; a single-file corpus
+    # scans as 1-2 tasks and would serialize it (no-op at scale)
+    c = spread_for_cpu(
+        corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
+    )
 
     def local_topk(batches):
         import pandas as pd
@@ -303,8 +309,13 @@ def _signbit_band_signatures(
                 }
             )
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), vec_col
+    from deployment_spark.operators.dedup import spread_for_cpu
+
+    # single-file corpora scan as 1-2 tasks, serializing the numpy
+    # signature work; spread to full parallelism first (no-op at scale
+    # where the scan already has thousands of splits)
+    return spread_for_cpu(
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
     ).mapInPandas(signatures, schema=sig_schema)
 
 
