@@ -71,6 +71,28 @@ def write_jsonl(
     w.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source — the other columnar lake format (built into Spark, no
+    extra package). Same pushdown/pruning story as parquet: predicate
+    pushdown and column pruning reach the ORC reader, partition dirs
+    prune. Pass ``schema`` to skip footer-merging on wide layouts."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink, mirroring :func:`write_parquet` (hive-style partition
+    layout with ``partition_by``)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[str]:
     """Register the driver testdata tables as temp views so the full SQL
     surface (including grouping sets / cube / rollup — free in Spark SQL,
