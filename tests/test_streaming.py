@@ -428,3 +428,72 @@ def test_sessionize_stream_straggler_contract(spark, tmp_path):
         (at(45), at(61), 3),   # session EXTENDED backwards to 45, closed by 200
     }
     assert got == want
+
+
+def test_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream attribution join ≡ its batch twin once
+    all files are processed: clicks match impressions of the same user
+    within the attribution window; out-of-window and keyless clicks drop.
+    State stays bounded because both sides carry watermarks and the join
+    condition carries the time range."""
+    import datetime as dt
+
+    from deployment_spark.streaming.joins import (
+        attribution_join,
+        attribution_join_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    imp_rows = [
+        # (user, imp_id, imp_ts)
+        (1, 100, t(0)), (1, 101, t(40)), (2, 200, t(5)),
+        (3, 300, t(10)), (4, 400, t(0)),
+    ]
+    clk_rows = [
+        # (user, click_id, click_ts)
+        (1, 9000, t(20)),   # attributes to imp 100 (within 30m)
+        (1, 9001, t(55)),   # attributes to imp 101 only (100 is 55m old)
+        (2, 9002, t(50)),   # out of window for imp 200 -> drops
+        (3, 9003, t(10)),   # boundary: click_ts == imp_ts attributes
+        (5, 9004, t(15)),   # no impression for user 5 -> drops
+    ]
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        imp_rows, "user_id LONG, imp_id LONG, imp_ts TIMESTAMP"
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        clk_rows, "user_id LONG, click_id LONG, click_ts TIMESTAMP"
+    ).coalesce(1).write.mode("append").parquet(clk_dir)
+
+    imp_stream = spark.readStream.schema(
+        "user_id LONG, imp_id LONG, imp_ts TIMESTAMP"
+    ).parquet(imp_dir)
+    clk_stream = spark.readStream.schema(
+        "user_id LONG, click_id LONG, click_ts TIMESTAMP"
+    ).parquet(clk_dir)
+
+    joined = attribution_join(imp_stream, clk_stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.imp_id)
+        for r in spark.sql("SELECT click_id, imp_id FROM attr_out").collect()
+    }
+    want = {(9000, 100), (9001, 101), (9003, 300)}
+    assert got == want
+
+    batch = attribution_join_batch(
+        spark.read.parquet(imp_dir), spark.read.parquet(clk_dir)
+    )
+    assert {(r.click_id, r.imp_id) for r in batch.collect()} == want
