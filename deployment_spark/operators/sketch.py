@@ -67,3 +67,61 @@ def cms_estimate(
         "probe", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy("probe").agg(F.min("cnt").alias("est_count"))
+
+
+class StreamingCMS:
+    """Continuously-maintained CMS: a ``foreachBatch`` hook merges each
+    micro-batch's sketch into a stored grid (SnapshotStore keyed by the
+    composite cell key), the same replay-safe refresh discipline as
+    ``streaming.rollup.ContinuousAggregate`` — the batch_id commits
+    atomically with the merge, so an at-least-once replay is skipped
+    instead of double-counted. The merge is cell-wise addition over a
+    grid bounded by depth × width rows: refresh cost is CONSTANT in both
+    stream history and batch size (after the batch's own map-side
+    combine), the whole point of maintaining a sketch instead of exact
+    counts at 100 TB."""
+
+    def __init__(self, store, col: str, width: int = 1024, depth: int = 5) -> None:
+        if store.key != "cms_key":
+            raise ValueError(
+                "StreamingCMS needs a SnapshotStore keyed by 'cms_key' "
+                f"(got {store.key!r})"
+            )
+        self.store = store
+        self.col = col
+        self.width = width
+        self.depth = depth
+
+    def _keyed(self, grid: DataFrame) -> DataFrame:
+        return grid.withColumn(
+            "cms_key", F.concat_ws("|", F.col("depth"), F.col("cell"))
+        )
+
+    def refresh(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        meta = {"cms_batch_id": batch_id} if batch_id is not None else None
+        if (
+            batch_id is not None
+            and self.store.exists()
+            and self.store.commit_meta().get("cms_batch_id") == batch_id
+        ):
+            return  # replayed micro-batch: already merged
+        newp = cms_build(batch_df, self.col, self.width, self.depth)
+        if not self.store.exists():
+            self.store.create(self._keyed(newp), meta=meta)
+            return
+        merged = cms_merge(self.store.read().drop("cms_key"), newp)
+        self.store.upsert(self._keyed(merged), meta=meta)
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        writer = stream_df.writeStream.foreachBatch(self.refresh).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def sketch(self) -> DataFrame:
+        return self.store.read().select("depth", "cell", "cnt")
+
+    def estimate(self, probes: DataFrame, col: str) -> DataFrame:
+        return cms_estimate(self.sketch(), probes, col, self.width, self.depth)

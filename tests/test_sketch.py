@@ -59,3 +59,49 @@ def test_cms_unseen_value_estimates_near_zero(spark, zipfish):
     est = cms_estimate(sketch, probes, "v", width=W, depth=D).first().est_count
     n = sum(true_counts(zipfish).values())
     assert est <= 2.71828 / W * n
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Continuously-maintained CMS: micro-batch merges produce the SAME
+    grid as one batch build over all the data (cell counts are exact
+    under merge), and a replayed batch_id is skipped, not double-counted."""
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.sketch import StreamingCMS
+
+    landing = str(tmp_path / "cms_landing")
+    rows = [(f"k{i % 17}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["v"])
+    df.limit(1200).coalesce(1).write.mode("append").parquet(landing)
+    df.subtract(df.limit(1200))  # (not written yet)
+
+    store = SnapshotStore(spark, str(tmp_path / "cms_store"), key="cms_key")
+    cms = StreamingCMS(store, "v", width=W, depth=D)
+    q = cms.attach(
+        spark.readStream.schema("v STRING").parquet(landing),
+        str(tmp_path / "cms_ckpt"),
+    )
+    q.awaitTermination(120)
+    # second chunk lands; resume from checkpoint
+    spark.createDataFrame(rows[1200:], ["v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = cms.attach(
+        spark.readStream.schema("v STRING").parquet(landing),
+        str(tmp_path / "cms_ckpt"),
+    )
+    q2.awaitTermination(120)
+
+    got = {(r.depth, r.cell): r.cnt for r in cms.sketch().collect()}
+    want = {
+        (r.depth, r.cell): r.cnt
+        for r in cms_build(spark.createDataFrame(rows, ["v"]), "v", width=W, depth=D).collect()
+    }
+    assert got == want
+    # estimates ride the stored grid; exact for these (collision-light) keys
+    probe = spark.createDataFrame([("k3",)], ["v"])
+    assert cms.estimate(probe, "v").first().est_count >= 2000 // 17
+    # replay of the last committed batch_id is a no-op
+    last_meta = store.commit_meta()["cms_batch_id"]
+    before = store.current_version()
+    cms.refresh(spark.createDataFrame(rows[:5], ["v"]), batch_id=last_meta)
+    assert store.current_version() == before
