@@ -120,3 +120,29 @@ def test_ivfpq_codes_scan_partition_pruned(spark, sf_dir, tmp_path):
     )
     df = idx.search(queries, k=3, nprobe=2, shortlist=10)
     assert audit.has_partition_filters(df), audit.physical_plan(df)
+
+
+def test_registry_sweep_no_scale_killers(spark):
+    """Every catalog entry's physical plan, audited automatically: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+    1-row summary is cross-joined onto per-query rows (the self-judging
+    recall entries — bounded by construction). A correct query that
+    re-introduces an unpruned cross join fails HERE, not in review."""
+    from deployment_spark.plans.audit import physical_plan
+    from deployment_spark.queries import REGISTRY
+
+    # crossJoin(broadcast(1-row summary)) plans as BNLJ; bounded: the
+    # broadcast side is a single aggregate row
+    BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall"}
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        plan = physical_plan(fn(spark, sf))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
