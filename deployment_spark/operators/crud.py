@@ -169,11 +169,23 @@ class SnapshotStore:
                     freed.append(v)
         return freed
 
-    def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
+    def _commit(
+        self, df: DataFrame, meta: dict | None = None, base_version: int | None = None
+    ) -> int:
         """C5 — flush/persist barrier (``collection.flush()``,
         ``Milvus/stream1.py:226``): write the new snapshot fully, then
-        atomically swap the pointer (write-temp + rename)."""
-        version = self.current_version() + 1
+        atomically swap the pointer (write-temp + rename).
+
+        ``base_version`` is the version the caller READ while computing
+        ``df``. Claiming base+1 (not current+1 re-read at commit time)
+        makes the claim also validate read freshness: if another writer
+        published after our read, base+1 is already claimed and we raise
+        instead of committing a snapshot derived from stale state — the
+        anti-join/dedup/merge inside the mutation would otherwise
+        silently drop the concurrent writer's rows."""
+        version = (
+            base_version + 1 if base_version is not None else self.current_version() + 1
+        )
         self._claim_version(version)
         path = self._snapshot_path(version)
         writer = df.write.mode("overwrite")
@@ -328,7 +340,12 @@ class SnapshotStore:
         if not self.exists():
             return self.create(rows.dropDuplicates([self.key]) if dedup_new else rows)
         self._check_schema(rows)
-        base = self.read()
+        # pin the version we read; the claim below is on base_v + 1, so a
+        # concurrent commit between this read and our claim fails the
+        # claim instead of letting the anti-join against a stale base
+        # silently drop the other writer's rows
+        base_v = self.current_version()
+        base = self.read(base_v)
         new = rows
         if dedup_new:
             new = new.dropDuplicates([self.key])
@@ -337,25 +354,26 @@ class SnapshotStore:
             # claim BEFORE writing s{v}: the claim loser must error out
             # here, not overwrite the winner's segment files (and a claim
             # on v also certifies manifest v-1 is still the latest)
-            v = self.current_version() + 1
+            v = base_v + 1
             self._claim_version(v)
-            m = self._read_manifest(v - 1)
+            m = self._read_manifest(base_v)
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
                 m["segments"] + [{"path": seg, "seq": v}], m["tombstones"], version=v
             )
-        return self._commit(self._union(base, new))
+        return self._commit(self._union(base, new), base_version=base_v)
 
     def delete_ids(self, ids: DataFrame | list) -> int:
         """C2/J3 — delete by id-set (``index.remove_ids``,
         ``FAISS/PlainDemo/pipeline.py:110-112``). cow: broadcast
         left_anti rewrite; mor: one O(ids) tombstone file."""
-        base = self.read()
+        base_v = self.current_version()
+        base = self.read(base_v)
         ids_df = self._keys_df(ids, base)
         if self.mode == "mor":
-            v = self.current_version() + 1
+            v = base_v + 1
             self._claim_version(v)
-            m = self._read_manifest(v - 1)
+            m = self._read_manifest(base_v)
             tomb = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
             return self._commit_manifest(
                 m["segments"], m["tombstones"] + [{"path": tomb, "seq": v}], version=v
@@ -364,7 +382,9 @@ class SnapshotStore:
         # them at runtime anyway, but a delete-by-dataframe at 100 TB
         # scale can exceed broadcastable size — let AQE decide (matches
         # the mor tombstone read path)
-        return self._commit(base.join(ids_df, on=self.key, how="left_anti"))
+        return self._commit(
+            base.join(ids_df, on=self.key, how="left_anti"), base_version=base_v
+        )
 
     def delete_last_n(self, n: int) -> int:
         """C2 Milvus variant — delete the n largest keys
@@ -384,16 +404,17 @@ class SnapshotStore:
         updated state, never the deleted-but-not-reinserted gap — which is
         what the store's snapshot-isolation claim requires."""
         self._check_schema(new_rows)
-        base = self.read()
+        base_v = self.current_version()
+        base = self.read(base_v)
         ids_df = self._keys_df(ids, base)
         remaining = base.join(ids_df, on=self.key, how="left_anti")
         new = new_rows.dropDuplicates([self.key]).join(
             remaining.select(self.key), on=self.key, how="left_anti"
         )
         if self.mode == "mor":
-            v = self.current_version() + 1
+            v = base_v + 1
             self._claim_version(v)
-            m = self._read_manifest(v - 1)
+            m = self._read_manifest(base_v)
             # One manifest commit carries both the tombstone and the new
             # segment at the same seq: the tombstone only kills rows from
             # strictly OLDER segments (read() uses _tseq > _seq), so the
@@ -405,7 +426,7 @@ class SnapshotStore:
                 m["tombstones"] + [{"path": tomb, "seq": v}],
                 version=v,
             )
-        return self._commit(self._union(remaining, new))
+        return self._commit(self._union(remaining, new), base_version=base_v)
 
     def upsert(self, rows: DataFrame, meta: dict | None = None) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,
@@ -427,7 +448,8 @@ class SnapshotStore:
                 meta=meta,
                 version=v,
             )
-        base = self.read()
+        base_v = self.current_version()
+        base = self.read(base_v)
         merged = self._union(
             rows.withColumn("_prio", F.lit(1)), base.withColumn("_prio", F.lit(0))
         )
@@ -437,7 +459,7 @@ class SnapshotStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_prio")
         )
-        return self._commit(final, meta=meta)
+        return self._commit(final, meta=meta, base_version=base_v)
 
     def compact(self) -> int:
         """Fold a mor table back to one segment and zero tombstones —
@@ -445,8 +467,9 @@ class SnapshotStore:
         compaction; run after delete-heavy sequences (SURVEY §7.3(2))."""
         if self.mode != "mor":
             return self.current_version()  # cow snapshots are always compact
-        current = self.read()
-        v = self.current_version() + 1
+        base_v = self.current_version()
+        current = self.read(base_v)
+        v = base_v + 1
         self._claim_version(v)
         seg = self._write_files(current, f"s{v:06d}")
         return self._commit_manifest([{"path": seg, "seq": v}], [], version=v)

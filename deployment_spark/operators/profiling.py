@@ -62,8 +62,12 @@ def profile_numeric(
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
             distinct.alias(f"{c}__distinct"),
-            F.round(F.min(c), 4).alias(f"{c}__min"),
-            F.round(F.max(c), 4).alias(f"{c}__max"),
+            # min/max cast to double like mean/median: stack() requires
+            # identical types at each position ACROSS columns, so a mixed
+            # long+double column list would otherwise raise
+            # STACK_COLUMN_DIFF_TYPES
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
             F.round(F.avg(c), 4).alias(f"{c}__mean"),
             F.round(F.stddev_samp(c), 4).alias(f"{c}__stddev"),
             F.round(median.cast("double"), 4).alias(f"{c}__median"),

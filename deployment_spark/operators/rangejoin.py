@@ -29,24 +29,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def auto_bucket_width(right: DataFrame, lo_col: str, hi_col: str) -> float:
+def auto_bucket_width(
+    right: DataFrame, lo_col: str, hi_col: str, max_replication: int = 1024
+) -> float:
     """Self-size the bucket width to the MEDIAN interval span: replication
     factor for a typical interval is then span/width + 1 ≈ 2, the sweet
     spot between exploding wide intervals and over-populating buckets.
     One distributed Greenwald-Khanna sketch pass over the right side
     (``approxQuantile``) — no driver materialization, safe at 100 TB;
     amortize by passing an explicit width when joining repeatedly against
-    the same interval table."""
+    the same interval table.
+
+    Guard for skewed span distributions: when a few intervals are vastly
+    wider than the median (median ~0.01, outliers ~1e6), a median-sized
+    width would explode each wide interval into span/width ≈ 1e8 bucket
+    rows. The width is floored at ``max_span / max_replication``, capping
+    ANY single interval's replication at ``max_replication`` rows — wide
+    outliers then share buckets with more points (post-filter does more
+    work) instead of detonating the explode."""
     spans = (
         right.select((F.col(hi_col) - F.col(lo_col)).cast("double").alias("_span"))
         .na.drop()
     )
-    q = spans.approxQuantile("_span", [0.5], 0.01)
+    q = spans.approxQuantile("_span", [0.5, 1.0], 0.01)
     if not q or q[0] is None or q[0] <= 0:
         # empty right side or degenerate (point) intervals: width is
         # arbitrary since replication is 1 bucket per interval anyway
         return 1.0
-    return float(q[0])
+    median, widest = float(q[0]), float(q[-1])
+    return max(median, widest / max_replication)
 
 
 def range_join(

@@ -97,14 +97,26 @@ class StreamingCMS:
             "cms_key", F.concat_ws("|", F.col("depth"), F.col("cell"))
         )
 
-    def refresh(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        meta = {"cms_batch_id": batch_id} if batch_id is not None else None
+    def refresh(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | None = None,
+        run_id: str | None = None,
+    ) -> None:
+        # run_id scopes batch_id (batch ids restart at 0 under a fresh
+        # checkpoint); manual refreshes carry the last guard forward
+        # instead of wiping it — same discipline as ContinuousAggregate
+        if batch_id is not None:
+            meta = {"cms_batch_id": batch_id, "cms_run_id": run_id}
+        else:
+            meta = self.store.commit_meta() if self.store.exists() else None
+        prev = self.store.commit_meta() if self.store.exists() else {}
         if (
             batch_id is not None
-            and self.store.exists()
-            and self.store.commit_meta().get("cms_batch_id") == batch_id
+            and prev.get("cms_batch_id") == batch_id
+            and prev.get("cms_run_id") == run_id
         ):
-            return  # replayed micro-batch: already merged
+            return  # replayed micro-batch: already merged (same run)
         newp = cms_build(batch_df, self.col, self.width, self.depth)
         if not self.store.exists():
             self.store.create(self._keyed(newp), meta=meta)
@@ -113,9 +125,9 @@ class StreamingCMS:
         self.store.upsert(self._keyed(merged), meta=meta)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
-        writer = stream_df.writeStream.foreachBatch(self.refresh).option(
-            "checkpointLocation", checkpoint_dir
-        )
+        writer = stream_df.writeStream.foreachBatch(
+            lambda df, bid: self.refresh(df, bid, run_id=checkpoint_dir)
+        ).option("checkpointLocation", checkpoint_dir)
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()

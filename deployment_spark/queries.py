@@ -1106,30 +1106,10 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape runs with approx_count_distinct / approx_percentile —
     sketches are engine-specific, which is why the GATE uses the exact
     forms."""
+    from deployment_spark.operators.profiling import profile_numeric
+
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = _t(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.round(F.min(c), 4).alias(f"{c}__min"),
-            F.round(F.max(c), 4).alias(f"{c}__max"),
-            F.round(F.avg(c), 4).alias(f"{c}__mean"),
-            F.round(F.stddev_samp(c), 4).alias(f"{c}__stddev"),
-            F.round(F.percentile(F.col(c), F.lit(0.5)), 4).alias(f"{c}__median"),
-        ]
-    wide = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max, "
-        f"{c}__mean, {c}__stddev, {c}__median"
-        for c in cols
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack}) as "
-        "(column, rows, nulls, n_distinct, min_v, max_v, mean_v, stddev_v, median_v)"
-    )
+    return profile_numeric(_t(spark, sf_dir, "lineitem"), cols, exact=True)
 
 
 SQL_TABLE_PROFILE = """

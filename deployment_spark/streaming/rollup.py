@@ -78,7 +78,12 @@ class ContinuousAggregate:
             )
         )
 
-    def refresh(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+    def refresh(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | None = None,
+        run_id: str | None = None,
+    ) -> None:
         """foreachBatch hook: merge this batch's partial aggregates into
         the stored rollup — read-modify-write of ONLY the touched keys
         (everything else rides along untouched in the upsert's base).
@@ -87,14 +92,27 @@ class ContinuousAggregate:
         merge and the checkpoint commit re-runs the same batch_id), so
         the batch_id is committed ATOMICALLY with the merge (it rides in
         the store's pointer swap) and a replayed batch is skipped instead
-        of double-merging its deltas."""
-        meta = {"rollup_batch_id": batch_id} if batch_id is not None else None
+        of double-merging its deltas.
+
+        ``run_id`` scopes the batch_id: batch ids restart at 0 under a
+        FRESH checkpoint, so equality on batch_id alone would silently
+        skip a genuinely-new first batch. ``attach`` passes the
+        checkpoint dir (the exact scope within which batch ids are
+        comparable); replays share it, new checkpoints differ."""
+        if batch_id is not None:
+            meta = {"rollup_batch_id": batch_id, "rollup_run_id": run_id}
+        else:
+            # manual/batch-twin refresh: carry the last stream guard
+            # forward instead of wiping it (a wipe would re-enable
+            # double-merging a later genuine replay)
+            meta = self.store.commit_meta() if self.store.exists() else None
+        prev = self.store.commit_meta() if self.store.exists() else {}
         if (
             batch_id is not None
-            and self.store.exists()
-            and self.store.commit_meta().get("rollup_batch_id") == batch_id
+            and prev.get("rollup_batch_id") == batch_id
+            and prev.get("rollup_run_id") == run_id
         ):
-            return  # replay of an already-merged batch
+            return  # replay of an already-merged batch (same run)
         newp = self._partials(batch_df)
         if not self.store.exists():
             self.store.create(newp, meta=meta)
@@ -127,9 +145,12 @@ class ContinuousAggregate:
         )
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
-        """Wire the rollup into a stream via foreachBatch."""
+        """Wire the rollup into a stream via foreachBatch. The checkpoint
+        dir doubles as the replay-guard run id (see ``refresh``)."""
         writer = (
-            stream_df.writeStream.foreachBatch(self.refresh)
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.refresh(df, bid, run_id=checkpoint_dir)
+            )
             .option("checkpointLocation", checkpoint_dir)
         )
         if available_now:

@@ -231,6 +231,45 @@ def test_mor_loser_never_touches_winner_files(spark, tmp_path):
         assert not os.path.exists(str(root / f"t{nxt:06d}")), "loser wrote a tombstone"
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stale_base_read_fails_claim(spark, tmp_path, mode):
+    """A writer whose base snapshot went stale between its read and its
+    claim must get ConcurrentCommitError — otherwise its anti-join/merge
+    against the stale base silently drops the concurrent writer's rows
+    (the claim is taken on base_version+1, not on a re-read current+1).
+    Simulated by hooking the pinned base read to let a second store
+    instance commit in the gap."""
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    root = str(tmp_path / f"stale_{mode}")
+    a = SnapshotStore(spark, root, key="id", mode=mode)
+    b = SnapshotStore(spark, root, key="id", mode=mode)
+    a.create(mk(spark, [(1, "a"), (2, "b")]))
+
+    orig_read = a.read
+    fired = []
+
+    def hooked(version=None):
+        df = orig_read(version)
+        # version is pinned ONLY for the mutation's base read; the
+        # schema-check read passes no version and must not trigger
+        if version is not None and not fired:
+            fired.append(b.insert(mk(spark, [(9, "z")])))
+        return df
+
+    a.read = hooked
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            a.insert(mk(spark, [(3, "c")]))
+    finally:
+        a.read = orig_read
+    # B's concurrent row survived; A's loser mutation changed nothing
+    assert {r.id for r in a.read().collect()} == {1, 2, 9}
+    # retry on the fresh base succeeds
+    a.insert(mk(spark, [(3, "c")]))
+    assert {r.id for r in a.read().collect()} == {1, 2, 3, 9}
+
+
 def test_recover_claims_frees_crashed_writer(spark, tmp_path):
     """A writer that claimed a version and died mid-commit must not burn
     the version forever: recover_claims() frees claims above the

@@ -122,7 +122,7 @@ def test_ivfpq_codes_scan_partition_pruned(spark, sf_dir, tmp_path):
     assert audit.has_partition_filters(df), audit.physical_plan(df)
 
 
-def test_registry_sweep_no_scale_killers(spark):
+def test_registry_sweep_no_scale_killers(spark, sf_dir):
     """Every catalog entry's physical plan, audited automatically: no
     CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
     1-row summary is cross-joined onto per-query rows (the self-judging
@@ -134,7 +134,7 @@ def test_registry_sweep_no_scale_killers(spark):
     # crossJoin(broadcast(1-row summary)) plans as BNLJ; bounded: the
     # broadcast side is a single aggregate row
     BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall"}
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     offenders = {}
     for name, (fn, _sql) in REGISTRY.items():
         plan = physical_plan(fn(spark, sf))

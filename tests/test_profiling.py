@@ -49,6 +49,17 @@ def test_profile_schema_and_null_accounting(spark):
     assert (r.min_v, r.max_v) == (1.0, 2.0)
 
 
+def test_profile_mixed_integer_and_double_columns(spark):
+    """stack() requires identical types per position across columns;
+    min/max must cast to double or a long+double column mix raises
+    STACK_COLUMN_DIFF_TYPES (found by review, confirmed by repro)."""
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5), (3, 2.5)], "k LONG, x DOUBLE")
+    for exact in (True, False):
+        out = _by_col(profile_numeric(df, ["k", "x"], exact=exact).collect())
+        assert out["k"]["min_v"] == 1.0 and out["k"]["max_v"] == 3.0
+        assert out["x"]["n_distinct"] == 2
+
+
 def test_orc_roundtrip_with_partitions(spark, tmp_path):
     from deployment_spark.sources.io import read_orc, write_orc
 

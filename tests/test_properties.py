@@ -349,6 +349,16 @@ def test_range_join_auto_bucket_width():
     assert auto_bucket_width(degen, "lo", "hi") == 1.0
     empty = degen.filter("band_id < 0")
     assert auto_bucket_width(empty, "lo", "hi") == 1.0
+    # skew guard: many tiny spans + one huge one must NOT pick the tiny
+    # median as the width (the huge interval would explode into
+    # span/width bucket rows); width floors at max_span/max_replication
+    skewed = spark.createDataFrame(
+        [(i, float(i), float(i) + 0.01) for i in range(200)]
+        + [(999, 0.0, 1_000_000.0)],
+        "band_id LONG, lo DOUBLE, hi DOUBLE",
+    )
+    w = auto_bucket_width(skewed, "lo", "hi", max_replication=1024)
+    assert w >= 1_000_000.0 / 1024
 
 
 def test_custom_joins_scale_stress(spark):

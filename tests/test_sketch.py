@@ -100,8 +100,21 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     # estimates ride the stored grid; exact for these (collision-light) keys
     probe = spark.createDataFrame([("k3",)], ["v"])
     assert cms.estimate(probe, "v").first().est_count >= 2000 // 17
-    # replay of the last committed batch_id is a no-op
-    last_meta = store.commit_meta()["cms_batch_id"]
+    # replay of the last committed (run_id, batch_id) is a no-op
+    meta = store.commit_meta()
     before = store.current_version()
-    cms.refresh(spark.createDataFrame(rows[:5], ["v"]), batch_id=last_meta)
+    cms.refresh(
+        spark.createDataFrame(rows[:5], ["v"]),
+        batch_id=meta["cms_batch_id"],
+        run_id=meta["cms_run_id"],
+    )
     assert store.current_version() == before
+    # same batch_id under a DIFFERENT run (fresh checkpoint) is NEW data
+    cms.refresh(
+        spark.createDataFrame([("k0",)], ["v"]),
+        batch_id=meta["cms_batch_id"],
+        run_id="another-checkpoint",
+    )
+    assert store.current_version() == before + 1
+    probe0 = spark.createDataFrame([("k0",)], ["v"])
+    assert cms.estimate(probe0, "v").first().est_count >= 2000 // 17 + 1
