@@ -261,6 +261,24 @@ class SnapshotStore:
         writer.parquet(path)
         return name
 
+    def _entry(self, name: str, seq: int) -> dict:
+        """Manifest entry with key ZONE MAP (min/max of the key over the
+        written file): `read_where_key_between` prunes whole segments and
+        tombstone files against it before any scan — the lakehouse
+        file-skipping move, and at 100 TB the difference between reading
+        one segment and reading the table. One segment-sized agg per
+        commit; non-JSON-able key types degrade to no-stats (= never
+        pruned), never to wrong pruning."""
+        stats = (
+            self.spark.read.parquet(os.path.join(self.root, name))
+            .agg(F.min(self.key).alias("mn"), F.max(self.key).alias("mx"))
+            .first()
+        )
+        mn, mx = stats.mn, stats.mx
+        if not isinstance(mn, (int, float, str)) or not isinstance(mx, (int, float, str)):
+            mn = mx = None
+        return {"path": name, "seq": seq, "key_min": mn, "key_max": mx}
+
     def _keys_df(self, ids: "DataFrame | list", like: DataFrame) -> DataFrame:
         if isinstance(ids, list):
             return self.spark.createDataFrame(
@@ -277,7 +295,42 @@ class SnapshotStore:
         if self.mode == "cow":
             return self.spark.read.parquet(self._snapshot_path(v))
         m = self._read_manifest(v)
-        segs, tombs = m["segments"], m["tombstones"]
+        return self._merge_files(m["segments"], m["tombstones"])
+
+    @staticmethod
+    def _zone_hits(entries: list[dict], lo, hi) -> list[dict]:
+        """Entries whose key zone [key_min, key_max] intersects [lo, hi];
+        entries without stats always hit (prune conservatively)."""
+        out = []
+        for e in entries:
+            mn, mx = e.get("key_min"), e.get("key_max")
+            if mn is None or mx is None or (mn <= hi and mx >= lo):
+                out.append(e)
+        return out
+
+    def read_where_key_between(self, lo, hi, version: int | None = None) -> DataFrame:
+        """Key-range read with MANIFEST-LEVEL file skipping (mor): only
+        segments/tombstones whose zone map intersects [lo, hi] are
+        scanned, then the normal last-wins merge runs on the survivors
+        and the range filter applies. Correct by the zone-map argument:
+        any file containing a key in [lo, hi] necessarily has an
+        intersecting zone, so pruned files cannot affect in-range rows.
+        cow falls back to a filtered scan (parquet row-group stats prune
+        below the file level there)."""
+        rng = F.col(self.key).between(lo, hi)
+        if self.mode == "cow":
+            return self.read(version).filter(rng)
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"snapshot store {self.root} is empty")
+        m = self._read_manifest(v)
+        segs = self._zone_hits(m["segments"], lo, hi)
+        tombs = self._zone_hits(m["tombstones"], lo, hi)
+        if not segs:
+            return self.read(version).filter(rng).limit(0)  # typed empty
+        return self._merge_files(segs, tombs).filter(rng)
+
+    def _merge_files(self, segs: list[dict], tombs: list[dict]) -> DataFrame:
         if len(segs) == 1 and not tombs:  # compacted fast path: plain scan
             return self.spark.read.parquet(os.path.join(self.root, segs[0]["path"]))
         data = None
@@ -327,7 +380,7 @@ class SnapshotStore:
             self._claim_version(v)
             seg = self._write_files(df, f"s{v:06d}")
             return self._commit_manifest(
-                [{"path": seg, "seq": v}], [], meta=meta, version=v
+                [self._entry(seg, v)], [], meta=meta, version=v
             )
         return self._commit(df, meta=meta)
 
@@ -359,7 +412,7 @@ class SnapshotStore:
             m = self._read_manifest(base_v)
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [{"path": seg, "seq": v}], m["tombstones"], version=v
+                m["segments"] + [self._entry(seg, v)], m["tombstones"], version=v
             )
         return self._commit(self._union(base, new), base_version=base_v)
 
@@ -376,7 +429,7 @@ class SnapshotStore:
             m = self._read_manifest(base_v)
             tomb = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
             return self._commit_manifest(
-                m["segments"], m["tombstones"] + [{"path": tomb, "seq": v}], version=v
+                m["segments"], m["tombstones"] + [self._entry(tomb, v)], version=v
             )
         # no broadcast hint: id-list deletes are tiny and AQE broadcasts
         # them at runtime anyway, but a delete-by-dataframe at 100 TB
@@ -422,8 +475,8 @@ class SnapshotStore:
             tomb = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [{"path": seg, "seq": v}],
-                m["tombstones"] + [{"path": tomb, "seq": v}],
+                m["segments"] + [self._entry(seg, v)],
+                m["tombstones"] + [self._entry(tomb, v)],
                 version=v,
             )
         return self._commit(self._union(remaining, new), base_version=base_v)
@@ -443,7 +496,7 @@ class SnapshotStore:
             m = self._read_manifest(v - 1)
             seg = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [{"path": seg, "seq": v}],
+                m["segments"] + [self._entry(seg, v)],
                 m["tombstones"],
                 meta=meta,
                 version=v,
@@ -472,7 +525,7 @@ class SnapshotStore:
         v = base_v + 1
         self._claim_version(v)
         seg = self._write_files(current, f"s{v:06d}")
-        return self._commit_manifest([{"path": seg, "seq": v}], [], version=v)
+        return self._commit_manifest([self._entry(seg, v)], [], version=v)
 
     # -- maintenance --------------------------------------------------------
 

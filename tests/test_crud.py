@@ -295,3 +295,35 @@ def test_vacuum_sweeps_consumed_claims(spark, tmp_path):
     s.vacuum(keep_last=1)
     assert not any(n.startswith("claim.v") for n in os.listdir(str(tmp_path / "vc")))
     assert s.count() == 2
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_read_where_key_between_matches_filtered_read(spark, tmp_path, mode):
+    """Zone-mapped range reads return exactly read().filter(between) —
+    across segments, tombstones, and re-inserts — while (mor) pruning
+    whole files whose key zone cannot intersect the range."""
+    s = SnapshotStore(spark, str(tmp_path / f"zm_{mode}"), key="id", mode=mode)
+    s.create(mk(spark, [(i, f"a{i}") for i in range(0, 100)]))
+    s.insert(mk(spark, [(i, f"b{i}") for i in range(100, 200)]))
+    s.insert(mk(spark, [(i, f"c{i}") for i in range(200, 300)]))
+    s.delete_ids([150, 250])
+    s.upsert(mk(spark, [(120, "UPDATED")]))
+
+    got = {r.id: r.payload for r in s.read_where_key_between(100, 199).collect()}
+    want = {
+        r.id: r.payload
+        for r in s.read().filter(F.col("id").between(100, 199)).collect()
+    }
+    assert got == want
+    assert 150 not in got and got[120] == "UPDATED" and len(got) == 99
+
+    if mode == "mor":
+        m = s._read_manifest(s.current_version())
+        # zone maps recorded on every entry
+        assert all(e["key_min"] is not None for e in m["segments"])
+        # the [0, 99] range prunes the later segments AND both tombstones
+        hits = s._zone_hits(m["segments"], 0, 99)
+        assert len(hits) < len(m["segments"])
+        assert s._zone_hits(m["tombstones"], 0, 99) == []
+    # empty range: typed empty result, no error
+    assert s.read_where_key_between(5000, 6000).count() == 0
