@@ -265,7 +265,13 @@ class SnapshotStore:
         observed = df.observe(
             obs, F.min(F.col(self.key)).alias("mn"), F.max(F.col(self.key)).alias("mx")
         )
-        writer = observed.write.mode("overwrite")
+        writer = observed.write.mode("overwrite").option(
+            # row-group bloom filter on the key: point lookups that
+            # survive zone-map pruning skip row groups the key can't be
+            # in — the sub-file companion to the manifest-level skipping
+            f"parquet.bloom.filter.enabled#{self.key}",
+            "true",
+        )
         if self.partition_by and self.partition_by in df.columns:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(path)
@@ -334,6 +340,35 @@ class SnapshotStore:
         if not segs:
             return self.read(version).filter(rng).limit(0)  # typed empty
         return self._merge_files(segs, tombs).filter(rng)
+
+    def read_where_key_in(self, keys: list, version: int | None = None) -> DataFrame:
+        """Point-set read with the same manifest-level skipping as
+        :meth:`read_where_key_between`: a segment/tombstone file is
+        scanned only if SOME probe key falls inside its zone; the isin
+        filter then pushes to the surviving scans (parquet row-group
+        stats + the key bloom filter prune below file level)."""
+        if not keys:
+            return self.read(version).limit(0)
+        pred = F.col(self.key).isin(list(keys))
+        if self.mode == "cow":
+            return self.read(version).filter(pred)
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"snapshot store {self.root} is empty")
+        m = self._read_manifest(v)
+
+        def hits(entries):
+            out = []
+            for e in entries:
+                mn, mx = e.get("key_min"), e.get("key_max")
+                if mn is None or mx is None or any(mn <= k <= mx for k in keys):
+                    out.append(e)
+            return out
+
+        segs = hits(m["segments"])
+        if not segs:
+            return self.read(version).filter(pred).limit(0)
+        return self._merge_files(segs, hits(m["tombstones"])).filter(pred)
 
     def _merge_files(self, segs: list[dict], tombs: list[dict]) -> DataFrame:
         if len(segs) == 1 and not tombs:  # compacted fast path: plain scan

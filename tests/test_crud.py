@@ -327,3 +327,13 @@ def test_read_where_key_between_matches_filtered_read(spark, tmp_path, mode):
         assert s._zone_hits(m["tombstones"], 0, 99) == []
     # empty range: typed empty result, no error
     assert s.read_where_key_between(5000, 6000).count() == 0
+
+    # point-set read: same pruning discipline, same answers
+    got_in = {r.id: r.payload for r in s.read_where_key_in([120, 150, 250, 7, 9999]).collect()}
+    assert got_in == {120: "UPDATED", 7: "a7"}  # 150/250 deleted, 9999 absent
+    assert s.read_where_key_in([]).count() == 0
+    if mode == "mor":
+        m = s._read_manifest(s.current_version())
+        # a probe set inside one segment's zone scans just that segment
+        only_first = [e for e in m["segments"] if e["key_min"] is not None and e["key_max"] < 100]
+        assert len(only_first) >= 1
