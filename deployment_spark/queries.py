@@ -1489,6 +1489,101 @@ FROM g GROUP BY 1, 2
 """
 
 
+def q_doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 END-TO-END training-data prep — the chain a real corpus runs
+    before tokenization, as ONE driver-checked entry (the doc_dedup_
+    pipeline precedent): normalize (lower/punct/ws canonicalization,
+    planted case-mangled copies collapse) → exact-dedup on normalized
+    content (keep lowest id) → quality floor (≥ 8 normalized tokens) →
+    sliding-window chunking (32/24) → greedy shard-local packing of the
+    chunks (budget 96). Output is the per-pack fill ledger; the oracle
+    replays every stage in SQL, the packing via the recursive-CTE greedy
+    fold. Every stage is the library operator, chained — one scan, one
+    shard exchange, no driver loops."""
+    from deployment_spark.operators.packing import pack_greedy
+    from deployment_spark.operators.textstats import chunk_text, normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!  ")).alias("text"),
+    )
+    alld = d.unionByName(planted)
+    norm = normalize_text(alld)
+    w = Window.partitionBy(F.md5("text_norm")).orderBy(F.asc("doc_id"))
+    kept = (
+        norm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("text_norm").alias("text"))
+        .filter(F.size(tokens("text")) >= 8)
+    )
+    chunks = chunk_text(kept, window_tokens=32, stride=24)
+    chunk_rows = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_uid"),
+        (F.col("doc_id") % 8).alias("shard"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = pack_greedy(chunk_rows, budget=96, id_col="chunk_uid")
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+SQL_DOC_PREP_PIPELINE = """
+WITH RECURSIVE alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) || '  !!  ' AS text
+  FROM documents WHERE doc_id < 40
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS text
+  FROM alld
+), kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 8
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM kept WHERE trim(text) != ''
+), c AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(1, greatest(len(w), 1) + 1, 24),
+             s -> struct_pack(chunk_id := (s - 1) // 24,
+                              toks := w[s:least(s + 31, len(w))])),
+           x -> len(x.toks) > 0 AND (x.chunk_id = 0 OR len(x.toks) > 8)
+         )) AS ch
+  FROM words
+), chunks AS (
+  SELECT doc_id * 1000 + ch.chunk_id AS chunk_uid,
+         doc_id % 8 AS shard,
+         len(ch.toks)::BIGINT AS n_tokens
+  FROM c
+), docs AS (
+  SELECT shard, chunk_uid, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY chunk_uid) AS rn
+  FROM chunks
+), g AS (
+  SELECT shard, rn, chunk_uid, n_tokens, 0::BIGINT AS pack_id, n_tokens AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.chunk_uid, d.n_tokens,
+         CASE WHEN g.fill + d.n_tokens <= 96 THEN g.pack_id ELSE g.pack_id + 1 END,
+         CASE WHEN g.fill + d.n_tokens <= 96 THEN g.fill + d.n_tokens ELSE d.n_tokens END
+  FROM g JOIN docs d ON d.shard = g.shard AND d.rn = g.rn + 1
+)
+SELECT shard, pack_id, count(*) AS n_chunks, sum(n_tokens)::BIGINT AS total_tokens
+FROM g GROUP BY 1, 2
+"""
+
+
 def q_doc_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 script detection — per-script character counts + dominant
     script. Docs 0-29 get planted non-Latin suffixes (Cyrillic / CJK /
@@ -2325,4 +2420,5 @@ REGISTRY: dict = {
     "event_freq_cms": (q_event_freq_cms, None),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_hashes": (q_doc_hashes, SQL_DOC_HASHES),
+    "doc_prep_pipeline": (q_doc_prep_pipeline, SQL_DOC_PREP_PIPELINE),
 }
