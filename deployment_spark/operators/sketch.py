@@ -42,6 +42,58 @@ def cms_build(
     )
 
 
+def _md5_cell(value_col, depth_col, width: int):
+    """Portable row-hash: first 8 hex chars of md5(value|depth) parsed as
+    an int, mod width. Every primitive (md5, substring, base-16 parse,
+    mod) exists in ANSI SQL / DuckDB, so a grid built this way is
+    bit-reproducible outside Spark — the same portability trade
+    ``dedup.simhash_portable`` makes vs xxhash64. 8 hex chars = 32 bits,
+    plenty against widths ≤ 2^20."""
+    digest = F.md5(F.concat(value_col.cast("string"), F.lit("|"), depth_col.cast("string")))
+    return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % width).alias("cell")
+
+
+def cms_build_portable(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 5
+) -> DataFrame:
+    """Oracle-checkable sketch build: identical plan shape to
+    :func:`cms_build` (explode → hash → map-side-combined groupBy), only
+    the row-hash differs. NULL values are excluded (md5(NULL) is NULL in
+    both engines; the xxhash64 variant hashes them — don't mix grids
+    built by the two variants). Prefer :func:`cms_build` in production:
+    one native 64-bit hash beats md5 + hex parse per cell."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth"),
+            F.col(col).alias("_v"),
+        )
+        .select("depth", _md5_cell(F.col("_v"), F.col("depth"), width))
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate_portable(
+    sketch: DataFrame, probes: DataFrame, col: str, width: int = 1024, depth: int = 5
+) -> DataFrame:
+    """Point estimates against a :func:`cms_build_portable` grid."""
+    cells = (
+        probes.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("probe"))
+        .distinct()
+        .select(
+            "probe",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth"),
+        )
+        .withColumn("cell", _md5_cell(F.col("probe"), F.col("depth"), width))
+    )
+    joined = cells.join(sketch, ["depth", "cell"], "left").select(
+        "probe", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("probe").agg(F.min("cnt").alias("est_count"))
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Sketches over disjoint data merge by cell-wise addition — the
     property that lets per-partition / per-day sketches roll up."""

@@ -30,6 +30,7 @@ from deployment_spark.operators import similarity as sim_ops
 
 
 from deployment_spark.schemas import load_table as _t  # noqa: E402 — shared loader
+from deployment_spark.schemas import normalize_event_time  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -1036,17 +1037,18 @@ ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
 def q_event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (operators/sketch.py) vs exact counts for the
     event_type column: per value, the sketch estimate, the true count,
-    and the overcount. One-sided error by construction (est ≥ true);
-    deterministic (seeded xxhash64 rows) but not SQL-replayable (DuckDB
-    lacks xxhash64), so rows-only — the driver sees the error margins
-    directly."""
-    from deployment_spark.operators.sketch import cms_build, cms_estimate
+    and the overcount. One-sided error by construction (est ≥ true).
+    Uses the PORTABLE md5-hashed grid (cms_build_portable) so DuckDB
+    replays the whole sketch bit-for-bit — the xxhash64 form (cms_build)
+    stays the production default; the two share every plan stage except
+    the row-hash."""
+    from deployment_spark.operators.sketch import cms_build_portable, cms_estimate_portable
 
     W, D = 1024, 5
     ev = _t(spark, sf_dir, "events").select("event_type")
-    sketch = cms_build(ev, "event_type", width=W, depth=D)
+    sketch = cms_build_portable(ev, "event_type", width=W, depth=D)
     probes = ev.distinct()
-    est = cms_estimate(sketch, probes, "event_type", width=W, depth=D)
+    est = cms_estimate_portable(sketch, probes, "event_type", width=W, depth=D)
     true = ev.groupBy(F.col("event_type").alias("probe")).agg(
         F.count(F.lit(1)).alias("true_count")
     )
@@ -1054,11 +1056,44 @@ def q_event_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.join(true, "probe")
         .select(
             "probe",
-            "est_count",
-            "true_count",
-            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("true_count").cast("long").alias("true_count"),
+            (F.col("est_count") - F.col("true_count")).cast("long").alias("overcount"),
         )
     )
+
+
+SQL_EVENT_FREQ_CMS = """
+WITH vals AS (
+  SELECT event_type AS v FROM events WHERE event_type IS NOT NULL
+),
+depths AS (SELECT unnest(range(5)) AS depth),
+sketch AS (
+  SELECT depth,
+         ('0x' || substring(md5(v || '|' || depth), 1, 8))::BIGINT % 1024 AS cell,
+         count(*) AS cnt
+  FROM vals CROSS JOIN depths
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT event_type AS probe FROM events WHERE event_type IS NOT NULL),
+pcells AS (
+  SELECT probe, depth,
+         ('0x' || substring(md5(probe || '|' || depth), 1, 8))::BIGINT % 1024 AS cell
+  FROM probes CROSS JOIN depths
+),
+est AS (
+  SELECT probe, min(coalesce(s.cnt, 0))::BIGINT AS est_count
+  FROM pcells p LEFT JOIN sketch s USING (depth, cell)
+  GROUP BY probe
+),
+true_c AS (
+  SELECT event_type AS probe, count(*)::BIGINT AS true_count
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+)
+SELECT probe, est_count, true_count,
+       (est_count - true_count)::BIGINT AS overcount
+FROM est JOIN true_c USING (probe)
+"""
 
 
 def q_value_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2224,22 +2259,34 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deployment_spark.streaming.ingest import windowed_event_counts
 
     # schema must match the file bytes (ts is INT64 nanos on disk), not the
-    # batch loader's converted view — conversion happens after the scan
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    counts = windowed_event_counts(stream, ts_col="ts", key_col="event_type")
-    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").trigger(
-        availableNow=True
-    ).start()
-    q.awaitTermination()
+    # batch loader's converted view — conversion happens after the scan.
+    # The conf only needs to cover the schema probe and the stream's
+    # analysis; restore the caller's value so no other catalog entry sees
+    # a mutated session (entries must be order-independent).
+    _conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    _prev = spark.conf.get(_conf_key, None)
+    spark.conf.set(_conf_key, "true")
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # nanos-as-long or µs-NTZ on disk → session-tz TIMESTAMP, which
+        # the watermark requires (watermarks reject TIMESTAMP_NTZ)
+        stream = normalize_event_time(stream, "ts")
+        counts = windowed_event_counts(stream, ts_col="ts", key_col="event_type")
+        sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+        q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination()
+    finally:
+        if _prev is None:
+            spark.conf.unset(_conf_key)
+        else:
+            spark.conf.set(_conf_key, _prev)
     return spark.table(sink).select("window_start", "event_type", F.col("cnt").cast("long").alias("cnt"))
 
 
@@ -2417,7 +2464,7 @@ REGISTRY: dict = {
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
     "value_band_counts": (q_value_band_counts, SQL_VALUE_BAND_COUNTS),
-    "event_freq_cms": (q_event_freq_cms, None),
+    "event_freq_cms": (q_event_freq_cms, SQL_EVENT_FREQ_CMS),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_hashes": (q_doc_hashes, SQL_DOC_HASHES),
     "doc_prep_pipeline": (q_doc_prep_pipeline, SQL_DOC_PREP_PIPELINE),

@@ -71,14 +71,46 @@ def probe_csv_schema(spark: SparkSession, path: str):
     return spark.read.option("header", "true").csv(path).schema
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an on-disk event-time column to session-tz TIMESTAMP,
+    whatever physical form the writer used:
+
+    - ``bigint`` — TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong``: integer-divide to µs
+      (ns-since-epoch ~1.7e18 overflows double precision, so no float
+      math) and rebuild the timestamp;
+    - ``timestamp_ntz`` — timestamp[us] without tz info: reinterpret the
+      wall-clock in the session zone (UTC per session.py), which is also
+      how DuckDB reads the same file, keeping oracle parity;
+    - ``timestamp`` — already usable.
+
+    Watermarks/windows require TIMESTAMP (not NTZ), so every event-time
+    consumer — batch or streaming — goes through this one function.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) on disk → read as long ns; convert to a
-    # real timestamp (µs precision) with integer division — ns-since-epoch
-    # (~1.7e18) overflows double precision, so no float math here.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP(NANOS) files are only readable with the legacy conf on;
+    # scope it to the schema-resolving read and restore the caller's
+    # value (entries must not mutate session state — VERDICT r3 #3).
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    if name == "events":
+        df = normalize_event_time(df, "ts")
     return df
 
 

@@ -118,3 +118,38 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     assert store.current_version() == before + 1
     probe0 = spark.createDataFrame([("k0",)], ["v"])
     assert cms.estimate(probe0, "v").first().est_count >= 2000 // 17 + 1
+
+
+def test_cms_portable_matches_xxhash_semantics(spark, zipfish):
+    """The portable (md5) grid gives the same guarantees as the prod
+    (xxhash64) grid — one-sided error with the classical bound — and the
+    two estimate within the same envelope on every probed value (cell
+    layouts differ, guarantees don't)."""
+    from deployment_spark.operators.sketch import (
+        cms_build_portable,
+        cms_estimate_portable,
+    )
+
+    sketch = cms_build_portable(zipfish, "v", width=W, depth=D)
+    truth = true_counts(zipfish)
+    probes = zipfish.select("v").distinct()
+    est = {
+        r.probe: r.est_count
+        for r in cms_estimate_portable(sketch, probes, "v", width=W, depth=D).collect()
+    }
+    n = sum(truth.values())
+    eps_bound = 2.71828 / W * n
+    for v, c in truth.items():
+        assert est[v] >= c, (v, est[v], c)
+        assert est[v] - c <= eps_bound, (v, est[v], c)
+
+
+def test_cms_portable_null_contract(spark):
+    """Portable variant EXCLUDES NULLs (md5(NULL) is NULL in both
+    engines); the grid's total mass equals the non-null row count."""
+    from deployment_spark.operators.sketch import cms_build_portable
+
+    df = spark.createDataFrame([("a",), ("b",), (None,), ("a",)], ["v"])
+    grid = cms_build_portable(df, "v", width=64, depth=3)
+    total = grid.agg(F.sum("cnt").alias("s")).first().s
+    assert total == 3 * 3  # 3 non-null rows × depth

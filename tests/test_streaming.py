@@ -497,3 +497,28 @@ def test_attribution_join_stream_equals_batch(spark, tmp_path):
         spark.read.parquet(imp_dir), spark.read.parquet(clk_dir)
     )
     assert {(r.click_id, r.imp_id) for r in batch.collect()} == want
+
+
+def test_streaming_entry_restores_session_conf(spark, sf_dir):
+    """Catalog entries must be order-independent: q_streaming_hourly_counts
+    needs spark.sql.legacy.parquet.nanosAsLong during its schema probe +
+    stream run, but must not leak it into the session (a later entry
+    reading the same parquet would silently see nanos as longs)."""
+    from deployment_spark.queries import q_streaming_hourly_counts
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    session_value = spark.conf.get(key, None)  # 'true' per session.py:55
+    try:
+        # simulate a caller session that never set the legacy conf
+        spark.conf.unset(key)
+        out = q_streaming_hourly_counts(spark, sf_dir)
+        assert out.count() > 0
+        assert spark.conf.get(key, None) is None, "entry leaked session conf"
+    finally:
+        if session_value is not None:
+            spark.conf.set(key, session_value)
+    # and with the engine's session default in place, the entry restores
+    # that exact value rather than clobbering it
+    out = q_streaming_hourly_counts(spark, sf_dir)
+    assert out.count() > 0
+    assert spark.conf.get(key, None) == session_value
