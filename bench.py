@@ -21,7 +21,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deployment_spark import get_spark
-from deployment_spark.queries import REGISTRY
+from deployment_spark.queries import REGISTRY, q_events_hourly
+
+# events_hourly left the driver registry in the r4 fold (its answer is
+# now hash-verified inside streaming_hourly_counts' batch columns) but
+# stays a headline bench query so BENCH rows compare across rounds.
+BENCH_ONLY = {"events_hourly": (q_events_hourly, None)}
+LOOKUP = {**BENCH_ONLY, **REGISTRY}
 
 HEADLINE = [
     "topk_cosine",
@@ -151,7 +157,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             try:
-                REGISTRY[name][0](spark, warm_dir).count()
+                LOOKUP[name][0](spark, warm_dir).count()
             except Exception:
                 pass
     # Pre-build the IVF index for the timed SF: the build (KMeans train +
@@ -171,7 +177,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        fn, _sql = REGISTRY[name]
+        fn, _sql = LOOKUP[name]
         times = []
         for _ in range(runs):
             t0 = time.perf_counter()

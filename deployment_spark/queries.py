@@ -72,19 +72,41 @@ FROM r WHERE rank <= 5
 """
 
 
-def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V2 — L2 norms of raw embeddings (normalization denominator,
-    FAISS/PlainDemo/pipeline.py:314)."""
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 + A3/A5 — per-vector L2 norms (normalization denominator,
+    FAISS/PlainDemo/pipeline.py:314) AND the per-label count/mean-norm
+    rollup, tagged-union into ONE registry slot (r4 fold, VERDICT r3 #1:
+    both operators stay driver-verified, one slot freed for the round-3
+    surface). scope='vec' rows carry one norm per vector; scope='label'
+    rows carry the grouped rollup (partial+final hash agg, map-side
+    combine at scale)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", F.round(l2_norm("embedding"), 4).alias("l2_norm")
+    per_vec = emb.select(
+        F.lit("vec").alias("scope"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.lit(1).cast("long").alias("cnt"),
+        F.round(l2_norm("embedding"), 4).alias("metric"),
     )
+    per_label = (
+        emb.withColumn("n", l2_norm("embedding"))
+        .groupBy(F.col("label").cast("long").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n"), 4).alias("metric"),
+        )
+        .select(F.lit("label").alias("scope"), "id", "cnt", "metric")
+    )
+    return per_vec.unionByName(per_label)
 
 
-SQL_VECTOR_NORMS = """
-SELECT vec_id,
-       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+SQL_EMBEDDING_NORM_STATS = """
+SELECT 'vec' AS scope, vec_id::BIGINT AS id, 1::BIGINT AS cnt,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS metric
 FROM embeddings
+UNION ALL
+SELECT 'label', label::BIGINT, count(*)::BIGINT,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+FROM embeddings GROUP BY label
 """
 
 
@@ -186,27 +208,6 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.99
-"""
-
-
-def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3/A4 analog over the vector table — per-label count and mean
-    norm (partial+final hash agg; map-side combine at scale)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return (
-        emb.withColumn("n", l2_norm("embedding"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("n"), 4).alias("avg_norm"),
-        )
-    )
-
-
-SQL_LABEL_CENTROID_STATS = """
-SELECT label, count(*) AS cnt,
-       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
-FROM embeddings GROUP BY label
 """
 
 
@@ -450,7 +451,10 @@ GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (ST4 extension): event-time tumbling window agg —
-    the watermarked streaming query's batch shape."""
+    the watermarked streaming query's batch shape. No longer a registry
+    slot (r4: folded into streaming_hourly_counts' batch columns); kept
+    as bench.py's headline window-agg query so BENCH rows stay comparable
+    across rounds."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
@@ -490,29 +494,53 @@ FROM events GROUP BY event_type
 """
 
 
-def q_concat_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2 — space-join row serialization (the packet_text /
-    combined_text derivation) on the events table; decimal-cast keeps the
-    double→string rendering identical across engines."""
+def q_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + F4 — tagged-union text-function entry (r4 fold, VERDICT r3
+    #1): fn='serialize' rows are the space-join row serialization (the
+    packet_text / combined_text derivation, decimal-cast so double→string
+    rendering is engine-identical) over events; fn='third_word_hist'
+    rows are positional token extraction (text.split()[2],
+    FAISS/UI-Demo/pipeline+ui.py:643-646) + A1 histogram over documents.
+    Both operators stay driver-verified in one slot."""
     ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
+    ser = ev.select(
+        F.lit("serialize").alias("fn"),
+        F.col("event_id").cast("string").alias("key"),
         F.concat_ws(
             " ",
             F.col("event_id").cast("string"),
             F.coalesce(F.col("event_type"), F.lit("")),
             F.col("value").cast("decimal(12,2)").cast("string"),
             F.regexp_extract("props", r"(\d+)", 1),
-        ).alias("serialized"),
+        ).alias("out"),
+        F.lit(1).cast("long").alias("n"),
     )
+    d = _t(spark, sf_dir, "documents")
+    hist = (
+        d.withColumn("third_word", tokens("text").getItem(2))
+        .groupBy("third_word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("third_word_hist").alias("fn"),
+            F.col("third_word").alias("key"),
+            F.lit(None).cast("string").alias("out"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+    )
+    return ser.unionByName(hist)
 
 
-SQL_CONCAT_SERIALIZE = """
-SELECT event_id,
+SQL_TEXT_FUNCTIONS = """
+SELECT 'serialize' AS fn, event_id::VARCHAR AS key,
        concat_ws(' ', event_id::VARCHAR, coalesce(event_type, ''),
                  (value::DECIMAL(12,2))::VARCHAR,
-                 regexp_extract(props, '(\\d+)', 1)) AS serialized
+                 regexp_extract(props, '(\\d+)', 1)) AS out,
+       1::BIGINT AS n
 FROM events
+UNION ALL
+SELECT 'third_word_hist', regexp_split_to_array(trim(text), '\\s+')[3],
+       NULL, count(*)::BIGINT
+FROM documents GROUP BY 2
 """
 
 
@@ -763,29 +791,17 @@ SELECT 'count_star', 'lineitem', n_rows, CAST(NULL AS DOUBLE) FROM ({SQL_COUNT_S
 # Documents / training-data pipeline queries (M8: dedup, text analysis)
 # ---------------------------------------------------------------------------
 
-def q_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 — positional token extraction (text.split()[2],
-    FAISS/UI-Demo/pipeline+ui.py:643-646) + A1 histogram over it."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.withColumn("third_word", tokens("text").getItem(2))
-        .groupBy("third_word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-SQL_TOKEN_EXTRACT = """
-SELECT regexp_split_to_array(trim(text), '\\s+')[3] AS third_word, count(*) AS cnt
-FROM documents GROUP BY 1
-"""
-
-
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 text analysis — token/char counting plus quality scoring: mean
     word length, stopword ratio, alpha ratio; composite score. (Absorbs
-    the former doc_token_count entry — one scan produces both signal
-    families, and one registry slot covers both in the driver gate.)"""
-    d = _t(spark, sf_dir, "documents")
+    the former doc_token_count entry, and — r4 fold, VERDICT r3 #1 — the
+    former doc_repetition entry: intra-document duplicate-word/bigram
+    ratios from operators/textstats.add_repetition_metrics. One scan
+    produces all three per-doc signal families, pure Catalyst, zero
+    exchanges; one registry slot covers them in the driver gate.)"""
+    from deployment_spark.operators.textstats import add_repetition_metrics
+
+    d = add_repetition_metrics(_t(spark, sf_dir, "documents"))
     toks = tokens("text")
     n_tok = F.size(toks).cast("double")
     n_chars = F.length("text").cast("double")
@@ -804,17 +820,23 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(n_tok / 100.0, F.lit(1.0)) * 0.5 + stop_ratio * 0.3 + (alpha_chars / n_chars) * 0.2,
             4,
         ).alias("quality_score"),
+        "dup_word_ratio",
+        "dup_bigram_ratio",
     )
 
 
 SQL_DOC_QUALITY = """
 WITH s AS (
   SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
          len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS n_tok,
          length(text)::DOUBLE AS n_chars,
          len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b'))::DOUBLE AS stop_hits,
          length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha_chars
   FROM documents
+), b AS (
+  SELECT *, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM s
 )
 SELECT doc_id,
        n_tok::BIGINT AS n_tokens,
@@ -823,8 +845,10 @@ SELECT doc_id,
        round(stop_hits / n_tok, 4) AS stopword_ratio,
        round(alpha_chars / n_chars, 4) AS alpha_ratio,
        round(least(n_tok / 100.0, 1.0) * 0.5 + (stop_hits / n_tok) * 0.3
-             + (alpha_chars / n_chars) * 0.2, 4) AS quality_score
-FROM s
+             + (alpha_chars / n_chars) * 0.2, 4) AS quality_score,
+       round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 4) AS dup_word_ratio,
+       round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE, 4) AS dup_bigram_ratio
+FROM b
 """
 
 
@@ -1734,34 +1758,6 @@ def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_compressibility(alld).select("doc_id", "compress_ratio")
 
 
-def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 repetition metrics — intra-document duplicate-word and
-    duplicate-bigram ratios (boilerplate / keyword-stuffing / degenerate-
-    generation signal). Pure array expressions, per-row, shuffle-free."""
-    from deployment_spark.operators.textstats import add_repetition_metrics
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return add_repetition_metrics(d).select(
-        "doc_id", "n_words", "dup_word_ratio", "dup_bigram_ratio"
-    )
-
-
-SQL_DOC_REPETITION = """
-WITH words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-), bi AS (
-  SELECT doc_id, w,
-         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
-  FROM words
-)
-SELECT doc_id,
-       len(w)::BIGINT AS n_words,
-       round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 4) AS dup_word_ratio,
-       round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE, 4) AS dup_bigram_ratio
-FROM bi
-"""
-
-
 def q_stage_ordered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 — categorical ordered sort (``Milvus/stream1.py:548-556``): the
     reference orders its per-stage performance view by the fixed pipeline
@@ -2252,8 +2248,11 @@ FROM clips
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3/ST4 — Structured Streaming ingest of the events table
     (AvailableNow drain, complete-mode windowed counts into a memory
-    sink). Same answer as the batch q_events_hourly shape, via the
-    streaming engine; oracled by the equivalent batch SQL."""
+    sink), joined 1:1 against the BATCH tumbling-window aggregate over
+    the same file (r4 fold, VERDICT r3 #1: absorbs the former
+    events_hourly entry). The output carries the stream count and the
+    batch count side by side, so stream ≡ batch parity is itself
+    driver-hash-verified — the oracle emits count(*) for both columns."""
     import uuid
 
     from deployment_spark.streaming.ingest import windowed_event_counts
@@ -2287,12 +2286,31 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_conf_key)
         else:
             spark.conf.set(_conf_key, _prev)
-    return spark.table(sink).select("window_start", "event_type", F.col("cnt").cast("long").alias("cnt"))
+    stream_counts = spark.table(sink).select(
+        "window_start", "event_type", F.col("cnt").cast("long").alias("cnt")
+    )
+    # batch twin over the same file: tumbling-window count + value rollup
+    # (the former events_hourly shape), inner-joined so every row carries
+    # stream and batch answers for the same (window, type) cell
+    batch_counts = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "window_start",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_batch"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return stream_counts.join(batch_counts, ["window_start", "event_type"])
 
 
 SQL_STREAMING_HOURLY_COUNTS = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type, count(*) AS cnt
+       event_type, count(*) AS cnt, count(*) AS cnt_batch,
+       round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -2404,6 +2422,229 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join, batch twin (streaming/joins.py:61;
+    driver-gated r4, VERDICT r3 #1): 'view' impressions matched to
+    'click' events of the same user within a 30-minute attribution
+    window — a per-key interval join. The streaming form with
+    watermark-bounded state is result-identical by construction and
+    pinned by tests/test_streaming.py::
+    test_attribution_join_stream_equals_batch; the oracle replays the
+    interval join in SQL."""
+    from deployment_spark.streaming.joins import attribution_join_batch
+
+    ev = _t(spark, sf_dir, "events")
+    imps = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = attribution_join_batch(
+        imps,
+        clicks,
+        key="user_id",
+        imp_ts="imp_ts",
+        click_ts="click_ts",
+        attribution_window="30 minutes",
+    )
+    return j.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("imp_id").cast("long").alias("imp_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.date_format("imp_ts", "yyyy-MM-dd HH:mm:ss").alias("imp_time"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+    )
+
+
+SQL_ATTRIBUTION_JOIN = """
+WITH i AS (
+  SELECT user_id, event_id AS imp_id, ts AS imp_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT i.user_id::BIGINT AS user_id, imp_id::BIGINT AS imp_id,
+       click_id::BIGINT AS click_id,
+       strftime(imp_ts, '%Y-%m-%d %H:%M:%S') AS imp_time,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_time
+FROM i JOIN c ON i.user_id = c.user_id
+  AND c.click_ts >= i.imp_ts
+  AND c.click_ts <= i.imp_ts + INTERVAL 30 MINUTE
+"""
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram → continuous quantiles
+    (operators/histogram.py:40,59; driver-gated r4, VERDICT r3 #1):
+    one-pass 200-bin grid over events.value on the known [0, 500)
+    domain, quantiles read off cumulative bins with linear interpolation
+    — the distribution a stream maintains forever at O(bins) state. The
+    oracle replays bin clamping, cumulative window, and interpolation in
+    SQL, so the quantile math itself is hash-verified."""
+    from deployment_spark.operators.histogram import hist_build, hist_quantiles
+
+    LO, HI, BINS = 0.0, 500.0, 200
+    ev = _t(spark, sf_dir, "events").select("value")
+    h = hist_build(ev, "value", LO, HI, bins=BINS)
+    out = hist_quantiles(h, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], LO, HI, bins=BINS)
+    return out.select(
+        F.round("q", 2).alias("q"), F.round("value", 4).alias("value")
+    )
+
+
+SQL_HIST_QUANTILES = """
+WITH h AS (
+  SELECT least(greatest(floor((value - 0.0) / 2.5), 0), 199)::INT AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
+), tot AS (SELECT sum(cnt) AS n FROM h),
+probes AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT q, n, min(bin) AS bin
+  FROM probes CROSS JOIN tot CROSS JOIN cum
+  WHERE cum >= q * n GROUP BY q, n
+)
+SELECT round(q, 2) AS q,
+       round(0.0 + (hit.bin + (q * n - (cum - cnt)) / greatest(cnt, 1)) * 2.5, 4) AS value
+FROM hit JOIN cum ON hit.bin = cum.bin
+"""
+
+
+def q_profile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-form profiling gated against the exact form
+    (operators/profiling.py:35; driver-gated r4, VERDICT r3 #1). The
+    exact columns (count_distinct, interpolated percentile) are
+    oracle-replayed bit-for-bit; the scale-path sketches
+    (approx_count_distinct HLL++, percentile_approx Greenwald-Khanna)
+    are folded into self-judging ``*_ok`` booleans — the oracle emits
+    literal TRUE, so a sketch drifting out of its error envelope flips
+    the bit and fails the driver hash (the recall-floor pattern)."""
+    from deployment_spark.operators.profiling import profile_numeric
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = _t(spark, sf_dir, "lineitem")
+    exact = profile_numeric(li, cols, exact=True)
+    sk = profile_numeric(li, cols, exact=False, rsd=0.05, percentile_accuracy=10000)
+    e, s = exact.alias("e"), sk.alias("s")
+    # HLL++ rsd=0.05 → 3σ envelope + small-count slack; GK at
+    # accuracy=10000 on this data is near-exact → tight relative band
+    distinct_ok = (
+        F.abs(F.col("s.n_distinct") - F.col("e.n_distinct"))
+        <= 0.15 * F.col("e.n_distinct") + F.lit(10)
+    )
+    median_ok = (
+        F.abs(F.col("s.median_v") - F.col("e.median_v"))
+        <= 0.05 * F.abs(F.col("e.median_v")) + F.lit(0.01)
+    )
+    return e.join(F.broadcast(s), "column").select(
+        "column",
+        F.col("e.rows").cast("long").alias("rows"),
+        F.col("e.nulls").cast("long").alias("nulls"),
+        F.col("e.n_distinct").cast("long").alias("n_distinct"),
+        F.col("e.min_v").alias("min_v"),
+        F.col("e.max_v").alias("max_v"),
+        F.col("e.mean_v").alias("mean_v"),
+        F.col("e.stddev_v").alias("stddev_v"),
+        F.col("e.median_v").alias("median_v"),
+        distinct_ok.alias("distinct_ok"),
+        median_ok.alias("median_ok"),
+    )
+
+
+SQL_PROFILE_SKETCH_BOUNDS = """
+SELECT 'l_quantity' AS "column", count(*)::BIGINT AS rows,
+       count(CASE WHEN l_quantity IS NULL THEN 1 END)::BIGINT AS nulls,
+       count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+       round(min(l_quantity)::DOUBLE, 4) AS min_v,
+       round(max(l_quantity)::DOUBLE, 4) AS max_v,
+       round(avg(l_quantity), 4) AS mean_v,
+       round(stddev_samp(l_quantity), 4) AS stddev_v,
+       round(quantile_cont(l_quantity, 0.5)::DOUBLE, 4) AS median_v,
+       TRUE AS distinct_ok, TRUE AS median_ok
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*)::BIGINT,
+       count(CASE WHEN l_extendedprice IS NULL THEN 1 END)::BIGINT,
+       count(DISTINCT l_extendedprice)::BIGINT,
+       round(min(l_extendedprice)::DOUBLE, 4),
+       round(max(l_extendedprice)::DOUBLE, 4),
+       round(avg(l_extendedprice), 4),
+       round(stddev_samp(l_extendedprice), 4),
+       round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 4),
+       TRUE, TRUE
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*)::BIGINT,
+       count(CASE WHEN l_discount IS NULL THEN 1 END)::BIGINT,
+       count(DISTINCT l_discount)::BIGINT,
+       round(min(l_discount)::DOUBLE, 4),
+       round(max(l_discount)::DOUBLE, 4),
+       round(avg(l_discount), 4),
+       round(stddev_samp(l_discount), 4),
+       round(quantile_cont(l_discount, 0.5)::DOUBLE, 4),
+       TRUE, TRUE
+FROM lineitem
+"""
+
+
+def q_store_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping range read (operators/crud.py
+    read_where_key_between; driver-gated r4, VERDICT r3 #1). Builds a
+    mor SnapshotStore from events in three key-RANGE-disjoint segment
+    writes (each segment's manifest zone map covers only its range),
+    applies an UPDATE to keys [3000, 3999], then range-reads
+    [2500, 6500] — the read prunes the first segment by zone map before
+    any scan, and last-wins merge resolves the update. The oracle is the
+    unpruned filtered read with the update replayed as CASE, so pruning
+    correctness (pruned files cannot affect in-range rows) is
+    hash-verified; the pruning itself (files actually skipped) is
+    asserted in tests/test_crud.py."""
+    import shutil
+    import tempfile
+
+    from deployment_spark.operators.crud import SnapshotStore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="store_range_entry_")
+    try:
+        store = SnapshotStore(
+            spark, os.path.join(root, "store"), key="event_id", mode="mor"
+        )
+        store.insert(ev.filter(F.col("event_id") < 2000))
+        store.insert(ev.filter(F.col("event_id").between(2000, 5999)))
+        store.insert(ev.filter(F.col("event_id") >= 6000))
+        upd_keys = ev.filter(F.col("event_id").between(3000, 3999)).select("event_id")
+        upd_rows = ev.filter(F.col("event_id").between(3000, 3999)).withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+        store.update(upd_keys, upd_rows)
+        out = store.read_where_key_between(2500, 6500)
+        return out.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        ).localCheckpoint()  # materialize before the tmp store is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STORE_RANGE_READ = """
+SELECT event_id::BIGINT AS event_id, event_type,
+       round(value + CASE WHEN event_id BETWEEN 3000 AND 3999
+                          THEN 1000.0 ELSE 0.0 END, 2) AS value
+FROM events
+WHERE event_id BETWEEN 2500 AND 6500
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2412,11 +2653,16 @@ FROM r WHERE rank <= 5
 #
 # ORDER MATTERS: the driver's correctness gate runs entries in dict
 # order and windows at 50 — r2 silently dropped the last 9 of 59. Two
-# defenses: (a) the catalog is folded to 49 entries (trivial filter and
-# CRUD probes share tagged-union slots; per-doc signal families share
-# joined slots — every operator still verified, fewer slots), and
-# (b) the entries that lost their r2 rows (the index/recall/streaming/
-# media surface) run FIRST so even a smaller window sees them.
+# defenses: (a) the catalog is folded to exactly 50 entries (trivial
+# probes share tagged-union slots; per-doc signal families share joined
+# slots — every operator still verified, fewer slots; r4 folded
+# vector_norms+label_centroid_stats → embedding_norm_stats,
+# token_extract+concat_serialize → text_functions, events_hourly →
+# streaming_hourly_counts' batch columns, doc_repetition → doc_quality
+# to make room for the round-3 surface: attribution_join,
+# hist_quantiles, profile_sketch_bounds, store_range_read), and
+# (b) newer / previously-unwindowed surface runs FIRST so even a
+# smaller window sees it.
 REGISTRY: dict = {
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
     "packet_topk": (q_packet_topk, SQL_PACKET_TOPK),
@@ -2428,24 +2674,26 @@ REGISTRY: dict = {
     "ivf_recall": (q_ivf_recall, None),
     "pq_recall": (q_pq_recall, None),
     "ivfpq_recall": (q_ivfpq_recall, None),
-    "vector_norms": (q_vector_norms, SQL_VECTOR_NORMS),
+    # round-4 driver-gated surface (VERDICT r3 #1) — front of the window
+    "attribution_join": (q_attribution_join, SQL_ATTRIBUTION_JOIN),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "profile_sketch_bounds": (q_profile_sketch_bounds, SQL_PROFILE_SKETCH_BOUNDS),
+    "store_range_read": (q_store_range_read, SQL_STORE_RANGE_READ),
+    "embedding_norm_stats": (q_embedding_norm_stats, SQL_EMBEDDING_NORM_STATS),
     "lsh_bucket_ann": (q_lsh_bucket_ann, SQL_LSH_BUCKET_ANN),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "label_centroid_stats": (q_label_centroid_stats, SQL_LABEL_CENTROID_STATS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG_DELTA),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
     "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "json_numeric_coercion": (q_json_numeric_coercion, SQL_JSON_NUMERIC_COERCION),
-    "concat_serialize": (q_concat_serialize, SQL_CONCAT_SERIALIZE),
+    "text_functions": (q_text_functions, SQL_TEXT_FUNCTIONS),
     "dedup_keepfirst": (q_dedup_keepfirst, SQL_DEDUP_KEEPFIRST),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     "crud_ops_summary": (q_crud_ops_summary, SQL_CRUD_OPS_SUMMARY),
-    "token_extract": (q_token_extract, SQL_TOKEN_EXTRACT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_lang_scripts": (q_doc_lang_scripts, SQL_DOC_LANG_SCRIPTS),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
@@ -2465,7 +2713,6 @@ REGISTRY: dict = {
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
     "value_band_counts": (q_value_band_counts, SQL_VALUE_BAND_COUNTS),
     "event_freq_cms": (q_event_freq_cms, SQL_EVENT_FREQ_CMS),
-    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_hashes": (q_doc_hashes, SQL_DOC_HASHES),
     "doc_prep_pipeline": (q_doc_prep_pipeline, SQL_DOC_PREP_PIPELINE),
 }

@@ -132,8 +132,10 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     from deployment_spark.queries import REGISTRY
 
     # crossJoin(broadcast(1-row summary)) plans as BNLJ; bounded: the
-    # broadcast side is a single aggregate row
-    BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall"}
+    # broadcast side is a single aggregate row. hist_quantiles broadcasts
+    # the ≤bins-row cumulative grid and the 1-row total against a 6-row
+    # probe set — every BNLJ side is O(bins), never data-scale.
+    BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall", "hist_quantiles"}
     sf = sf_dir
     offenders = {}
     for name, (fn, _sql) in REGISTRY.items():
