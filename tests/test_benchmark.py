@@ -46,9 +46,15 @@ def test_model_grid_runs_per_model(spark, tmp_path):
     for r in rows:
         by_model.setdefault(r.model_name, set()).add(r.operation_type)
     assert set(by_model) == {"hash-embedder-16d", "hash-embedder-32d"}
-    # each model ran the whole op grid
-    assert all(ops == {"insertion", "deletion", "update", "query"} for ops in by_model.values())
-    assert len(rows) == 2 * 2 * 4  # models x sizes x ops
+    # each model ran the whole op grid PLUS its per-model index rebuild
+    # (pipeline.py:310-321 — IVF build + pruned search per model)
+    assert all(
+        ops == {"insertion", "deletion", "update", "query", "ivf_build", "ivf_query"}
+        for ops in by_model.values()
+    )
+    assert len(rows) == 2 * (2 * 4 + 2)  # models x (sizes x ops + ivf rows)
     # per-model stores really are separate (sanitized dirs)
     assert (tmp_path / "model_grid" / "hash_embedder_16d").exists()
     assert (tmp_path / "model_grid" / "hash_embedder_32d").exists()
+    assert (tmp_path / "model_grid" / "hash_embedder_16d_ivf").exists()
+    assert (tmp_path / "model_grid" / "hash_embedder_32d_ivf").exists()
