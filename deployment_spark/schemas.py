@@ -95,20 +95,35 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # TIMESTAMP(NANOS) files are only readable with the legacy conf on;
-    # scope it to the schema-resolving read and restore the caller's
-    # value (entries must not mutate session state — VERDICT r3 #3).
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str | None = None
+) -> DataFrame:
+    """Shared table loader for every catalog entry. ``fmt`` (or the
+    ``SPARK_GRAFT_TABLE_FORMAT`` env var) selects the physical source
+    format — ``parquet`` (default) or ``orc`` (``{sf_dir}/{name}.orc``)
+    — so the oracle replica can prove the hash-matched answers are
+    independent of the scan format (``tools/check_oracle.py --format
+    orc``); everything downstream of the scan is format-agnostic."""
+    import os as _os
+
+    fmt = fmt or _os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+    if fmt == "orc":
+        df = spark.read.orc(f"{sf_dir}/{name}.orc")
+    else:
+        # TIMESTAMP(NANOS) files are only readable with the legacy conf
+        # on; scope it to the schema-resolving read and restore the
+        # caller's value (entries must not mutate session state —
+        # VERDICT r3 #3).
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     if name == "events":
         df = normalize_event_time(df, "ts")
     return df

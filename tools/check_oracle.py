@@ -68,6 +68,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--format",
+        choices=["parquet", "orc"],
+        default="parquet",
+        help="Spark-side scan format. 'orc' converts every table to ORC in "
+        "a temp dir and routes load_table through it (the DuckDB oracle "
+        "keeps reading the original parquet), proving the hash-matched "
+        "answers are independent of the scan format.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -80,11 +89,30 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
 
+    spark_sf = args.sf
+    if args.format == "orc":
+        import shutil
+        import tempfile
+
+        from deployment_spark.schemas import TESTDATA_TABLES, load_table
+
+        orc_dir = tempfile.mkdtemp(prefix="oracle_orc_")
+        for t in TESTDATA_TABLES:
+            load_table(spark, args.sf, t, fmt="parquet").write.mode(
+                "overwrite"
+            ).orc(f"{orc_dir}/{t}.orc")
+        # the streaming entry is a parquet FILE-SOURCE by design — give it
+        # the original file; every load_table scan goes through ORC
+        shutil.copy(f"{args.sf}/events.parquet", f"{orc_dir}/events.parquet")
+        os.environ["SPARK_GRAFT_TABLE_FORMAT"] = "orc"
+        spark_sf = orc_dir
+        print(f"[orc] tables converted to {orc_dir}; spark scans ORC, duckdb scans parquet")
+
     failed, passed, rows_only = [], [], []
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf).toPandas()
+            sdf = qs[name](spark, spark_sf).toPandas()
         except Exception as e:
             failed.append(name)
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
