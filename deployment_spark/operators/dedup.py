@@ -442,3 +442,42 @@ def dedup_by_pairs(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    shingle_words: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION — flag corpus documents that share at
+    least ``min_shared`` word n-gram shingles with any benchmark/eval
+    document (the published n-gram-overlap protocol; 13-grams in the
+    original, ``shingle_words`` configurable for shorter documents).
+
+    Spark plan: distinct shingles exploded on both sides → equi-join ON
+    THE SHINGLE — shuffle keys are shingles, never doc pairs — → count
+    per (corpus, bench) pair → threshold. The bench side is explicitly
+    broadcast: eval suites are MBs while the corpus is the 100 TB side,
+    so the corpus streams through a shuffle-free broadcast-hash join and
+    the only exchange is the final pair-count aggregation, whose
+    cardinality is bounded by actual contamination (tiny by
+    construction).
+
+    Output: (corpus_id, bench_id, shared_shingles ≥ min_shared).
+    """
+    c_sh = corpus.select(
+        corpus_id, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    b_sh = bench.select(
+        bench_id, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    j = c_sh.join(F.broadcast(b_sh), "sh")
+    return (
+        j.groupBy(corpus_id, bench_id)
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

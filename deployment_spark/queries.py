@@ -390,11 +390,14 @@ GROUP BY event_type
 
 
 def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6+P7+P8 in one tagged probe — equality point lookup
-    (Milvus/stream1.py:331,340), range predicate (:299), and IN-list
-    (:313). Each branch is still its own pushed-down scan filter; the
-    union just folds three trivially-cheap registry entries into one
-    driver-gate slot (the gate windows at 50 entries)."""
+    """P6+P7+P8+P3/P9 in one tagged probe — equality point lookup
+    (Milvus/stream1.py:331,340), range predicate (:299), IN-list (:313),
+    and (r4 fold: the former json_numeric_coercion entry)
+    extract-and-coerce with null-on-failure semantics
+    (pd.to_numeric(errors='coerce'), Milvus/stream1.py:213). Each branch
+    is still its own pushed-down scan filter / coercion expression; the
+    union folds trivially-cheap registry entries into one driver-gate
+    slot (the gate windows at 50 entries)."""
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     point = o.filter(F.col("o_orderkey") == 42).select(
@@ -415,7 +418,14 @@ def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("val"))
         .select(F.lit("range").alias("probe"), F.col("event_type").alias("grp"), "cnt", "val")
     )
-    return point.unionByName(inlist).unionByName(rng)
+    k = F.regexp_extract("props", r"(\d+)", 1)
+    coerce = (
+        ev.withColumn("k", F.when(k == "", None).otherwise(k).cast("long"))
+        .groupBy("event_type")
+        .agg(F.count("k").alias("cnt"), F.round(F.avg("k"), 4).alias("val"))
+        .select(F.lit("coerce").alias("probe"), F.col("event_type").alias("grp"), "cnt", "val")
+    )
+    return point.unionByName(inlist).unionByName(rng).unionByName(coerce)
 
 
 SQL_FILTER_PREDICATES = """
@@ -428,6 +438,11 @@ FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY event_type
 UNION ALL
 SELECT 'range', event_type, count(*), round(avg(value), 4)
 FROM events WHERE value >= 50 AND value < 100 GROUP BY event_type
+UNION ALL
+SELECT 'coerce', event_type,
+       count(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)),
+       round(avg(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)), 4)
+FROM events GROUP BY event_type
 """
 
 
@@ -470,27 +485,57 @@ FROM events GROUP BY 1
 """
 
 
-def q_json_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/P9 — extract-and-coerce with null-on-failure semantics
-    (pd.to_numeric(errors='coerce'), Milvus/stream1.py:213)."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r"(\d+)", 1)
-    return (
-        ev.withColumn("k", F.when(k == "", None).otherwise(k).cast("long"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count("k").alias("k_nonnull"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
-        )
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION (operators/dedup.contamination_pairs;
+    new r4) — the published n-gram-overlap protocol every serious
+    training-data pipeline runs before training: corpus docs sharing ≥ 3
+    word-8-gram shingles with any benchmark doc are flagged with their
+    overlap count. The benchmark set here is a deterministic slice of
+    the corpus — a 20-word span from each doc_id ≡ 7 (mod 100) — so the
+    source documents MUST be flagged (self-contamination by
+    construction) plus any genuine near-copies. Corpus side streams
+    through a broadcast join on the shingle; the oracle replays
+    span-slicing, shingling, and the overlap count in SQL."""
+    from deployment_spark.operators.dedup import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 5, 20)).alias("text"),
+    )
+    out = contamination_pairs(d, bench, shingle_words=8, min_shared=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("shared_shingles").cast("long").alias("shared_shingles"),
     )
 
 
-SQL_JSON_NUMERIC_COERCION = """
-SELECT event_type, count(*) AS cnt,
-       count(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)) AS k_nonnull,
-       round(avg(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)), 4) AS avg_k
-FROM events GROUP BY event_type
+SQL_DOC_DECONTAMINATE = """
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ') AS text
+  FROM documents WHERE doc_id % 100 = 7
+), bw AS (
+  SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM bench
+), bsh AS (
+  SELECT DISTINCT bench_id,
+         unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                i -> array_to_string(w[i:i+7], ' '))) AS sh
+  FROM bw
+), cw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                i -> array_to_string(w[i:i+7], ' '))) AS sh
+  FROM cw
+)
+SELECT doc_id::BIGINT AS doc_id, bench_id::BIGINT AS bench_id,
+       count(*)::BIGINT AS shared_shingles
+FROM csh JOIN bsh USING (sh)
+GROUP BY 1, 2
+HAVING count(*) >= 3
 """
 
 
@@ -2764,7 +2809,7 @@ REGISTRY: dict = {
     "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG_DELTA),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
     "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
-    "json_numeric_coercion": (q_json_numeric_coercion, SQL_JSON_NUMERIC_COERCION),
+    "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
     "text_functions": (q_text_functions, SQL_TEXT_FUNCTIONS),
     "dedup_keepfirst": (q_dedup_keepfirst, SQL_DEDUP_KEEPFIRST),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),

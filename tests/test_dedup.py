@@ -149,3 +149,28 @@ def test_connected_components_labels(spark):
     )
     labels = {r.node: r.label for r in dedup.connected_components(pairs).collect()}
     assert labels == {5: 2, 9: 2, 2: 2, 11: 11, 12: 11, 7: 3, 3: 3}
+
+
+def test_contamination_pairs_flags_planted_overlap(spark):
+    """Benchmark docs built from spans of corpus docs must flag their
+    source (≥ min_shared shared 8-gram shingles); unrelated docs must
+    not appear; and the bench side rides a broadcast join (the corpus is
+    the 100 TB side — it must never shuffle on pairs)."""
+    from deployment_spark.operators.dedup import contamination_pairs
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(30))
+    corpus = spark.createDataFrame(
+        [(i, words(i)) for i in range(20)], ["doc_id", "text"]
+    )
+    # bench 0 = words 5..24 of doc 3; bench 1 = fresh text (no overlap)
+    span = " ".join(f"w3_{j}" for j in range(4, 24))
+    bench = spark.createDataFrame(
+        [(100, span), (101, " ".join(f"fresh_{j}" for j in range(30)))],
+        ["bench_id", "text"],
+    )
+    out = contamination_pairs(corpus, bench, shingle_words=8, min_shared=3)
+    rows = {(r.doc_id, r.bench_id): r.shared_shingles for r in out.collect()}
+    assert set(rows) == {(3, 100)}
+    assert rows[(3, 100)] == 13  # 20-word span -> 13 distinct 8-grams
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
