@@ -119,3 +119,39 @@ def categorical_sort(
     if extra_order:
         keys += [F.col(c) for c in extra_order]
     return df.orderBy(*keys)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_expr: Column,
+    salt: str = "mix",
+    resolution: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the TRAINING-MIX curation op
+    (upsample scarce high-quality strata, downsample boilerplate) that a
+    corpus pipeline runs after scoring. Each row's fate is a pure
+    function of (key, salt): keep iff
+    ``hash(key|salt) % resolution < fraction·resolution``, with the hash
+    the portable md5-prefix parse also used by ``cms_build_portable`` —
+    so the sample is reproducible across runs, retries, AND engines
+    (DuckDB replays it bit-for-bit), unlike ``df.sampleBy`` whose
+    per-partition RNG changes under repartitioning. Strata absent from
+    ``fractions`` are dropped (explicit mix: what's not in the recipe is
+    not in the corpus). Pure Catalyst row-local filter — no shuffle, no
+    state; at 100 TB it rides the scan.
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(key_expr, F.lit("|" + salt))), 1, 8), 16, 10
+        ).cast("long")
+        % resolution
+    )
+    threshold = F.lit(-1)
+    for stratum, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum),
+            F.lit(int(round(frac * resolution))),
+        ).otherwise(threshold)
+    return df.filter(h < threshold)

@@ -640,17 +640,43 @@ FROM (
 
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 analog — reproducible sample via modulo (the reference's
-    np.random.choice is unseeded; fixtures pin determinism, FIXTURES §4)."""
+    """T5 analog — reproducible sampling, two forms in one tagged slot:
+    kind='modulo' is the plain reproducible sample (the reference's
+    np.random.choice is unseeded; fixtures pin determinism, FIXTURES §4);
+    kind='stratified' (r4) is the TRAINING-MIX curation op —
+    operators/cleaning.stratified_sample — keeping 50% of 'A', 10% of
+    'N', 25% of 'R' rows by a portable hash of the row key, so the mix
+    recipe is reproducible across runs and engines and the oracle
+    replays the exact kept set."""
+    from deployment_spark.operators.cleaning import stratified_sample
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_orderkey") % 97 == 0).select(
-        "l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag"
+    cols = ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag"]
+    modulo = li.filter(F.col("l_orderkey") % 97 == 0).select(
+        F.lit("modulo").alias("kind"), *cols
     )
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_suppkey").cast("string"),
+    )
+    strat = stratified_sample(
+        li, "l_returnflag", {"A": 0.5, "N": 0.1, "R": 0.25}, key
+    ).select(F.lit("stratified").alias("kind"), *cols)
+    return modulo.unionByName(strat)
 
 
 SQL_DETERMINISTIC_SAMPLE = """
-SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+SELECT 'modulo' AS kind, l_orderkey, l_linenumber, l_suppkey, l_returnflag
 FROM lineitem WHERE l_orderkey % 97 = 0
+UNION ALL
+SELECT 'stratified', l_orderkey, l_linenumber, l_suppkey, l_returnflag
+FROM lineitem
+WHERE ('0x' || substring(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR
+            || '-' || l_suppkey::VARCHAR || '|mix'), 1, 8))::BIGINT % 10000
+      < CASE l_returnflag WHEN 'A' THEN 5000 WHEN 'N' THEN 1000
+                          WHEN 'R' THEN 2500 ELSE -1 END
 """
 
 

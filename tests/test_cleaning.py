@@ -122,3 +122,31 @@ def test_sanitize_name(spark):
     assert df.select(sanitize_name("m").alias("s")).first().s == (
         "sentence_transformers_all_MiniLM_L6_v2"
     )
+
+
+def test_stratified_sample_mix_recipe(spark):
+    """Training-mix curation: per-stratum keep rates land near the
+    recipe, the kept set is bit-identical across invocations (pure
+    function of key+salt — retry/engine stable), and strata outside the
+    recipe are dropped entirely."""
+    from pyspark.sql import functions as F
+
+    from deployment_spark.operators.cleaning import stratified_sample
+
+    df = spark.range(30000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(F.lit("hi"), F.lit("mid"), F.lit("junk")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("quality"),
+    )
+    fr = {"hi": 0.8, "mid": 0.2}
+    out = stratified_sample(df, "quality", fr, F.col("id").cast("string"))
+    rates = {
+        r.quality: r.n / 10000
+        for r in out.groupBy("quality").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(rates) == {"hi", "mid"}  # junk dropped
+    assert abs(rates["hi"] - 0.8) < 0.02 and abs(rates["mid"] - 0.2) < 0.02
+    again = stratified_sample(df, "quality", fr, F.col("id").cast("string"))
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
