@@ -55,6 +55,10 @@ HEADLINE = [
     # r2 custom join shapes
     "events_asof_purchase",
     "value_band_counts",
+    # r4 additions: per-key interval join (attribution) and the
+    # broadcast-shingle decontamination join
+    "attribution_join",
+    "doc_decontaminate",
 ]
 
 

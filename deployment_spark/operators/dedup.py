@@ -469,7 +469,7 @@ def contamination_pairs(
 
     Output: (corpus_id, bench_id, shared_shingles ≥ min_shared).
     """
-    c_sh = corpus.select(
+    c_sh = spread_for_cpu(corpus).select(
         corpus_id, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
     )
     b_sh = bench.select(
