@@ -296,3 +296,43 @@ def add_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_word_ratio", F.round(F.lit(1.0) - F.try_divide(nd, n), 4))
         .withColumn("dup_bigram_ratio", F.round(F.lit(1.0) - F.try_divide(nbd, nb), 4))
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-statistics quality scoring — the unigram language-model
+    filter (the CCNet/Gopher-style move: score each document by how
+    probable its tokens are under the corpus's own distribution; gibberish,
+    boilerplate keys, and wrong-language text score low). Unlike the
+    row-local signals above, this NEEDS corpus state:
+
+    1. one explode + groupBy builds the unigram table (count per token),
+    2. tokens re-join against it BY TOKEN — shuffle keys are tokens,
+       never doc pairs, and at 100 TB this is the standard
+       skew-tolerant hash join (AQE splits the stopword-heavy keys),
+    3. per-doc mean log-probability + rare-token ratio
+       (fraction of tokens seen ≤ ``rare_max_count`` times corpus-wide).
+
+    Output: (id_col, n_tokens, avg_logprob, rare_ratio). avg_logprob is
+    ln-scale, ≤ 0, higher = more typical text.
+    """
+    from deployment_spark.operators.dedup import spread_for_cpu
+
+    toks = (
+        spread_for_cpu(df)
+        .select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        F.round(
+            F.avg(F.when(F.col("c") <= rare_max_count, 1.0).otherwise(0.0)), 4
+        ).alias("rare_ratio"),
+    )

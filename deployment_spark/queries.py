@@ -425,7 +425,23 @@ def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("k").alias("cnt"), F.round(F.avg("k"), 4).alias("val"))
         .select(F.lit("coerce").alias("probe"), F.col("event_type").alias("grp"), "cnt", "val")
     )
-    return point.unionByName(inlist).unionByName(rng).unionByName(coerce)
+    # r4 fold: the former event_type_counts entry (A1/A2 value_counts
+    # top-10, the protocol histogram) as a fourth tagged branch; val
+    # carries the desc-count rank so the ORDER semantics stay verified
+    # under the driver's order-insensitive compare
+    topc = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "val",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("event_type")))
+            .cast("double"),
+        )
+        .filter(F.col("val") <= 10)
+        .select(F.lit("topcount").alias("probe"), F.col("event_type").alias("grp"), "cnt", "val")
+    )
+    return point.unionByName(inlist).unionByName(rng).unionByName(coerce).unionByName(topc)
 
 
 SQL_FILTER_PREDICATES = """
@@ -443,6 +459,12 @@ SELECT 'coerce', event_type,
        count(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)),
        round(avg(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT)), 4)
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'topcount', event_type, cnt, rank::DOUBLE FROM (
+  SELECT event_type, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank
+  FROM events GROUP BY event_type
+) WHERE rank <= 10
 """
 
 
@@ -482,6 +504,39 @@ SQL_EVENTS_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        count(*) AS cnt, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1
+"""
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (operators/textstats.unigram_lm_score;
+    new r4) — the corpus-statistics filter class the row-local signals
+    can't express: per-doc mean token log-probability under the corpus's
+    own unigram distribution plus rare-token ratio. The oracle replays
+    the vocabulary build, the token join, and both aggregates in SQL."""
+    from deployment_spark.operators.textstats import unigram_lm_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = unigram_lm_score(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "avg_logprob",
+        "rare_ratio",
+    )
+
+
+SQL_DOC_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (SELECT sum(c) AS n FROM vocab)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(c / n)), 4) AS avg_logprob,
+       round(avg(CASE WHEN c <= 2 THEN 1.0 ELSE 0.0 END), 4) AS rare_ratio
+FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
 """
 
 
@@ -2834,8 +2889,8 @@ REGISTRY: dict = {
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG_DELTA),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
-    "event_type_counts": (q_event_type_counts, SQL_EVENT_TYPE_COUNTS),
     "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
+    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "text_functions": (q_text_functions, SQL_TEXT_FUNCTIONS),
     "dedup_keepfirst": (q_dedup_keepfirst, SQL_DEDUP_KEEPFIRST),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),

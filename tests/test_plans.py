@@ -135,7 +135,8 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     # broadcast side is a single aggregate row. hist_quantiles broadcasts
     # the ≤bins-row cumulative grid and the 1-row total against a 6-row
     # probe set — every BNLJ side is O(bins), never data-scale.
-    BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall", "hist_quantiles"}
+    # doc_lm_score crossJoins the 1-row corpus-total aggregate
+    BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall", "hist_quantiles", "doc_lm_score"}
     sf = sf_dir
     offenders = {}
     for name, (fn, _sql) in REGISTRY.items():

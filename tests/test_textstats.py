@@ -201,3 +201,22 @@ def test_script_detection(spark):
     assert rows[3].dominant_script == "cjk"
     assert rows[4].dominant_script == "cyrillic"  # more cyrillic than latin
     assert rows[5].dominant_script == "other"
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    """Corpus 'a a b' / 'a c': N=5, c(a)=3, c(b)=c(c)=1. Mean token
+    log-prob and rare-token ratio must match the hand calculation."""
+    import math
+
+    from deployment_spark.operators.textstats import unigram_lm_score
+
+    d = spark.createDataFrame([(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_lm_score(d).collect()}
+    ln = math.log
+    exp1 = round((2 * ln(3 / 5) + ln(1 / 5)) / 3, 4)
+    exp2 = round((ln(3 / 5) + ln(1 / 5)) / 2, 4)
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    assert abs(got[1].avg_logprob - exp1) < 1e-9
+    assert abs(got[2].avg_logprob - exp2) < 1e-9
+    assert abs(got[1].rare_ratio - round(1 / 3, 4)) < 1e-9  # b rare
+    assert got[2].rare_ratio == 0.5  # c rare
