@@ -55,10 +55,12 @@ HEADLINE = [
     # r2 custom join shapes
     "events_asof_purchase",
     "value_band_counts",
-    # r4 additions: per-key interval join (attribution) and the
-    # broadcast-shingle decontamination join
+    # r4 additions: per-key interval join (attribution), the
+    # broadcast-shingle decontamination join, and the token-keyed
+    # corpus-stats join (unigram LM scoring)
     "attribution_join",
     "doc_decontaminate",
+    "doc_lm_score",
 ]
 
 
