@@ -468,24 +468,6 @@ SELECT 'topcount', event_type, cnt, rank::DOUBLE FROM (
 """
 
 
-def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 — value_counts top-10 (protocol histogram,
-    FAISS/UI-Demo/pipeline+ui.py:649-650)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("event_type"))
-        .limit(10)
-    )
-
-
-SQL_EVENT_TYPE_COUNTS = """
-SELECT event_type, count(*) AS cnt FROM events
-GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10
-"""
-
-
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (ST4 extension): event-time tumbling window agg —
     the watermarked streaming query's batch shape. No longer a registry
