@@ -21,12 +21,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deployment_spark import get_spark
-from deployment_spark.queries import REGISTRY, q_events_hourly
+from deployment_spark.queries import SQL_EVENTS_HOURLY, REGISTRY, q_events_hourly
 
 # events_hourly left the driver registry in the r4 fold (its answer is
 # now hash-verified inside streaming_hourly_counts' batch columns) but
 # stays a headline bench query so BENCH rows compare across rounds.
-BENCH_ONLY = {"events_hourly": (q_events_hourly, None)}
+BENCH_ONLY = {"events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY)}
 LOOKUP = {**BENCH_ONLY, **REGISTRY}
 
 HEADLINE = [

@@ -2690,7 +2690,12 @@ WITH h AS (
 ), cum AS (
   SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
 ), tot AS (SELECT sum(cnt) AS n FROM h),
-probes AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+-- ::DOUBLE[] is load-bearing: a bare decimal list makes q DECIMAL and
+-- q*n exact DECIMAL(38,2), while Spark computes q*n in IEEE double —
+-- the engines would then disagree on `cum >= q*n` exactly when a
+-- cumulative count lands on q·N (e.g. 0.1*2000: DuckDB 200, Spark
+-- 200.00000000000003)
+probes AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q),
 hit AS (
   SELECT q, n, min(bin) AS bin
   FROM probes CROSS JOIN tot CROSS JOIN cum

@@ -96,7 +96,10 @@ def main() -> int:
 
         from deployment_spark.schemas import TESTDATA_TABLES, load_table
 
+        import atexit
+
         orc_dir = tempfile.mkdtemp(prefix="oracle_orc_")
+        atexit.register(shutil.rmtree, orc_dir, ignore_errors=True)
         for t in TESTDATA_TABLES:
             load_table(spark, args.sf, t, fmt="parquet").write.mode(
                 "overwrite"
