@@ -303,6 +303,7 @@ def unigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_max_count: int = 2,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Corpus-statistics quality scoring — the unigram language-model
     filter (the CCNet/Gopher-style move: score each document by how
@@ -310,29 +311,72 @@ def unigram_lm_score(
     boilerplate keys, and wrong-language text score low). Unlike the
     row-local signals above, this NEEDS corpus state:
 
-    1. one explode + groupBy builds the unigram table (count per token),
-    2. tokens re-join against it BY TOKEN — shuffle keys are tokens,
-       never doc pairs, and at 100 TB this is the standard
-       skew-tolerant hash join (AQE splits the stopword-heavy keys),
-    3. per-doc mean log-probability + rare-token ratio
+    1. one explode + groupBy(doc, token) builds per-doc term frequencies
+       — the (doc, token) key spreads stopword-heavy tokens across docs,
+       so this first (and only) full-token-stream shuffle is skew-free
+       by construction,
+    2. the unigram table derives from the tf aggregate (sum of tf per
+       token) and tf re-joins against it BY TOKEN — both exchanges move
+       the doc×distinct-token aggregate, far smaller than the raw token
+       stream. The join is SALTED (``salt_buckets``): tf keys by
+       (token, hash(doc) % S) and each 1-row-per-token vocab row is
+       replicated S ways, so a stopword key that would otherwise put
+       one tf row per corpus document into a single partition spreads
+       across S. AQE's OptimizeSkewedJoin can NOT cover this join — it
+       pattern-matches Sort→ShuffleQueryStage on both sides, and the
+       vocab side has its final HashAggregate between the two — so the
+       salt is the load-bearing skew defense, not a belt-and-braces
+       (verified in tests/test_textstats.py's planted-stopword test),
+    3. per-doc tf-weighted mean log-probability + rare-token ratio
        (fraction of tokens seen ≤ ``rare_max_count`` times corpus-wide).
+
+    The corpus is scanned and tokenized ONCE: the vocabulary build and
+    the scoring join both consume the same ``tf`` aggregate, whose
+    exchange Catalyst dedupes via ReuseExchange (asserted in
+    tests/test_plans.py) — no cache/persist of an exploded token stream
+    needed, which at 100 TB would be a second materialization.
 
     Output: (id_col, n_tokens, avg_logprob, rare_ratio). avg_logprob is
     ln-scale, ≤ 0, higher = more typical text.
     """
     from deployment_spark.operators.dedup import spread_for_cpu
 
-    toks = (
+    tf = (
         spread_for_cpu(df)
         .select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
-    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(total))
+    s = max(int(salt_buckets), 1)
+    # coalesce keeps the salt provably non-nullable: otherwise the join
+    # infers isnotnull(_salt) and pushes it into ONE side's scan, which
+    # de-duplicates the two tf subtrees and breaks ReuseExchange (the
+    # single-scan property asserted in tests/test_plans.py)
+    tf_salted = tf.withColumn(
+        "_salt",
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int"), F.lit(0)
+        ),
+    )
+    vocab_salted = vocab.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    )
+    scored = tf_salted.join(vocab_salted, ["tok", "_salt"]).crossJoin(
+        F.broadcast(total)
+    )
+    n_tok = F.sum("tf")
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        n_tok.cast("long").alias("n_tokens"),
         F.round(
-            F.avg(F.when(F.col("c") <= rare_max_count, 1.0).otherwise(0.0)), 4
+            F.sum(F.col("tf") * F.log(F.col("c") / F.col("n"))) / n_tok, 4
+        ).alias("avg_logprob"),
+        F.round(
+            F.sum(
+                F.when(F.col("c") <= rare_max_count, F.col("tf")).otherwise(F.lit(0))
+            )
+            / n_tok,
+            4,
         ).alias("rare_ratio"),
     )

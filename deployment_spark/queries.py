@@ -508,16 +508,21 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_LM_SCORE = """
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+  GROUP BY doc_id, tok
 ), vocab AS (
-  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+  SELECT tok, sum(tf) AS c FROM tf GROUP BY tok
 ), tot AS (SELECT sum(c) AS n FROM vocab)
-SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
-       round(avg(ln(c / n)), 4) AS avg_logprob,
-       round(avg(CASE WHEN c <= 2 THEN 1.0 ELSE 0.0 END), 4) AS rare_ratio
-FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+SELECT doc_id::BIGINT AS doc_id, sum(tf)::BIGINT AS n_tokens,
+       round(sum(tf * ln(c / n)) / sum(tf), 4) AS avg_logprob,
+       round(sum(CASE WHEN c <= 2 THEN tf ELSE 0 END)::DOUBLE / sum(tf), 4)
+         AS rare_ratio
+FROM tf JOIN vocab USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 """
 

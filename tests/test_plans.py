@@ -149,3 +149,25 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_lm_score_single_tokenization(spark, sf_dir):
+    """unigram_lm_score must scan + tokenize the corpus ONCE: the vocab
+    build and the scoring join share the tf aggregate's exchange via
+    ReuseExchange (r4 finding: the old shape ran the explode twice)."""
+    import re
+
+    from deployment_spark.operators.textstats import unigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = unigram_lm_score(d)
+    out.collect()  # AQE: inspect the FINAL executed plan, not the initial
+    final = audit.physical_plan(out).split("== Initial Plan ==")[0]
+    n_scans = len(re.findall(r"FileScan|Scan parquet|Scan orc", final))
+    assert n_scans == 1, final
+    # 2 Generates: the tokenizing explode (must appear once) and the
+    # cheap vocab-side salt-replication explode
+    gens = [ln for ln in final.splitlines() if "Generate" in ln]
+    assert len(gens) == 2, final
+    assert sum("split" in ln for ln in gens) == 1, gens
+    assert "ReusedExchange" in final, final

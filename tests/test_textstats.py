@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from deployment_spark.operators import textstats
+from deployment_spark.plans import audit
 
 
 def test_token_count(spark):
@@ -220,3 +221,51 @@ def test_unigram_lm_score_hand_computed(spark):
     assert abs(got[2].avg_logprob - exp2) < 1e-9
     assert abs(got[1].rare_ratio - round(1 / 3, 4)) < 1e-9  # b rare
     assert got[2].rare_ratio == 0.5  # c rare
+
+
+def test_unigram_lm_score_skewed_corpus_salted_join(spark):
+    """Planted stopword-heavy corpus: every doc repeats 'the' plus one
+    unique token, so an unsalted token-keyed vocab join would put one tf
+    row per corpus document into a single partition. AQE's
+    OptimizeSkewedJoin cannot rescue this join shape (it requires
+    Sort→ShuffleQueryStage on BOTH sides; the vocab side has its final
+    HashAggregate in between — verified empirically before salting was
+    added), so the operator salts deterministically. Assert with the
+    broadcast path disabled that (a) the executed shuffle join keys on
+    the salt, (b) the hot key's rows really spread across the salt
+    space, (c) the scores stay exact."""
+    import math
+
+    from deployment_spark.operators.textstats import unigram_lm_score
+
+    n_docs = 2000
+    docs = [(i, "the " * 20 + f"uniq{i}") for i in range(n_docs)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(8)
+
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = unigram_lm_score(d, salt_buckets=8)
+        rows = {r.doc_id: r for r in out.collect()}
+        final = audit.physical_plan(out).split("== Initial Plan ==")[0]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    join_lines = [
+        ln for ln in final.splitlines() if "MergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert any("_salt" in ln for ln in join_lines), final
+    # the hot key occupies all 8 salt buckets: 2000 docs hash ~uniformly
+    n_buckets = (
+        d.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("s")
+        ).distinct().count()
+    )
+    assert n_buckets == 8
+    # N = 21*n_docs tokens; c(the) = 20*n_docs, c(uniq_i) = 1
+    n = 21 * n_docs
+    exp = round((20 * math.log(20 * n_docs / n) + math.log(1 / n)) / 21, 4)
+    assert all(r.n_tokens == 21 for r in rows.values())
+    assert all(abs(r.avg_logprob - exp) < 1e-9 for r in rows.values())
+    assert all(abs(r.rare_ratio - round(1 / 21, 4)) < 1e-9 for r in rows.values())
