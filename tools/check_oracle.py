@@ -65,6 +65,223 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+# ---------------------------------------------------------------------------
+# Independent local verifiers for the rows-only entries (VERDICT r4 #1).
+#
+# The driver cannot oracle recall or zlib in SQL, so these entries are
+# self-judging inside the engine. The checks below break that loop:
+# the EXACT reference set is computed here with pyarrow + numpy straight
+# off the parquet files (no Spark, no engine code), the approximate set
+# comes from the engine (it is the object under test), and the recall
+# arithmetic runs in plain Python. A drifted engine claim — wrong hits,
+# wrong mean, a stale meets_floor bit — fails the check even though the
+# entry's own columns would happily agree with themselves.
+# ---------------------------------------------------------------------------
+
+
+def _exact_topk_numpy(sf_dir: str, k: int = 10, n_queries: int = 20) -> dict[int, set[int]]:
+    """Exact cosine top-k per query, independent of the engine: float64
+    numpy over the raw parquet, ranked by (similarity desc, vec_id asc) —
+    the same documented deterministic tie-break the engine uses."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    qmask = ids < n_queries
+    qids, qm = ids[qmask], unit[qmask]
+    sims = unit @ qm.T
+    out: dict[int, set[int]] = {}
+    for j, qid in enumerate(qids):
+        order = np.lexsort((ids, -sims[:, j]))[:k]
+        out[int(qid)] = {int(i) for i in ids[order]}
+    return out
+
+
+def _verify_recall_rows(
+    sdf: pd.DataFrame,
+    exact: dict[int, set[int]],
+    approx_by_claim: dict[str, dict[int, set[int]]],
+    mean_cols: dict[str, str],
+    floor_expr,
+    k: int = 10,
+) -> list[str]:
+    """Compare an entry's claimed per-query hit/recall/mean/floor columns
+    against independently computed values. approx_by_claim maps the hits
+    column name -> {query_id: approx id set}; mean_cols maps the mean
+    column -> the recall column it averages; floor_expr(means) gives the
+    expected meets_floor bit."""
+    problems: list[str] = []
+    means: dict[str, float] = {}
+    recall_col_of = {
+        "hits": "recall_at_10", "hits_adc": "recall_adc", "hits_rerank": "recall_rerank",
+    }
+    if set(int(q) for q in sdf["query_id"]) != set(exact):
+        problems.append(
+            f"query set mismatch: rows {sorted(set(sdf['query_id']))[:5]}... "
+            f"vs exact {sorted(exact)[:5]}..."
+        )
+        return problems
+    for hits_col, approx in approx_by_claim.items():
+        recall_col = recall_col_of[hits_col]
+        per_q = {qid: len(ex & approx.get(qid, set())) for qid, ex in exact.items()}
+        for row in sdf.itertuples():
+            qid = int(row.query_id)
+            want = per_q[qid]
+            if int(getattr(row, hits_col)) != want:
+                problems.append(
+                    f"{hits_col}[q={qid}]: claimed {getattr(row, hits_col)}, independent {want}"
+                )
+            if abs(float(getattr(row, recall_col)) - round(want / k, 4)) > 1e-9:
+                problems.append(
+                    f"{recall_col}[q={qid}]: claimed {getattr(row, recall_col)}, "
+                    f"independent {round(want / k, 4)}"
+                )
+        means[hits_col] = round(sum(per_q.values()) / (k * len(per_q)), 4)
+    for mean_col, hits_col in mean_cols.items():
+        claimed = float(sdf[mean_col].iloc[0])
+        if abs(claimed - means[hits_col]) > 1e-9:
+            problems.append(
+                f"{mean_col}: claimed {claimed}, independent {means[hits_col]}"
+            )
+    want_floor = bool(floor_expr(means))
+    if not sdf["meets_floor"].eq(want_floor).all():
+        problems.append(f"meets_floor: claimed {sdf['meets_floor'].iloc[0]}, independent {want_floor}")
+    return problems
+
+
+def _pairs_to_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    return out
+
+
+def check_ivf_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+    from pyspark.sql import functions as F
+
+    from deployment_spark.queries import IVF_RECALL_FLOOR, _ivf_index
+
+    index, emb = _ivf_index(spark, spark_sf)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = _pairs_to_sets(
+        index.search(queries, k=10, nprobe=10).select("query_id", "vec_id").collect()
+    )
+    exact = _exact_topk_numpy(data_sf)
+    return _verify_recall_rows(
+        sdf, exact, {"hits": approx}, {"mean_recall": "hits"},
+        lambda m: m["hits"] >= IVF_RECALL_FLOOR,
+    )
+
+
+def check_pq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+    from pyspark.sql import functions as F
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.pq import PQCodec
+    from deployment_spark.queries import PQ_ADC_FLOOR, PQ_RERANK_FLOOR, _t
+
+    emb = _t(spark, spark_sf, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
+    codes = codec.encode(norm)
+    adc = _pairs_to_sets(
+        codec.search(codes, queries, k=10).select("query_id", "vec_id").collect()
+    )
+    rr = _pairs_to_sets(
+        codec.search_rerank(codes, queries, norm, k=10, shortlist=50)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    exact = _exact_topk_numpy(data_sf)
+    return _verify_recall_rows(
+        sdf, exact, {"hits_adc": adc, "hits_rerank": rr},
+        {"mean_recall_adc": "hits_adc", "mean_recall_rerank": "hits_rerank"},
+        lambda m: m["hits_rerank"] >= PQ_RERANK_FLOOR and m["hits_adc"] >= PQ_ADC_FLOOR,
+    )
+
+
+def check_ivfpq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.ivfpq import IVFPQIndex
+    from deployment_spark.queries import IVFPQ_RERANK_FLOOR, _t
+
+    emb = _t(spark, spark_sf, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    with tempfile.TemporaryDirectory(prefix="oracle_ivfpq_") as root:
+        index = IVFPQIndex(spark, root).build(norm, nlist=8, m=16, ksub=256)
+        queries = norm.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        approx = _pairs_to_sets(
+            index.search(queries, k=10, nprobe=5, shortlist=50)
+            .select("query_id", "vec_id")
+            .collect()
+        )
+    exact = _exact_topk_numpy(data_sf)
+    return _verify_recall_rows(
+        sdf, exact, {"hits": approx}, {"mean_recall": "hits"},
+        lambda m: m["hits"] >= IVFPQ_RERANK_FLOOR,
+    )
+
+
+def check_doc_compressibility(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+    """Exact zlib oracle: recompute every ratio with stdlib zlib off the
+    raw parquet + the entry's two planted docs."""
+    import hashlib
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{data_sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        int(i): s
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if int(i) < 50
+    }
+    docs[900001] = "spam " * 200
+    docs[900002] = hashlib.sha512(b"noise").hexdigest()
+    problems: list[str] = []
+    if set(int(d) for d in sdf["doc_id"]) != set(docs):
+        problems.append("doc_id set mismatch vs independent recompute")
+        return problems
+    for row in sdf.itertuples():
+        text = docs[int(row.doc_id)]
+        raw = text.encode("utf-8") if text is not None else b""
+        want = len(zlib.compress(raw, 6)) / len(raw) if raw else None
+        got = None if pd.isna(row.compress_ratio) else float(row.compress_ratio)
+        if want is None:
+            if got is not None:
+                problems.append(f"doc {row.doc_id}: claimed {got}, expected NULL")
+        elif got is None or abs(got - want) > 5e-5 + 1e-9:
+            problems.append(
+                f"doc {row.doc_id}: claimed {got}, independent zlib {want:.6f}"
+            )
+    return problems
+
+
+# entry name -> verifier(spark, spark_sf, data_sf, sdf) -> problem list
+LOCAL_CHECKS = {
+    "ivf_recall": check_ivf_recall,
+    "pq_recall": check_pq_recall,
+    "ivfpq_recall": check_ivfpq_recall,
+    "doc_compressibility": check_doc_compressibility,
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
@@ -90,6 +307,7 @@ def main() -> int:
     names = args.names or list(qs)
 
     spark_sf = args.sf
+    prior_fmt = os.environ.get("SPARK_GRAFT_TABLE_FORMAT")
     if args.format == "orc":
         import shutil
         import tempfile
@@ -112,6 +330,22 @@ def main() -> int:
         print(f"[orc] tables converted to {orc_dir}; spark scans ORC, duckdb scans parquet")
 
     failed, passed, rows_only = [], [], []
+    try:
+        _run(spark, con, qs, oracles, names, spark_sf, args, failed, passed, rows_only)
+    finally:
+        # --format orc flips a process-global toggle; restore it so any
+        # in-process reuse after main() doesn't keep routing scans to the
+        # (atexit-deleted) ORC dir
+        if prior_fmt is None:
+            os.environ.pop("SPARK_GRAFT_TABLE_FORMAT", None)
+        else:
+            os.environ["SPARK_GRAFT_TABLE_FORMAT"] = prior_fmt
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    return 1 if failed else 0
+
+
+def _run(spark, con, qs, oracles, names, spark_sf, args, failed, passed, rows_only):
     for name in names:
         t0 = time.time()
         try:
@@ -121,8 +355,25 @@ def main() -> int:
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            rows_only.append(name)
-            print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            chk = LOCAL_CHECKS.get(name)
+            if chk is None:
+                rows_only.append(name)
+                print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+                continue
+            try:
+                problems = chk(spark, spark_sf, args.sf, sdf)
+            except Exception as e:
+                failed.append(name)
+                print(f"✗ {name}: LOCAL CHECK ERROR {type(e).__name__}: {e}")
+                continue
+            if problems:
+                failed.append(name)
+                print(f"✗ {name} (local check, {time.time()-t0:.1f}s)")
+                for p in problems:
+                    print(f"    {p}")
+            else:
+                passed.append(name)
+                print(f"✓ {name} (local independent check, {len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
@@ -141,9 +392,6 @@ def main() -> int:
             passed.append(name)
             soft = "; ".join(p for p in problems if p.startswith("dtype"))
             print(f"✓ {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)" + (f" [{soft}]" if soft else ""))
-
-    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
-    return 1 if failed else 0
 
 
 if __name__ == "__main__":
