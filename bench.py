@@ -21,13 +21,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deployment_spark import get_spark
-from deployment_spark.queries import SQL_EVENTS_HOURLY, REGISTRY, q_events_hourly
+from deployment_spark.queries import REGISTRY
 
-# events_hourly left the driver registry in the r4 fold (its answer is
-# now hash-verified inside streaming_hourly_counts' batch columns) but
-# stays a headline bench query so BENCH rows compare across rounds.
-BENCH_ONLY = {"events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY)}
-LOOKUP = {**BENCH_ONLY, **REGISTRY}
+# Every bench row names a driver-registry entry 1:1 (VERDICT r4 #4 —
+# the standalone events_hourly row drifted from the catalog after the
+# r4 fold; its work is timed inside streaming_hourly_counts now).
+LOOKUP = REGISTRY
 
 HEADLINE = [
     "topk_cosine",
@@ -35,7 +34,9 @@ HEADLINE = [
     "embedding_neardup",
     "pricing_summary",
     "revenue_by_nation",
-    "events_hourly",
+    # r5: replaces the bench-only events_hourly row — same batch tumbling
+    # agg, plus the AvailableNow stream drain it is hash-joined against
+    "streaming_hourly_counts",
     "rank_per_group",
     "dedup_keepfirst",
     "doc_exact_dedup",
@@ -62,6 +63,9 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_lm_score",
 ]
+
+_missing = [n for n in HEADLINE if n not in REGISTRY]
+assert not _missing, f"bench rows without a registry entry: {_missing}"
 
 
 def run_grid() -> None:

@@ -468,27 +468,6 @@ SELECT 'topcount', event_type, cnt, rank::DOUBLE FROM (
 """
 
 
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference (ST4 extension): event-time tumbling window agg —
-    the watermarked streaming query's batch shape. No longer a registry
-    slot (r4: folded into streaming_hourly_counts' batch columns); kept
-    as bench.py's headline window-agg query so BENCH rows stay comparable
-    across rounds."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
-        .groupBy("hour")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
-    )
-
-
-SQL_EVENTS_HOURLY = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       count(*) AS cnt, round(sum(value), 2) AS total_value
-FROM events GROUP BY 1
-"""
-
-
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality scoring (operators/textstats.unigram_lm_score;
     new r4) — the corpus-statistics filter class the row-local signals
@@ -2475,9 +2454,19 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_conf_key)
         else:
             spark.conf.set(_conf_key, _prev)
-    stream_counts = spark.table(sink).select(
-        "window_start", "event_type", F.col("cnt").cast("long").alias("cnt")
-    )
+    # the windowed result is bounded (hours × event types), so materialize
+    # it and release the memory sink NOW — repeated invocations (gate
+    # runs, bench warmups) must not each leak a cached in-memory table
+    try:
+        projected = spark.table(sink).select(
+            "window_start", "event_type", F.col("cnt").cast("long").alias("cnt")
+        )
+        stream_counts = spark.createDataFrame(
+            projected.collect(), schema=projected.schema
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        q.stop()
     # batch twin over the same file: tumbling-window count + value rollup
     # (the former events_hourly shape), inner-joined so every row carries
     # stream and batch answers for the same (window, type) cell

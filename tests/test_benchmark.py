@@ -58,3 +58,13 @@ def test_model_grid_runs_per_model(spark, tmp_path):
     assert (tmp_path / "model_grid" / "hash_embedder_32d").exists()
     assert (tmp_path / "model_grid" / "hash_embedder_16d_ivf").exists()
     assert (tmp_path / "model_grid" / "hash_embedder_32d_ivf").exists()
+
+
+def test_bench_headline_maps_onto_registry():
+    """Every bench row names a driver-registry entry (VERDICT r4 #4):
+    the bench set and the 50-entry catalog must not drift again."""
+    import bench
+    from deployment_spark.queries import REGISTRY
+
+    assert set(bench.HEADLINE) <= set(REGISTRY)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
