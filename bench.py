@@ -87,7 +87,10 @@ def run_grid() -> None:
         spark,
         os.path.join(root, "store"),
         store_mode=mode,
-        compact_every=3 if mode == "mor" else None,
+        # r5: size-triggered auto-compaction replaces the fixed
+        # every-3-sizes cadence — read amplification is bounded at <= 8
+        # merged files regardless of the mutation mix
+        compact_when=8 if mode == "mor" else None,
     )
     rows = metrics.collect()
     total = round(time.perf_counter() - t0, 3)

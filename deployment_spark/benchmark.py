@@ -75,6 +75,7 @@ def run_reference_grid(
     k: int = 5,
     store_mode: str = "cow",
     compact_every: int | None = None,
+    compact_when: int | None = None,
 ) -> DataFrame:
     """B4 — the benchmark loop (pipeline.py:306-346) on the Spark engine:
     build corpus, then per size: insert synthetic rows, delete a sample,
@@ -82,10 +83,18 @@ def run_reference_grid(
     in the reference's long format.
 
     ``store_mode="mor"`` runs the grid against the merge-on-read store
-    (mutations cost O(batch), reads merge segments); ``compact_every=N``
-    compacts after every N grid sizes, the realistic maintenance cadence."""
+    (mutations cost O(batch), reads merge segments). Maintenance either
+    way: ``compact_when=N`` hands the store the size-triggered
+    auto-compaction policy (recommended — read amplification stays
+    bounded no matter what the mutation mix does), while
+    ``compact_every=N`` keeps the old fixed cadence of compacting after
+    every N grid sizes (its cost shows up as explicit ``compaction``
+    rows)."""
     sizes = sizes or REFERENCE_GRID
-    store = SnapshotStore(spark, store_root, key="frame_number", mode=store_mode)
+    store = SnapshotStore(
+        spark, store_root, key="frame_number", mode=store_mode,
+        compact_when=compact_when,
+    )
     store.create(_synthetic_batch(spark, 0, initial_rows, dim))
     next_id = initial_rows
 

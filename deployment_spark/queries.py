@@ -831,12 +831,88 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COUNT_STAR = "SELECT count(*) AS n_rows FROM lineitem"
 
 
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution driven through the REAL mor store
+    (driver-gated r5, VERDICT r4 #7 — was pytest-only): create a narrow
+    orders slice, insert a WIDENED batch carrying a new
+    ``priority_flag`` column, then last-wins upsert a batch that OMITS
+    the new column over part of the widened key range. The merged read
+    must surface legacy rows as NULL-flagged, widened rows flagged, and
+    the narrow upsert both replacing rows and NULL-ing their flag.
+    Aggregated per surviving flag value; the oracle replays the
+    widen/omit/last-wins merge in SQL."""
+    import shutil
+    import tempfile
+
+    from deployment_spark.operators.crud import SnapshotStore
+
+    o = _t(spark, sf_dir, "orders")
+    narrow = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="schema_ev_entry_")
+    try:
+        store = SnapshotStore(
+            spark,
+            os.path.join(root, "store"),
+            key="o_orderkey",
+            mode="mor",
+            schema_evolution=True,
+        )
+        store.create(narrow.filter(F.col("o_orderkey") < 1000))
+        widened = o.filter(F.col("o_orderkey").between(1000, 1999)).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.substring("o_orderpriority", 1, 1).alias("priority_flag"),
+        )
+        store.insert(widened)
+        store.upsert(
+            narrow.filter(F.col("o_orderkey").between(1500, 1599)).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+            )
+        )
+        merged = store.read()
+        out = (
+            merged.groupBy(F.coalesce("priority_flag", F.lit("none")).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit("schema_evolution").alias("op"), "grp", "cnt", "total")
+        )
+        return out.localCheckpoint()  # materialize before the tmp store dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_SCHEMA_EVOLUTION = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS priority_flag
+  FROM orders WHERE o_orderkey < 1000
+), wide AS (
+  SELECT o_orderkey, o_totalprice, substring(o_orderpriority, 1, 1) AS priority_flag
+  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999
+), ups AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+         NULL::VARCHAR AS priority_flag
+  FROM orders WHERE o_orderkey BETWEEN 1500 AND 1599
+), merged AS (
+  SELECT * FROM ups
+  UNION ALL
+  SELECT * FROM wide WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+  UNION ALL
+  SELECT * FROM base
+)
+SELECT 'schema_evolution' AS op, coalesce(priority_flag, 'none') AS grp,
+       count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total
+FROM merged GROUP BY 2
+"""
+
+
 def q_crud_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1-C4, J3/J4, T2, U1/U2, A6 as ONE tagged summary — each CRUD
     shape's verification aggregate rides under an ``op`` tag (append /
-    delete_ids / delete_last_n / upsert / update / count_star), folding
-    six trivially-cheap registry entries into one driver-gate slot. The
-    component queries stay callable individually."""
+    delete_ids / delete_last_n / upsert / update / count_star, plus —
+    r5 — schema_evolution, the real-store widened-read round trip),
+    folding seven trivially-cheap registry entries into one driver-gate
+    slot. The component queries stay callable individually."""
     nulld = F.lit(None).cast("double")
     a = q_union_append(spark, sf_dir).select(
         F.lit("append").alias("op"), F.col("tag").alias("grp"), "cnt", "total"
@@ -860,7 +936,11 @@ def q_crud_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("count_star").alias("op"), F.lit("lineitem").alias("grp"),
         F.col("n_rows").alias("cnt"), nulld.alias("total"),
     )
-    return a.unionByName(d).unionByName(n).unionByName(u).unionByName(r).unionByName(c)
+    ev = q_schema_evolution_roundtrip(spark, sf_dir)
+    return (
+        a.unionByName(d).unionByName(n).unionByName(u).unionByName(r)
+        .unionByName(c).unionByName(ev)
+    )
 
 
 SQL_CRUD_OPS_SUMMARY = f"""
@@ -876,6 +956,8 @@ UNION ALL
 SELECT 'update', o_orderstatus, cnt, total FROM ({SQL_UPDATE_DELETE_REINSERT})
 UNION ALL
 SELECT 'count_star', 'lineitem', n_rows, CAST(NULL AS DOUBLE) FROM ({SQL_COUNT_STAR})
+UNION ALL
+SELECT op, grp, cnt, total FROM ({SQL_SCHEMA_EVOLUTION})
 """
 
 

@@ -337,3 +337,51 @@ def test_read_where_key_between_matches_filtered_read(spark, tmp_path, mode):
         # a probe set inside one segment's zone scans just that segment
         only_first = [e for e in m["segments"] if e["key_min"] is not None and e["key_max"] < 100]
         assert len(only_first) >= 1
+
+
+def _live_files(store):
+    m = store._read_manifest(store.current_version())
+    return len(m["segments"]) + len(m["tombstones"])
+
+
+def test_mor_auto_compaction_bounds_read_amplification(spark, tmp_path):
+    """compact_when policy (VERDICT r4 #5): a 24-mutation grid-shaped
+    sequence (insert, delete, update per size — update commits 2 files)
+    must keep every CURRENT manifest at <= compact_when live files, with
+    state identical to an unpoliced mor twin."""
+    policed = SnapshotStore(
+        spark, str(tmp_path / "policed"), key="id", mode="mor", compact_when=4
+    )
+    free = SnapshotStore(spark, str(tmp_path / "free"), key="id", mode="mor")
+    nxt = 100
+    for s in (policed, free):
+        s.create(mk(spark, [(i, f"p{i}") for i in range(20)]))
+    max_live = 0
+    for round_no in range(8):
+        batch = [(nxt + i, f"n{nxt + i}") for i in range(5)]
+        upd = [(nxt + 50 + i, f"u{nxt + i}") for i in range(2)]
+        victims = [round_no * 2, round_no * 2 + 1]
+        upd_victims = [20 + round_no]
+        for s in (policed, free):
+            s.insert(mk(spark, batch))
+            s.delete_ids(victims)
+            s.update(upd_victims, mk(spark, upd))
+        max_live = max(max_live, _live_files(policed))
+        nxt += 5
+    assert max_live <= 4, max_live
+    assert _live_files(free) > 4  # the twin really did accrete
+    a = sorted((r.id, r.payload) for r in policed.read().collect())
+    b = sorted((r.id, r.payload) for r in free.read().collect())
+    assert a == b
+
+
+def test_mor_auto_compaction_never_triggers_under_threshold(spark, tmp_path):
+    s = SnapshotStore(
+        spark, str(tmp_path / "s"), key="id", mode="mor", compact_when=50
+    )
+    s.create(mk(spark, [(1, "a")]))
+    v1 = s.insert(mk(spark, [(2, "b")]))
+    v2 = s.delete_ids([1])
+    # versions advance one per mutation — no hidden compaction commits
+    assert (v1, v2) == (2, 3)
+    assert _live_files(s) == 3  # s1, s2, t3
