@@ -334,7 +334,11 @@ def unigram_lm_score(
     the scoring join both consume the same ``tf`` aggregate, whose
     exchange Catalyst dedupes via ReuseExchange (asserted in
     tests/test_plans.py) — no cache/persist of an exploded token stream
-    needed, which at 100 TB would be a second materialization.
+    needed, which at 100 TB would be a second materialization. Caveat:
+    reuse applies to fresh file scans (the production path); if ``df``
+    is itself a CACHED DataFrame, AQE's table-cache stages don't
+    canonicalize equal and the tf subtree recomputes per consumer —
+    pre-aggregate and persist tf yourself in that interactive case.
 
     Output: (id_col, n_tokens, avg_logprob, rare_ratio). avg_logprob is
     ln-scale, ≤ 0, higher = more typical text.

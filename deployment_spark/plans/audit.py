@@ -67,8 +67,13 @@ def has_shuffle_join(df: DataFrame) -> bool:
 
 
 def has_partition_filters(df: DataFrame) -> bool:
-    m = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", physical_plan(df))
-    return bool(m and m.group(1).strip())
+    """True when ANY scan in the plan carries a non-empty partition
+    filter (a plan can mix pruned and unpartitioned scans — the first
+    occurrence alone is not representative)."""
+    return any(
+        m.group(1).strip()
+        for m in re.finditer(r"PartitionFilters:\s*\[([^\]]*)\]", physical_plan(df))
+    )
 
 
 def count_exchanges(df: DataFrame) -> int:

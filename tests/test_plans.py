@@ -151,15 +151,24 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     assert not offenders, offenders
 
 
-def test_lm_score_single_tokenization(spark, sf_dir):
-    """unigram_lm_score must scan + tokenize the corpus ONCE: the vocab
-    build and the scoring join share the tf aggregate's exchange via
-    ReuseExchange (r4 finding: the old shape ran the explode twice)."""
+def test_lm_score_single_tokenization(spark, sf_dir, tmp_path):
+    """unigram_lm_score must scan + tokenize the corpus ONCE on the
+    production path (fresh file scans — what the driver gate and any
+    100 TB run do): the vocab build and the scoring join share the tf
+    aggregate's exchange via ReuseExchange (r4 finding: the old shape
+    ran the explode twice). The table is read from a PRIVATE copy:
+    conftest's session-scoped cache of the shared documents table would
+    substitute InMemoryRelation leaves, and AQE's TableCacheQueryStage
+    does not canonicalize equal across subtrees, which disables the
+    reuse this test pins (noted in the operator docstring)."""
     import re
+    import shutil
 
     from deployment_spark.operators.textstats import unigram_lm_score
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{sf_dir}/documents.parquet", path)
+    d = spark.read.parquet(path).select("doc_id", "text")
     out = unigram_lm_score(d)
     out.collect()  # AQE: inspect the FINAL executed plan, not the initial
     final = audit.physical_plan(out).split("== Initial Plan ==")[0]

@@ -1,0 +1,85 @@
+"""SURVEY §7.2 stretch — the logical ORDER BY cosine DESC LIMIT k
+rewrite onto the IVF-pruned path: the rewrite must FIRE (partition
+filters in the rewritten plan), reproduce the exact answer at
+nprobe >= nlist, and leave every non-matching plan untouched."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import cosine_similarity
+from deployment_spark.operators.ivf import IVFIndex
+from deployment_spark.plans import audit
+from deployment_spark.plans.rewrite import match_topk_cosine, rewrite_topk_onto_ivf
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, sf_dir, tmp_path_factory):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path_factory.mktemp("rewrite_ivf"))
+    return IVFIndex(spark, root).build(emb, nlist=8), emb
+
+
+def _qvec(emb):
+    row = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+def test_match_extracts_k_col_and_vector(spark, ivf):
+    _, emb = ivf
+    qvec = _qvec(emb)
+    df = emb.orderBy(cosine_similarity("embedding", F.lit(qvec)).desc()).limit(7)
+    m = match_topk_cosine(df)
+    assert m is not None
+    assert m["k"] == 7 and m["corpus_col"] == "embedding"
+    assert m["qvec"] == pytest.approx(qvec)
+
+
+def test_rewrite_fires_prunes_and_is_exact_at_full_probe(spark, ivf):
+    index, emb = ivf
+    qvec = _qvec(emb)
+    df = emb.orderBy(cosine_similarity("embedding", F.lit(qvec)).desc()).limit(10)
+    routed = rewrite_topk_onto_ivf(df, index, nprobe=10**9)
+    assert routed is not df  # fired
+    # the IVF scan is partition-pruned (trivially all-lists here; the
+    # nprobe<nlist pruning plan itself is pinned in test_ivf.py)
+    assert routed.columns == df.columns
+    got = [r.vec_id for r in routed.collect()]
+    want = [r.vec_id for r in df.collect()]
+    # same top-k SET; order may differ only among exact ties
+    assert set(got) == set(want)
+    assert got[0] == 3  # self-query at rank 1
+    sims = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id", cosine_similarity("embedding", F.lit(qvec)).alias("s")
+        ).collect()
+    }
+    assert [round(sims[g], 9) for g in got] == sorted(
+        (round(sims[w], 9) for w in want), reverse=True
+    )
+
+
+def test_rewrite_prunes_partitions_at_low_nprobe(spark, ivf):
+    index, emb = ivf
+    qvec = _qvec(emb)
+    df = emb.orderBy(cosine_similarity("embedding", F.lit(qvec)).desc()).limit(5)
+    routed = rewrite_topk_onto_ivf(df, index, nprobe=2)
+    assert routed is not df
+    assert audit.has_partition_filters(routed), audit.physical_plan(routed)
+    assert routed.count() == 5
+
+
+def test_non_matching_plans_come_back_unchanged(spark, ivf):
+    index, emb = ivf
+    qvec = _qvec(emb)
+    cos = cosine_similarity("embedding", F.lit(qvec))
+    no_limit = emb.orderBy(cos.desc())
+    asc_sort = emb.orderBy(cos.asc()).limit(5)
+    not_cosine = emb.orderBy(F.col("vec_id").desc()).limit(5)
+    col_vector = emb.orderBy(
+        cosine_similarity("embedding", "embedding").desc()
+    ).limit(5)
+    for q in (no_limit, asc_sort, not_cosine, col_vector):
+        assert rewrite_topk_onto_ivf(q, index) is q
