@@ -267,13 +267,16 @@ class SnapshotStore:
             len(segments) + len(tombstones) > self.compact_when
         ):
             # the mutation is already durably published; compaction is a
-            # best-effort follow-up commit (a concurrent writer winning
-            # the next claim just defers it to whichever commit trips the
-            # threshold next). compact() publishes a 1-segment manifest,
-            # which cannot re-trip this branch — no recursion.
+            # best-effort follow-up commit, so NO compaction failure may
+            # make the committed mutation look failed — a lost claim
+            # race or a transient write error just defers folding to
+            # whichever commit trips the threshold next (the store stays
+            # valid in its pre-compaction state either way). compact()
+            # publishes a 1-segment manifest, which cannot re-trip this
+            # branch — no recursion.
             try:
                 return self.compact()
-            except ConcurrentCommitError:
+            except Exception:
                 return version
         return version
 

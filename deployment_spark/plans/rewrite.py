@@ -62,10 +62,35 @@ def _child_df(df: DataFrame) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+# node kinds that neither add nor remove rows: the ONLY shapes allowed
+# between the Sort and the scanned corpus. A Filter/Sample/Join/Limit in
+# the child would make the whole-corpus index answer wrong (the index
+# would return top-k over rows the child has dropped), so anything not
+# on this list blocks the rewrite — safe no-op over silent wrongness.
+_ROW_PRESERVING = {
+    "Project", "SubqueryAlias", "LogicalRelation", "Relation", "View",
+    "InMemoryRelation",
+}
+
+
+def _child_is_row_preserving(plan) -> bool:
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() not in _ROW_PRESERVING:
+            return False
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return True
+
+
 def match_topk_cosine(df: DataFrame) -> dict | None:
     """Return {'k', 'corpus_col', 'qvec'} when ``df`` is exactly an
     ORDER BY cosine_similarity(col, lit(vec)) DESC LIMIT k plan over a
-    child that still carries ``col``; None otherwise."""
+    ROW-PRESERVING child (projections over the scanned corpus — no
+    filters/samples/joins, which would invalidate a whole-corpus index
+    answer) that still carries ``col``; None otherwise."""
     from deployment_spark.functions.vector import cosine_similarity
 
     try:
@@ -81,6 +106,8 @@ def match_topk_cosine(df: DataFrame) -> dict | None:
             return None
         so = sort.order().apply(0)
         if so.direction().sql() != "DESC":
+            return None
+        if not _child_is_row_preserving(sort.children().apply(0)):
             return None
         expr_sql = so.child().sql()
     except Exception:

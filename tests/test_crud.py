@@ -385,3 +385,25 @@ def test_mor_auto_compaction_never_triggers_under_threshold(spark, tmp_path):
     # versions advance one per mutation — no hidden compaction commits
     assert (v1, v2) == (2, 3)
     assert _live_files(s) == 3  # s1, s2, t3
+
+
+def test_auto_compaction_failure_does_not_fail_the_mutation(spark, tmp_path, monkeypatch):
+    """The mutation is durably published before auto-compaction runs;
+    ANY compaction failure (not just a lost claim race) must surface as
+    a deferred fold, never as a failed mutation (review finding r5)."""
+    s = SnapshotStore(
+        spark, str(tmp_path / "s"), key="id", mode="mor", compact_when=2
+    )
+    s.create(mk(spark, [(1, "a")]))
+    s.insert(mk(spark, [(2, "b")]))
+
+    def boom():
+        raise RuntimeError("transient executor loss")
+
+    monkeypatch.setattr(s, "compact", boom)
+    v = s.insert(mk(spark, [(3, "c")]))  # trips compact_when=2 -> boom
+    assert v == 3  # the mutation's own commit survives
+    assert sorted(r.id for r in s.read().collect()) == [1, 2, 3]
+    monkeypatch.undo()
+    v2 = s.insert(mk(spark, [(4, "d")]))  # next trip folds for real
+    assert _live_files(s) == 1 and s.count() == 4

@@ -83,3 +83,24 @@ def test_non_matching_plans_come_back_unchanged(spark, ivf):
     ).limit(5)
     for q in (no_limit, asc_sort, not_cosine, col_vector):
         assert rewrite_topk_onto_ivf(q, index) is q
+
+
+def test_row_removing_children_block_the_rewrite(spark, ivf):
+    """A Filter/Sample/Limit between the Sort and the corpus makes a
+    whole-corpus index answer WRONG (review finding r5): the child has
+    dropped rows the index still returns, and the join-back silently
+    loses in-filter candidates. Such plans must come back untouched."""
+    index, emb = ivf
+    qvec = _qvec(emb)
+    cos = cosine_similarity("embedding", F.lit(qvec))
+    filtered = emb.filter(F.col("vec_id") >= 100).orderBy(cos.desc()).limit(10)
+    sampled = emb.sample(0.5, seed=1).orderBy(cos.desc()).limit(10)
+    limited = emb.limit(50).orderBy(cos.desc()).limit(10)
+    for q in (filtered, sampled, limited):
+        assert rewrite_topk_onto_ivf(q, index) is q
+    # and the filtered plan's own answer stays correct + complete
+    assert filtered.count() == 10
+    assert all(r.vec_id >= 100 for r in filtered.collect())
+    # projection-only children still fire
+    projected = emb.select("vec_id", "embedding").orderBy(cos.desc()).limit(5)
+    assert rewrite_topk_onto_ivf(projected, index, nprobe=10**9) is not projected
