@@ -2311,6 +2311,8 @@ IVF_RECALL_FLOOR = 0.85     # nprobe 10/16, r2-r3 measured 0.89
 PQ_ADC_FLOOR = 0.80         # m=16 ksub=256 (16 B/code), r3 measured 0.835
 PQ_RERANK_FLOOR = 0.95      # shortlist-50 re-rank, r3 measured 1.00
 IVFPQ_RERANK_FLOOR = 0.85   # nprobe 5/8 pruning dominates, r3 measured 0.875
+SQ_ADC_FLOOR = 0.95         # 8 bits per DIMENSION (4x), r5 measured 1.00
+SQ_RERANK_FLOOR = 0.98      # shortlist-50 re-rank, r5 measured 1.00
 
 
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,6 +2432,71 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
     return per_q.crossJoin(F.broadcast(summary)).withColumn(
         "meets_floor", F.col("mean_recall") >= IVFPQ_RERANK_FLOOR
+    )
+
+
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search quality — the 4x-compression,
+    high-recall rung of the index family (FAISS
+    ``IndexScalarQuantizer(QT_8bit)`` analog; reference's FAISS usage is
+    flat/IVF at ``FAISS/PlainDemo/pipeline.py:316-321``, SQ8 sits
+    between those flat floats and PQ's 16 B codes). One byte per
+    DIMENSION keeps per-dim resolution, so ADC recall stays near exact
+    where PQ's subspace codes lose ~0.16. Uniquely pure-Catalyst: train
+    is a posexplode min/max agg, encode/decode/ADC run inside
+    whole-stage codegen with zero Python (asserted in test_sq.py).
+    Per-query recall@10 of raw ADC and of the production shape (ADC
+    shortlist-50 -> exact re-rank) vs exact cosine top-k.
+    Deterministic (exact min/max ranges, tie-aware windows); rows-only —
+    a trained quantizer's recall is not SQL-expressible. Independently
+    verified by tools/check_oracle.py against a numpy exact top-k."""
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.sq import SQCodec
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    k = 10
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codec = SQCodec.train(norm)
+    codes = codec.encode(norm)
+    exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
+    adc = codec.search(codes, queries, k=k).select("query_id", "vec_id")
+    rr = codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+
+    def hits(approx, name):
+        return (
+            exact.join(approx, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    qids = queries.select("query_id")
+    per_q = (
+        qids.join(hits(adc, "hits_adc"), "query_id", "left")
+        .join(hits(rr, "hits_rerank"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits_adc", F.lit(0)).alias("hits_adc"),
+            F.round(F.coalesce("hits_adc", F.lit(0)) / F.lit(k), 4).alias("recall_adc"),
+            F.coalesce("hits_rerank", F.lit(0)).alias("hits_rerank"),
+            F.round(F.coalesce("hits_rerank", F.lit(0)) / F.lit(k), 4).alias(
+                "recall_rerank"
+            ),
+        )
+    )
+    summary = per_q.agg(
+        F.round(F.avg("recall_adc"), 4).alias("mean_recall_adc"),
+        F.round(F.avg("recall_rerank"), 4).alias("mean_recall_rerank"),
+    )
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor",
+        (F.col("mean_recall_rerank") >= SQ_RERANK_FLOOR)
+        & (F.col("mean_recall_adc") >= SQ_ADC_FLOOR),
     )
 
 
@@ -2939,6 +3006,7 @@ REGISTRY: dict = {
     "ivf_recall": (q_ivf_recall, None),
     "pq_recall": (q_pq_recall, None),
     "ivfpq_recall": (q_ivfpq_recall, None),
+    "sq_recall": (q_sq_recall, None),
     # round-4 driver-gated surface (VERDICT r3 #1) — front of the window
     "attribution_join": (q_attribution_join, SQL_ATTRIBUTION_JOIN),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),

@@ -9,6 +9,8 @@ Floors (measured r3, see queries.py constants):
 - PQ m=16 ksub=256 ADC-only:   mean recall@10 >= 0.80 (measured 0.835)
 - PQ shortlist-50 re-rank:     mean recall@10 >= 0.95 (measured 1.00)
 - IVFxPQ nprobe 5/8 re-rank:   mean recall@10 >= 0.85 (measured 0.875)
+- SQ8 ADC-only (r5):           mean recall@10 >= 0.95 (measured 1.00)
+- SQ8 shortlist-50 re-rank:    mean recall@10 >= 0.98 (measured 1.00)
 """
 
 from __future__ import annotations
@@ -55,3 +57,13 @@ def test_ivfpq_recall_meets_floor(spark):
 
     rows = _floor_rows(q_ivfpq_recall, spark)
     assert all(r.meets_floor for r in rows), rows[0].mean_recall
+
+
+def test_sq_recall_meets_floor(spark):
+    from deployment_spark.queries import q_sq_recall
+
+    rows = _floor_rows(q_sq_recall, spark)
+    assert all(r.meets_floor for r in rows), (
+        rows[0].mean_recall_adc,
+        rows[0].mean_recall_rerank,
+    )

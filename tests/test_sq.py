@@ -1,0 +1,132 @@
+"""Scalar quantization (operators/sq.py): trained ranges, encode
+round-trip error bound, pure-Catalyst plan guarantee, retrieval recall
+against exact search, codec persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import l2_normalize
+from deployment_spark.operators.sq import SQCodec
+from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+
+@pytest.fixture(scope="module")
+def norm_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def codec(norm_emb):
+    return SQCodec.train(norm_emb)
+
+
+def test_train_exact_ranges(norm_emb, codec):
+    """Distributed posexplode min/max must equal the numpy per-dimension
+    min/max of the same vectors."""
+    x = np.array([r.embedding for r in norm_emb.collect()], dtype=np.float64)
+    assert codec.dim == x.shape[1]
+    np.testing.assert_allclose(codec.lo, x.min(axis=0), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(codec.hi, x.max(axis=0), rtol=0, atol=1e-6)
+
+
+def test_encode_determinism_and_type(norm_emb, codec):
+    codes = codec.encode(norm_emb)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    rows = {r.vec_id: tuple(r.codes) for r in codes.collect()}
+    again = {r.vec_id: tuple(r.codes) for r in codec.encode(norm_emb).collect()}
+    assert rows == again
+    assert all(len(c) == codec.dim for c in rows.values())
+
+
+def test_roundtrip_error_bounded_by_half_step(norm_emb, codec):
+    """decode(encode(x)) must be within scale/2 of x in every dimension —
+    the defining property of round-to-nearest scalar quantization."""
+    sample = norm_emb.limit(64)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in sample.collect()}
+    dec = {
+        r.vec_id: np.array(r.d, dtype=np.float64)
+        for r in codec.encode(sample)
+        .select("vec_id", codec.decode_expr("codes").alias("d"))
+        .collect()
+    }
+    for vid, x in orig.items():
+        err = np.abs(dec[vid] - x)
+        assert (err <= codec.scale / 2 + 1e-9).all(), (vid, err.max())
+
+
+def test_zero_range_dim_decodes_exactly(spark):
+    """A constant dimension has zero range; the guard (scale=1, code=0)
+    must make decode exact, not divide by zero."""
+    df = spark.createDataFrame(
+        [(i, [float(i) / 10.0, 7.5]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    codec = SQCodec.train(df)
+    assert codec.scale[1] == 1.0
+    out = codec.encode(df).select("vec_id", codec.decode_expr("codes").alias("d")).collect()
+    assert all(abs(r.d[1] - 7.5) < 1e-12 for r in out)
+
+
+def test_search_plan_is_pure_catalyst(norm_emb, codec):
+    """The whole ADC path — decode + dot + window — must contain no
+    Python eval node: this is SQ's distinguishing scale property."""
+    codes = codec.encode(norm_emb)
+    q = norm_emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = codec.search(codes, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+
+
+def test_adc_recall_near_exact(norm_emb, codec):
+    """8 bits per dimension on normalized vectors: ADC top-10 should be
+    essentially exact (>= 0.95 mean recall; measured 1.0)."""
+    k = 10
+    q = norm_emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = codec.encode(norm_emb)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_similarity_join_expr(norm_emb, q, k=k).collect()
+    }
+    adc = {(r.query_id, r.vec_id) for r in codec.search(codes, q, k=k).collect()}
+    assert len(exact & adc) / len(exact) >= 0.95
+
+
+def test_rerank_recovers_exact(norm_emb, codec):
+    """With a shortlist comfortably above k, the exact re-rank must
+    reproduce the exact top-k id set per query."""
+    k = 5
+    q = norm_emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = codec.encode(norm_emb)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_similarity_join_expr(norm_emb, q, k=k).collect()
+    }
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in codec.search_rerank(codes, q, norm_emb, k=k, shortlist=50).collect()
+    }
+    assert rr == exact
+
+
+def test_json_roundtrip(codec):
+    clone = SQCodec.from_json(codec.to_json())
+    np.testing.assert_allclose(clone.lo, codec.lo)
+    np.testing.assert_allclose(clone.hi, codec.hi)
+    np.testing.assert_allclose(clone.scale, codec.scale)
+
+
+def test_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        SQCodec.train(empty)

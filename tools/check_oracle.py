@@ -210,6 +210,36 @@ def check_pq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> li
     )
 
 
+def check_sq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+    from pyspark.sql import functions as F
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.sq import SQCodec
+    from deployment_spark.queries import SQ_ADC_FLOOR, SQ_RERANK_FLOOR, _t
+
+    emb = _t(spark, spark_sf, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codec = SQCodec.train(norm)
+    codes = codec.encode(norm)
+    adc = _pairs_to_sets(
+        codec.search(codes, queries, k=10).select("query_id", "vec_id").collect()
+    )
+    rr = _pairs_to_sets(
+        codec.search_rerank(codes, queries, norm, k=10, shortlist=50)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    exact = _exact_topk_numpy(data_sf)
+    return _verify_recall_rows(
+        sdf, exact, {"hits_adc": adc, "hits_rerank": rr},
+        {"mean_recall_adc": "hits_adc", "mean_recall_rerank": "hits_rerank"},
+        lambda m: m["hits_rerank"] >= SQ_RERANK_FLOOR and m["hits_adc"] >= SQ_ADC_FLOOR,
+    )
+
+
 def check_ivfpq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
     import tempfile
 
@@ -278,6 +308,7 @@ LOCAL_CHECKS = {
     "ivf_recall": check_ivf_recall,
     "pq_recall": check_pq_recall,
     "ivfpq_recall": check_ivfpq_recall,
+    "sq_recall": check_sq_recall,
     "doc_compressibility": check_doc_compressibility,
 }
 
