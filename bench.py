@@ -62,6 +62,11 @@ HEADLINE = [
     "attribution_join",
     "doc_decontaminate",
     "doc_lm_score",
+    # r5 additions: lexical BM25 ranking (single-aggregate, no token
+    # join) and the BM25 ⊕ cosine RRF hybrid — the store family's
+    # composed query mode
+    "doc_bm25_topk",
+    "hybrid_search",
 ]
 
 _missing = [n for n in HEADLINE if n not in REGISTRY]

@@ -506,6 +506,159 @@ GROUP BY doc_id
 """
 
 
+BM25_TERMS = ["dup", "vector", "merge", "batch"]  # df 25/382/~390/402 at sf0.01 — idf spread
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.bm25_scores; new r5)
+    — the lexical half of the reference store family's hybrid search
+    (Milvus ships BM25 hybrid as a first-class query mode;
+    ``Milvus/stream1.py`` drives that store). Okapi BM25 with
+    Lucene-style +1 idf over a literal 4-term query mixing one rare and
+    three common terms, so the idf spread is exercised. Scale shape:
+    per-term tfs come from conditional sums inside the SAME single
+    per-doc aggregate that computes document length — one explode, one
+    partially-aggregated shuffle, a 1-row stats broadcast; no
+    token-keyed join, so no hot-token skew. Ranking uses the
+    4dp-rounded score (ties broken by doc_id) so the rank column is
+    stable across engines; the oracle replays tokenization, the
+    conditional-sum aggregate, idf/tf math, and the ranking in SQL."""
+    from deployment_spark.operators.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(d, BM25_TERMS).withColumn("_s", F.round("bm25", 4))
+    top = scored.orderBy(F.desc("_s"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("matched_terms").cast("long").alias("matched_terms"),
+        F.col("_s").alias("bm25"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_bm25_ctes() -> str:
+    """Shared BM25 CTE block for the bm25 and hybrid oracles, generated
+    from BM25_TERMS so Spark and SQL can never drift on the term list."""
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    weights = "\n    + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(BM25_TERMS))
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+), bm_scored AS (
+  SELECT doc_id, dl, {matched} AS matched_terms,
+    {weights} AS bm25
+  FROM per_doc CROSS JOIN stats
+)"""
+
+
+SQL_DOC_BM25_TOPK = f"""
+WITH {_sql_bm25_ctes()}
+SELECT doc_id::BIGINT AS doc_id, dl::BIGINT AS dl,
+       matched_terms::BIGINT AS matched_terms,
+       round(bm25, 4) AS bm25,
+       row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id)::BIGINT AS rank
+FROM bm_scored WHERE matched_terms > 0
+QUALIFY rank <= 20
+"""
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/retrieval.rrf_fuse; new r5) — the
+    reference store family's headline composed query: lexical BM25 rank
+    fused with vector cosine rank by reciprocal rank fusion
+    (rrf = Σ 1/(60+rank); no score calibration needed). BM25 top-50 over
+    documents (4dp-rounded ranking) ⊕ exact cosine top-50 for query
+    vector vec_id=7 over embeddings (the hash-green topk_cosine rank
+    pattern). Both lists are k-scale, so fusion is one tiny union +
+    groupBy; ≤2 doubles per sum keeps float addition order-free
+    (commutativity), making the fused score engine-exact before the 6dp
+    round. The oracle replays both rankings and the fusion in SQL."""
+    from deployment_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_scores(d, BM25_TERMS).withColumn("_s", F.round("bm25", 4))
+    bm_top = bm.orderBy(F.desc("_s"), F.asc("doc_id")).limit(50)
+    wb = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    bm_rank = bm_top.withColumn("rank", F.row_number().over(wb)).select("doc_id", "rank")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cos_rank = topk_similarity_join_expr(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([bm_rank, cos_rank])
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("rk").cast("long").alias("rank"),
+    )
+
+
+SQL_HYBRID_SEARCH = f"""
+WITH {_sql_bm25_ctes()},
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS rank
+  FROM bm_scored WHERE matched_terms > 0
+  QUALIFY rank <= 50
+), cq AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+), cs AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+         ) AS rank
+  FROM embeddings CROSS JOIN cq
+  QUALIFY rank <= 50
+), uni AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM cs
+), fus AS (
+  SELECT doc_id, count(*) AS n_lists, sum(c) AS rrf FROM uni GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, n_lists::BIGINT AS n_lists,
+       round(rrf, 6) AS rrf_score,
+       row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+FROM fus
+QUALIFY rank <= 20
+"""
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval DECONTAMINATION (operators/dedup.contamination_pairs;
     new r4) — the published n-gram-overlap protocol every serious
@@ -2500,6 +2653,65 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified ANN recall panel (r5 fold — the driver gate windows at 50
+    entries, so the four per-codec recall entries ivf_recall / pq_recall
+    / ivfpq_recall / sq_recall share ONE tagged-union slot; each stays
+    callable individually and floor-pinned in test_recall_floors.py).
+
+    One row per (codec, variant, query): recall@10 of IVF partition
+    pruning (nprobe 10/16), PQ ADC + re-rank (m=16 ksub=256), IVF×PQ
+    composed (nprobe 5/8 + shortlist), and SQ8 ADC + re-rank — each
+    against exact cosine top-k, with PER-VARIANT floors (the per-codec
+    constants above). Rows-only by nature (trained quantizers are not
+    SQL-expressible); every variant is independently re-derived and
+    value-checked by tools/check_oracle.py against a numpy exact
+    top-k."""
+
+    def two_variant(df, codec, adc_floor, rr_floor):
+        adc = df.select(
+            F.lit(codec).alias("codec"),
+            F.lit("adc").alias("variant"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("hits_adc").cast("long").alias("hits"),
+            F.col("recall_adc").alias("recall"),
+            F.col("mean_recall_adc").alias("mean_recall"),
+            (F.col("mean_recall_adc") >= adc_floor).alias("meets_floor"),
+        )
+        rr = df.select(
+            F.lit(codec).alias("codec"),
+            F.lit("rerank").alias("variant"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("hits_rerank").cast("long").alias("hits"),
+            F.col("recall_rerank").alias("recall"),
+            F.col("mean_recall_rerank").alias("mean_recall"),
+            (F.col("mean_recall_rerank") >= rr_floor).alias("meets_floor"),
+        )
+        return adc.unionByName(rr)
+
+    def one_variant(df, codec, variant):
+        return df.select(
+            F.lit(codec).alias("codec"),
+            F.lit(variant).alias("variant"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("hits").cast("long").alias("hits"),
+            F.col("recall_at_10").alias("recall"),
+            F.col("mean_recall").alias("mean_recall"),
+            "meets_floor",
+        )
+
+    parts = [
+        one_variant(q_ivf_recall(spark, sf_dir), "ivf", "pruned"),
+        two_variant(q_pq_recall(spark, sf_dir), "pq", PQ_ADC_FLOOR, PQ_RERANK_FLOOR),
+        one_variant(q_ivfpq_recall(spark, sf_dir), "ivfpq", "rerank"),
+        two_variant(q_sq_recall(spark, sf_dir), "sq8", SQ_ADC_FLOOR, SQ_RERANK_FLOOR),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 multimodal plumbing — opaque binary payloads pushed through the
     Arrow/mapInPandas decode path (operators.multimodal). The synthetic
@@ -3003,10 +3215,12 @@ REGISTRY: dict = {
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
     "media_frame_plan": (q_media_frame_plan, SQL_MEDIA_FRAME_PLAN),
-    "ivf_recall": (q_ivf_recall, None),
-    "pq_recall": (q_pq_recall, None),
-    "ivfpq_recall": (q_ivfpq_recall, None),
-    "sq_recall": (q_sq_recall, None),
+    # r5 fold: the four per-codec recall entries share one tagged-union
+    # slot (gate windows at 50); each remains callable and floor-pinned
+    "ann_recall": (q_ann_recall, None),
+    # r5 additions: lexical BM25 and the BM25 ⊕ cosine RRF hybrid
+    "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25_TOPK),
+    "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     # round-4 driver-gated surface (VERDICT r3 #1) — front of the window
     "attribution_join": (q_attribution_join, SQL_ATTRIBUTION_JOIN),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),

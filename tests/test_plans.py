@@ -135,8 +135,13 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     # broadcast side is a single aggregate row. hist_quantiles broadcasts
     # the ≤bins-row cumulative grid and the 1-row total against a 6-row
     # probe set — every BNLJ side is O(bins), never data-scale.
-    # doc_lm_score crossJoins the 1-row corpus-total aggregate
-    BNLJ_OK = {"ivf_recall", "pq_recall", "ivfpq_recall", "hist_quantiles", "doc_lm_score"}
+    # doc_lm_score crossJoins the 1-row corpus-total aggregate;
+    # ann_recall unions the four recall entries (each a 1-row summary
+    # crossJoin); bm25/hybrid broadcast the 1-row corpus-stats row
+    BNLJ_OK = {
+        "ann_recall", "hist_quantiles", "doc_lm_score",
+        "doc_bm25_topk", "hybrid_search",
+    }
     sf = sf_dir
     offenders = {}
     for name, (fn, _sql) in REGISTRY.items():

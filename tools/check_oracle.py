@@ -102,58 +102,6 @@ def _exact_topk_numpy(sf_dir: str, k: int = 10, n_queries: int = 20) -> dict[int
     return out
 
 
-def _verify_recall_rows(
-    sdf: pd.DataFrame,
-    exact: dict[int, set[int]],
-    approx_by_claim: dict[str, dict[int, set[int]]],
-    mean_cols: dict[str, str],
-    floor_expr,
-    k: int = 10,
-) -> list[str]:
-    """Compare an entry's claimed per-query hit/recall/mean/floor columns
-    against independently computed values. approx_by_claim maps the hits
-    column name -> {query_id: approx id set}; mean_cols maps the mean
-    column -> the recall column it averages; floor_expr(means) gives the
-    expected meets_floor bit."""
-    problems: list[str] = []
-    means: dict[str, float] = {}
-    recall_col_of = {
-        "hits": "recall_at_10", "hits_adc": "recall_adc", "hits_rerank": "recall_rerank",
-    }
-    if set(int(q) for q in sdf["query_id"]) != set(exact):
-        problems.append(
-            f"query set mismatch: rows {sorted(set(sdf['query_id']))[:5]}... "
-            f"vs exact {sorted(exact)[:5]}..."
-        )
-        return problems
-    for hits_col, approx in approx_by_claim.items():
-        recall_col = recall_col_of[hits_col]
-        per_q = {qid: len(ex & approx.get(qid, set())) for qid, ex in exact.items()}
-        for row in sdf.itertuples():
-            qid = int(row.query_id)
-            want = per_q[qid]
-            if int(getattr(row, hits_col)) != want:
-                problems.append(
-                    f"{hits_col}[q={qid}]: claimed {getattr(row, hits_col)}, independent {want}"
-                )
-            if abs(float(getattr(row, recall_col)) - round(want / k, 4)) > 1e-9:
-                problems.append(
-                    f"{recall_col}[q={qid}]: claimed {getattr(row, recall_col)}, "
-                    f"independent {round(want / k, 4)}"
-                )
-        means[hits_col] = round(sum(per_q.values()) / (k * len(per_q)), 4)
-    for mean_col, hits_col in mean_cols.items():
-        claimed = float(sdf[mean_col].iloc[0])
-        if abs(claimed - means[hits_col]) > 1e-9:
-            problems.append(
-                f"{mean_col}: claimed {claimed}, independent {means[hits_col]}"
-            )
-    want_floor = bool(floor_expr(means))
-    if not sdf["meets_floor"].eq(want_floor).all():
-        problems.append(f"meets_floor: claimed {sdf['meets_floor'].iloc[0]}, independent {want_floor}")
-    return problems
-
-
 def _pairs_to_sets(rows) -> dict[int, set[int]]:
     out: dict[int, set[int]] = {}
     for r in rows:
@@ -161,111 +109,124 @@ def _pairs_to_sets(rows) -> dict[int, set[int]]:
     return out
 
 
-def check_ivf_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
-    from pyspark.sql import functions as F
-
-    from deployment_spark.queries import IVF_RECALL_FLOOR, _ivf_index
-
-    index, emb = _ivf_index(spark, spark_sf)
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    approx = _pairs_to_sets(
-        index.search(queries, k=10, nprobe=10).select("query_id", "vec_id").collect()
-    )
-    exact = _exact_topk_numpy(data_sf)
-    return _verify_recall_rows(
-        sdf, exact, {"hits": approx}, {"mean_recall": "hits"},
-        lambda m: m["hits"] >= IVF_RECALL_FLOOR,
-    )
-
-
-def check_pq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
-    from pyspark.sql import functions as F
-
-    from deployment_spark.functions.vector import l2_normalize
-    from deployment_spark.operators.pq import PQCodec
-    from deployment_spark.queries import PQ_ADC_FLOOR, PQ_RERANK_FLOOR, _t
-
-    emb = _t(spark, spark_sf, "embeddings")
-    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
-    queries = norm.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
-    codes = codec.encode(norm)
-    adc = _pairs_to_sets(
-        codec.search(codes, queries, k=10).select("query_id", "vec_id").collect()
-    )
-    rr = _pairs_to_sets(
-        codec.search_rerank(codes, queries, norm, k=10, shortlist=50)
-        .select("query_id", "vec_id")
-        .collect()
-    )
-    exact = _exact_topk_numpy(data_sf)
-    return _verify_recall_rows(
-        sdf, exact, {"hits_adc": adc, "hits_rerank": rr},
-        {"mean_recall_adc": "hits_adc", "mean_recall_rerank": "hits_rerank"},
-        lambda m: m["hits_rerank"] >= PQ_RERANK_FLOOR and m["hits_adc"] >= PQ_ADC_FLOOR,
-    )
-
-
-def check_sq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
-    from pyspark.sql import functions as F
-
-    from deployment_spark.functions.vector import l2_normalize
-    from deployment_spark.operators.sq import SQCodec
-    from deployment_spark.queries import SQ_ADC_FLOOR, SQ_RERANK_FLOOR, _t
-
-    emb = _t(spark, spark_sf, "embeddings")
-    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
-    queries = norm.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    codec = SQCodec.train(norm)
-    codes = codec.encode(norm)
-    adc = _pairs_to_sets(
-        codec.search(codes, queries, k=10).select("query_id", "vec_id").collect()
-    )
-    rr = _pairs_to_sets(
-        codec.search_rerank(codes, queries, norm, k=10, shortlist=50)
-        .select("query_id", "vec_id")
-        .collect()
-    )
-    exact = _exact_topk_numpy(data_sf)
-    return _verify_recall_rows(
-        sdf, exact, {"hits_adc": adc, "hits_rerank": rr},
-        {"mean_recall_adc": "hits_adc", "mean_recall_rerank": "hits_rerank"},
-        lambda m: m["hits_rerank"] >= SQ_RERANK_FLOOR and m["hits_adc"] >= SQ_ADC_FLOOR,
-    )
-
-
-def check_ivfpq_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
+    """Verify the unified recall panel: every (codec, variant) group's
+    per-query hits, recall, mean and floor bit are re-derived
+    independently — approximate sets from the engine under test, the
+    exact set from pyarrow+numpy, all arithmetic in plain Python."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from deployment_spark.functions.vector import l2_normalize
     from deployment_spark.operators.ivfpq import IVFPQIndex
-    from deployment_spark.queries import IVFPQ_RERANK_FLOOR, _t
+    from deployment_spark.operators.pq import PQCodec
+    from deployment_spark.operators.sq import SQCodec
+    from deployment_spark.queries import (
+        IVF_RECALL_FLOOR,
+        IVFPQ_RERANK_FLOOR,
+        PQ_ADC_FLOOR,
+        PQ_RERANK_FLOOR,
+        SQ_ADC_FLOOR,
+        SQ_RERANK_FLOOR,
+        _ivf_index,
+        _t,
+    )
 
+    k = 10
+    exact = _exact_topk_numpy(data_sf)
     emb = _t(spark, spark_sf, "embeddings")
     norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
-    with tempfile.TemporaryDirectory(prefix="oracle_ivfpq_") as root:
-        index = IVFPQIndex(spark, root).build(norm, nlist=8, m=16, ksub=256)
-        queries = norm.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        approx = _pairs_to_sets(
-            index.search(queries, k=10, nprobe=5, shortlist=50)
-            .select("query_id", "vec_id")
-            .collect()
-        )
-    exact = _exact_topk_numpy(data_sf)
-    return _verify_recall_rows(
-        sdf, exact, {"hits": approx}, {"mean_recall": "hits"},
-        lambda m: m["hits"] >= IVFPQ_RERANK_FLOOR,
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    raw_queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    specs: dict[tuple[str, str], tuple[dict[int, set[int]], float]] = {}
+
+    ivf_index, _ = _ivf_index(spark, spark_sf)
+    specs[("ivf", "pruned")] = (
+        _pairs_to_sets(
+            ivf_index.search(raw_queries, k=k, nprobe=10)
+            .select("query_id", "vec_id").collect()
+        ),
+        IVF_RECALL_FLOOR,
+    )
+
+    pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
+    pq_codes = pq_codec.encode(norm)
+    specs[("pq", "adc")] = (
+        _pairs_to_sets(
+            pq_codec.search(pq_codes, queries, k=k).select("query_id", "vec_id").collect()
+        ),
+        PQ_ADC_FLOOR,
+    )
+    specs[("pq", "rerank")] = (
+        _pairs_to_sets(
+            pq_codec.search_rerank(pq_codes, queries, norm, k=k, shortlist=50)
+            .select("query_id", "vec_id").collect()
+        ),
+        PQ_RERANK_FLOOR,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="oracle_ivfpq_") as root:
+        ivfpq = IVFPQIndex(spark, root).build(norm, nlist=8, m=16, ksub=256)
+        specs[("ivfpq", "rerank")] = (
+            _pairs_to_sets(
+                ivfpq.search(queries, k=k, nprobe=5, shortlist=50)
+                .select("query_id", "vec_id").collect()
+            ),
+            IVFPQ_RERANK_FLOOR,
+        )
+
+    sq_codec = SQCodec.train(norm)
+    sq_codes = sq_codec.encode(norm)
+    specs[("sq8", "adc")] = (
+        _pairs_to_sets(
+            sq_codec.search(sq_codes, queries, k=k).select("query_id", "vec_id").collect()
+        ),
+        SQ_ADC_FLOOR,
+    )
+    specs[("sq8", "rerank")] = (
+        _pairs_to_sets(
+            sq_codec.search_rerank(sq_codes, queries, norm, k=k, shortlist=50)
+            .select("query_id", "vec_id").collect()
+        ),
+        SQ_RERANK_FLOOR,
+    )
+
+    problems: list[str] = []
+    claimed_groups = {(r.codec, r.variant) for r in sdf.itertuples()}
+    if claimed_groups != set(specs):
+        problems.append(f"group set mismatch: {sorted(claimed_groups)} vs {sorted(specs)}")
+        return problems
+    for (codec_name, variant), (approx, floor) in specs.items():
+        rows = sdf[(sdf["codec"] == codec_name) & (sdf["variant"] == variant)]
+        tag = f"{codec_name}/{variant}"
+        if set(int(q) for q in rows["query_id"]) != set(exact):
+            problems.append(f"{tag}: query set mismatch")
+            continue
+        per_q = {qid: len(ex & approx.get(qid, set())) for qid, ex in exact.items()}
+        mean = round(sum(round(h / k, 4) for h in per_q.values()) / len(per_q), 4)
+        for row in rows.itertuples():
+            qid = int(row.query_id)
+            want = per_q[qid]
+            if int(row.hits) != want:
+                problems.append(f"{tag}[q={qid}]: hits claimed {row.hits}, independent {want}")
+            if abs(float(row.recall) - round(want / k, 4)) > 1e-9:
+                problems.append(
+                    f"{tag}[q={qid}]: recall claimed {row.recall}, independent {round(want / k, 4)}"
+                )
+            if abs(float(row.mean_recall) - mean) > 1e-9:
+                problems.append(f"{tag}: mean claimed {row.mean_recall}, independent {mean}")
+            if bool(row.meets_floor) != (mean >= floor):
+                problems.append(
+                    f"{tag}: meets_floor claimed {row.meets_floor}, independent {mean >= floor}"
+                )
+    return problems
+
 
 
 def check_doc_compressibility(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
@@ -305,10 +266,7 @@ def check_doc_compressibility(spark, spark_sf: str, data_sf: str, sdf: pd.DataFr
 
 # entry name -> verifier(spark, spark_sf, data_sf, sdf) -> problem list
 LOCAL_CHECKS = {
-    "ivf_recall": check_ivf_recall,
-    "pq_recall": check_pq_recall,
-    "ivfpq_recall": check_ivfpq_recall,
-    "sq_recall": check_sq_recall,
+    "ann_recall": check_ann_recall,
     "doc_compressibility": check_doc_compressibility,
 }
 

@@ -1,0 +1,189 @@
+"""Scale probe: measure how flagship entries scale with corpus size.
+
+The correctness gate runs at sf0.01 and the bench at sf0.1; this tool
+produces the MISSING evidence axis — the time-vs-data slope. It builds
+content-distinct replicas of the sf0.1 tables at 1x/2x/4x/8x in /tmp
+and times registry entries at each factor, printing one JSON line per
+(entry, factor) and a slope summary.
+
+Replication preserves workload character instead of distorting it:
+
+- documents: every word in every replica is suffixed with a replica tag
+  (``w`` -> ``w@r3``), so all shingles/tokens are distinct ACROSS
+  replicas while the intra-replica near-dup/vocab structure is exactly
+  the original. Naive row duplication would instead turn every doc into
+  an exact dup (pair counts scale quadratically, not linearly) —
+  measuring that would measure the wrong workload.
+- embeddings: each replica's vectors are deterministically perturbed
+  (scaled by 1 + r/1000) so replicas are near- but not exact-clones;
+  ids are remapped to stay unique. Top-k/neighbor structure per replica
+  is the original's.
+- all other tables are copied as-is (the probed entries read only
+  documents/embeddings; the copies keep load_table happy).
+
+Near-linear slope (time(8x)/time(1x) ~ 8 or below) is the pass signal:
+every probed operator shuffles on content keys — hash, shingle, band,
+token, cluster — never on pairs, so doubling rows should double work.
+A super-linear slope flags a hidden all-pairs or skew collapse.
+
+Usage:
+  python tools/scale_probe.py                       # default entries
+  python tools/scale_probe.py --factors 1,4 --entries doc_lm_score
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_ENTRIES = [
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "doc_ngram_jaccard",
+    "doc_lm_score",
+    "topk_cosine",
+    "ivf_topk",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_scaled_dir(spark, src: str, factor: int, root: str) -> str:
+    """Materialize {root}/{factor}x with scaled documents/embeddings and
+    copied remaining tables. Idempotent per process run (rebuilds)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(root, f"{factor}x")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES:
+        src_file = os.path.join(src, f"{t}.parquet")
+        if t not in ("documents", "embeddings"):
+            shutil.copy(src_file, os.path.join(out, f"{t}.parquet"))
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    doc_parts = []
+    emb_parts = []
+    for r in range(factor):
+        tag = F.lit(f"@r{r}")
+        retagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"), lambda w: F.concat(w, tag)
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_doc)).alias("doc_id"),
+                (retagged if r else F.col("text")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * F.lit(1.0 + r / 1000.0)).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    # one file per ~core keeps scan parallelism comparable across factors
+    d.repartition(8 * factor).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    e.repartition(8 * factor).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factors", default="1,2,4,8")
+    ap.add_argument("--entries", default=",".join(DEFAULT_ENTRIES))
+    ap.add_argument("--runs", type=int, default=2, help="best-of-N per cell")
+    ap.add_argument("--root", default="/tmp/spark_graft_scale")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    entries = args.entries.split(",")
+
+    from deployment_spark import get_spark
+    from deployment_spark.queries import REGISTRY
+
+    unknown = [e for e in entries if e not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown entries: {unknown}")
+
+    spark = get_spark()
+    results: dict[str, dict[int, float]] = {e: {} for e in entries}
+    try:
+        for fi, factor in enumerate(factors):
+            sf_dir = build_scaled_dir(spark, args.src, factor, args.root)
+            if fi == 0:
+                # untimed warmup at the smallest factor: JIT/codegen and
+                # catalog caches otherwise inflate the 1x cell and
+                # understate every slope
+                for name in entries:
+                    REGISTRY[name][0](spark, sf_dir).count()
+            for name in entries:
+                fn = REGISTRY[name][0]
+                best = None
+                rows = 0
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    rows = fn(spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                results[name][factor] = best
+                print(
+                    json.dumps(
+                        {"entry": name, "factor": factor, "sec": round(best, 3), "rows": rows}
+                    ),
+                    flush=True,
+                )
+        base = factors[0]
+        top = factors[-1]
+        summary = {
+            name: round(times[top] / times[base], 2)
+            for name, times in results.items()
+            if base in times and top in times and times[base] > 0
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_slope",
+                    "span": f"{base}x->{top}x",
+                    "ideal": float(top) / base,
+                    "slopes": summary,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        spark.stop()
+        shutil.rmtree(args.root, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
