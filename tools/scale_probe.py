@@ -47,6 +47,7 @@ DEFAULT_ENTRIES = [
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
     "doc_lm_score",
+    "doc_bm25_topk",
     "topk_cosine",
     "ivf_topk",
 ]
