@@ -454,3 +454,98 @@ def test_custom_joins_scale_stress(spark):
         or (got_asof[k] is not None and abs(got_asof[k] - want_asof[k]) > 1e-9)
     ]
     assert not mism, mism[:5]
+
+
+@PROP
+@given(
+    n=st.integers(3, 30),
+    dim=st.integers(1, 8),
+    seed=st.integers(0, 10**6),
+)
+def test_sq_codec_matches_numpy_reference(spark, n, dim, seed):
+    """SQ8 (operators/sq.py) vs a trivially-correct numpy replica of the
+    same formulas: trained ranges are the exact per-dim min/max, every
+    code matches round-to-nearest quantization, decode error is within
+    half a step, and the Catalyst ADC score equals the numpy ADC score
+    (1e-9 — the sums are tiny, so order effects stay below that)."""
+    from deployment_spark.operators.sq import SQCodec
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, dim))
+    x[0] = x[1]  # planted duplicate: exercises zero-range protection only
+    # when dim collapses; harmless otherwise
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    codec = SQCodec.train(df)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    np.testing.assert_allclose(codec.lo, lo, atol=1e-12)
+    np.testing.assert_allclose(codec.hi, hi, atol=1e-12)
+    scale = np.where(hi - lo > 0, (hi - lo) / 255.0, 1.0)
+    codes = {r.vec_id: np.array(r.codes, dtype=np.int64) for r in codec.encode(df).collect()}
+    q = rng.normal(size=dim)
+    qdf = spark.createDataFrame(
+        [(0, [float(v) for v in q])], "query_id long, query_vec array<double>"
+    )
+    got = {
+        r.vec_id: r.similarity
+        for r in codec.search(codec.encode(df), qdf, k=n).collect()
+    }
+    for i in range(n):
+        want_code = np.clip(np.round((x[i] - lo) / scale), 0, 255) - 128
+        assert (codes[i] == want_code.astype(np.int64)).all(), i
+        dec = lo + (codes[i] + 128) * scale
+        assert (np.abs(dec - x[i]) <= scale / 2 + 1e-9).all(), i
+        assert abs(got[i] - float(dec @ q)) < 1e-9, i
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    terms=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "epsilon"]), min_size=1, max_size=3, unique=True
+    ),
+)
+def test_bm25_matches_python_reference_random(spark, docs, terms):
+    """BM25 (operators/retrieval.py) vs a plain-Python replica on random
+    tiny corpora: token-less documents are excluded from N and avgdl
+    (the operator's contract — they produce no token rows), terms absent
+    from the corpus contribute nothing, matched docs agree to 1e-9."""
+    import math
+
+    from deployment_spark.operators.retrieval import bm25_scores
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    toks = {i: words for i, words in enumerate(docs) if words}
+    want = {}
+    if toks:
+        k1, b = 1.2, 0.75
+        n = len(toks)
+        avgdl = sum(len(w) for w in toks.values()) / n
+        for i, ws in toks.items():
+            s, matched = 0.0, 0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                matched += 1
+                dfreq = sum(1 for w2 in toks.values() if t in w2)
+                idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+            if matched:
+                want[i] = (s, matched)
+    got = {
+        r.doc_id: (r.bm25, r.matched_terms) for r in bm25_scores(df, list(terms)).collect()
+    }
+    assert set(got) == set(want)
+    for i, (s, m) in want.items():
+        assert got[i][1] == m, i
+        assert abs(got[i][0] - s) < 1e-9, (i, got[i][0], s)
