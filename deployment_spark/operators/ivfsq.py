@@ -1,0 +1,155 @@
+"""IVF×SQ8 — the composed index the reference's store ships as
+``IVF_SQ8`` (Milvus standard index type; the reference drives Milvus at
+``Milvus/stream1.py:117-130`` with HNSW, and IVF_SQ8 is the
+sibling index type in the same family — this completes the engine's
+Milvus index-type parity: FLAT ≡ exact, IVF_FLAT ≡ operators/ivf,
+IVF_PQ ≡ operators/ivfpq, IVF_SQ8 ≡ here; HNSW is serving-side, out of
+Spark scope per SURVEY §2.9).
+
+Composition of two existing pieces, not a re-implementation:
+
+- build: ``IVFIndex.build`` trains the coarse quantizer and writes the
+  full-vector lists; ``SQCodec.train`` (distributed min/max) +
+  ``encode`` writes a parallel ``sq_codes/`` table partitioned by the
+  SAME cluster_id — 1 B/dim instead of 4, pruned identically.
+- search: centroid routing (driver-side, FAISS contract) → ``isin``
+  partition pruning on the codes table → per-query routing join →
+  decode-on-the-fly ADC **entirely inside whole-stage codegen** (the
+  SQ decode is a transform expression + dot product; contrast IVF×PQ,
+  whose LUT gather needs an Arrow mapInPandas stage) → shortlist →
+  optional exact cosine re-rank joining only the shortlist back to the
+  (equally pruned) full-vector lists.
+
+Why this exists next to IVF×PQ at the 100 TB design point: SQ8 is 4×
+(vs PQ's 16-48×) but near-lossless, so the composed recall is bounded
+by PRUNING alone — teams pick IVF_SQ8 exactly when memory allows 4× and
+they want pruning speed without quantization recall loss; the measured
+panel (`ann_recall`, ivfsq rows) shows adc ≈ rerank for this index
+while ivfpq needs the re-rank to recover compression loss.
+
+Recall: driver-visible in ``queries.q_ivfsq_recall`` (folded into the
+``ann_recall`` panel) and floor-pinned in tests/test_recall_floors.py;
+independently re-derived by tools/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deployment_spark.operators.ivf import IVFIndex
+from deployment_spark.operators.sq import SQCodec
+
+
+class IVFSQIndex:
+    """root/ holds the IVFIndex layout plus ``sq_codes/cluster_id=*``
+    and ``sq_ranges.json``."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.ivf = IVFIndex(spark, root)
+
+    @property
+    def _codes_path(self) -> str:
+        return os.path.join(self.root, "sq_codes")
+
+    @property
+    def _ranges_path(self) -> str:
+        return os.path.join(self.root, "sq_ranges.json")
+
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        nlist: int | None = None,
+        seed: int = 42,
+    ) -> "IVFSQIndex":
+        self.ivf.build(df, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
+        codec = SQCodec.train(df, vec_col)
+        assigned = self.ivf.data().select(id_col, vec_col, "cluster_id")
+        codes = codec.encode(assigned, vec_col)
+        codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            self._codes_path
+        )
+        with open(self._ranges_path, "w") as f:
+            f.write(codec.to_json())
+        return self
+
+    def codec(self) -> SQCodec:
+        with open(self._ranges_path) as f:
+            return SQCodec.from_json(f.read())
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(self._codes_path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 10,
+        shortlist: int | None = 50,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """nprobe-pruned pure-Catalyst ADC; with ``shortlist`` set, exact
+        cosine re-rank against the equally pruned full-vector lists.
+        Output (query_id, vec_id, rank, similarity) — similarity is
+        exact cosine when re-ranking, else the ADC dot product (queries
+        and the encoded corpus are expected normalized).
+
+        Pruning is PER QUERY (shared routing helper with IVFIndex): each
+        query scores only codes in ITS nprobe lists, while the ``isin``
+        on the union still prunes partitions at the scan."""
+        from deployment_spark.functions.vector import cosine_similarity, dot_product
+
+        qrows = queries.select(query_id, query_vec).collect()  # nq-scale
+        if not qrows:
+            return self.ivf.search_empty(query_id, id_col)
+        routing, probed = self.ivf.route(qrows, nprobe, query_id, query_vec)
+        routing_df = self.spark.createDataFrame(routing, [query_id, "cluster_id"])
+        codec = self.codec()
+        take = k if shortlist is None else max(int(shortlist), k)
+
+        pruned = (
+            self.codes()
+            .filter(F.col("cluster_id").isin(probed))  # partition pruning
+            .join(F.broadcast(routing_df), "cluster_id")  # per-query routing
+        )
+        qv = F.broadcast(queries.select(query_id, F.col(query_vec).alias("_qv")))
+        scored = (
+            pruned.join(qv, query_id)
+            .withColumn("_sim", dot_product(codec.decode_expr("codes"), "_qv"))
+            .select(query_id, F.col(id_col).alias("_cid"), "_sim")
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc("_cid"))
+        short = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= take
+        )
+        if shortlist is None:
+            return short.filter(F.col("rank") <= k).select(
+                query_id,
+                F.col("_cid").alias(id_col),
+                "rank",
+                F.col("_sim").alias("similarity"),
+            )
+        full = self.ivf.data().filter(F.col("cluster_id").isin(probed)).select(
+            id_col, vec_col
+        )
+        rescored = (
+            short.select(query_id, F.col("_cid").alias(id_col))
+            .join(full, id_col)
+            .join(qv, query_id)
+            .withColumn("_sim", cosine_similarity(vec_col, "_qv"))
+        )
+        w2 = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc(id_col))
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
+        )

@@ -2466,6 +2466,8 @@ PQ_RERANK_FLOOR = 0.95      # shortlist-50 re-rank, r3 measured 1.00
 IVFPQ_RERANK_FLOOR = 0.85   # nprobe 5/8 pruning dominates, r3 measured 0.875
 SQ_ADC_FLOOR = 0.95         # 8 bits per DIMENSION (4x), r5 measured 1.00
 SQ_RERANK_FLOOR = 0.98      # shortlist-50 re-rank, r5 measured 1.00
+IVFSQ_FLOOR = 0.85          # nprobe 5/8: pruning-bounded (SQ8 is near-
+                            # lossless, so adc ≈ rerank), r5 measured 0.875
 
 
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2653,17 +2655,89 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFSQ_BUILT: set[str] = set()
+
+
+def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×SQ8 composed index (operators/ivfsq.py; new r5) — the Milvus
+    ``IVF_SQ8`` index type: partition pruning over 1 B/dim scalar codes
+    with pure-Catalyst decode-on-the-fly ADC. Recall@10 at nprobe 5/8
+    for both raw ADC and shortlist-50 exact re-rank; because SQ8 is
+    near-lossless the two columns track each other (pruning is the only
+    loss), which is the measured argument for picking IVF_SQ8 over
+    IVF_PQ when memory allows 4×. Rows-only (trained quantizers);
+    independently re-derived by tools/check_oracle.py."""
+    import hashlib
+    import tempfile
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.ivfsq import IVFSQIndex
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    k = 10
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    tag = hashlib.md5(f"ivfsq|{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfsq_{tag}")
+    index = IVFSQIndex(spark, root)
+    if sf_dir not in _IVFSQ_BUILT:
+        index.build(norm, nlist=8)
+        _IVFSQ_BUILT.add(sf_dir)
+    queries = norm.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
+    adc = index.search(queries, k=k, nprobe=5, shortlist=None).select(
+        "query_id", "vec_id"
+    )
+    rr = index.search(queries, k=k, nprobe=5, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+
+    def hits(approx, name):
+        return (
+            exact.join(approx, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    qids = queries.select("query_id")
+    per_q = (
+        qids.join(hits(adc, "hits_adc"), "query_id", "left")
+        .join(hits(rr, "hits_rerank"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits_adc", F.lit(0)).alias("hits_adc"),
+            F.round(F.coalesce("hits_adc", F.lit(0)) / F.lit(k), 4).alias("recall_adc"),
+            F.coalesce("hits_rerank", F.lit(0)).alias("hits_rerank"),
+            F.round(F.coalesce("hits_rerank", F.lit(0)) / F.lit(k), 4).alias(
+                "recall_rerank"
+            ),
+        )
+    )
+    summary = per_q.agg(
+        F.round(F.avg("recall_adc"), 4).alias("mean_recall_adc"),
+        F.round(F.avg("recall_rerank"), 4).alias("mean_recall_rerank"),
+    )
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor",
+        (F.col("mean_recall_rerank") >= IVFSQ_FLOOR)
+        & (F.col("mean_recall_adc") >= IVFSQ_FLOOR),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified ANN recall panel (r5 fold — the driver gate windows at 50
-    entries, so the four per-codec recall entries ivf_recall / pq_recall
-    / ivfpq_recall / sq_recall share ONE tagged-union slot; each stays
-    callable individually and floor-pinned in test_recall_floors.py).
+    entries, so the per-codec recall entries ivf / pq / ivfpq / sq /
+    ivfsq share ONE tagged-union slot; each stays callable individually
+    and floor-pinned in test_recall_floors.py).
 
     One row per (codec, variant, query): recall@10 of IVF partition
     pruning (nprobe 10/16), PQ ADC + re-rank (m=16 ksub=256), IVF×PQ
-    composed (nprobe 5/8 + shortlist), and SQ8 ADC + re-rank — each
-    against exact cosine top-k, with PER-VARIANT floors (the per-codec
-    constants above). Rows-only by nature (trained quantizers are not
+    composed (nprobe 5/8 + shortlist), SQ8 ADC + re-rank, and IVF×SQ8
+    composed (the Milvus IVF_SQ8 index type) — each against exact
+    cosine top-k, with PER-VARIANT floors (the per-codec constants
+    above). Rows-only by nature (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
     value-checked by tools/check_oracle.py against a numpy exact
     top-k."""
@@ -2705,6 +2779,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_variant(q_pq_recall(spark, sf_dir), "pq", PQ_ADC_FLOOR, PQ_RERANK_FLOOR),
         one_variant(q_ivfpq_recall(spark, sf_dir), "ivfpq", "rerank"),
         two_variant(q_sq_recall(spark, sf_dir), "sq8", SQ_ADC_FLOOR, SQ_RERANK_FLOOR),
+        two_variant(q_ivfsq_recall(spark, sf_dir), "ivfsq", IVFSQ_FLOOR, IVFSQ_FLOOR),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -1,0 +1,104 @@
+"""IVF×SQ8 composed index (operators/ivfsq.py): exactness at full
+probe, pruning behavior, pure-Catalyst ADC plan, near-lossless
+quantization (adc ≈ rerank), empty-query contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import l2_normalize
+from deployment_spark.operators.ivfsq import IVFSQIndex
+from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+
+@pytest.fixture(scope="module")
+def norm_emb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, norm_emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ivfsq"))
+    return IVFSQIndex(spark, root).build(norm_emb, nlist=8)
+
+
+@pytest.fixture(scope="module")
+def queries(norm_emb):
+    return norm_emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_full_probe_rerank_reproduces_exact(norm_emb, index, queries):
+    k = 10
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_similarity_join_expr(norm_emb, queries, k=k).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in index.search(queries, k=k, nprobe=8, shortlist=50).collect()
+    }
+    assert got == exact
+
+
+def test_adc_tracks_rerank_near_lossless(norm_emb, index, queries):
+    """SQ8's defining property in the composed index: quantization adds
+    (almost) no loss on top of pruning, so ADC-only and re-ranked hit
+    sets agree — the opposite of IVF×PQ, where re-rank recovers
+    compression loss."""
+    k = 10
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in index.search(queries, k=k, nprobe=5, shortlist=None).collect()
+    }
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in index.search(queries, k=k, nprobe=5, shortlist=50).collect()
+    }
+    overlap = len(adc & rr) / len(rr)
+    assert overlap >= 0.95, overlap
+
+
+def test_adc_plan_is_pure_catalyst_and_pruned(index, queries):
+    from deployment_spark.plans import audit
+
+    df = index.search(queries, k=5, nprobe=3, shortlist=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    assert audit.has_partition_filters(df), plan
+
+
+def test_codes_are_byte_per_dim(index, norm_emb):
+    dim = len(norm_emb.first().embedding)
+    codes = index.codes()
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    assert all(len(r.codes) == dim for r in codes.limit(16).collect())
+
+
+def test_empty_queries(index, queries, spark):
+    out = index.search(queries.filter(F.lit(False)), k=5)
+    assert out.count() == 0
+
+
+def test_per_query_routing_independent_of_batch(norm_emb, index, queries):
+    """A query's results must not depend on which other queries share
+    the batch (per-query routing, not union routing)."""
+    k = 5
+    solo = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in index.search(
+            queries.filter(F.col("query_id") == 0), k=k, nprobe=3, shortlist=20
+        ).collect()
+    }
+    batched = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in index.search(queries, k=k, nprobe=3, shortlist=20).collect()
+        if r.query_id == 0
+    }
+    assert solo == batched

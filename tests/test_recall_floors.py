@@ -67,3 +67,13 @@ def test_sq_recall_meets_floor(spark):
         rows[0].mean_recall_adc,
         rows[0].mean_recall_rerank,
     )
+
+
+def test_ivfsq_recall_meets_floor(spark):
+    from deployment_spark.queries import q_ivfsq_recall
+
+    rows = _floor_rows(q_ivfsq_recall, spark)
+    assert all(r.meets_floor for r in rows), (
+        rows[0].mean_recall_adc,
+        rows[0].mean_recall_rerank,
+    )

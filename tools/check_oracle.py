@@ -181,6 +181,26 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
             IVFPQ_RERANK_FLOOR,
         )
 
+    with tempfile.TemporaryDirectory(prefix="oracle_ivfsq_") as root:
+        from deployment_spark.operators.ivfsq import IVFSQIndex
+        from deployment_spark.queries import IVFSQ_FLOOR
+
+        ivfsq = IVFSQIndex(spark, root).build(norm, nlist=8)
+        specs[("ivfsq", "adc")] = (
+            _pairs_to_sets(
+                ivfsq.search(queries, k=k, nprobe=5, shortlist=None)
+                .select("query_id", "vec_id").collect()
+            ),
+            IVFSQ_FLOOR,
+        )
+        specs[("ivfsq", "rerank")] = (
+            _pairs_to_sets(
+                ivfsq.search(queries, k=k, nprobe=5, shortlist=50)
+                .select("query_id", "vec_id").collect()
+            ),
+            IVFSQ_FLOOR,
+        )
+
     sq_codec = SQCodec.train(norm)
     sq_codes = sq_codec.encode(norm)
     specs[("sq8", "adc")] = (
