@@ -207,6 +207,57 @@ def topk_similarity_join(
     )
 
 
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    limit_per_query: int | None = None,
+) -> DataFrame:
+    """Range search — all corpus vectors with cosine ≥ ``radius`` per
+    query (the Milvus range-search query mode, the radius sibling of
+    top-k; the reference's store family exposes it next to the
+    ``limit=10`` search at ``Milvus/stream1.py:162``).
+
+    Broadcast-queries scan + Catalyst cosine + radius filter: one pass
+    over the corpus, no shuffle at all when ``limit_per_query`` is None
+    (the filter output streams straight to the sink); with a limit, the
+    standard tie-aware rank window caps each query's result (Milvus
+    range search takes the same optional limit). Unlike top-k there is
+    no per-partition pre-reduction to do — the radius predicate IS the
+    reduction, and its selectivity, not k, bounds the output.
+
+    Output: (query_id, vec_id, similarity[, rank])."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
+    hits = (
+        c.crossJoin(q)
+        .withColumn("_sim", cosine_similarity("_cvec", "_qvec"))
+        .filter(F.col("_sim") >= radius)
+    )
+    if limit_per_query is None:
+        return hits.select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("_sim").alias("similarity"),
+        )
+    return (
+        hits.withColumn("rank", F.row_number().over(_rank_window("_qid")))
+        .filter(F.col("rank") <= limit_per_query)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("rank"),
+            F.col("_sim").alias("similarity"),
+        )
+    )
+
+
 def enrich_topk(results: DataFrame, corpus: DataFrame, corpus_id: str = "vec_id", payload_cols: list[str] | None = None) -> DataFrame:
     """J2 — map result ids back to corpus payloads
     (``FAISS/UI-Demo/pipeline+ui.py:594-600``). The result side is k·nq

@@ -2996,24 +2996,42 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from cosine via d = √(2 − 2·cos) on unit vectors
     (FAISS/UI-Demo/pipeline+ui.py:594-600,597). Because vector + payload
     live in ONE row, this join cannot drift the way the reference's
-    parallel lists do (SURVEY §3.3)."""
-    from deployment_spark.operators.similarity import enrich_topk
+    parallel lists do (SURVEY §3.3).
+
+    r5 fold (tagged union, gate windows at 50): a second ``radius``
+    probe drives range search (operators/similarity.radius_search — the
+    Milvus range-search query mode, radius 0.3 with the optional
+    per-query limit 20) through the same enrichment + projections. The
+    0.3 boundary clears every sim by ≥ 4.5e-4 at sf0.001/0.01/0.1, so
+    engine-vs-oracle ulp differences cannot flip membership."""
+    from deployment_spark.operators.similarity import enrich_topk, radius_search
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+
+    def shape(df, probe):
+        legacy_d = F.sqrt(F.greatest(2.0 - 2.0 * F.col("similarity"), F.lit(0.0)))
+        return df.select(
+            F.lit(probe).alias("probe"),
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("label").cast("long").alias("label"),
+            F.round("similarity", 4).alias("similarity"),
+            F.round(1.0 - legacy_d, 4).alias("legacy_score"),
+        )
+
     res = sim_ops.topk_similarity_join(emb, queries, k=5)
-    enriched = enrich_topk(res, emb.select("vec_id", "label"), corpus_id="vec_id")
-    legacy_d = F.sqrt(F.greatest(2.0 - 2.0 * F.col("similarity"), F.lit(0.0)))
-    return enriched.select(
-        "query_id",
-        "vec_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.col("label").cast("long").alias("label"),
-        F.round("similarity", 4).alias("similarity"),
-        F.round(1.0 - legacy_d, 4).alias("legacy_score"),
+    topk_rows = shape(
+        enrich_topk(res, emb.select("vec_id", "label"), corpus_id="vec_id"), "topk"
     )
+    rad = radius_search(emb, queries, radius=0.3, limit_per_query=20)
+    radius_rows = shape(
+        enrich_topk(rad, emb.select("vec_id", "label"), corpus_id="vec_id"), "radius"
+    )
+    return topk_rows.unionByName(radius_rows)
 
 
 SQL_TOPK_ENRICHED = """
@@ -3028,11 +3046,20 @@ WITH q AS (
   SELECT query_id, vec_id, label, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s
+), rad AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s WHERE sim >= 0.3
 )
-SELECT query_id, vec_id, rank, label::BIGINT AS label,
+SELECT 'topk' AS probe, query_id, vec_id, rank, label::BIGINT AS label,
        round(sim, 4) AS similarity,
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4) AS legacy_score
 FROM r WHERE rank <= 5
+UNION ALL
+SELECT 'radius', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM rad WHERE rank <= 20
 """
 
 

@@ -136,11 +136,14 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     # the ≤bins-row cumulative grid and the 1-row total against a 6-row
     # probe set — every BNLJ side is O(bins), never data-scale.
     # doc_lm_score crossJoins the 1-row corpus-total aggregate;
-    # ann_recall unions the four recall entries (each a 1-row summary
-    # crossJoin); bm25/hybrid broadcast the 1-row corpus-stats row
+    # ann_recall unions the recall entries (each a 1-row summary
+    # crossJoin); bm25/hybrid broadcast the 1-row corpus-stats row;
+    # topk_enriched's radius slot scans corpus × broadcast(nq queries) —
+    # the brute-force ANN shape, broadcast side bounded by the query
+    # batch contract, never data-scale
     BNLJ_OK = {
         "ann_recall", "hist_quantiles", "doc_lm_score",
-        "doc_bm25_topk", "hybrid_search",
+        "doc_bm25_topk", "hybrid_search", "topk_enriched",
     }
     sf = sf_dir
     offenders = {}

@@ -209,3 +209,61 @@ def test_l2_metric_matches_numpy(spark, embeddings, impl):
         order = sorted(range(len(ids)), key=lambda j: (round(d2[j], 9), ids[j]))[:5]
         for rank, j in enumerate(order, 1):
             assert got[(int(ids[qi]), rank)] == int(ids[j])
+
+
+def test_radius_search_matches_numpy_filter(embeddings, queries_df, corpus_np):
+    """Range search (Milvus range-search mode): hit set must equal the
+    brute-force cosine >= radius filter, self-query included at sim 1."""
+    from deployment_spark.operators.similarity import radius_search
+
+    ids, mat = corpus_np
+    qrows = queries_df.collect()
+    radius = 0.3
+    got = {}
+    for r in radius_search(embeddings, queries_df, radius=radius).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in qrows:
+        qv = np.array(q.query_vec, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        sims = matn @ qv
+        want = {int(i) for i, s in zip(ids, sims) if s >= radius}
+        assert got.get(q.query_id, set()) == want
+        assert q.query_id in got[q.query_id]  # self-hit at sim 1.0
+
+
+def test_radius_search_limit_caps_and_ranks(embeddings, queries_df):
+    from deployment_spark.operators.similarity import radius_search
+
+    out = radius_search(embeddings, queries_df, radius=-1.0, limit_per_query=7)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.similarity))
+    for qid, rs in per_q.items():
+        rs.sort()
+        assert [rank for rank, _ in rs] == list(range(1, 8))
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_radius_search_unlimited_has_no_shuffle(embeddings, queries_df):
+    """Without a limit the radius scan is a broadcast join + filter —
+    zero shuffle exchanges; output size is bounded by selectivity, so
+    nothing needs a global ordering pass."""
+    from deployment_spark.operators.similarity import radius_search
+
+    plan = (
+        radius_search(embeddings, queries_df, radius=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+
+
+def test_radius_one_returns_only_exact_duplicates(embeddings, queries_df):
+    from deployment_spark.operators.similarity import radius_search
+
+    rows = radius_search(embeddings, queries_df, radius=1.0 - 1e-9).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert r.similarity >= 1.0 - 1e-9
