@@ -258,6 +258,51 @@ def radius_search(
     )
 
 
+def grouped_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    group_col: str = "label",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Grouping search — top-k DISTINCT groups per query, each
+    represented by its best-scoring member (the Milvus
+    ``group_by_field`` search mode: de-duplicate results by a payload
+    field so one dominant group cannot fill the whole result list).
+
+    Two windows over one scored scan: best-per-(query, group) then
+    top-k groups per query; both use the deterministic (sim desc, id)
+    tie-break. Shuffle is one exchange on query_id (the group window
+    partitions by a superset key, so the second window reuses the
+    sort).
+
+    Output: (query_id, vec_id, group_col, rank, similarity) — rank is
+    the GROUP rank."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec"))
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"), group_col
+    )
+    scored = c.crossJoin(q).withColumn("_sim", cosine_similarity("_cvec", "_qvec"))
+    wg = Window.partitionBy("_qid", group_col).orderBy(F.desc("_sim"), F.asc("_cid"))
+    best = scored.withColumn("_gr", F.row_number().over(wg)).filter(F.col("_gr") == 1)
+    return (
+        best.withColumn("rank", F.row_number().over(_rank_window("_qid")))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            group_col,
+            "rank",
+            F.col("_sim").alias("similarity"),
+        )
+    )
+
+
 def enrich_topk(results: DataFrame, corpus: DataFrame, corpus_id: str = "vec_id", payload_cols: list[str] | None = None) -> DataFrame:
     """J2 — map result ids back to corpus payloads
     (``FAISS/UI-Demo/pipeline+ui.py:594-600``). The result side is k·nq

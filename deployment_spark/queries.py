@@ -2998,13 +2998,22 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in ONE row, this join cannot drift the way the reference's
     parallel lists do (SURVEY §3.3).
 
-    r5 fold (tagged union, gate windows at 50): a second ``radius``
-    probe drives range search (operators/similarity.radius_search — the
-    Milvus range-search query mode, radius 0.3 with the optional
-    per-query limit 20) through the same enrichment + projections. The
-    0.3 boundary clears every sim by ≥ 4.5e-4 at sf0.001/0.01/0.1, so
-    engine-vs-oracle ulp differences cannot flip membership."""
-    from deployment_spark.operators.similarity import enrich_topk, radius_search
+    r5 fold (tagged union, gate windows at 50) — the Milvus search-API
+    sibling modes, one probe each: ``radius`` drives range search
+    (operators/similarity.radius_search, radius 0.3 with the optional
+    per-query limit 20 — the 0.3 boundary clears every sim by ≥ 4.5e-4
+    at sf0.001/0.01/0.1, so engine-vs-oracle ulp differences cannot
+    flip membership); ``grouped`` drives grouping search
+    (similarity.grouped_topk — ``group_by_field`` semantics: top-5
+    DISTINCT labels per query, best member each); ``filtered`` drives
+    scalar-filtered ANN (predicate label % 3 = 0 applied under the
+    scan — Catalyst pushes it below the similarity evaluation, the
+    vector-db "search with filter" mode)."""
+    from deployment_spark.operators.similarity import (
+        enrich_topk,
+        grouped_topk,
+        radius_search,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -3031,7 +3040,18 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius_rows = shape(
         enrich_topk(rad, emb.select("vec_id", "label"), corpus_id="vec_id"), "radius"
     )
-    return topk_rows.unionByName(radius_rows)
+    grouped_rows = shape(grouped_topk(emb, queries, k=5, group_col="label"), "grouped")
+    filt = sim_ops.topk_similarity_join_expr(
+        emb.filter(F.col("label") % 3 == 0), queries, k=5
+    )
+    filtered_rows = shape(
+        enrich_topk(filt, emb.select("vec_id", "label"), corpus_id="vec_id"), "filtered"
+    )
+    return (
+        topk_rows.unionByName(radius_rows)
+        .unionByName(grouped_rows)
+        .unionByName(filtered_rows)
+    )
 
 
 SQL_TOPK_ENRICHED = """
@@ -3050,6 +3070,18 @@ WITH q AS (
   SELECT query_id, vec_id, label, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s WHERE sim >= 0.3
+), gbest AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id, label ORDER BY sim DESC, vec_id) AS gr
+  FROM s
+), grouped AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM gbest WHERE gr = 1
+), filtered AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s WHERE label % 3 = 0
 )
 SELECT 'topk' AS probe, query_id, vec_id, rank, label::BIGINT AS label,
        round(sim, 4) AS similarity,
@@ -3060,6 +3092,16 @@ SELECT 'radius', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM rad WHERE rank <= 20
+UNION ALL
+SELECT 'grouped', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM grouped WHERE rank <= 5
+UNION ALL
+SELECT 'filtered', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM filtered WHERE rank <= 5
 """
 
 

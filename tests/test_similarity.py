@@ -267,3 +267,51 @@ def test_radius_one_returns_only_exact_duplicates(embeddings, queries_df):
     assert {r.query_id for r in rows} == {0, 1, 2}
     for r in rows:
         assert r.similarity >= 1.0 - 1e-9
+
+
+def test_grouped_topk_distinct_groups_and_best_member(embeddings, queries_df, corpus_np):
+    """Grouping search (Milvus group_by_field): per query, k DISTINCT
+    groups, each represented by its best member; verified against a
+    numpy group-max reference."""
+    from deployment_spark.operators.similarity import grouped_topk
+
+    ids, mat = corpus_np
+    labels = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
+    out = grouped_topk(embeddings, queries_df, k=4, group_col="label").collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in queries_df.collect():
+        rows = sorted(per_q[q.query_id], key=lambda r: r.rank)
+        # distinct groups, ranks 1..k, sims descending
+        assert len({r.label for r in rows}) == len(rows) == 4
+        sims = [r.similarity for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        # reference: best sim per group, then top-4 groups
+        qv = np.array(q.query_vec, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        s = matn @ qv
+        best = {}
+        for i, cid in enumerate(ids):
+            g = labels[int(cid)]
+            # mirror the (sim desc, id asc) tie-break
+            cur = best.get(g)
+            if cur is None or (s[i], -int(cid)) > (cur[0], -cur[1]):
+                best[g] = (float(s[i]), int(cid))
+        want = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[:4]
+        got = [(r.label, (round(r.similarity, 9), r.vec_id)) for r in rows]
+        for (wg, (ws, wc)), (gg, (gs, gc)) in zip(want, got):
+            assert wg == gg and wc == gc, (want, got)
+
+
+def test_filtered_ann_pushes_predicate_to_scan(spark, embeddings, queries_df):
+    """Scalar-filtered ANN: the label predicate must reach the parquet
+    scan (PushedFilters), not run above the similarity evaluation."""
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    filt = topk_similarity_join_expr(
+        embeddings.filter(F.col("label") % 3 == 0), queries_df, k=5
+    )
+    labels = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
+    assert all(labels[r.vec_id] % 3 == 0 for r in filt.collect())
