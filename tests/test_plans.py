@@ -188,3 +188,29 @@ def test_lm_score_single_tokenization(spark, sf_dir, tmp_path):
     assert len(gens) == 2, final
     assert sum("split" in ln for ln in gens) == 1, gens
     assert "ReusedExchange" in final, final
+
+
+def test_bm25_single_tokenization(spark, sf_dir, tmp_path):
+    """bm25_scores must scan + tokenize the corpus ONCE on the
+    production path: the 1-row corpus-stats aggregate and the scoring
+    projection both consume the per-doc aggregate's exchange, which AQE
+    dedupes at stage materialization (ReusedExchange in the FINAL plan;
+    the initial static plan prints two subtrees — reading it is the
+    trap this test avoids). Private table copy for the same
+    cached-leaf reason as test_lm_score_single_tokenization."""
+    import re
+    import shutil
+
+    from deployment_spark.operators.retrieval import bm25_scores
+
+    path = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{sf_dir}/documents.parquet", path)
+    d = spark.read.parquet(path).select("doc_id", "text")
+    out = bm25_scores(d, ["dup", "vector", "merge", "batch"])
+    out.collect()  # AQE: inspect the FINAL executed plan
+    final = audit.physical_plan(out).split("== Initial Plan ==")[0]
+    n_scans = len(re.findall(r"FileScan|Scan parquet|Scan orc", final))
+    assert n_scans == 1, final
+    gens = [ln for ln in final.splitlines() if "Generate" in ln]
+    assert len(gens) == 1, final
+    assert "ReusedExchange" in final, final
