@@ -136,6 +136,45 @@ def bm25_topk(
     )
 
 
+def weighted_fuse(
+    ranked: list[tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted score fusion — the Milvus ``WeightedRanker`` sibling of
+    RRF: each list's scores are min-max normalized over that list (BM25
+    and cosine live on incomparable scales), then summed with the given
+    weights. A doc absent from a list contributes nothing for it.
+
+    Output: (id_col, n_lists, fused_score). Like rrf_fuse, inputs are
+    k-scale: the per-list min/max is a 1-row broadcast and the union +
+    groupBy shuffles only k·lists rows. Degenerate lists (all scores
+    equal) normalize to 1.0 so a constant list still ranks by presence.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    parts = []
+    for df, weight in ranked:
+        ext = df.agg(
+            F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+        )
+        norm = F.when(
+            F.col("_hi") > F.col("_lo"),
+            (F.col(score_col) - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+        ).otherwise(F.lit(1.0))
+        parts.append(
+            df.crossJoin(F.broadcast(ext)).select(
+                F.col(id_col), (F.lit(float(weight)) * norm).alias("_c")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"), F.sum("_c").alias("fused_score")
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str = "doc_id",

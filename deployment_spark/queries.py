@@ -591,47 +591,63 @@ QUALIFY rank <= 20
 
 
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search (operators/retrieval.rrf_fuse; new r5) — the
-    reference store family's headline composed query: lexical BM25 rank
-    fused with vector cosine rank by reciprocal rank fusion
-    (rrf = Σ 1/(60+rank); no score calibration needed). BM25 top-50 over
-    documents (4dp-rounded ranking) ⊕ exact cosine top-50 for query
-    vector vec_id=7 over embeddings (the hash-green topk_cosine rank
-    pattern). Both lists are k-scale, so fusion is one tiny union +
-    groupBy; ≤2 doubles per sum keeps float addition order-free
-    (commutativity), making the fused score engine-exact before the 6dp
-    round. The oracle replays both rankings and the fusion in SQL."""
-    from deployment_spark.operators.retrieval import bm25_scores, rrf_fuse
+    """Hybrid search (operators/retrieval; new r5) — the reference store
+    family's headline composed query, with BOTH Milvus rankers as
+    tagged probes: ``rrf`` = reciprocal rank fusion (Σ 1/(60+rank), no
+    score calibration) and ``weighted`` = WeightedRanker semantics
+    (per-list min-max normalization, 0.5/0.5 weighted sum). BM25 top-50
+    over documents (4dp-rounded ranking) ⊕ exact cosine top-50 for
+    query vector vec_id=7 over embeddings (the hash-green topk_cosine
+    rank pattern). Fusion inputs are the 4dp-ROUNDED scores, so the
+    weighted arithmetic runs on identical doubles in both engines, and
+    ≤2 addends per sum keeps float addition order-free (commutativity)
+    — the fused scores are engine-exact before the 6dp round. The
+    oracle replays both rankings and both fusions in SQL."""
+    from deployment_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        weighted_fuse,
+    )
     from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bm = bm25_scores(d, BM25_TERMS).withColumn("_s", F.round("bm25", 4))
     bm_top = bm.orderBy(F.desc("_s"), F.asc("doc_id")).limit(50)
     wb = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
-    bm_rank = bm_top.withColumn("rank", F.row_number().over(wb)).select("doc_id", "rank")
+    bm_ranked = bm_top.withColumn("rank", F.row_number().over(wb)).select(
+        "doc_id", "rank", F.col("_s").alias("score")
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cos_rank = topk_similarity_join_expr(emb, q, k=50).select(
-        F.col("vec_id").alias("doc_id"), "rank"
+    cos_ranked = topk_similarity_join_expr(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank", F.round("similarity", 4).alias("score")
     )
-    fused = rrf_fuse([bm_rank, cos_rank])
-    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return top.withColumn("rk", F.row_number().over(w)).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_lists").cast("long").alias("n_lists"),
-        F.round("rrf_score", 6).alias("rrf_score"),
-        F.col("rk").cast("long").alias("rank"),
+
+    def shape(fused, score_col, probe):
+        top = fused.orderBy(F.desc(score_col), F.asc("doc_id")).limit(20)
+        w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+        return top.withColumn("rk", F.row_number().over(w)).select(
+            F.lit(probe).alias("probe"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_lists").cast("long").alias("n_lists"),
+            F.round(score_col, 6).alias("score"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+
+    rrf = rrf_fuse([bm_ranked, cos_ranked])
+    wtd = weighted_fuse([(bm_ranked, 0.5), (cos_ranked, 0.5)], score_col="score")
+    return shape(rrf, "rrf_score", "rrf").unionByName(
+        shape(wtd, "fused_score", "weighted")
     )
 
 
 SQL_HYBRID_SEARCH = f"""
 WITH {_sql_bm25_ctes()},
 bmr AS (
-  SELECT doc_id,
+  SELECT doc_id, round(bm25, 4) AS score,
          row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS rank
   FROM bm_scored WHERE matched_terms > 0
   QUALIFY rank <= 50
@@ -639,6 +655,7 @@ bmr AS (
   SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
 ), cs AS (
   SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS score,
          row_number() OVER (
            ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
          ) AS rank
@@ -649,13 +666,29 @@ bmr AS (
   UNION ALL
   SELECT doc_id, 1.0 / (60 + rank) AS c FROM cs
 ), fus AS (
-  SELECT doc_id, count(*) AS n_lists, sum(c) AS rrf FROM uni GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_lists, sum(c) AS f FROM uni GROUP BY doc_id
+), bstat AS (SELECT min(score) AS lo, max(score) AS hi FROM bmr
+), cstat AS (SELECT min(score) AS lo, max(score) AS hi FROM cs
+), wuni AS (
+  SELECT doc_id,
+         0.5 * (CASE WHEN hi > lo THEN (score - lo) / (hi - lo) ELSE 1.0 END) AS c
+  FROM bmr CROSS JOIN bstat
+  UNION ALL
+  SELECT doc_id,
+         0.5 * (CASE WHEN hi > lo THEN (score - lo) / (hi - lo) ELSE 1.0 END) AS c
+  FROM cs CROSS JOIN cstat
+), wfus AS (
+  SELECT doc_id, count(*) AS n_lists, sum(c) AS f FROM wuni GROUP BY doc_id
 )
-SELECT doc_id::BIGINT AS doc_id, n_lists::BIGINT AS n_lists,
-       round(rrf, 6) AS rrf_score,
-       row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank
-FROM fus
-QUALIFY rank <= 20
+SELECT 'rrf' AS probe, doc_id::BIGINT AS doc_id, n_lists::BIGINT AS n_lists,
+       round(f, 6) AS score,
+       row_number() OVER (ORDER BY f DESC, doc_id)::BIGINT AS rank
+FROM fus QUALIFY rank <= 20
+UNION ALL
+SELECT 'weighted', doc_id::BIGINT, n_lists::BIGINT,
+       round(f, 6),
+       row_number() OVER (ORDER BY f DESC, doc_id)::BIGINT AS rank
+FROM wfus QUALIFY rank <= 20
 """
 
 

@@ -9,7 +9,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from deployment_spark.operators.retrieval import bm25_scores, bm25_topk, rrf_fuse
+from deployment_spark.operators.retrieval import bm25_scores, bm25_topk, rrf_fuse, weighted_fuse
 
 
 @pytest.fixture(scope="module")
@@ -105,6 +105,24 @@ def test_rrf_hand_computed(spark):
     assert got[2][1] > got[1][1]
 
 
+def test_weighted_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 5.0), (3, 3, 0.0)], "doc_id long, rank int, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 1, 0.9), (4, 2, 0.9)], "doc_id long, rank int, score double"
+    )
+    got = {
+        r.doc_id: (r.n_lists, r.fused_score)
+        for r in weighted_fuse([(a, 0.7), (b, 0.3)]).collect()
+    }
+    # a-list min-max: 10->1.0, 5->0.5, 0->0.0; b-list degenerate -> 1.0 each
+    assert got[1] == (1, pytest.approx(0.7))
+    assert got[2] == (2, pytest.approx(0.7 * 0.5 + 0.3))
+    assert got[3] == (1, pytest.approx(0.0))
+    assert got[4] == (1, pytest.approx(0.3))
+
+
 def test_entry_functions_run(spark):
     from deployment_spark.queries import q_doc_bm25_topk, q_hybrid_search
 
@@ -112,7 +130,13 @@ def test_entry_functions_run(spark):
     bm = q_doc_bm25_topk(spark, sf).collect()
     assert len(bm) == 20 and [r.rank for r in bm] == list(range(1, 21))
     hy = q_hybrid_search(spark, sf).collect()
-    assert len(hy) == 20 and [r.rank for r in hy] == list(range(1, 21))
-    assert all(r.n_lists in (1, 2) for r in hy)
-    # fused list must actually draw from both modalities
-    assert any(r.n_lists == 2 for r in hy)
+    assert len(hy) == 40
+    by_probe = {}
+    for r in hy:
+        by_probe.setdefault(r.probe, []).append(r)
+    assert set(by_probe) == {"rrf", "weighted"}
+    for probe, rows in by_probe.items():
+        assert sorted(r.rank for r in rows) == list(range(1, 21)), probe
+        assert all(r.n_lists in (1, 2) for r in rows)
+        # fused list must actually draw from both modalities
+        assert any(r.n_lists == 2 for r in rows), probe
