@@ -89,7 +89,11 @@ def run_reference_grid(
     bounded no matter what the mutation mix does), while
     ``compact_every=N`` keeps the old fixed cadence of compacting after
     every N grid sizes (its cost shows up as explicit ``compaction``
-    rows)."""
+    rows). With ``compact_when`` the fold runs INSIDE whichever
+    mutation trips the threshold, so that mutation's row includes it;
+    a separate ``auto_compaction`` row per grid size carries the
+    isolated fold time (from the store's own accounting) so mutation
+    spikes stay attributable and rounds stay comparable."""
     sizes = sizes or REFERENCE_GRID
     store = SnapshotStore(
         spark, store_root, key="frame_number", mode=store_mode,
@@ -99,6 +103,7 @@ def run_reference_grid(
     next_id = initial_rows
 
     metrics: list[tuple] = []
+    recorded_fold = [0.0]  # auto-compaction seconds already attributed
 
     def record(op: str, size: int, elapsed: float, cpu: float, mem: float) -> None:
         # B3 — long-format row (pipeline.py:135-175)
@@ -141,6 +146,14 @@ def run_reference_grid(
             ).count()
         )
         record("query", size, t, c, m)
+
+        # attribution row: in-line auto-compaction time this size step
+        # (already included in the mutation rows above; recorded
+        # separately so spikes are explainable round-over-round)
+        fold = store.auto_compaction_seconds - recorded_fold[0]
+        if fold > 0:
+            record("auto_compaction", size, fold, 0.0, 0.0)
+            recorded_fold[0] = store.auto_compaction_seconds
 
     return spark.createDataFrame(
         metrics,

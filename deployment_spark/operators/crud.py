@@ -78,6 +78,13 @@ class SnapshotStore:
         self.key = key
         self.partition_by = partition_by
         self.mode = mode
+        # observable auto-compaction health: incremented (with a warning)
+        # whenever a threshold-triggered compact() fails and is deferred
+        self.compaction_failures = 0
+        # cumulative wall time spent in threshold-triggered compactions —
+        # lets harnesses attribute the in-line fold cost separately from
+        # the mutation that happened to trip the threshold
+        self.auto_compaction_seconds = 0.0
         # opt-in additive schema evolution: inserts/upserts may carry NEW
         # columns (old rows read as NULL) and may omit existing ones.
         # Off by default — strict schemas catch writer bugs.
@@ -273,10 +280,26 @@ class SnapshotStore:
             # whichever commit trips the threshold next (the store stays
             # valid in its pre-compaction state either way). compact()
             # publishes a 1-segment manifest, which cannot re-trip this
-            # branch — no recursion.
+            # branch — no recursion. The failure is NOT silent: it is
+            # counted and warned, so a persistently failing policy
+            # (disk-full, permissions) is observable instead of quietly
+            # unbounding read amplification.
+            t0 = time.monotonic()
             try:
-                return self.compact()
-            except Exception:
+                v = self.compact()
+                self.auto_compaction_seconds += time.monotonic() - t0
+                return v
+            except Exception as exc:
+                import warnings
+
+                self.auto_compaction_seconds += time.monotonic() - t0
+                self.compaction_failures += 1
+                warnings.warn(
+                    f"auto-compaction deferred after error ({exc!r}); "
+                    f"store stays valid at v{version}, "
+                    f"{self.compaction_failures} failure(s) so far",
+                    stacklevel=2,
+                )
                 return version
         return version
 

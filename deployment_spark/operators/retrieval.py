@@ -123,16 +123,22 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    round_to: int | None = None,
 ) -> DataFrame:
-    """Top-k BM25 ranking: (id_col, matched_terms, bm25, rank).
+    """Top-k BM25 ranking: (id_col, dl, matched_terms, bm25, rank).
 
     orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    heaps); the rank window then runs on the k-row result only."""
+    heaps); the rank window then runs on the k-row result only. With
+    ``round_to``, ranking (and the returned score) uses the rounded
+    value — the cross-engine-stable ordering the oracle-gated entries
+    need (ties broken by id either way)."""
     scored = bm25_scores(df, query_terms, k1=k1, b=b, text_col=text_col, id_col=id_col)
+    if round_to is not None:
+        scored = scored.withColumn("bm25", F.round("bm25", round_to))
     top = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "matched_terms", "bm25", "rank"
+        id_col, "dl", "matched_terms", "bm25", "rank"
     )
 
 

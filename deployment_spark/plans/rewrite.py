@@ -160,11 +160,18 @@ def rewrite_topk_onto_ivf(
     queries = spark.createDataFrame(
         [(0, [float(x) for x in m["qvec"]])], ["query_id", "query_vec"]
     )
-    hits = index.search(queries, k=m["k"], nprobe=nprobe, id_col=id_col).select(
-        id_col, "rank"
+    # the hits' ordering column must not collide with a child payload
+    # column (a child named 'rank' would make the join ambiguous and
+    # crash — violating the safe-no-op contract); pick a fresh name
+    rank_col = "_ivf_rank"
+    while rank_col in child.columns:
+        rank_col = "_" + rank_col
+    hits = (
+        index.search(queries, k=m["k"], nprobe=nprobe, id_col=id_col)
+        .select(id_col, F.col("rank").alias(rank_col))
     )
     return (
         child.join(F.broadcast(hits), on=id_col)
-        .orderBy("rank")
+        .orderBy(rank_col)
         .select(*child.columns)
     )

@@ -523,17 +523,15 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp-rounded score (ties broken by doc_id) so the rank column is
     stable across engines; the oracle replays tokenization, the
     conditional-sum aggregate, idf/tf math, and the ranking in SQL."""
-    from deployment_spark.operators.retrieval import bm25_scores
+    from deployment_spark.operators.retrieval import bm25_topk
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = bm25_scores(d, BM25_TERMS).withColumn("_s", F.round("bm25", 4))
-    top = scored.orderBy(F.desc("_s"), F.asc("doc_id")).limit(20)
-    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    top = bm25_topk(d, BM25_TERMS, k=20, round_to=4)
+    return top.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("dl").cast("long").alias("dl"),
         F.col("matched_terms").cast("long").alias("matched_terms"),
-        F.col("_s").alias("bm25"),
+        "bm25",
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -604,18 +602,15 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the fused scores are engine-exact before the 6dp round. The
     oracle replays both rankings and both fusions in SQL."""
     from deployment_spark.operators.retrieval import (
-        bm25_scores,
+        bm25_topk,
         rrf_fuse,
         weighted_fuse,
     )
     from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    bm = bm25_scores(d, BM25_TERMS).withColumn("_s", F.round("bm25", 4))
-    bm_top = bm.orderBy(F.desc("_s"), F.asc("doc_id")).limit(50)
-    wb = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
-    bm_ranked = bm_top.withColumn("rank", F.row_number().over(wb)).select(
-        "doc_id", "rank", F.col("_s").alias("score")
+    bm_ranked = bm25_topk(d, BM25_TERMS, k=50, round_to=4).select(
+        "doc_id", "rank", F.col("bm25").alias("score")
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2773,7 +2768,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     above). Rows-only by nature (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
     value-checked by tools/check_oracle.py against a numpy exact
-    top-k."""
+    top-k.
+
+    Each sub-entry deliberately recomputes its OWN exact reference set
+    rather than sharing one across the panel: ivf ranks raw-vector
+    cosine while the codec entries rank normalized-vector dot — equal
+    in exact arithmetic but not in floats, and a shared set could flip
+    a borderline hit and silently shift a pinned recall value. The
+    redundant work is a few corpus × 20-query expression joins in a
+    gate-only path; stability of the published numbers wins."""
 
     def two_variant(df, codec, adc_floor, rr_floor):
         adc = df.select(

@@ -407,3 +407,28 @@ def test_auto_compaction_failure_does_not_fail_the_mutation(spark, tmp_path, mon
     monkeypatch.undo()
     v2 = s.insert(mk(spark, [(4, "d")]))  # next trip folds for real
     assert _live_files(s) == 1 and s.count() == 4
+
+
+def test_auto_compaction_failure_is_observable_not_silent(spark, tmp_path, monkeypatch):
+    """A failing threshold-triggered compaction must defer (store stays
+    valid, mutation stays committed) AND surface: warning emitted,
+    failure counter incremented — a persistently dead policy is
+    distinguishable from a working one."""
+    import warnings
+
+    s = SnapshotStore(
+        spark, str(tmp_path / "cfail"), key="id", mode="mor", compact_when=1
+    )
+    s.insert(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(s, "compact", boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        s.insert(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert s.compaction_failures == 1
+    assert any("auto-compaction deferred" in str(w.message) for w in caught)
+    # the mutation itself committed; the store reads fine uncompacted
+    assert {r.id for r in s.read().collect()} == {1, 2}

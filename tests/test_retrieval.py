@@ -123,10 +123,10 @@ def test_weighted_fuse_hand_computed(spark):
     assert got[4] == (1, pytest.approx(0.3))
 
 
-def test_entry_functions_run(spark):
+def test_entry_functions_run(spark, sf_dir):
     from deployment_spark.queries import q_doc_bm25_topk, q_hybrid_search
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     bm = q_doc_bm25_topk(spark, sf).collect()
     assert len(bm) == 20 and [r.rank for r in bm] == list(range(1, 21))
     hy = q_hybrid_search(spark, sf).collect()

@@ -104,3 +104,21 @@ def test_row_removing_children_block_the_rewrite(spark, ivf):
     # projection-only children still fire
     projected = emb.select("vec_id", "embedding").orderBy(cos.desc()).limit(5)
     assert rewrite_topk_onto_ivf(projected, index, nprobe=10**9) is not projected
+
+
+def test_rank_payload_column_does_not_break_the_rewrite(spark, ivf):
+    """A child payload column named 'rank' must not make the join-back
+    ambiguous (the safe-no-op/never-crash contract): the rewrite still
+    fires and returns the child's own columns, 'rank' payload intact."""
+    index, emb = ivf
+    qvec = _qvec(emb)
+    with_rank = emb.withColumn("rank", F.col("vec_id") % 7)
+    df = with_rank.orderBy(
+        cosine_similarity("embedding", F.lit(qvec)).desc()
+    ).limit(5)
+    out = rewrite_topk_onto_ivf(df, index, nprobe=8)
+    rows = out.collect()  # must not raise AMBIGUOUS_REFERENCE
+    assert len(rows) == 5
+    assert set(out.columns) == set(with_rank.columns)
+    assert all(r.rank == r.vec_id % 7 for r in rows)  # payload survived
+    assert rows[0].vec_id == 3  # self-query still first

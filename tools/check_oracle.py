@@ -239,12 +239,17 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
                 problems.append(
                     f"{tag}[q={qid}]: recall claimed {row.recall}, independent {round(want / k, 4)}"
                 )
-            if abs(float(row.mean_recall) - mean) > 1e-9:
-                problems.append(f"{tag}: mean claimed {row.mean_recall}, independent {mean}")
-            if bool(row.meets_floor) != (mean >= floor):
-                problems.append(
-                    f"{tag}: meets_floor claimed {row.meets_floor}, independent {mean >= floor}"
-                )
+        # group-level columns are constant per group — check once, not
+        # once per row (a drifted mean would otherwise print 20 times)
+        if not rows["mean_recall"].sub(mean).abs().le(1e-9).all():
+            problems.append(
+                f"{tag}: mean claimed {sorted(set(rows['mean_recall']))}, independent {mean}"
+            )
+        if not rows["meets_floor"].eq(mean >= floor).all():
+            problems.append(
+                f"{tag}: meets_floor claimed {sorted(set(rows['meets_floor']))}, "
+                f"independent {mean >= floor}"
+            )
     return problems
 
 

@@ -14,10 +14,16 @@ Replication preserves workload character instead of distorting it:
   the original. Naive row duplication would instead turn every doc into
   an exact dup (pair counts scale quadratically, not linearly) —
   measuring that would measure the wrong workload.
-- embeddings: each replica's vectors are deterministically perturbed
-  (scaled by 1 + r/1000) so replicas are near- but not exact-clones;
-  ids are remapped to stay unique. Top-k/neighbor structure per replica
-  is the original's.
+- embeddings: each replica's vectors get a deterministic DIRECTION
+  perturbation (per-dimension additive offset r/20 · sin(dim+1), which
+  rotates unit vectors by ~0.2·r rad → cross-replica cosine ≈ 0.96 at
+  r=1, far below near-dup thresholds) so replicas are genuinely
+  distinct IN COSINE SPACE; a uniform scale would be cosine-invariant
+  and silently turn every vector into exact cross-replica duplicates —
+  the quadratic-duplicate distortion this scheme exists to avoid. Ids
+  are remapped to stay unique; within-replica neighbor structure is the
+  original's (one shared offset per replica shifts all its vectors
+  together).
 - all other tables are copied as-is (the probed entries read only
   documents/embeddings; the copies keep load_table happy).
 
@@ -96,7 +102,12 @@ def build_scaled_dir(spark, src: str, factor: int, root: str) -> str:
             emb.select(
                 (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
                 F.transform(
-                    "embedding", lambda x: (x * F.lit(1.0 + r / 1000.0)).cast("float")
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + F.lit(r / 20.0)
+                        * F.sin(i.cast("double") + F.lit(1.0))
+                    ).cast("float"),
                 ).alias("embedding"),
                 "label",
             )
