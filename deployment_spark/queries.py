@@ -3044,12 +3044,17 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT labels per query, best member each); ``filtered`` drives
     scalar-filtered ANN (predicate label % 3 = 0 applied under the
     scan — Catalyst pushes it below the similarity evaluation, the
-    vector-db "search with filter" mode)."""
+    vector-db "search with filter" mode); ``sparse`` drives
+    sparse-vector search (operators/sparse — the Milvus
+    SPARSE_INVERTED_INDEX mode: deterministic top-8-|value| postings,
+    dot product over shared dimensions via a dimension-keyed
+    inverted-index join, never an all-pairs scan)."""
     from deployment_spark.operators.similarity import (
         enrich_topk,
         grouped_topk,
         radius_search,
     )
+    from deployment_spark.operators.sparse import sparse_topk, sparsify_topm
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -3083,10 +3088,21 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered_rows = shape(
         enrich_topk(filt, emb.select("vec_id", "label"), corpus_id="vec_id"), "filtered"
     )
+    postings = sparsify_topm(emb, m=8)
+    q_postings = postings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "dim", "val"
+    )
+    sparse = sparse_topk(postings, q_postings, k=5).select(
+        "query_id", "vec_id", "rank", F.col("score").alias("similarity")
+    )
+    sparse_rows = shape(
+        enrich_topk(sparse, emb.select("vec_id", "label"), corpus_id="vec_id"), "sparse"
+    )
     return (
         topk_rows.unionByName(radius_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
+        .unionByName(sparse_rows)
     )
 
 
@@ -3118,6 +3134,29 @@ WITH q AS (
   SELECT query_id, vec_id, label, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s WHERE label % 3 = 0
+), spx AS (
+  SELECT vec_id,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'dim': i - 1, 'val': embedding[i]})) AS p
+  FROM embeddings
+), sp AS (
+  SELECT vec_id, dim, val FROM (
+    SELECT vec_id, p.dim::INT AS dim, p.val::DOUBLE AS val,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY abs(p.val::DOUBLE) DESC, p.dim) AS r
+    FROM spx
+  ) WHERE r <= 8
+), spq AS (
+  SELECT vec_id AS query_id, dim, val FROM sp WHERE vec_id < 10
+), ss AS (
+  SELECT q.query_id, c.vec_id, sum(c.val * q.val) AS sim
+  FROM sp c JOIN spq q USING (dim)
+  GROUP BY q.query_id, c.vec_id
+), sparse AS (
+  SELECT ss.query_id, ss.vec_id, e.label, ss.sim,
+         row_number() OVER (PARTITION BY ss.query_id
+                            ORDER BY ss.sim DESC, ss.vec_id) AS rank
+  FROM ss JOIN embeddings e ON ss.vec_id = e.vec_id
 )
 SELECT 'topk' AS probe, query_id, vec_id, rank, label::BIGINT AS label,
        round(sim, 4) AS similarity,
@@ -3138,6 +3177,11 @@ SELECT 'filtered', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM filtered WHERE rank <= 5
+UNION ALL
+SELECT 'sparse', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM sparse WHERE rank <= 5
 """
 
 
