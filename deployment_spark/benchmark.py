@@ -90,10 +90,12 @@ def run_reference_grid(
     ``compact_every=N`` keeps the old fixed cadence of compacting after
     every N grid sizes (its cost shows up as explicit ``compaction``
     rows). With ``compact_when`` the fold runs INSIDE whichever
-    mutation trips the threshold, so that mutation's row includes it;
-    a separate ``auto_compaction`` row per grid size carries the
-    isolated fold time (from the store's own accounting) so mutation
-    spikes stay attributable and rounds stay comparable."""
+    mutation trips the threshold; the harness SUBTRACTS the store's own
+    fold accounting from that mutation's row and emits the fold as its
+    own ``auto_compaction`` row — every row is additive (like
+    compact_every's explicit ``compaction`` rows), so summing
+    execution_time per size or per round stays meaningful and
+    mutation timings stay comparable round-over-round."""
     sizes = sizes or REFERENCE_GRID
     store = SnapshotStore(
         spark, store_root, key="frame_number", mode=store_mode,
@@ -103,19 +105,28 @@ def run_reference_grid(
     next_id = initial_rows
 
     metrics: list[tuple] = []
-    recorded_fold = [0.0]  # auto-compaction seconds already attributed
 
     def record(op: str, size: int, elapsed: float, cpu: float, mem: float) -> None:
         # B3 — long-format row (pipeline.py:135-175)
         metrics.append((model_name, op, size, elapsed, cpu, mem))
+
+    def record_mutation(op: str, size: int, fn) -> None:
+        # additive attribution: in-line fold time is measured by the
+        # store itself, subtracted from the mutation's wall time, and
+        # emitted as its own row — see the docstring
+        before = store.auto_compaction_seconds
+        _, t, c, m = _measure(fn)
+        fold = store.auto_compaction_seconds - before
+        record(op, size, max(t - fold, 0.0), c, m)
+        if fold > 0:
+            record("auto_compaction", size, fold, 0.0, 0.0)
 
     for i, size in enumerate(sizes):
         if compact_every and i and i % compact_every == 0:
             _, t, c, m = _measure(store.compact)
             record("compaction", size, t, c, m)
         batch = _synthetic_batch(spark, next_id, size, dim)
-        _, t, c, m = _measure(lambda: store.insert(batch))
-        record("insertion", size, t, c, m)
+        record_mutation("insertion", size, lambda: store.insert(batch))
         next_id += size
 
         # deletion: deterministic sample of current ids (reference uses
@@ -123,16 +134,14 @@ def run_reference_grid(
         victim_ids = store.read().select("frame_number").filter(
             F.col("frame_number") % 7 == 3
         ).limit(size)
-        _, t, c, m = _measure(lambda: store.delete_ids(victim_ids))
-        record("deletion", size, t, c, m)
+        record_mutation("deletion", size, lambda: store.delete_ids(victim_ids))
 
         # update = delete + re-insert with new ids (C3 quirk preserved)
         upd_victims = store.read().select("frame_number").filter(
             F.col("frame_number") % 11 == 5
         ).limit(size)
         new_rows = _synthetic_batch(spark, next_id, size, dim)
-        _, t, c, m = _measure(lambda: store.update(upd_victims, new_rows))
-        record("update", size, t, c, m)
+        record_mutation("update", size, lambda: store.update(upd_victims, new_rows))
         next_id += size
 
         # query: top-k for 3 sample queries (stream1.py:26 NUM_QUERY_SAMPLES)
@@ -146,14 +155,6 @@ def run_reference_grid(
             ).count()
         )
         record("query", size, t, c, m)
-
-        # attribution row: in-line auto-compaction time this size step
-        # (already included in the mutation rows above; recorded
-        # separately so spikes are explainable round-over-round)
-        fold = store.auto_compaction_seconds - recorded_fold[0]
-        if fold > 0:
-            record("auto_compaction", size, fold, 0.0, 0.0)
-            recorded_fold[0] = store.auto_compaction_seconds
 
     return spark.createDataFrame(
         metrics,

@@ -81,10 +81,13 @@ class SnapshotStore:
         # observable auto-compaction health: incremented (with a warning)
         # whenever a threshold-triggered compact() fails and is deferred
         self.compaction_failures = 0
-        # cumulative wall time spent in threshold-triggered compactions —
-        # lets harnesses attribute the in-line fold cost separately from
-        # the mutation that happened to trip the threshold
+        # cumulative wall time spent in SUCCESSFUL threshold-triggered
+        # compactions — lets harnesses attribute the in-line fold cost
+        # separately from the mutation that tripped the threshold.
+        # Failed attempts accrue to the _failed_ counter instead: no
+        # fold happened, so their time must not read as fold time.
         self.auto_compaction_seconds = 0.0
+        self.auto_compaction_failed_seconds = 0.0
         # opt-in additive schema evolution: inserts/upserts may carry NEW
         # columns (old rows read as NULL) and may omit existing ones.
         # Off by default — strict schemas catch writer bugs.
@@ -292,7 +295,7 @@ class SnapshotStore:
             except Exception as exc:
                 import warnings
 
-                self.auto_compaction_seconds += time.monotonic() - t0
+                self.auto_compaction_failed_seconds += time.monotonic() - t0
                 self.compaction_failures += 1
                 warnings.warn(
                     f"auto-compaction deferred after error ({exc!r}); "

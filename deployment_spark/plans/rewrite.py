@@ -162,9 +162,12 @@ def rewrite_topk_onto_ivf(
     )
     # the hits' ordering column must not collide with a child payload
     # column (a child named 'rank' would make the join ambiguous and
-    # crash — violating the safe-no-op contract); pick a fresh name
+    # crash — violating the safe-no-op contract); pick a fresh name,
+    # comparing case-insensitively because Spark resolution is
+    # case-insensitive by default ('_IVF_RANK' collides too)
+    taken = {c.lower() for c in child.columns}
     rank_col = "_ivf_rank"
-    while rank_col in child.columns:
+    while rank_col.lower() in taken:
         rank_col = "_" + rank_col
     hits = (
         index.search(queries, k=m["k"], nprobe=nprobe, id_col=id_col)

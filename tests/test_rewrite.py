@@ -122,3 +122,17 @@ def test_rank_payload_column_does_not_break_the_rewrite(spark, ivf):
     assert set(out.columns) == set(with_rank.columns)
     assert all(r.rank == r.vec_id % 7 for r in rows)  # payload survived
     assert rows[0].vec_id == 3  # self-query still first
+
+
+def test_case_insensitive_rank_collision(spark, ivf):
+    """Spark resolution is case-insensitive by default, so a payload
+    column '_IVF_RANK' must also be dodged by the alias probe."""
+    index, emb = ivf
+    qvec = _qvec(emb)
+    with_rank = emb.withColumn("_IVF_RANK", F.lit(1))
+    df = with_rank.orderBy(
+        cosine_similarity("embedding", F.lit(qvec)).desc()
+    ).limit(4)
+    out = rewrite_topk_onto_ivf(df, index, nprobe=8)
+    rows = out.collect()  # must not raise AMBIGUOUS_REFERENCE
+    assert len(rows) == 4 and set(out.columns) == set(with_rank.columns)

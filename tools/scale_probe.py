@@ -14,16 +14,20 @@ Replication preserves workload character instead of distorting it:
   the original. Naive row duplication would instead turn every doc into
   an exact dup (pair counts scale quadratically, not linearly) —
   measuring that would measure the wrong workload.
-- embeddings: each replica's vectors get a deterministic DIRECTION
-  perturbation (per-dimension additive offset r/20 · sin(dim+1), which
-  rotates unit vectors by ~0.2·r rad → cross-replica cosine ≈ 0.96 at
-  r=1, far below near-dup thresholds) so replicas are genuinely
-  distinct IN COSINE SPACE; a uniform scale would be cosine-invariant
-  and silently turn every vector into exact cross-replica duplicates —
-  the quadratic-duplicate distortion this scheme exists to avoid. Ids
-  are remapped to stay unique; within-replica neighbor structure is the
-  original's (one shared offset per replica shifts all its vectors
-  together).
+- embeddings: every replica-r>0 vector gets deterministic PER-VECTOR
+  pseudo-random jitter of FIXED magnitude (sin of a (dim, vec_id, r)
+  phase mix, amplitude sized so the jitter norm is ~0.28 for unit
+  vectors → clone cosine ~0.96, below near-dup thresholds). Three
+  wrong schemes this replaces, each measured-degenerate: uniform
+  scaling is cosine-invariant (exact duplicates); a shared per-replica
+  offset preserves within-replica structure but makes all vectors
+  collapse toward the offset direction once r grows (r=6 vs r=7
+  replicas read cosine 0.998 — duplicates again); amplitude growing
+  with r has the same collapse. Fixed-magnitude independent jitter
+  keeps clone cosine ~constant ~0.96 for EVERY replica pair and
+  perturbs within-replica neighbor structure only statistically
+  (±noise), which is the honest claim. Ids are remapped to stay
+  unique.
 - all other tables are copied as-is (the probed entries read only
   documents/embeddings; the copies keep load_table happy).
 
@@ -81,6 +85,10 @@ def build_scaled_dir(spark, src: str, factor: int, root: str) -> str:
     emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
     n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
     n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    # jitter amplitude: RMS of sin over mixed phases is 1/sqrt(2), so
+    # per-vector jitter norm ~ amp * sqrt(dim/2); target norm 0.28
+    amp = 0.28 / ((dim / 2.0) ** 0.5)
     doc_parts = []
     emb_parts = []
     for r in range(factor):
@@ -98,6 +106,7 @@ def build_scaled_dir(spark, src: str, factor: int, root: str) -> str:
                 "lang", "source", "n_chars",
             )
         )
+        jit_amp = 0.0 if r == 0 else amp
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
@@ -105,8 +114,12 @@ def build_scaled_dir(spark, src: str, factor: int, root: str) -> str:
                     "embedding",
                     lambda x, i: (
                         x
-                        + F.lit(r / 20.0)
-                        * F.sin(i.cast("double") + F.lit(1.0))
+                        + F.lit(jit_amp)
+                        * F.sin(
+                            i.cast("double") * F.lit(12.9898)
+                            + F.col("vec_id").cast("double") * F.lit(78.233)
+                            + F.lit(r * 37.719)
+                        )
                     ).cast("float"),
                 ).alias("embedding"),
                 "label",
