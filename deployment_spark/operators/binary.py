@@ -1,0 +1,119 @@
+"""Binary-vector search — the Milvus BINARY_VECTOR type with the
+HAMMING metric (``BIN_FLAT``/``BIN_IVF_FLAT`` index family;
+``Milvus/stream1.py`` drives the dense sibling of the same store).
+Completes the engine's vector-type parity: dense float (exact / IVF /
+PQ / SQ8 / LSH), sparse postings (operators/sparse), and now packed
+binary.
+
+A binary vector is a packed bit string; similarity is Hamming distance
+(popcount of XOR). The Spark-first layout packs bits into 32-bit words
+stored as an ``array<long>`` column — XOR + ``bit_count`` are JVM
+intrinsics, so the whole distance evaluation runs inside whole-stage
+codegen (no UDF, no Python), and a d-bit vector costs d/8 bytes on the
+wire: the cheapest vector representation the engine ships (32x under
+float32, 4x under SQ8).
+
+``binarize_signbits`` bridges dense corpora deterministically (bit i =
+1 iff dimension i > 0 — the sign-bit sketch whose Hamming distance
+estimates angular distance; the same signal family as the LSH bucketing
+in operators/similarity, materialized as a first-class searchable
+vector). Real binary corpora (image hashes, minhash bit sketches) land
+directly in packed form.
+
+Scale shape: ``hamming_topk`` is a broadcast-queries scan (corpus ×
+nq-bounded query set — the brute-force BIN_FLAT shape) with the
+engine's standard tie-aware top-k window; at index scale the same
+scoring expression drops onto any pruned layout (the IVF partition
+pruning composes exactly as for dense vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WORD_BITS = 32  # 32 bits per packed long: xor stays positive, no sign traps
+
+
+def binarize_signbits(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Dense → packed binary: bit i of the output is 1 iff vec[i] > 0,
+    packed little-endian into ceil(dim/32) longs (array<long>).
+
+    ``dim`` defaults to the first row's vector length (driver peek,
+    like the other codecs' geometry discovery). Deterministic, so an
+    engine-independent oracle can replay it."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty corpus")
+        dim = len(first[0])
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    words = []
+    for w in range(n_words):
+        bits = [
+            F.when(
+                F.element_at(F.col(vec_col), i + 1) > 0, F.lit(1 << (i - w * WORD_BITS))
+            ).otherwise(F.lit(0))
+            for i in range(w * WORD_BITS, min((w + 1) * WORD_BITS, dim))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc.cast("long"))
+    return df.select(id_col, F.array(*words).alias(bits_col))
+
+
+def hamming_distance_packed(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two equal-length array<long> packed
+    vectors: Σ over words of bit_count(xor) — pure JVM intrinsics."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a) if isinstance(a, str) else a,
+            F.col(b) if isinstance(b, str) else b,
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    bits_col: str = "bits",
+    query_id: str = "query_id",
+    query_bits: str = "query_bits",
+) -> DataFrame:
+    """Top-k by SMALLEST Hamming distance (the BIN_FLAT search);
+    deterministic (distance asc, id asc) tie-break — ties are common in
+    Hamming space, so the pinned order matters more than for floats.
+
+    Output: (query_id, vec_id, rank, hamming)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_bits).alias("_qbits")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(bits_col).alias("_cbits"))
+    scored = c.crossJoin(q).withColumn(
+        "_d", hamming_distance_packed("_cbits", "_qbits")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+            F.col("_d").alias("hamming"),
+        )
+    )

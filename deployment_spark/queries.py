@@ -3048,12 +3048,17 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse-vector search (operators/sparse — the Milvus
     SPARSE_INVERTED_INDEX mode: deterministic top-8-|value| postings,
     dot product over shared dimensions via a dimension-keyed
-    inverted-index join, never an all-pairs scan)."""
+    inverted-index join, never an all-pairs scan); ``binary`` drives
+    binary-vector Hamming search (operators/binary — the Milvus
+    BINARY_VECTOR/BIN_FLAT mode: sign-bit packing into 32-bit words,
+    popcount-of-xor distance in pure codegen; similarity reported as
+    1 − hamming/64, exact in doubles)."""
     from deployment_spark.operators.similarity import (
         enrich_topk,
         grouped_topk,
         radius_search,
     )
+    from deployment_spark.operators.binary import binarize_signbits, hamming_topk
     from deployment_spark.operators.sparse import sparse_topk, sparsify_topm
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3098,16 +3103,57 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse_rows = shape(
         enrich_topk(sparse, emb.select("vec_id", "label"), corpus_id="vec_id"), "sparse"
     )
+    packed = binarize_signbits(emb, dim=64)
+    q_packed = packed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("query_bits")
+    )
+    binary = hamming_topk(packed, q_packed, k=5).select(
+        "query_id", "vec_id", "rank",
+        (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("similarity"),
+    )
+    binary_rows = shape(
+        enrich_topk(binary, emb.select("vec_id", "label"), corpus_id="vec_id"), "binary"
+    )
     return (
         topk_rows.unionByName(radius_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
+        .unionByName(binary_rows)
     )
 
 
-SQL_TOPK_ENRICHED = """
-WITH q AS (
+def _sql_signbit_words() -> str:
+    """Sign-bit packing CTE for the binary probe, generated so the bit
+    layout can never drift from operators/binary.binarize_signbits
+    (little-endian, 32 bits per word, dim=64 → 2 words)."""
+    w0 = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    w1 = " + ".join(
+        f"(CASE WHEN embedding[{i + 33}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""bw AS (
+  SELECT vec_id, label, ({w0})::BIGINT AS w0, ({w1})::BIGINT AS w1
+  FROM embeddings
+), bq AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM bw WHERE vec_id < 10
+), bh AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         1.0 - (bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1))) / 64.0 AS sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1)) ASC,
+                    c.vec_id
+         ) AS rank
+  FROM bw c CROSS JOIN bq q
+)"""
+
+
+SQL_TOPK_ENRICHED = "WITH " + _sql_signbit_words() + """,
+q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id < 10
 ), s AS (
@@ -3182,6 +3228,11 @@ SELECT 'sparse', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM sparse WHERE rank <= 5
+UNION ALL
+SELECT 'binary', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM bh WHERE rank <= 5
 """
 
 
