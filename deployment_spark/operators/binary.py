@@ -9,9 +9,9 @@ A binary vector is a packed bit string; similarity is Hamming distance
 (popcount of XOR). The Spark-first layout packs bits into 32-bit words
 stored as an ``array<long>`` column — XOR + ``bit_count`` are JVM
 intrinsics, so the whole distance evaluation runs inside whole-stage
-codegen (no UDF, no Python), and a d-bit vector costs d/8 bytes on the
-wire: the cheapest vector representation the engine ships (32x under
-float32, 4x under SQ8).
+codegen (no UDF, no Python), and a d-bit vector costs d/4 bytes on the
+wire at this 32-bits-per-long layout: the cheapest vector
+representation the engine ships (16x under float32, 4x under SQ8).
 
 ``binarize_signbits`` bridges dense corpora deterministically (bit i =
 1 iff dimension i > 0 — the sign-bit sketch whose Hamming distance
@@ -47,7 +47,10 @@ def binarize_signbits(
 
     ``dim`` defaults to the first row's vector length (driver peek,
     like the other codecs' geometry discovery). Deterministic, so an
-    engine-independent oracle can replay it."""
+    engine-independent oracle can replay it. A NULL vector packs to
+    NULL bits (not a phantom all-zero pattern); ``hamming_topk`` ranks
+    NULL distances last, so such rows can never displace real
+    matches."""
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
@@ -66,7 +69,8 @@ def binarize_signbits(
         for b in bits[1:]:
             acc = acc + b
         words.append(acc.cast("long"))
-    return df.select(id_col, F.array(*words).alias(bits_col))
+    packed = F.when(F.col(vec_col).isNotNull(), F.array(*words))
+    return df.select(id_col, packed.alias(bits_col))
 
 
 def hamming_distance_packed(a: Column | str, b: Column | str) -> Column:
@@ -106,7 +110,9 @@ def hamming_topk(
     scored = c.crossJoin(q).withColumn(
         "_d", hamming_distance_packed("_cbits", "_qbits")
     )
-    w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cid"))
+    # nulls LAST: a null-bits row (null source vector) must never
+    # outrank a genuine match — asc alone is nulls-first in Spark
+    w = Window.partitionBy("_qid").orderBy(F.asc_nulls_last("_d"), F.asc("_cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -3103,13 +3103,13 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse_rows = shape(
         enrich_topk(sparse, emb.select("vec_id", "label"), corpus_id="vec_id"), "sparse"
     )
-    packed = binarize_signbits(emb, dim=64)
+    packed = binarize_signbits(emb, dim=BIN_DIM)
     q_packed = packed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("bits").alias("query_bits")
     )
     binary = hamming_topk(packed, q_packed, k=5).select(
         "query_id", "vec_id", "rank",
-        (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("similarity"),
+        (F.lit(1.0) - F.col("hamming") / F.lit(float(BIN_DIM))).alias("similarity"),
     )
     binary_rows = shape(
         enrich_topk(binary, emb.select("vec_id", "label"), corpus_id="vec_id"), "binary"
@@ -3123,10 +3123,19 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_DIM = 64  # fixture embedding dimensionality; feeds BOTH engines'
+              # packing and the 1 - hamming/BIN_DIM similarity, so the
+              # two sides cannot disagree on geometry
+
+
 def _sql_signbit_words() -> str:
-    """Sign-bit packing CTE for the binary probe, generated so the bit
-    layout can never drift from operators/binary.binarize_signbits
-    (little-endian, 32 bits per word, dim=64 → 2 words)."""
+    """Sign-bit packing CTE for the binary probe. The index arithmetic
+    is generated from the same constants the Spark side uses (BIN_DIM,
+    32-bit words), which prevents typo drift across the 64 CASE terms;
+    the SIGN CONVENTION itself (> 0) is an independent re-statement of
+    operators/binary.binarize_signbits, pinned by the gate's
+    hash-compare, not by construction."""
+    assert BIN_DIM % 32 == 0
     w0 = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(32)
@@ -3142,7 +3151,8 @@ def _sql_signbit_words() -> str:
   SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM bw WHERE vec_id < 10
 ), bh AS (
   SELECT q.query_id, c.vec_id, c.label,
-         1.0 - (bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1))) / 64.0 AS sim,
+         1.0 - (bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1)))
+               / {BIN_DIM}.0 AS sim,
          row_number() OVER (
            PARTITION BY q.query_id
            ORDER BY bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1)) ASC,

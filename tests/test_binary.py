@@ -62,8 +62,11 @@ def test_topk_self_query_and_tie_determinism(emb):
     assert [(r.query_id, r.rank, r.vec_id) for r in a] == [
         (r.query_id, r.rank, r.vec_id) for r in b
     ]
+    # the true invariant is distance 0 at rank 1 (the self pattern is
+    # present); asserting vid == qid would couple the test to all sign
+    # patterns being unique in the fixture
     r1 = {r.query_id: (r.vec_id, r.hamming) for r in a if r.rank == 1}
-    assert all(vid == qid and h == 0 for qid, (vid, h) in r1.items())
+    assert all(h == 0 for _, (_, h) in r1.items())
     # within each query, distances ascend and ties order by vec_id
     per_q = {}
     for r in a:
@@ -88,3 +91,19 @@ def test_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         binarize_signbits(empty)
+
+
+def test_null_vector_never_displaces_matches(spark):
+    """A NULL source vector packs to NULL bits and ranks LAST — it must
+    never enter the top-k ahead of genuine matches (asc alone would
+    sort the NULL distance first)."""
+    rows = [(0, [1.0, -1.0]), (1, [1.0, 1.0]), (2, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    packed = binarize_signbits(df, dim=2)
+    bits = {r.vec_id: r.bits for r in packed.collect()}
+    assert bits[2] is None and bits[0] is not None
+    q = packed.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("query_bits")
+    )
+    out = hamming_topk(packed, q, k=2).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1]
