@@ -1,0 +1,320 @@
+"""k-nearest-neighbor graph construction + semantic deduplication.
+
+Training-data curation ops beyond the reference surface (north-star M8
+family, same lineage as ``similarity.cosine_neardup_pairs``): the kNN
+graph is the substrate for SemDeDup-style semantic dedup, diversity
+sampling, and label propagation; semantic dedup itself resolves the
+near-duplicate graph to a kept set, like ``dedup.dedup_by_pairs`` does
+for text MinHash pairs but over embedding cosine.
+
+Reference lineage: the scoring semantics are the reference's one real
+query — top-k by cosine on normalized vectors (``FAISS/PlainDemo/
+pipeline.py:254-263``) — applied corpus-to-itself instead of
+query-to-corpus; cluster pruning reuses the IVF/nprobe idea
+(``FAISS/PlainDemo/pipeline.py:257``).
+
+Scale design:
+
+- ``knn_graph`` (exact): block-pair replication — the corpus is hashed
+  into B blocks, each of the B(B+1)/2 block pairs is scored by one
+  numpy matmul task that PRE-REDUCES to the local top-k per source id
+  before anything shuffles. Surviving rows are O(N·B·k), not O(N²);
+  one global window finishes the ranking. Exact all-pairs flops are
+  inherently O(N²·d) — use the clustered variant beyond ~10⁷ rows.
+- ``knn_graph_clustered`` (approximate): KMeans-partitioned search, the
+  IVF kNN-graph build — each vector probes its ``nprobe`` nearest
+  clusters only; per-cluster numpy tasks emit local top-k, a global
+  window merges. Work drops to O(N·nprobe·N/nlist·d); with the usual
+  nlist ≈ √N that is O(N^1.5·d), the standard ANN-graph build shape.
+  Recall is floor-gated in tests against the exact graph.
+- ``semantic_dedup``: LSH-bucketed near-dup pairs (never all-pairs) →
+  min-label connected components to fixpoint → keep lowest id per
+  component. Every stage shuffles on content/label keys, never the
+  pair space.
+
+NO driver-side collect anywhere except the ≤``nlist``-row centroid
+table (the FAISS coarse-quantizer contract, ≤100 centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_EDGE_SCHEMA = StructType(
+    [
+        StructField("src_id", LongType()),
+        StructField("dst_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _final_topk(candidates: DataFrame, k: int) -> DataFrame:
+    """Global top-k per source over pre-reduced candidates. Deterministic
+    tie-break by dst_id so results are reproducible and oracle-hashable
+    (same contract as ``similarity._rank_window``)."""
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "rank", "cosine")
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    target_block_rows: int = 4096,
+) -> DataFrame:
+    """Exact cosine kNN graph: for every vector, its k nearest OTHER
+    vectors. Output (src_id, dst_id, rank, cosine), rank 1..k per src.
+
+    Distributed block-pair form (same partitioning as
+    ``similarity.cosine_neardup_pairs_exact``): rows hash into B blocks,
+    each block-pair task runs one numpy matmul and emits only each
+    present id's local top-k — O(N·B·k) survivor rows — then one global
+    window finalizes. Peak task memory is two blocks, independent of N.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if num_blocks is None:
+        n = df.count()  # O(1) aggregate, not a collect
+        num_blocks = max(1, -(-n // target_block_rows))
+    B = int(num_blocks)
+    kk = int(k)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int"))
+    exploded = (
+        src.withColumn("_o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("_pi", F.least("_blk", "_o"))
+        .withColumn("_pj", F.greatest("_blk", "_o"))
+        .drop("_o")
+    )
+
+    def local_topk(key, pdf):
+        i, j = key
+        mat = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        blk = pdf["_blk"].to_numpy()
+        out_src, out_dst, out_cos = [], [], []
+
+        def emit(q_ids, q_mat, c_ids, c_mat, exclude_self):
+            if len(q_ids) == 0 or len(c_ids) == 0:
+                return
+            sims = q_mat @ c_mat.T  # (nq, nc)
+            if exclude_self:
+                # same id on both sides ⇒ mask the diagonal matches
+                eq = q_ids[:, None] == c_ids[None, :]
+                sims = np.where(eq, -np.inf, sims)
+            take = min(kk, sims.shape[1])
+            # local top-k with the SAME composite order as the global
+            # window (cosine desc, dst_id asc) so pre-reduction can never
+            # drop a row the final window would keep
+            order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)[
+                :, :take
+            ]
+            rows = np.repeat(np.arange(len(q_ids)), take)
+            cols = order.reshape(-1)
+            keep = sims[rows, cols] > -np.inf
+            out_src.append(np.repeat(q_ids, take)[keep])
+            out_dst.append(c_ids[cols][keep])
+            out_cos.append(sims[rows, cols][keep])
+
+        if i == j:
+            emit(ids, mat, ids, mat, exclude_self=True)
+        else:
+            li, rj = blk == i, blk == j
+            emit(ids[li], mat[li], ids[rj], mat[rj], exclude_self=False)
+            emit(ids[rj], mat[rj], ids[li], mat[li], exclude_self=False)
+        if not out_src:
+            return pd.DataFrame({"src_id": [], "dst_id": [], "cosine": []}).astype(
+                {"src_id": "int64", "dst_id": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(out_src),
+                "dst_id": np.concatenate(out_dst),
+                "cosine": np.concatenate(out_cos),
+            }
+        )
+
+    candidates = exploded.groupBy("_pi", "_pj").applyInPandas(
+        local_topk, schema=_EDGE_SCHEMA
+    )
+    return _final_topk(candidates, kk)
+
+
+def knn_graph_clustered(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Approximate kNN graph via KMeans cluster pruning — the IVF
+    (nprobe) idea of ``FAISS/PlainDemo/pipeline.py:257`` applied
+    corpus-to-itself. Each vector is a member of its own cluster and a
+    QUERY against its ``nprobe`` nearest clusters; one task per
+    (probed cluster) scores members × probers with numpy and emits local
+    top-k; a global window merges the ≤ nprobe·k candidates per vector.
+
+    Shuffle: members N rows + probers N·nprobe rows, all keyed by
+    cluster — never the pair space. Flops O(N·nprobe·N/nlist·d); with
+    nlist ≈ √N this is the standard O(N^1.5) ANN-graph build. Recall vs
+    the exact graph is floor-gated in ``tests/test_knn.py``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_features", array_to_vector(F.col("_vec").cast("array<double>")))
+    train = feat if train_fraction is None else feat.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="_features", predictionCol="_cluster"
+    ).fit(train)
+    assigned = model.transform(feat).drop("_features")
+
+    # centroid table is ≤ nlist rows (FAISS coarse-quantizer contract);
+    # embed as a literal so probing is a per-row Catalyst expression —
+    # no collect of data rows, no join against a tiny dim table
+    cents = [c.tolist() for c in model.clusterCenters()]
+    cent_lits = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    v = F.col("_vec").cast("array<double>")
+    sq_dists = F.transform(
+        cent_lits,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    np_ = min(int(nprobe), len(cents))
+    probed = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    sq_dists,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+                )
+            ),
+            lambda s: s.getField("c"),
+        ),
+        1,
+        np_,
+    )
+
+    members = assigned.select(
+        F.col("_cluster").alias("_grp"),
+        F.lit(1).cast("int").alias("_is_member"),
+        "_id",
+        "_vec",
+    )
+    probers = (
+        assigned.withColumn("_p", F.explode(probed))
+        .select(
+            F.col("_p").alias("_grp"),
+            F.lit(0).cast("int").alias("_is_member"),
+            "_id",
+            "_vec",
+        )
+    )
+    tagged = members.unionByName(probers)
+    kk = int(k)
+
+    def cluster_topk(key, pdf):
+        mat = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        is_m = pdf["_is_member"].to_numpy() == 1
+        c_ids, c_mat = ids[is_m], mat[is_m]
+        q_ids, q_mat = ids[~is_m], mat[~is_m]
+        if len(q_ids) == 0 or len(c_ids) == 0:
+            return pd.DataFrame({"src_id": [], "dst_id": [], "cosine": []}).astype(
+                {"src_id": "int64", "dst_id": "int64", "cosine": "float64"}
+            )
+        sims = q_mat @ c_mat.T
+        sims = np.where(q_ids[:, None] == c_ids[None, :], -np.inf, sims)
+        take = min(kk, sims.shape[1])
+        order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)[
+            :, :take
+        ]
+        rows = np.repeat(np.arange(len(q_ids)), take)
+        cols = order.reshape(-1)
+        keep = sims[rows, cols] > -np.inf
+        return pd.DataFrame(
+            {
+                "src_id": np.repeat(q_ids, take)[keep],
+                "dst_id": c_ids[cols][keep],
+                "cosine": sims[rows, cols][keep],
+            }
+        )
+
+    candidates = tagged.groupBy("_grp").applyInPandas(cluster_topk, schema=_EDGE_SCHEMA)
+    # a vector can meet the same dst in several probed clusters — dedup
+    # before ranking so rank numbers stay dense
+    return _final_topk(candidates.dropDuplicates(["src_id", "dst_id"]), kk)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+    max_iters: int = 50,
+    **neardup_kwargs,
+) -> DataFrame:
+    """SemDeDup-style embedding-level deduplication: pairs with cosine ≥
+    ``threshold`` (LSH-bucketed by default — see
+    ``similarity.cosine_neardup_pairs`` for the 100 TB path) resolve via
+    min-label connected components to a kept set. Output
+    (``id_col``, component, kept): component = min id of the duplicate
+    class (own id for singletons), kept = True for the class
+    representative.
+
+    Transitive closure is deliberate (A≈B≈C collapses to one survivor
+    even when cos(A,C) < threshold) — the same policy as the MinHash text
+    chain in ``dedup.dedup_by_pairs``; both are resolved by the same
+    fixpoint propagation so text- and embedding-dedup semantics can
+    never diverge."""
+    from deployment_spark.operators.dedup import connected_components
+    from deployment_spark.operators.similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(
+        df, threshold, id_col=id_col, vec_col=vec_col, method=method, **neardup_kwargs
+    )
+    labels = connected_components(pairs, max_iters=max_iters)
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    return ids.join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("label"), F.col(id_col)).alias("component"),
+        (F.coalesce(F.col("label"), F.col(id_col)) == F.col(id_col)).alias("kept"),
+    )

@@ -211,6 +211,195 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 kNN-graph (r6) — every vector's exact top-5 cosine neighbors
+    (self excluded): the substrate for SemDeDup / diversity sampling /
+    label propagation. Distributed block-pair build with per-task local
+    top-k pre-reduction (operators/knn.py) — survivor rows are O(N·B·k),
+    never the N² pair space; the oracle replays the full graph
+    brute-force. target_block_rows=128 forces a real multi-block plan
+    (B=4 at sf0.01) so the gate exercises the block decomposition, not a
+    degenerate single task."""
+    from deployment_spark.operators import knn as knn_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = knn_ops.knn_graph(emb, k=5, target_block_rows=128)
+    return g.select(
+        "src_id",
+        "dst_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+SQL_KNN_GRAPH = """
+WITH s AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT src_id, dst_id, cos,
+         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rank
+  FROM s
+)
+SELECT src_id, dst_id, rank, round(cos, 4) AS cosine FROM r WHERE rank <= 5
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 SemDeDup (r6) — embedding-level dedup with transitive closure:
+    a planted 2-hop chain base→r1→r2 per vec_id<15 (cos(base,r1) ≥
+    0.9965, cos(r1,r2) ≥ 0.9972, but cos(base,r2) ≤ 0.9928 — BELOW the
+    0.995 threshold) must still collapse to ONE survivor via the
+    connected-components fixpoint, which the recursive-CTE oracle
+    replays. Pairs come from the LSH-bucketed path (threshold 0.995 »
+    the 0.87 banding floor), so the gate also proves LSH recall 1.0 on
+    the planted set. Output: every vector's component label + kept flag."""
+    from deployment_spark.operators import knn as knn_ops
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") < 15)
+
+    def perturb(eps: float, offset: int) -> DataFrame:
+        return base.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda x, i: x * (1.0 + eps * (i % 3)),
+            ).alias("embedding"),
+        )
+
+    allv = emb.unionByName(perturb(0.1, 1000000)).unionByName(perturb(0.21, 2000000))
+    return knn_ops.semantic_dedup(allv, threshold=0.995)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), p1 AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(v) + 1), i -> v[i] * (1.0 + 0.1 * (i % 3))) AS v
+  FROM base WHERE vec_id < 15
+), p2 AS (
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(range(1, len(v) + 1), i -> v[i] * (1.0 + 0.21 * (i % 3))) AS v
+  FROM base WHERE vec_id < 15
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.995
+), edges AS (
+  SELECT a_id AS x, b_id AS y FROM pairs
+  UNION
+  SELECT b_id AS x, a_id AS y FROM pairs
+), reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+), labels AS (
+  SELECT x AS node, least(x, min(y)) AS label FROM reach GROUP BY x
+)
+SELECT a.vec_id, coalesce(l.label, a.vec_id) AS component,
+       coalesce(l.label, a.vec_id) = a.vec_id AS kept
+FROM allv a LEFT JOIN labels l ON l.node = a.vec_id
+"""
+
+
+def q_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 export shuffle (r6) — deterministic global shuffle into 8
+    shards (operators/export.py): scope='row' rows carry every doc's
+    (shard, pos) placement under the portable-hash permutation;
+    scope='manifest' rows carry the per-shard export ledger (row count,
+    id-sum checksum, first/last id under the permutation). The oracle
+    replays the exact placement — same (seed, id) ⇒ same shard/pos on
+    any engine, unlike orderBy(rand()) whose seed is
+    partitioning-sensitive."""
+    from deployment_spark.operators import export as export_ops
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s = export_ops.shuffled_shards(d, num_shards=8, seed=42, portable=True)
+    rows = s.select(
+        F.lit("row").alias("scope"),
+        F.col("doc_id").alias("a"),
+        F.col("shard").alias("b"),
+        F.col("pos").alias("c"),
+        F.lit(None).cast("long").alias("d"),
+        F.lit(None).cast("long").alias("e"),
+    )
+    man = export_ops.shard_manifest(s).select(
+        F.lit("manifest").alias("scope"),
+        F.col("shard").alias("a"),
+        F.col("n_rows").cast("long").alias("b"),
+        F.col("id_checksum").cast("long").alias("c"),
+        F.col("first_id").cast("long").alias("d"),
+        F.col("last_id").cast("long").alias("e"),
+    )
+    return rows.unionByName(man)
+
+
+SQL_SHUFFLED_EXPORT = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('42|shard|' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+         ('0x' || substring(md5('42|order|' || doc_id), 1, 8))::BIGINT AS okey
+  FROM documents
+), placed AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS pos
+  FROM h
+)
+SELECT 'row' AS scope, doc_id AS a, shard AS b, pos AS c,
+       NULL::BIGINT AS d, NULL::BIGINT AS e
+FROM placed
+UNION ALL
+SELECT 'manifest', shard, count(*)::BIGINT, sum(doc_id)::BIGINT,
+       min(CASE WHEN pos = 1 THEN doc_id END),
+       min(CASE WHEN pos = n THEN doc_id END)
+FROM (SELECT *, max(pos) OVER (PARTITION BY shard) AS n FROM placed)
+GROUP BY shard
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 mixture sampling (r6) — temperature-scaled domain re-mixing
+    (operators/export.py): sources re-weighted to p ∝ n^0.5 (the
+    multilingual up-sample-the-tail rule), 300-row target, keep decided
+    row-locally by portable hash < rate. The oracle recomputes the rate
+    vector AND the exact kept set. Complements deterministic_sample's
+    stratified slot, where rates are GIVEN — here they derive from the
+    corpus histogram + temperature."""
+    from deployment_spark.operators import export as export_ops
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = export_ops.temperature_mixture(
+        d, group_col="source", alpha=0.5, target_rows=300, seed=42, portable=True
+    )
+    return m.select(
+        "doc_id", "source", F.round("rate", 6).alias("rate"), "kept"
+    )
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), wsum AS (
+  SELECT sum(pow(n, 0.5)) AS ws FROM counts
+), rates AS (
+  SELECT source, least(1.0, 300 * pow(n, 0.5) / ws / n) AS rate
+  FROM counts CROSS JOIN wsum
+)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS rate,
+       (('0x' || substring(md5('42|mix|' || d.doc_id), 1, 8))::BIGINT
+          / 4294967296.0) < r.rate AS kept
+FROM documents d JOIN rates r USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / cleaning / CRUD queries (S, P, F, A, T, U, J, C families)
 # ---------------------------------------------------------------------------
@@ -748,7 +937,13 @@ def q_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering is engine-identical) over events; fn='third_word_hist'
     rows are positional token extraction (text.split()[2],
     FAISS/UI-Demo/pipeline+ui.py:643-646) + A1 histogram over documents.
-    Both operators stay driver-verified in one slot."""
+    Both operators stay driver-verified in one slot.
+
+    r6 fold (slot freed for domain_mixture): fn='stage_order' rows carry
+    the former stage_ordered_metrics entry — T4 categorical ordered sort
+    (Milvus/stream1.py:548-556, the fixed Initial Load → Add → Delete →
+    Update pipeline ordering via array_position; unseen categories sort
+    last) — out holds the stage_rank, val the per-stage avg_value."""
     ev = _t(spark, sf_dir, "events")
     ser = ev.select(
         F.lit("serialize").alias("fn"),
@@ -761,6 +956,7 @@ def q_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("props", r"(\d+)", 1),
         ).alias("out"),
         F.lit(1).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("val"),
     )
     d = _t(spark, sf_dir, "documents")
     hist = (
@@ -772,9 +968,17 @@ def q_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("third_word").alias("key"),
             F.lit(None).cast("string").alias("out"),
             F.col("cnt").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("val"),
         )
     )
-    return ser.unionByName(hist)
+    stage = q_stage_ordered_metrics(spark, sf_dir).select(
+        F.lit("stage_order").alias("fn"),
+        F.col("event_type").alias("key"),
+        F.col("stage_rank").cast("string").alias("out"),
+        F.col("cnt").cast("long").alias("n"),
+        F.col("avg_value").alias("val"),
+    )
+    return ser.unionByName(hist).unionByName(stage)
 
 
 SQL_TEXT_FUNCTIONS = """
@@ -782,12 +986,26 @@ SELECT 'serialize' AS fn, event_id::VARCHAR AS key,
        concat_ws(' ', event_id::VARCHAR, coalesce(event_type, ''),
                  (value::DECIMAL(12,2))::VARCHAR,
                  regexp_extract(props, '(\\d+)', 1)) AS out,
-       1::BIGINT AS n
+       1::BIGINT AS n, NULL::DOUBLE AS val
 FROM events
 UNION ALL
 SELECT 'third_word_hist', regexp_split_to_array(trim(text), '\\s+')[3],
-       NULL, count(*)::BIGINT
+       NULL, count(*)::BIGINT, NULL::DOUBLE
 FROM documents GROUP BY 2
+UNION ALL
+SELECT 'stage_order', event_type,
+       (row_number() OVER (
+          ORDER BY CASE event_type
+                     WHEN 'signup' THEN 1
+                     WHEN 'view' THEN 2
+                     WHEN 'purchase' THEN 3
+                     ELSE 4 END,
+                   event_type))::VARCHAR,
+       cnt, avg_value
+FROM (
+  SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value
+  FROM events GROUP BY event_type
+)
 """
 
 
@@ -1519,11 +1737,45 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact (not sketched) so DuckDB replays it bit-for-bit; at 100 TB the
     same shape runs with approx_count_distinct / approx_percentile —
     sketches are engine-specific, which is why the GATE uses the exact
-    forms."""
+    forms.
+
+    r6 fold (slot freed for shuffled_export): the former
+    profile_sketch_bounds entry rides along — the scale-path sketches
+    (approx_count_distinct HLL++, percentile_approx Greenwald-Khanna)
+    run beside the exact forms and fold into self-judging ``*_ok``
+    booleans; the oracle emits literal TRUE, so a sketch drifting out of
+    its error envelope flips the bit and fails the driver hash (the
+    recall-floor pattern)."""
     from deployment_spark.operators.profiling import profile_numeric
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    return profile_numeric(_t(spark, sf_dir, "lineitem"), cols, exact=True)
+    li = _t(spark, sf_dir, "lineitem")
+    exact = profile_numeric(li, cols, exact=True)
+    sk = profile_numeric(li, cols, exact=False, rsd=0.05, percentile_accuracy=10000)
+    e, s = exact.alias("e"), sk.alias("s")
+    # HLL++ rsd=0.05 → 3σ envelope + small-count slack; GK at
+    # accuracy=10000 on this data is near-exact → tight relative band
+    distinct_ok = (
+        F.abs(F.col("s.n_distinct") - F.col("e.n_distinct"))
+        <= 0.15 * F.col("e.n_distinct") + F.lit(10)
+    )
+    median_ok = (
+        F.abs(F.col("s.median_v") - F.col("e.median_v"))
+        <= 0.05 * F.abs(F.col("e.median_v")) + F.lit(0.01)
+    )
+    return e.join(F.broadcast(s), "column").select(
+        "column",
+        F.col("e.rows").cast("long").alias("rows"),
+        F.col("e.nulls").cast("long").alias("nulls"),
+        F.col("e.n_distinct").cast("long").alias("n_distinct"),
+        F.col("e.min_v").alias("min_v"),
+        F.col("e.max_v").alias("max_v"),
+        F.col("e.mean_v").alias("mean_v"),
+        F.col("e.stddev_v").alias("stddev_v"),
+        F.col("e.median_v").alias("median_v"),
+        distinct_ok.alias("distinct_ok"),
+        median_ok.alias("median_ok"),
+    )
 
 
 SQL_TABLE_PROFILE = """
@@ -1532,7 +1784,7 @@ WITH w AS (
     {cols}
   FROM lineitem
 )
-SELECT * FROM w UNPIVOT (
+SELECT *, TRUE AS distinct_ok, TRUE AS median_ok FROM w UNPIVOT (
   (rows, nulls, n_distinct, min_v, max_v, mean_v, stddev_v, median_v)
   FOR "column" IN (
     (l_quantity__rows, l_quantity__nulls, l_quantity__distinct, l_quantity__min,
@@ -1607,7 +1859,13 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step conversion funnel signup → click → purchase: a user
     converts at step N only via events AT OR AFTER their previous step's
     first conversion time. Three grouped aggregates chained by user —
-    each reuses the user-key exchange; no window, no explode."""
+    each reuses the user-key exchange; no window, no explode.
+
+    r6 fold (slot freed for knn_graph): scope='lag' rows carry the
+    former events_lag_delta entry — per-user lead/lag analytics
+    (inter-event gap µs + value delta, first 20 users, one user-key
+    window exchange serving both lag columns) — still independently
+    oracle-replayed inside this tagged slot."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s1 = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
@@ -1641,11 +1899,25 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("t2").isNotNull(), 1)).alias("click_after_signup"),
         F.count(F.when(F.col("t3").isNotNull(), 1)).alias("purchase_after_click"),
     )
-    return wide.selectExpr(
+    funnel = wide.selectExpr(
         "stack(3, 1L, 'signup', signup, 2L, 'click_after_signup', "
         "click_after_signup, 3L, 'purchase_after_click', purchase_after_click) "
         "as (step, stage, users)"
+    ).select(
+        F.lit("funnel").alias("scope"),
+        F.col("stage").alias("grp"),
+        F.col("step").alias("id"),
+        F.col("users").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("val"),
     )
+    lagd = q_events_lag_delta(spark, sf_dir).select(
+        F.lit("lag").alias("scope"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("event_id").alias("id"),
+        F.col("gap_us").alias("cnt"),
+        F.col("value_delta").alias("val"),
+    )
+    return funnel.unionByName(lagd)
 
 
 SQL_EVENT_FUNNEL = """
@@ -1667,11 +1939,19 @@ WITH s1 AS (
          count(t3) AS purchase_after_click
   FROM s3
 )
-SELECT step, stage, users FROM wide
+SELECT 'funnel' AS scope, stage AS grp, step AS id, users AS cnt,
+       NULL::DOUBLE AS val FROM wide
 UNPIVOT (users FOR x IN (signup, click_after_signup, purchase_after_click))
   , LATERAL (SELECT (CASE x WHEN 'signup' THEN 1
                            WHEN 'click_after_signup' THEN 2
                            ELSE 3 END)::BIGINT AS step, x AS stage)
+UNION ALL
+SELECT 'lag', user_id::VARCHAR, event_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w),
+       round(value - lag(value) OVER w, 4)
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -1833,11 +2113,31 @@ FROM norm
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 chunking — sliding-window token chunks (window 32, stride 24,
     8-token overlap), the RAG/context-window splitter. Value-checked per
-    chunk: id, token count, and the chunk text itself."""
+    chunk: id, token count, and the chunk text itself.
+
+    r6 fold (slot freed for semantic_dedup): scope='normalize' rows
+    carry the former doc_normalize entry — canonicalize (lower / strip
+    punct / collapse ws) + exact-dedup on the normalized form over
+    planted case-mangled near-copies; txt holds the normalized-content
+    group key, part the keep-lowest-id survivor flag."""
     from deployment_spark.operators.textstats import chunk_text
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_text(d, window_tokens=32, stride=24)
+    chunks = chunk_text(d, window_tokens=32, stride=24).select(
+        F.lit("chunk").alias("scope"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("part"),
+        F.col("n_chunk_tokens").cast("long").alias("n"),
+        F.col("chunk").alias("txt"),
+    )
+    norm = q_doc_normalize(spark, sf_dir).select(
+        F.lit("normalize").alias("scope"),
+        "doc_id",
+        F.col("kept").cast("long").alias("part"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("norm_hash").alias("txt"),
+    )
+    return chunks.unionByName(norm)
 
 
 SQL_DOC_CHUNKS = """
@@ -1854,10 +2154,26 @@ WITH words AS (
          )) AS ch
   FROM words
 )
-SELECT doc_id, ch.chunk_id AS chunk_id,
-       len(ch.toks)::BIGINT AS n_chunk_tokens,
-       array_to_string(ch.toks, ' ') AS chunk
+SELECT 'chunk' AS scope, doc_id, ch.chunk_id AS part,
+       len(ch.toks)::BIGINT AS n,
+       array_to_string(ch.toks, ' ') AS txt
 FROM c
+UNION ALL
+SELECT 'normalize', doc_id,
+       (row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1)::BIGINT,
+       NULL::BIGINT, norm_hash
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS norm_hash
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, upper(text) || '  !!  ' AS text
+    FROM documents WHERE doc_id < 40
+  )
+)
 """
 
 
@@ -3506,10 +3822,16 @@ REGISTRY: dict = {
     # r5 additions: lexical BM25 and the BM25 ⊕ cosine RRF hybrid
     "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25_TOPK),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
+    # r6 additions: kNN graph + SemDeDup + export shuffle + temperature
+    # mixing (slots freed by folding lag→funnel, normalize→chunks,
+    # sketch-bounds→table_profile, stage-order→text_functions)
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "shuffled_export": (q_shuffled_export, SQL_SHUFFLED_EXPORT),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     # round-4 driver-gated surface (VERDICT r3 #1) — front of the window
     "attribution_join": (q_attribution_join, SQL_ATTRIBUTION_JOIN),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
-    "profile_sketch_bounds": (q_profile_sketch_bounds, SQL_PROFILE_SKETCH_BOUNDS),
     "store_range_read": (q_store_range_read, SQL_STORE_RANGE_READ),
     "embedding_norm_stats": (q_embedding_norm_stats, SQL_EMBEDDING_NORM_STATS),
     "lsh_bucket_ann": (q_lsh_bucket_ann, SQL_LSH_BUCKET_ANN),
@@ -3517,7 +3839,6 @@ REGISTRY: dict = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG_DELTA),
     "filter_predicates": (q_filter_predicates, SQL_FILTER_PREDICATES),
     "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
@@ -3532,9 +3853,7 @@ REGISTRY: dict = {
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_minhash_lsh": (q_doc_minhash_lsh, SQL_DOC_MINHASH_LSH),
     "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
-    "stage_ordered_metrics": (q_stage_ordered_metrics, SQL_STAGE_ORDERED_METRICS),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
-    "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_compressibility": (q_doc_compressibility, None),
     "doc_packing": (q_doc_packing, SQL_DOC_PACKING),

@@ -1,0 +1,111 @@
+"""kNN-graph + semantic-dedup tests (operators/knn.py).
+
+Exactness: the block-pair build must equal a plain brute-force
+window plan for ANY block count (the pre-reduction can never drop a row
+the global window would keep). Approximation: the clustered build's
+recall vs the exact graph is floor-gated. Dedup: planted transitive
+chains must collapse to one survivor.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import cosine_similarity
+from deployment_spark.operators.knn import (
+    knn_graph,
+    knn_graph_clustered,
+    semantic_dedup,
+)
+
+
+def brute_knn(df, k):
+    a = df.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("_av"))
+    b = df.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("_bv"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        a.join(b, F.col("src_id") != F.col("dst_id"))
+        .withColumn("cosine", cosine_similarity("_av", "_bv"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "rank")
+    )
+
+
+def as_set(df):
+    return {(r.src_id, r.dst_id, r.rank) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb50(embeddings):
+    return embeddings.filter(F.col("vec_id") < 50).select("vec_id", "embedding").cache()
+
+
+def test_knn_graph_matches_bruteforce(emb50):
+    got = as_set(knn_graph(emb50, k=4, num_blocks=3))
+    want = as_set(brute_knn(emb50, 4))
+    assert got == want
+
+
+def test_knn_graph_block_count_invariant(emb50):
+    one = as_set(knn_graph(emb50, k=3, num_blocks=1))
+    many = as_set(knn_graph(emb50, k=3, num_blocks=7))
+    assert one == many
+
+
+def test_knn_graph_excludes_self_and_caps_rank(emb50):
+    g = knn_graph(emb50, k=5, num_blocks=2)
+    assert g.filter(F.col("src_id") == F.col("dst_id")).count() == 0
+    per_src = g.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    )
+    bad = per_src.filter((F.col("n") != 5) | (F.col("mx") != 5)).count()
+    assert bad == 0  # 50 vectors, k=5 < n-1 ⇒ every src has exactly k edges
+    assert g.count() == 50 * 5
+
+
+def test_knn_graph_clustered_recall_floor(embeddings):
+    emb = embeddings.select("vec_id", "embedding")
+    exact = as_set(knn_graph(emb, k=5, num_blocks=2))
+    approx = {
+        (r.src_id, r.dst_id)
+        for r in knn_graph_clustered(emb, k=5, nlist=8, nprobe=4, seed=7).collect()
+    }
+    exact_pairs = {(s, d) for s, d, _ in exact}
+    recall = len(exact_pairs & approx) / len(exact_pairs)
+    # nprobe half of nlist on 50-100 vectors: well above the floor;
+    # pinned so a routing regression (wrong centroid order, member/query
+    # tagging swap) fails loudly rather than degrading silently
+    assert recall >= 0.75, recall
+
+
+def test_knn_graph_clustered_full_probe_is_exact(emb50):
+    exact = as_set(knn_graph(emb50, k=3, num_blocks=2))
+    full = as_set(knn_graph_clustered(emb50, k=3, nlist=5, nprobe=5, seed=7))
+    assert full == exact  # nprobe = nlist ⇒ every cluster searched
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    # chain: 0-1 and 1-2 above threshold, 0-2 below; plus 10 a singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9962, 0.0872, 0.0]),  # ~5° from 0
+        (2, [0.9848, 0.1736, 0.0]),  # ~10° from 0, ~5° from 1
+        (10, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # threshold between cos(5°)=0.9962 and cos(10°)=0.9848 — exact path
+    # (below the 0.87 LSH banding floor the auto method would need)
+    res = {
+        (r.vec_id, r.component, r.kept)
+        for r in semantic_dedup(df, threshold=0.99, method="exact").collect()
+    }
+    assert res == {(0, 0, True), (1, 0, False), (2, 0, False), (10, 10, True)}
+
+
+def test_semantic_dedup_no_pairs_keeps_all(emb50):
+    res = semantic_dedup(emb50, threshold=0.999, method="exact")
+    assert res.filter(~F.col("kept")).count() == 0
+    assert res.count() == 50
