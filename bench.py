@@ -67,6 +67,12 @@ HEADLINE = [
     # composed query mode
     "doc_bm25_topk",
     "hybrid_search",
+    # r6 additions: block-pair kNN graph, LSH+components semantic dedup,
+    # hash-permutation shard export, temperature-scaled domain mixing
+    "knn_graph",
+    "semantic_dedup",
+    "shuffled_export",
+    "domain_mixture",
 ]
 
 _missing = [n for n in HEADLINE if n not in REGISTRY]

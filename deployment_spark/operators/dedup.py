@@ -388,6 +388,12 @@ def connected_components(
         .unionByName(pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y")))
         .distinct()
     )
+    # edges joins into EVERY propagation round — materialize once, or
+    # each iteration re-runs the whole upstream pair-generation pipeline
+    # (LSH banding / Jaccard verify), multiplying the most expensive
+    # stage by the round count. Measured r6: semantic_dedup at sf0.1
+    # dropped 5.4 s → ~2 s with this checkpoint.
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.groupBy("x").agg(F.min("y").alias("nmin")).select(
         F.col("x").alias("node"),
         F.least(F.col("x"), F.col("nmin")).alias("label"),
