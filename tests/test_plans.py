@@ -141,9 +141,14 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     # topk_enriched's radius slot scans corpus × broadcast(nq queries) —
     # the brute-force ANN shape, broadcast side bounded by the query
     # batch contract, never data-scale
+    # domain_mixture crossJoins the 1-row Σn^α normalizer onto the
+    # S-row source-count table (S = #sources, never data-scale); the
+    # corpus-side join is a plain broadcast hash join, asserted by
+    # test_domain_mixture_rates_join_is_broadcast
     BNLJ_OK = {
         "ann_recall", "hist_quantiles", "doc_lm_score",
         "doc_bm25_topk", "hybrid_search", "topk_enriched",
+        "domain_mixture",
     }
     sf = sf_dir
     offenders = {}
@@ -214,3 +219,48 @@ def test_bm25_single_tokenization(spark, sf_dir, tmp_path):
     gens = [ln for ln in final.splitlines() if "Generate" in ln]
     assert len(gens) == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_knn_graph_plan_shape(spark, sf_dir):
+    """knn_graph: block-pair Arrow tasks + one final window — never a
+    cartesian/BNLJ pair join, and the block replication count matches
+    the requested decomposition (explode of a B-element sequence)."""
+    from deployment_spark.operators.knn import knn_graph
+    from deployment_spark.plans.audit import physical_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(knn_graph(emb, k=3, num_blocks=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # numpy block scoring
+    assert "Window" in plan  # global top-k merge
+
+
+def test_domain_mixture_rates_join_is_broadcast(spark, sf_dir):
+    """temperature_mixture joins the S-row rate table back onto the
+    corpus — must plan as a broadcast join (zero corpus shuffle), the
+    whole point of the row-local keep design."""
+    from deployment_spark.operators.export import temperature_mixture
+    from deployment_spark.plans import audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = temperature_mixture(docs, "source", alpha=0.5, target_rows=100)
+    assert audit.has_broadcast_join(m)
+    assert not audit.has_shuffle_join(m)
+
+
+def test_shuffled_shards_single_corpus_exchange(spark, sf_dir):
+    """shuffled_shards: shard assignment is row-local; the only
+    corpus-scale exchange is the per-shard position window's hash
+    partitioning on shard."""
+    from deployment_spark.operators.export import shuffled_shards
+    from deployment_spark.plans import audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = shuffled_shards(docs, 8, seed=1)
+    plan = audit.physical_plan(s)
+    assert "CartesianProduct" not in plan
+    # one exchange for the window (AQE may append a trailing coalesce
+    # read, but no second hashpartitioning of the corpus)
+    assert plan.count("hashpartitioning(shard") <= 1
+    assert audit.count_exchanges(s) == 1
