@@ -73,6 +73,12 @@ HEADLINE = [
     "semantic_dedup",
     "shuffled_export",
     "domain_mixture",
+    # r5 late additions: Lee-et-al duplicated-span removal (shingle-
+    # keyed join + doc-keyed coverage window) and DSIR hashed-ngram
+    # importance selection (closed 512-bucket feature space, broadcast
+    # ratio table)
+    "doc_span_dedup",
+    "dsir_select",
 ]
 
 _missing = [n for n in HEADLINE if n not in REGISTRY]

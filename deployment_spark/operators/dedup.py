@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from deployment_spark.functions.text import word_shingles
+from deployment_spark.functions.text import tokens, word_shingles
 
 
 def spread_for_cpu(df: DataFrame) -> DataFrame:
@@ -486,4 +486,96 @@ def contamination_pairs(
         j.groupBy(corpus_id, bench_id)
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the span-level complement of the
+    document-level passes above, after the substring-dedup protocol of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): any ``span_words``-token window whose exact text occurs at
+    least ``min_count`` times across the whole corpus is boilerplate, and
+    every token it covers is dropped from every document that carries it.
+    The reference corpus tooling has no counterpart (its dedup is
+    row-exact only, ``FAISS/PlainDemo/pipeline.py:247``); this is the
+    operator that removes licence headers / navigation chrome that
+    MinHash (a whole-document similarity) cannot see.
+
+    Spark plan, 100 TB shape — two content-keyed shuffles, no pair space:
+
+    1. one pass builds (doc, position, token, span-shingle) rows via
+       ``sequence``/``transform``/``slice`` — pure Catalyst, no UDF;
+    2. ``groupBy(shingle).count`` — partial map-side combine, so the
+       exchange carries distinct shingles per task, not token rows;
+       filtered to ``count >= min_count`` BEFORE the join so the dup
+       table holds only actual boilerplate (tiny relative to corpus);
+    3. LEFT join rows←dup-shingles ON the shingle. A join (not a
+       count-over-window) on purpose: a mega-hot boilerplate shingle
+       would pile a window's whole partition onto one task, while AQE
+       splits a skewed join key automatically;
+    4. per-doc coverage: a token at position j is removed iff some
+       duplicated span starts in [j-span_words+1, j] — one ordered
+       window + one groupBy, both on the doc key (Catalyst reuses the
+       single doc-hash exchange for both).
+
+    Output: (id, n_tokens, n_removed, clean_hash) where clean_hash is
+    md5 of the surviving tokens joined by single spaces (NULL when the
+    whole document was boilerplate) — value-checkable byte-for-byte.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = span_words
+    rows = spread_for_cpu(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.struct(
+                    toks[i - 1].alias("tok"),
+                    F.when(
+                        i + F.lit(k - 1) <= n,
+                        F.concat_ws(" ", F.slice(toks, i, k)),
+                    ).alias("sh"),
+                ),
+            )
+        ).alias("pos", "s"),
+    ).select(id_col, "pos", F.col("s.tok").alias("tok"), F.col("s.sh").alias("sh"))
+
+    dup = (
+        rows.filter(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("sh", F.lit(1).alias("dup_start"))
+    )
+    flagged = rows.join(dup, "sh", "left").withColumn(
+        "dup_start", F.coalesce(F.col("dup_start"), F.lit(0))
+    )
+    cov_w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    covered = flagged.withColumn("covered", F.max("dup_start").over(cov_w))
+    kept_struct = F.when(F.col("covered") == 0, F.struct("pos", "tok"))
+    out = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("covered").alias("n_removed"),
+        F.sort_array(F.collect_list(kept_struct)).alias("_kept"),
+    )
+    clean = F.when(
+        F.size("_kept") > 0,
+        F.md5(F.array_join(F.transform("_kept", lambda s: s["tok"]), " ")),
+    )
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        clean.alias("clean_hash"),
     )

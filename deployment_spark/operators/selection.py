@@ -1,0 +1,172 @@
+"""Data selection via importance resampling (DSIR) for training-data
+pipelines (SURVEY §7.1 M8 extension).
+
+Implements the hashed n-gram importance-weighting protocol of Xie et
+al., NeurIPS 2023 ("Data Selection for Language Models via Importance
+Resampling"): fit two bag-of-hashed-ngram distributions — one on a
+small TARGET corpus (the data you want more of) and one on the RAW
+corpus being filtered — and score every raw document by its log
+importance ratio sum(log p_target(b) / p_raw(b)) over its features.
+High-weight documents look like the target; selecting the top fraction
+(or Gumbel-resampling with these weights) yields a target-shaped
+subset of the raw corpus.
+
+The reference pipelines have no data-selection stage at all (their
+corpus is the packet capture as-is); this operator is part of the
+LLM-training-data extension surface, same family as
+``operators.dedup.contamination_pairs``.
+
+Scale shape (the whole point of hashed DSIR — the feature space is
+CLOSED at ``n_buckets`` regardless of corpus size):
+
+1. one explode pass builds (doc, bucket) feature rows — unigrams and
+   bigrams hashed into ``n_buckets`` via the engine's PORTABLE md5
+   bucket hash (same construction as ``operators.export``), so any
+   engine reproduces the weights bit-for-bit;
+2. ONE groupBy(bucket) with conditional sums builds BOTH distributions
+   in a single partially-aggregated exchange whose cardinality is
+   ``n_buckets``, not tokens;
+3. the bucket table (n_buckets rows, e.g. 512) is BROADCAST back onto
+   the feature stream — the 100 TB raw side never shuffles for the
+   probability lookup;
+4. per-doc weight = one groupBy(doc) sum — the only corpus-keyed
+   exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.text import tokens
+
+
+def _portable_bucket(col, n_buckets: int, salt: str):
+    """First 8 hex chars of md5('<salt>|'||feature) mod n_buckets — the
+    repo's standard engine-portable hash (cf. operators/export.py)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), col)), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).cast("long")
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Explode each document into hashed unigram + bigram feature rows
+    (id, bucket). Pure Catalyst: ``transform`` builds the bigram array
+    from the token array in the same projection, one explode total."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return df.select(
+        id_col, F.explode(feats).alias("feature")
+    ).select(
+        id_col, _portable_bucket(F.col("feature"), n_buckets, salt).alias("bucket")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR log importance weight over ``raw``.
+
+    ``target_pred`` is a Column predicate over ``raw``'s columns marking
+    the target subset (e.g. ``F.col("lang") == "en"``); fitting target
+    and raw from one table keeps this a SINGLE aggregation — real
+    deployments pass a separate curated target corpus, in which case
+    union the two frames with a tag column and use the tag as the
+    predicate.
+
+    Laplace-smoothed bucket probabilities (add-1 over ``n_buckets``)
+    keep unseen buckets finite, exactly as in the paper's estimator.
+
+    Output: (id, n_features, log_weight DOUBLE).
+    """
+    tagged = raw.withColumn("_is_target", target_pred.cast("int"))
+    # the target tag rides along THROUGH the explode (not re-joined on
+    # the doc key afterwards) — the corpus never shuffles for it
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = tagged.select(
+        id_col, "_is_target", F.explode(F.concat(toks, bigrams)).alias("feature")
+    ).select(
+        id_col,
+        "_is_target",
+        _portable_bucket(F.col("feature"), n_buckets, salt).alias("bucket"),
+    )
+    # one bucket-keyed exchange builds both distributions; totals ride
+    # along via a grand-total aggregate on the same (tiny) bucket table
+    buckets = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum("_is_target").alias("tgt_c"),
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    ratio = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_c") + 1) / (F.col("tgt_n") + n_buckets))
+            - F.log((F.col("raw_c") + 1) / (F.col("raw_n") + n_buckets))
+        ).alias("log_ratio"),
+    )
+    scored = feats.join(F.broadcast(ratio), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.sum("log_ratio").alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target_pred,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "dsir",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance weight — the
+    deterministic "select the most target-like" variant (the paper's
+    Gumbel resampling adds noise for diversity; rank-on-weight is the
+    reproducible engine primitive both build on). Ranking uses the
+    ``round_to``-dp-rounded weight with id tie-break, so the rank
+    column is stable across engines (the doc_bm25_topk convention).
+
+    Output: (id, n_features, log_weight rounded, rank 1..k).
+    """
+    w = dsir_weights(
+        raw, target_pred, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, salt=salt,
+    ).withColumn("log_weight", F.round("log_weight", round_to))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps, nq·k-bounded); the rank window runs on the k-row result
+    # only — the bm25_topk convention
+    from pyspark.sql import Window
+
+    top = w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k)
+    rank_w = Window.orderBy(F.desc("log_weight"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("long"))

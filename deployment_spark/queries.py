@@ -2119,8 +2119,17 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry the former doc_normalize entry — canonicalize (lower / strip
     punct / collapse ws) + exact-dedup on the normalized form over
     planted case-mangled near-copies; txt holds the normalized-content
-    group key, part the keep-lowest-id survivor flag."""
-    from deployment_spark.operators.textstats import chunk_text
+    group key, part the keep-lowest-id survivor flag.
+
+    r5 fold (slot freed for dsir_select): scope='pack' rows carry the
+    former doc_packing entry — greedy first-fit token packing (budget
+    256, 16 shards), the DuckDB oracle replaying the greedy fold with a
+    recursive CTE stepping one document per shard per iteration so the
+    driver value-checks the exact packing, not just totals. Column
+    mapping: doc_id=shard, part=pack_id, n=total_tokens,
+    txt=n_docs-as-string."""
+    from deployment_spark.operators.packing import pack_greedy
+    from deployment_spark.operators.textstats import chunk_text, token_count
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = chunk_text(d, window_tokens=32, stride=24).select(
@@ -2137,7 +2146,27 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.col("norm_hash").alias("txt"),
     )
-    return chunks.unionByName(norm)
+    to_pack = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    packed = (
+        pack_greedy(to_pack, budget=256)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.lit("pack").alias("scope"),
+            F.col("shard").cast("long").alias("doc_id"),
+            F.col("pack_id").cast("long").alias("part"),
+            F.col("total_tokens").cast("long").alias("n"),
+            F.col("n_docs").cast("string").alias("txt"),
+        )
+    )
+    return chunks.unionByName(norm).unionByName(packed)
 
 
 SQL_DOC_CHUNKS = """
@@ -2174,48 +2203,145 @@ FROM (
     FROM documents WHERE doc_id < 40
   )
 )
+UNION ALL
+SELECT 'pack', shard, pack_id, total_tokens, n_docs::VARCHAR
+FROM (
+  WITH RECURSIVE pdocs AS (
+    SELECT doc_id % 16 AS shard, doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+           row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+    FROM documents
+  ), g AS (
+    SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS pack_id, n_tokens AS fill
+    FROM pdocs WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+           CASE WHEN g.fill + d.n_tokens <= 256 THEN g.pack_id ELSE g.pack_id + 1 END,
+           CASE WHEN g.fill + d.n_tokens <= 256 THEN g.fill + d.n_tokens ELSE d.n_tokens END
+    FROM g JOIN pdocs d ON d.shard = g.shard AND d.rn = g.rn + 1
+  )
+  SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+  FROM g GROUP BY 1, 2
+)
 """
 
 
-def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 sequence packing — greedy first-fit token packing (budget 256,
-    16 shards, whitespace token counts) for training-sample assembly.
-    Output is per-pack (n_docs, total_tokens) — the fill ledger. The
-    DuckDB oracle REPLAYS the greedy fold with a recursive CTE stepping
-    one document per shard per iteration, so the driver value-checks the
-    exact packing, not just totals."""
-    from deployment_spark.operators.packing import pack_greedy
-    from deployment_spark.operators.textstats import token_count
+SPAN_BOILER = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN removal (operators/dedup.span_dedup; new
+    r5) — the substring-dedup protocol of Lee et al. 2022: any 5-token
+    window occurring ≥2× across the corpus is boilerplate and every
+    token it covers is dropped from every document carrying it. This is
+    the span-level complement the document-level passes (exact /
+    MinHash / SimHash / semantic) cannot see — licence headers and
+    navigation chrome inside otherwise-unique documents; the reference
+    corpus tooling has only row-exact dedup
+    (``FAISS/PlainDemo/pipeline.py:247``). An 11-token boilerplate tail
+    is planted on 30% of docs (both engines) so the operator provably
+    removes multi-span coverage, not just chance repeats. The oracle
+    replays shingling, the global dup-count, the coverage window, and
+    the byte-exact cleaned-text md5 in SQL."""
+    from deployment_spark.operators.dedup import span_dedup
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 16).alias("shard"),
-        token_count("text").alias("n_tokens"),
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat_ws(" ", "text", F.lit(SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
-    packed = pack_greedy(d, budget=256)
-    return packed.groupBy("shard", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    return span_dedup(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        "clean_hash",
     )
 
 
-SQL_DOC_PACKING = """
-WITH RECURSIVE docs AS (
-  SELECT doc_id % 16 AS shard, doc_id,
-         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
-         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+SQL_DOC_SPAN_DEDUP = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3 THEN text || ' ' || '{SPAN_BOILER}'
+              ELSE text END AS text
   FROM documents
-), g AS (
-  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS pack_id, n_tokens AS fill
-  FROM docs WHERE rn = 1
-  UNION ALL
-  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
-         CASE WHEN g.fill + d.n_tokens <= 256 THEN g.pack_id ELSE g.pack_id + 1 END,
-         CASE WHEN g.fill + d.n_tokens <= 256 THEN g.fill + d.n_tokens ELSE d.n_tokens END
-  FROM g JOIN docs d ON d.shard = g.shard AND d.rn = g.rn + 1
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM aug
+), p0 AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t
+), pos AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN i + 4 <= len(w) THEN array_to_string(w[i:i+4], ' ') END AS sh
+  FROM p0
+), dup AS (
+  SELECT sh FROM pos WHERE sh IS NOT NULL GROUP BY sh HAVING count(*) >= 2
+), flag AS (
+  SELECT p.doc_id, p.i, p.tok,
+         CASE WHEN d.sh IS NOT NULL THEN 1 ELSE 0 END AS dup_start
+  FROM pos p LEFT JOIN dup d USING (sh)
+), cov AS (
+  SELECT *, max(dup_start) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+  FROM flag
 )
-SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
-FROM g GROUP BY 1, 2
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(covered)::BIGINT AS n_removed,
+       md5(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE covered = 0)) AS clean_hash
+FROM cov GROUP BY doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted data selection (operators/selection;
+    new r5) — the hashed-ngram importance-resampling protocol of Xie et
+    al. 2023: fit add-1-smoothed bag-of-hashed-ngram (uni+bigram, 512
+    portable-md5 buckets) distributions on a target subset (lang='en')
+    and on the whole corpus, score every document by its summed log
+    importance ratio, keep the top-100 (rank on the 4dp-rounded weight,
+    doc_id tie-break — the doc_bm25_topk convention). Scale shape: the
+    feature space is CLOSED at 512 buckets, so both distributions come
+    from ONE partially-aggregated bucket exchange and the ratio table
+    broadcasts back — the 100 TB corpus side shuffles only once, on the
+    doc key. The oracle replays hashing, both distributions, the
+    smoothing, and the ranking in SQL."""
+    from deployment_spark.operators.selection import dsir_select
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_select(d, F.col("lang") == "en", k=100).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_features",
+        "log_weight",
+        "rank",
+    )
+
+
+SQL_DSIR_SELECT = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), uni AS (
+  SELECT doc_id, lang, unnest(w) AS f FROM t
+), bi AS (
+  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)
+), feats AS (
+  SELECT doc_id, (lang = 'en')::INT AS is_t,
+         ('0x' || substring(md5('dsir|' || f), 1, 8))::BIGINT % 512 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), b AS (
+  SELECT bucket, count(*) AS raw_c, sum(is_t) AS tgt_c FROM feats GROUP BY bucket
+), tot AS (SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM b),
+r AS (
+  SELECT bucket, ln((tgt_c + 1) / (tgt_n + 512)) - ln((raw_c + 1) / (raw_n + 512)) AS lr
+  FROM b CROSS JOIN tot
+), wts AS (
+  SELECT doc_id, count(*)::BIGINT AS n_features, round(sum(lr), 4) AS log_weight
+  FROM feats JOIN r USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_features, log_weight,
+       row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+FROM wts QUALIFY rank <= 100
 """
 
 
@@ -3144,36 +3270,29 @@ def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow/mapInPandas decode path (operators.multimodal). The synthetic
     payload is reconstructible in SQL (repeat(sha256(id), 8) as utf-8
     bytes), so byte-exact integer stats oracle the whole binary round
-    trip: schema, Arrow transfer, per-batch numpy work."""
-    from deployment_spark.operators.multimodal import payload_stats, synthetic_media
+    trip: schema, Arrow transfer, per-batch numpy work.
+
+    r5 fold (slot freed for doc_span_dedup): scope='frames' rows carry
+    the former media_frame_plan entry — the video frame-sampling PLAN
+    (per clip, the exploded sample timestamps a decoder would extract;
+    decode itself honestly stubbed, codecs absent). Column mapping for
+    those rows: a=sample_ts_ms, b=duration_ms, media_type='video'."""
+    from deployment_spark.operators.multimodal import (
+        frame_sample_plan,
+        payload_stats,
+        synthetic_media,
+    )
 
     media = synthetic_media(spark, n=100)
-    return payload_stats(media).select("media_id", "media_type", "n_bytes", "byte_sum")
-
-
-SQL_MEDIA_PAYLOAD_STATS = """
-WITH m AS (
-  SELECT range AS media_id, 'image' AS media_type,
-         repeat(sha256(range::VARCHAR), 8) AS s
-  FROM range(100)
-)
-SELECT media_id, media_type,
-       length(s)::BIGINT AS n_bytes,
-       list_sum(list_transform(range(1, length(s) + 1),
-                               p -> ascii(substring(s, p, 1))))::BIGINT AS byte_sum
-FROM m
-"""
-
-
-def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 multimodal — video frame-sampling PLAN: per clip, the exploded
-    sample timestamps a decoder would extract (decode itself is honestly
-    stubbed — codecs absent; the plumbing is the Spark-side deliverable).
-    Synthetic clips with id-dependent durations, replayed in SQL."""
-    from deployment_spark.operators.multimodal import frame_sample_plan, synthetic_media
-
-    media = synthetic_media(spark, n=60, media_type="video")
-    clips = media.withColumn(
+    payload = payload_stats(media).select(
+        F.lit("payload").alias("scope"),
+        "media_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("a"),
+        F.col("byte_sum").cast("long").alias("b"),
+    )
+    vids = synthetic_media(spark, n=60, media_type="video")
+    clips = vids.withColumn(
         "meta",
         F.struct(
             F.col("meta.width"),
@@ -3183,21 +3302,35 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     plan = frame_sample_plan(clips, every_ms=400)
-    return plan.select(
+    frames = plan.select(
+        F.lit("frames").alias("scope"),
         "media_id",
-        F.col("sample_ts_ms").cast("long").alias("sample_ts_ms"),
-        F.col("meta.duration_ms").cast("long").alias("duration_ms"),
+        F.lit("video").alias("media_type"),
+        F.col("sample_ts_ms").cast("long").alias("a"),
+        F.col("meta.duration_ms").cast("long").alias("b"),
     )
+    return payload.unionByName(frames)
 
 
-SQL_MEDIA_FRAME_PLAN = """
-WITH clips AS (
+SQL_MEDIA_PAYLOAD_STATS = """
+WITH m AS (
+  SELECT range AS media_id, 'image' AS media_type,
+         repeat(sha256(range::VARCHAR), 8) AS s
+  FROM range(100)
+)
+SELECT 'payload' AS scope, media_id, media_type,
+       length(s)::BIGINT AS a,
+       list_sum(list_transform(range(1, length(s) + 1),
+                               p -> ascii(substring(s, p, 1))))::BIGINT AS b
+FROM m
+UNION ALL
+SELECT 'frames', media_id, 'video',
+       unnest(range(0, duration_ms + 1, 400)),
+       duration_ms
+FROM (
   SELECT range AS media_id, (range % 7 + 1) * 1000 AS duration_ms
   FROM range(60)
 )
-SELECT media_id, unnest(range(0, duration_ms + 1, 400)) AS sample_ts_ms,
-       duration_ms
-FROM clips
 """
 
 
@@ -3815,7 +3948,11 @@ REGISTRY: dict = {
     "topk_enriched": (q_topk_enriched, SQL_TOPK_ENRICHED),
     "streaming_hourly_counts": (q_streaming_hourly_counts, SQL_STREAMING_HOURLY_COUNTS),
     "media_payload_stats": (q_media_payload_stats, SQL_MEDIA_PAYLOAD_STATS),
-    "media_frame_plan": (q_media_frame_plan, SQL_MEDIA_FRAME_PLAN),
+    # r5 additions: Lee-et-al exact duplicated-span removal and DSIR
+    # hashed-ngram importance selection (slots freed by folding
+    # frame-plan→media_payload_stats, packing→doc_chunks)
+    "doc_span_dedup": (q_doc_span_dedup, SQL_DOC_SPAN_DEDUP),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     # r5 fold: the four per-codec recall entries share one tagged-union
     # slot (gate windows at 50); each remains callable and floor-pinned
     "ann_recall": (q_ann_recall, None),
@@ -3856,7 +3993,6 @@ REGISTRY: dict = {
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "doc_compressibility": (q_doc_compressibility, None),
-    "doc_packing": (q_doc_packing, SQL_DOC_PACKING),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),

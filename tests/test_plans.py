@@ -145,10 +145,15 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     # S-row source-count table (S = #sources, never data-scale); the
     # corpus-side join is a plain broadcast hash join, asserted by
     # test_domain_mixture_rates_join_is_broadcast
+    # dsir_select crossJoins the 1-row distribution-totals aggregate
+    # onto the 512-row bucket table before broadcasting the ratio back
+    # — both BNLJ sides are O(n_buckets), never data-scale (the
+    # corpus-side join is broadcast, asserted by
+    # test_dsir_ratio_join_is_broadcast)
     BNLJ_OK = {
         "ann_recall", "hist_quantiles", "doc_lm_score",
         "doc_bm25_topk", "hybrid_search", "topk_enriched",
-        "domain_mixture",
+        "domain_mixture", "dsir_select",
     }
     sf = sf_dir
     offenders = {}
@@ -264,3 +269,42 @@ def test_shuffled_shards_single_corpus_exchange(spark, sf_dir):
     # read, but no second hashpartitioning of the corpus)
     assert plan.count("hashpartitioning(shard") <= 1
     assert audit.count_exchanges(s) == 1
+
+
+def test_span_dedup_shuffles_on_content_keys_only(spark, sf_dir):
+    """span_dedup (r5): the dup-shingle lookup must be a hash JOIN on the
+    shingle (AQE-skew-splittable), never a count-over-window piling a
+    hot boilerplate shingle onto one task, and never a pair-space or
+    cartesian shape; exchanges are shingle- and doc-keyed only."""
+    from deployment_spark.operators.dedup import span_dedup
+    from deployment_spark.plans import audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = span_dedup(docs)
+    plan = audit.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no window partitioned by the shingle key anywhere in the plan
+    assert "windowspecdefinition(sh" not in plan
+    # bounded exchange count: shingle agg + join re-shuffle + doc window
+    # (the doc groupBy reuses the window's partitioning)
+    assert audit.count_exchanges(out) <= 4, audit.count_exchanges(out)
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """dsir_weights (r5): the 512-row bucket-ratio table must broadcast
+    back onto the feature stream — the 100 TB corpus side's only
+    exchanges are the bucket aggregate (closed at n_buckets, partial
+    map-side combine) and the final doc-keyed sum."""
+    from deployment_spark.operators.selection import dsir_weights
+    from deployment_spark.plans import audit
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    w = dsir_weights(docs, F2.col("lang") == "en")
+    plan = audit.physical_plan(w)
+    assert audit.has_broadcast_join(w)
+    assert not audit.has_shuffle_join(w)
+    assert "CartesianProduct" not in plan
+    # the corpus is never hash-partitioned by doc_id twice
+    assert plan.count("hashpartitioning(doc_id") <= 1
