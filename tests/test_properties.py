@@ -549,3 +549,131 @@ def test_bm25_matches_python_reference_random(spark, docs, terms):
     for i, (s, m) in want.items():
         assert got[i][1] == m, i
         assert abs(got[i][0] - s) < 1e-9, (i, got[i][0], s)
+
+
+def ref_span_dedup(docs: dict[int, list[str]], k: int, min_count: int):
+    """Plain-python duplicated-span reference: global k-gram counts →
+    covered positions → surviving token lists."""
+    from collections import Counter
+
+    counts = Counter(
+        " ".join(toks[i : i + k])
+        for toks in docs.values()
+        for i in range(len(toks) - k + 1)
+    )
+    out = {}
+    for did, toks in docs.items():
+        starts = [
+            i
+            for i in range(len(toks) - k + 1)
+            if counts[" ".join(toks[i : i + k])] >= min_count
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out[did] = (len(toks), len(covered), kept)
+    return out
+
+
+@PROP
+@given(
+    n_docs=st.integers(1, 8),
+    vocab=st.integers(2, 5),
+    max_len=st.integers(1, 25),
+    k=st.integers(2, 6),
+    seed=st.integers(0, 2**16),
+)
+def test_span_dedup_matches_python_reference(spark, n_docs, vocab, max_len, k, seed):
+    """span_dedup == the python reference for random corpora over a TINY
+    vocabulary (so chance k-gram collisions are common): token counts,
+    removal counts, and the byte-exact surviving text."""
+    import hashlib
+    import random
+
+    from deployment_spark.operators.dedup import span_dedup
+
+    rng = random.Random(seed)
+    docs = {
+        d: [f"w{rng.randrange(vocab)}" for _ in range(rng.randrange(1, max_len + 1))]
+        for d in range(n_docs)
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in span_dedup(df, span_words=k).collect()}
+    want = ref_span_dedup(docs, k, 2)
+    assert set(got) == set(want)
+    for did, (n_tok, n_rm, kept) in want.items():
+        assert got[did].n_tokens == n_tok, did
+        assert got[did].n_removed == n_rm, did
+        exp_hash = (
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None
+        )
+        assert got[did].clean_hash == exp_hash, did
+
+
+def ref_dsir_weights(docs: dict[int, tuple[list[str], bool]], n_buckets: int):
+    """Plain-python DSIR reference over md5-hashed uni+bigram buckets."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f"dsir|{f}".encode()).hexdigest()[:8], 16) % n_buckets
+
+    raw_c: Counter = Counter()
+    tgt_c: Counter = Counter()
+    feats_by_doc = {}
+    for did, (toks, is_t) in docs.items():
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bs = [bucket(f) for f in feats]
+        feats_by_doc[did] = bs
+        raw_c.update(bs)
+        if is_t:
+            tgt_c.update(bs)
+    raw_n, tgt_n = sum(raw_c.values()), sum(tgt_c.values())
+    out = {}
+    for did, bs in feats_by_doc.items():
+        w = sum(
+            math.log((tgt_c[b] + 1) / (tgt_n + n_buckets))
+            - math.log((raw_c[b] + 1) / (raw_n + n_buckets))
+            for b in bs
+        )
+        out[did] = (len(bs), w)
+    return out
+
+
+@PROP
+@given(
+    n_docs=st.integers(1, 10),
+    vocab=st.integers(2, 6),
+    max_len=st.integers(1, 15),
+    seed=st.integers(0, 2**16),
+)
+def test_dsir_weights_match_python_reference(spark, n_docs, vocab, max_len, seed):
+    """dsir_weights == the python reference (same md5 buckets, same
+    smoothing) for random corpora and random target labelling —
+    including the all-target and no-target degenerate cases."""
+    import random
+
+    from deployment_spark.operators.selection import dsir_weights
+
+    rng = random.Random(seed)
+    docs = {
+        d: (
+            [f"w{rng.randrange(vocab)}" for _ in range(rng.randrange(1, max_len + 1))],
+            rng.random() < 0.5,
+        )
+        for d in range(n_docs)
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t), is_t) for d, (t, is_t) in docs.items()],
+        ["doc_id", "text", "is_t"],
+    )
+    got = {r.doc_id: r for r in dsir_weights(df, F.col("is_t")).collect()}
+    want = ref_dsir_weights(docs, 512)
+    assert set(got) == set(want)
+    for did, (n_f, w) in want.items():
+        assert got[did].n_features == n_f, did
+        assert abs(got[did].log_weight - w) < 1e-9, (did, got[did].log_weight, w)
