@@ -35,7 +35,7 @@ CLOSED at ``n_buckets`` regardless of corpus size):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deployment_spark.functions.text import tokens
@@ -43,9 +43,14 @@ from deployment_spark.functions.text import tokens
 
 def _portable_bucket(col, n_buckets: int, salt: str):
     """First 8 hex chars of md5('<salt>|'||feature) mod n_buckets — the
-    repo's standard engine-portable hash (cf. operators/export.py)."""
+    repo's standard engine-portable hash (cf. operators/export.py).
+    coalesce keeps the bucket provably non-nullable: otherwise the
+    ratio join infers isnotnull(bucket) and pushes it into ONE side's
+    subtree, which de-canonicalizes the two ``bf`` consumers and breaks
+    the ReuseExchange single-scan property (the unigram_lm_score salt
+    lesson, asserted in tests/test_plans.py)."""
     h = F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), col)), 1, 8), 16, 10)
-    return (h.cast("long") % n_buckets).cast("long")
+    return F.coalesce((h.cast("long") % n_buckets).cast("long"), F.lit(0))
 
 
 def hashed_ngram_features(
@@ -56,15 +61,19 @@ def hashed_ngram_features(
     salt: str = "dsir",
 ) -> DataFrame:
     """Explode each document into hashed unigram + bigram feature rows
-    (id, bucket). Pure Catalyst: ``transform`` builds the bigram array
-    from the token array in the same projection, one explode total."""
+    (id, bucket). Pure Catalyst: ``zip_with`` over two array slices
+    builds the bigram array in the same projection (per-row array
+    walks — a per-element ``toks[i]`` lambda would re-evaluate the
+    regex split per element, O(tokens²) per doc), one explode total."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    n1 = F.greatest(n - 1, F.lit(1))
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+        F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(toks, bigrams)
@@ -95,6 +104,19 @@ def dsir_weights(
     Laplace-smoothed bucket probabilities (add-1 over ``n_buckets``)
     keep unseen buckets finite, exactly as in the paper's estimator.
 
+    The corpus is scanned and feature-exploded ONCE: both the bucket
+    distributions and the per-doc scoring consume the same per-(doc,
+    bucket) frequency aggregate ``bf``, whose exchange Catalyst dedupes
+    via ReuseExchange (the unigram_lm_score pattern, asserted in
+    tests/test_plans.py; same fresh-file-scan caveat — a cached input
+    disables the reuse). The distribution totals come from an
+    unpartitioned window over the ``n_buckets``-row table rather than a
+    crossJoin branch, so the bucket table is derived exactly once too.
+    Bigrams come from ``zip_with`` over two array slices — per-row
+    array walks, NOT per-element ``toks[i]`` lambda accesses, which
+    re-evaluate the regex split per element (O(tokens²) per doc; the
+    first cut of this operator did exactly that and measured 10× slow).
+
     Output: (id, n_features, log_weight DOUBLE).
     """
     tagged = raw.withColumn("_is_target", target_pred.cast("int"))
@@ -102,11 +124,13 @@ def dsir_weights(
     # the doc key afterwards) — the corpus never shuffles for it
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    n1 = F.greatest(n - 1, F.lit(1))
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+        F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = tagged.select(
@@ -116,26 +140,33 @@ def dsir_weights(
         "_is_target",
         _portable_bucket(F.col("feature"), n_buckets, salt).alias("bucket"),
     )
-    # one bucket-keyed exchange builds both distributions; totals ride
-    # along via a grand-total aggregate on the same (tiny) bucket table
-    buckets = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.sum("_is_target").alias("tgt_c"),
+    # the SHARED aggregate: per-doc bucket frequencies — one partially
+    # aggregated (doc, bucket) exchange both consumers reuse
+    bf = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.max("_is_target").alias("is_t"),
     )
-    totals = buckets.agg(
-        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    buckets = bf.groupBy("bucket").agg(
+        F.sum("tf").alias("raw_c"),
+        F.sum(F.col("tf") * F.col("is_t")).alias("tgt_c"),
     )
-    ratio = buckets.crossJoin(F.broadcast(totals)).select(
+    wtot = Window.partitionBy()
+    ratio = buckets.select(
         "bucket",
         (
-            F.log((F.col("tgt_c") + 1) / (F.col("tgt_n") + n_buckets))
-            - F.log((F.col("raw_c") + 1) / (F.col("raw_n") + n_buckets))
+            F.log((F.col("tgt_c") + 1) / (F.sum("tgt_c").over(wtot) + n_buckets))
+            - F.log((F.col("raw_c") + 1) / (F.sum("raw_c").over(wtot) + n_buckets))
         ).alias("log_ratio"),
     )
-    scored = feats.join(F.broadcast(ratio), "bucket")
+    scored = bf.join(F.broadcast(ratio), "bucket")
+    # is_target in the output is useful (callers usually exclude docs
+    # already in the target set) AND load-bearing: it keeps the two bf
+    # consumers' column sets identical, so the pruner cannot strip
+    # max(is_t) from this branch's copy and de-canonicalize the reuse
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_features"),
-        F.sum("log_ratio").alias("log_weight"),
+        F.sum("tf").cast("long").alias("n_features"),
+        F.sum(F.col("tf") * F.col("log_ratio")).alias("log_weight"),
+        F.max("is_t").cast("int").alias("is_target"),
     )
 
 

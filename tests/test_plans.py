@@ -145,15 +145,13 @@ def test_registry_sweep_no_scale_killers(spark, sf_dir):
     # S-row source-count table (S = #sources, never data-scale); the
     # corpus-side join is a plain broadcast hash join, asserted by
     # test_domain_mixture_rates_join_is_broadcast
-    # dsir_select crossJoins the 1-row distribution-totals aggregate
-    # onto the 512-row bucket table before broadcasting the ratio back
-    # — both BNLJ sides are O(n_buckets), never data-scale (the
-    # corpus-side join is broadcast, asserted by
-    # test_dsir_ratio_join_is_broadcast)
+    # (dsir_select needs no allowance: its distribution totals come
+    # from an unpartitioned window over the 512-row bucket table, not a
+    # crossJoin branch)
     BNLJ_OK = {
         "ann_recall", "hist_quantiles", "doc_lm_score",
         "doc_bm25_topk", "hybrid_search", "topk_enriched",
-        "domain_mixture", "dsir_select",
+        "domain_mixture",
     }
     sf = sf_dir
     offenders = {}
@@ -306,5 +304,35 @@ def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
     assert audit.has_broadcast_join(w)
     assert not audit.has_shuffle_join(w)
     assert "CartesianProduct" not in plan
-    # the corpus is never hash-partitioned by doc_id twice
-    assert plan.count("hashpartitioning(doc_id") <= 1
+    # (the static plan prints the shared bf subtree once per consumer;
+    # runtime dedup to a single scan/explode is pinned by
+    # test_dsir_single_feature_pass on the FINAL executed plan)
+
+
+def test_dsir_single_feature_pass(spark, sf_dir, tmp_path):
+    """dsir_weights must scan + feature-explode the corpus ONCE on the
+    production path: the bucket-distribution build and the per-doc
+    scoring both consume the (doc, bucket) frequency aggregate's
+    exchange via ReuseExchange. Two load-bearing details pinned here:
+    the coalesce'd non-null bucket (else the ratio join pushes
+    isnotnull into one subtree) and the is_target output column (else
+    the pruner strips max(is_t) from the scoring branch's copy) — see
+    the operator docstring. Private table copy for the same cached-leaf
+    reason as test_lm_score_single_tokenization."""
+    import re
+    import shutil
+
+    from deployment_spark.operators.selection import dsir_weights
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{sf_dir}/documents.parquet", path)
+    d = spark.read.parquet(path).select("doc_id", "text", "lang")
+    out = dsir_weights(d, F2.col("lang") == "en")
+    out.collect()  # AQE: inspect the FINAL executed plan
+    final = audit.physical_plan(out).split("== Initial Plan ==")[0]
+    n_scans = len(re.findall(r"FileScan|Scan parquet|Scan orc", final))
+    assert n_scans == 1, final
+    gens = [ln for ln in final.splitlines() if "Generate" in ln]
+    assert len(gens) == 1, final
+    assert "ReusedExchange" in final, final

@@ -677,3 +677,4 @@ def test_dsir_weights_match_python_reference(spark, n_docs, vocab, max_len, seed
     for did, (n_f, w) in want.items():
         assert got[did].n_features == n_f, did
         assert abs(got[did].log_weight - w) < 1e-9, (did, got[did].log_weight, w)
+        assert got[did].is_target == int(docs[did][1]), did
