@@ -509,8 +509,14 @@ def span_dedup(
 
     Spark plan, 100 TB shape — two content-keyed shuffles, no pair space:
 
-    1. one pass builds (doc, position, token, span-shingle) rows via
-       ``sequence``/``transform``/``slice`` — pure Catalyst, no UDF;
+    1. one pass builds (doc, position, token, span-shingle) rows, pure
+       Catalyst, no UDF: the shingle array comes from a ``zip_with``
+       reduction over ``span_words`` shifted slices of the token array
+       (per-row array walks, O(span_words·tokens) per doc) — NOT from a
+       per-element ``toks[i]`` lambda, which re-evaluates the regex
+       split per element access (O(tokens²) per doc: harmless on
+       100-token test docs, catastrophic on real multi-thousand-token
+       documents);
     2. ``groupBy(shingle).count`` — partial map-side combine, so the
        exchange carries distinct shingles per task, not token rows;
        filtered to ``count >= min_count`` BEFORE the join so the dup
@@ -528,23 +534,27 @@ def span_dedup(
     md5 of the surviving tokens joined by single spaces (NULL when the
     whole document was boilerplate) — value-checkable byte-for-byte.
     """
+    from functools import reduce
+
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     k = span_words
+    # m valid span starts; k shifted length-m slices zipped into the
+    # shingle array; the final zip_with pads sh with NULL for the k-1
+    # tail positions that start no span (zip_with extends the shorter
+    # array with nulls)
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, m) for i in range(k)]
+    sh_arr = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
+        shifted,
+    )
+    pairs = F.zip_with(
+        toks, sh_arr, lambda t, s: F.struct(t.alias("tok"), s.alias("sh"))
+    )
     rows = spread_for_cpu(df).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.struct(
-                    toks[i - 1].alias("tok"),
-                    F.when(
-                        i + F.lit(k - 1) <= n,
-                        F.concat_ws(" ", F.slice(toks, i, k)),
-                    ).alias("sh"),
-                ),
-            )
-        ).alias("pos", "s"),
+        F.posexplode(pairs).alias("pos", "s"),
     ).select(id_col, "pos", F.col("s.tok").alias("tok"), F.col("s.sh").alias("sh"))
 
     dup = (
