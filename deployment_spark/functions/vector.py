@@ -35,9 +35,36 @@ def l2_norm(a: Column | str) -> Column:
 def l2_normalize(a: Column | str) -> Column:
     """V2 — ``emb / np.linalg.norm(emb, axis=1, keepdims=True)``
     (``FAISS/PlainDemo/pipeline.py:314``). Zero vectors map to zero (the
-    reference would emit NaN; divergence documented in SURVEY §7.3)."""
-    n = l2_norm(a)
-    return F.when(n == 0.0, _v(a)).otherwise(F.transform(_v(a), lambda x: x / n))
+    reference would emit NaN; divergence documented in SURVEY §7.3).
+
+    The input array and its norm are LET-BOUND via single-element
+    ``transform`` wrappers before the per-element division, so each is
+    evaluated exactly once per row. The naive
+    ``transform(v, x -> x / l2_norm(v))`` re-evaluates the norm — and
+    the whole input expression under it — per element (lambdas run
+    interpreted, no subexpression elimination): with a computed input
+    like ``hash_embed``'s d-hash array that is O(d²) hash evaluations
+    per row. Arithmetic is unchanged, so results are bit-identical.
+    """
+    bound = F.array(F.struct(_v(a).alias("v")))
+    with_norm = F.transform(
+        bound,
+        lambda s: F.struct(
+            s["v"].alias("v"),
+            F.sqrt(
+                F.aggregate(s["v"], F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("n"),
+        ),
+    )
+    return F.get(
+        F.transform(
+            with_norm,
+            lambda s: F.when(s["n"] == 0.0, s["v"]).otherwise(
+                F.transform(s["v"], lambda x: x / s["n"])
+            ),
+        ),
+        0,
+    )
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

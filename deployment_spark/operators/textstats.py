@@ -222,22 +222,37 @@ def chunk_text(
     the remainder (may be shorter); empty docs produce zero chunks."""
     if stride <= 0 or window_tokens <= 0:
         raise ValueError("window_tokens and stride must be positive")
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # starts: 1, 1+stride, ... while start <= n (1-based slice); a doc
-    # shorter than one window still yields exactly one chunk
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-    chunks = F.filter(
+    # let-bind the token array via a single-element transform wrapper so
+    # the tokenizing split runs once per row — a bare per-start lambda
+    # doing slice(toks, s, window) would re-evaluate the split per start
+    # (lambdas run interpreted, no subexpression elimination)
+    bound = F.array(F.struct(tokens(text_col).alias("t")))
+    chunks = F.get(
         F.transform(
-            starts,
-            lambda s: F.struct(
-                ((s - 1) / stride).cast("long").alias("chunk_id"),
-                F.slice(toks, s, window_tokens).alias("_toks"),
+            bound,
+            lambda b: F.filter(
+                F.transform(
+                    # starts: 1, 1+stride, ... while start <= n (1-based
+                    # slice); a doc shorter than one window still yields
+                    # exactly one chunk
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(b["t"]), F.lit(1)), F.lit(stride)
+                    ),
+                    lambda s: F.struct(
+                        ((s - 1) / stride).cast("long").alias("chunk_id"),
+                        F.slice(b["t"], s, window_tokens).alias("_toks"),
+                    ),
+                ),
+                # drop phantom trailing windows fully covered by the
+                # previous one
+                lambda c: (F.size(c["_toks"]) > 0)
+                & (
+                    (c["chunk_id"] == 0)
+                    | (F.size(c["_toks"]) > window_tokens - stride)
+                ),
             ),
         ),
-        # drop phantom trailing windows fully covered by the previous one
-        lambda c: (F.size(c["_toks"]) > 0)
-        & ((c["chunk_id"] == 0) | (F.size(c["_toks"]) > window_tokens - stride)),
+        0,
     )
     return (
         df.filter(F.trim(F.col(text_col)) != "")
