@@ -94,6 +94,66 @@ def topk_similarity_join_expr(
     )
 
 
+def keyset_page(
+    corpus: DataFrame,
+    queries: DataFrame,
+    after: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Search-iterator page — the Milvus ``search_iterator`` protocol
+    (the store family's pagination mode, ``Milvus/stream1.py`` drives
+    that store): the next ``k`` results strictly AFTER a per-query
+    keyset cursor, i.e. rows with ``sim < last_sim`` or
+    ``sim = last_sim AND id > last_id``.
+
+    OFFSET-free by design: the cursor predicate prunes everything
+    already returned BEFORE the ranking window, so page N costs the
+    same one scan + one k-bounded window as page 1 — never a re-rank of
+    N·k rows, never a growing OFFSET sort. The tie-break id in the
+    cursor makes pagination exact even through runs of equal scores
+    (the same composite key the ranking window uses).
+
+    ``after``: (query_id, last_sim DOUBLE, last_id) — the rank-k row of
+    the previous page, k·nq-scale, broadcast with the queries. Queries
+    absent from ``after`` get page 1 (a NULL cursor disables the
+    predicate).
+    """
+    cur = after.select(
+        F.col(query_id).alias("_qid"),
+        F.col("last_sim").alias("_lsim"),
+        F.col("last_id").alias("_lid"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        ).join(cur, "_qid", "left")
+    )
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cvec"))
+    scored = c.crossJoin(q).withColumn(
+        "_sim", cosine_similarity("_cvec", "_qvec")
+    )
+    later = (
+        F.col("_lsim").isNull()
+        | (F.col("_sim") < F.col("_lsim"))
+        | ((F.col("_sim") == F.col("_lsim")) & (F.col("_cid") > F.col("_lid")))
+    )
+    return (
+        scored.filter(later)
+        .withColumn("rank", F.row_number().over(_rank_window("_qid")))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("rank"),
+            F.col("_sim").alias("similarity"),
+        )
+    )
+
+
 def topk_similarity_join(
     corpus: DataFrame,
     queries: DataFrame,

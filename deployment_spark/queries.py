@@ -3501,7 +3501,11 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-vector Hamming search (operators/binary — the Milvus
     BINARY_VECTOR/BIN_FLAT mode: sign-bit packing into 32-bit words,
     popcount-of-xor distance in pure codegen; similarity reported as
-    1 − hamming/64, exact in doubles)."""
+    1 − hamming/64, exact in doubles); ``iterator`` drives
+    search-iterator keyset pagination (similarity.keyset_page — the
+    Milvus ``search_iterator`` protocol: page 2 fetched strictly after
+    page 1's (last_sim, last_id) cursor, OFFSET-free; the oracle pins
+    it to global ranks 6..10)."""
     from deployment_spark.operators.similarity import (
         enrich_topk,
         grouped_topk,
@@ -3530,6 +3534,29 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = sim_ops.topk_similarity_join(emb, queries, k=5)
     topk_rows = shape(
         enrich_topk(res, emb.select("vec_id", "label"), corpus_id="vec_id"), "topk"
+    )
+    # iterator probe: page 2 via the keyset cursor taken from page 1's
+    # rank-5 row — must equal global ranks 6..10 (the oracle's claim),
+    # reached WITHOUT re-ranking page 1 (similarity.keyset_page). The
+    # cursor comes from the CATALYST-scored page 1 (_expr variant), not
+    # `res`: keyset_page re-scores with the same sequential Catalyst
+    # aggregate, so cursor and page-2 sims are bit-identical, while
+    # `res`'s Arrow/numpy pairwise summation differs in the last ulp —
+    # enough to flip strict-inequality membership at the page boundary
+    # (observed live at sf0.01, query 2: rank-5/6 sims 4e-5 apart).
+    after = (
+        sim_ops.topk_similarity_join_expr(emb, queries, k=5)
+        .filter(F.col("rank") == 5)
+        .select(
+            "query_id",
+            F.col("similarity").alias("last_sim"),
+            F.col("vec_id").alias("last_id"),
+        )
+    )
+    page2 = sim_ops.keyset_page(emb, queries, after, k=5)
+    iterator_rows = shape(
+        enrich_topk(page2, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "iterator",
     )
     rad = radius_search(emb, queries, radius=0.3, limit_per_query=20)
     radius_rows = shape(
@@ -3569,6 +3596,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
         .unionByName(binary_rows)
+        .unionByName(iterator_rows)
     )
 
 
@@ -3692,6 +3720,11 @@ SELECT 'binary', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM bh WHERE rank <= 5
+UNION ALL
+SELECT 'iterator', query_id, vec_id, rank - 5, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM r WHERE rank BETWEEN 6 AND 10
 """
 
 

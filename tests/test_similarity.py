@@ -315,3 +315,51 @@ def test_filtered_ann_pushes_predicate_to_scan(spark, embeddings, queries_df):
     )
     labels = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
     assert all(labels[r.vec_id] % 3 == 0 for r in filt.collect())
+
+
+def test_keyset_pages_tile_the_global_ranking(embeddings, queries_df):
+    """search_iterator semantics: page 1 (top-k) + page 2 via the
+    keyset cursor must equal the global top-2k exactly, in order — the
+    cursor predicate never skips or readmits a row. Cursor and page-2
+    scores both come from the Catalyst scorer, so the boundary
+    comparison is bit-exact."""
+    from deployment_spark.operators.similarity import (
+        keyset_page,
+        topk_similarity_join_expr,
+    )
+
+    k = 5
+    page1 = topk_similarity_join_expr(embeddings, queries_df, k=k)
+    after = page1.filter(F.col("rank") == k).select(
+        "query_id",
+        F.col("similarity").alias("last_sim"),
+        F.col("vec_id").alias("last_id"),
+    )
+    page2 = keyset_page(embeddings, queries_df, after, k=k)
+    want = topk_similarity_join_expr(embeddings, queries_df, k=2 * k)
+    got = {
+        (r.query_id, r.rank + k): r.vec_id for r in page2.collect()
+    }
+    exp = {
+        (r.query_id, r.rank): r.vec_id
+        for r in want.filter(F.col("rank") > k).collect()
+    }
+    assert got == exp
+
+
+def test_keyset_page_without_cursor_is_page_one(embeddings, queries_df):
+    """A query absent from the cursor table gets page 1 (NULL cursor
+    disables the predicate) — the iterator's opening call."""
+    from deployment_spark.operators.similarity import (
+        keyset_page,
+        topk_similarity_join_expr,
+    )
+
+    empty = embeddings.sparkSession.createDataFrame(
+        [], "query_id long, last_sim double, last_id long"
+    )
+    got = keyset_page(embeddings, queries_df, empty, k=3).collect()
+    exp = topk_similarity_join_expr(embeddings, queries_df, k=3).collect()
+    assert {(r.query_id, r.rank, r.vec_id) for r in got} == {
+        (r.query_id, r.rank, r.vec_id) for r in exp
+    }
