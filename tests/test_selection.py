@@ -128,3 +128,28 @@ def test_dsir_weights_portable_bucket_hash(spark):
     ).collect()
     h = int(hashlib.md5(b"dsir|pinned").hexdigest()[:8], 16) % 512
     assert feats[0]["bucket"] == h
+
+
+def test_span_dedup_universal_boilerplate_hot_shingle(spark):
+    """Skew stress: EVERY doc carries the same boilerplate span, so one
+    shingle key holds a corpus-wide hot partition. The docstring's
+    scale claim is that the dup lookup is a JOIN (AQE-skew-splittable),
+    not a window piling the hot key onto one task — here we pin the
+    semantics under 100% duplication: every doc loses exactly the
+    boilerplate tokens, unique remainders survive byte-exact."""
+    import hashlib
+
+    from deployment_spark.operators.dedup import span_dedup
+
+    boiler = "b1 b2 b3 b4 b5 b6"
+    n_docs = 500
+    rows = [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(n_docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_dedup(df).collect()
+    assert len(out) == n_docs
+    for r in out:
+        assert r.n_tokens == 9 and r.n_removed == 6, r
+        i = r.doc_id
+        assert r.clean_hash == hashlib.md5(
+            f"u{i}a u{i}b u{i}c".encode()
+        ).hexdigest(), i
