@@ -201,3 +201,63 @@ def dsir_select(
     top = w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k)
     rank_w = Window.orderBy(F.desc("log_weight"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target_pred,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "dsir",
+    seed: str = "gumbel",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING — the paper's actual selection
+    step (top-k-by-weight keeps only the most target-like tail; DSIR
+    samples WITHOUT replacement with probability ∝ exp(log_weight),
+    trading a little typicality for diversity). The Gumbel-max trick
+    makes that a deterministic rank: key_i = log_weight_i + G_i with
+    G_i = −ln(−ln(u_i)) standard Gumbel noise; the top-k keys ARE a
+    weight-proportional sample without replacement.
+
+    u_i comes from the engine-portable md5 hash of (seed, id) — not an
+    RNG — so the "sample" is reproducible across runs, partitionings,
+    and engines (the stratified_sample/shuffled_shards precedent), and
+    a DuckDB oracle can replay it bit-for-bit. Row-local on top of
+    :func:`dsir_weights`: zero exchanges beyond the weight computation.
+
+    ``round_to`` rounds the log weight BEFORE adding the noise (and in
+    the output): when an external oracle replays the selection, both
+    engines must build keys from the same rounded weight, or a 5e-5
+    rounding gap between raw and rounded weights can flip ranks where
+    two keys nearly tie.
+
+    Output: (id, n_features, log_weight DOUBLE, gumbel_key DOUBLE,
+    rank 1..k).
+    """
+    w = dsir_weights(
+        raw, target_pred, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, salt=salt,
+    )
+    if round_to is not None:
+        w = w.withColumn("log_weight", F.round("log_weight", round_to))
+    # u in (0, 1): (h + 0.5) / 2^32 over the 32-bit portable hash —
+    # never exactly 0 or 1, so the double ln chain stays finite
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    keyed = w.withColumn(
+        "gumbel_key", F.col("log_weight") - F.log(-F.log(u))
+    )
+    from pyspark.sql import Window
+
+    top = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
+    rank_w = Window.orderBy(F.desc("gumbel_key"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("long"))

@@ -2305,16 +2305,33 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ONE partially-aggregated bucket exchange and the ratio table
     broadcasts back — the 100 TB corpus side shuffles only once, on the
     doc key. The oracle replays hashing, both distributions, the
-    smoothing, and the ranking in SQL."""
-    from deployment_spark.operators.selection import dsir_select
+    smoothing, and the ranking in SQL.
+
+    Tagged union, both of the paper's selection modes: mode='top' is
+    deterministic top-k-by-weight; mode='gumbel' is the paper's actual
+    importance RESAMPLING (selection.dsir_resample — Gumbel-top-k:
+    key = rounded weight − ln(−ln(u)) with u from the portable md5 hash
+    of the doc id, so the weight-proportional sample-without-replacement
+    is reproducible across runs, partitionings, AND engines; the oracle
+    replays the noise and the ranking)."""
+    from deployment_spark.operators.selection import dsir_resample, dsir_select
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    return dsir_select(d, F.col("lang") == "en", k=100).select(
+    top = dsir_select(d, F.col("lang") == "en", k=100).select(
+        F.lit("top").alias("mode"),
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_features",
         "log_weight",
         "rank",
     )
+    gum = dsir_resample(d, F.col("lang") == "en", k=100, round_to=4).select(
+        F.lit("gumbel").alias("mode"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_features",
+        "log_weight",
+        "rank",
+    )
+    return top.unionByName(gum)
 
 
 SQL_DSIR_SELECT = """
@@ -2338,10 +2355,20 @@ r AS (
 ), wts AS (
   SELECT doc_id, count(*)::BIGINT AS n_features, round(sum(lr), 4) AS log_weight
   FROM feats JOIN r USING (bucket) GROUP BY doc_id
+), gkeys AS (
+  SELECT doc_id, n_features, log_weight,
+         log_weight - ln(-ln(
+           (('0x' || substring(md5('gumbel|' || doc_id), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0)) AS gumbel_key
+  FROM wts
 )
-SELECT doc_id, n_features, log_weight,
+SELECT 'top' AS mode, doc_id, n_features, log_weight,
        row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
 FROM wts QUALIFY rank <= 100
+UNION ALL
+SELECT 'gumbel', doc_id, n_features, log_weight,
+       row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+FROM gkeys QUALIFY rank <= 100
 """
 
 

@@ -153,3 +153,33 @@ def test_span_dedup_universal_boilerplate_hot_shingle(spark):
         assert r.clean_hash == hashlib.md5(
             f"u{i}a u{i}b u{i}c".encode()
         ).hexdigest(), i
+
+
+def test_dsir_resample_is_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k resampling: hash-seeded noise makes the 'sample'
+    a pure function of (corpus, seed) — two calls agree exactly — and
+    selection stays biased toward high-weight docs (mean selected
+    weight above mean unselected) while admitting some diversity the
+    plain top-k cut excludes."""
+    from deployment_spark.operators.selection import dsir_resample, dsir_weights
+
+    d = _corpus(spark)
+    a = {(r.doc_id, r.rank) for r in dsir_resample(d, F.col("lang") == "en", k=8).collect()}
+    b = {(r.doc_id, r.rank) for r in dsir_resample(d, F.col("lang") == "en", k=8).collect()}
+    assert a == b and len(a) == 8
+    w = {r.doc_id: r.log_weight for r in dsir_weights(d, F.col("lang") == "en").collect()}
+    sel = {doc for doc, _ in a}
+    unsel = set(w) - sel
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([w[i] for i in sel]) > mean([w[i] for i in unsel])
+
+
+def test_dsir_resample_seed_changes_sample(spark):
+    """A different seed draws different Gumbel noise — the sample is
+    seed-addressable, not an accident of partitioning."""
+    from deployment_spark.operators.selection import dsir_resample
+
+    d = _corpus(spark)
+    a = {r.doc_id for r in dsir_resample(d, F.col("lang") == "en", k=8, seed="g1").collect()}
+    b = {r.doc_id for r in dsir_resample(d, F.col("lang") == "en", k=8, seed="g2").collect()}
+    assert a != b
