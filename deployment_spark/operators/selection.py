@@ -179,6 +179,7 @@ def dsir_select(
     n_buckets: int = 512,
     salt: str = "dsir",
     round_to: int = 4,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` raw documents by DSIR importance weight — the
     deterministic "select the most target-like" variant (the paper's
@@ -187,11 +188,19 @@ def dsir_select(
     ``round_to``-dp-rounded weight with id tie-break, so the rank
     column is stable across engines (the doc_bm25_topk convention).
 
+    Pass ``weights`` (a :func:`dsir_weights` result) to share one
+    weight computation across several selections — running 'top' and
+    'gumbel' side by side would otherwise scan the corpus once each.
+
     Output: (id, n_features, log_weight rounded, rank 1..k).
     """
-    w = dsir_weights(
-        raw, target_pred, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, salt=salt,
+    w = (
+        weights
+        if weights is not None
+        else dsir_weights(
+            raw, target_pred, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets, salt=salt,
+        )
     ).withColumn("log_weight", F.round("log_weight", round_to))
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
     # heaps, nq·k-bounded); the rank window runs on the k-row result
@@ -213,6 +222,7 @@ def dsir_resample(
     salt: str = "dsir",
     seed: str = "gumbel",
     round_to: int | None = None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel-top-k importance RESAMPLING — the paper's actual selection
     step (top-k-by-weight keeps only the most target-like tail; DSIR
@@ -234,12 +244,19 @@ def dsir_resample(
     rounding gap between raw and rounded weights can flip ranks where
     two keys nearly tie.
 
+    ``weights`` shares a precomputed :func:`dsir_weights` result, as in
+    :func:`dsir_select`.
+
     Output: (id, n_features, log_weight DOUBLE, gumbel_key DOUBLE,
     rank 1..k).
     """
-    w = dsir_weights(
-        raw, target_pred, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, salt=salt,
+    w = (
+        weights
+        if weights is not None
+        else dsir_weights(
+            raw, target_pred, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets, salt=salt,
+        )
     )
     if round_to is not None:
         w = w.withColumn("log_weight", F.round("log_weight", round_to))

@@ -2314,17 +2314,29 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the doc id, so the weight-proportional sample-without-replacement
     is reproducible across runs, partitionings, AND engines; the oracle
     replays the noise and the ranking)."""
-    from deployment_spark.operators.selection import dsir_resample, dsir_select
+    from deployment_spark.operators.selection import (
+        dsir_resample,
+        dsir_select,
+        dsir_weights,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    top = dsir_select(d, F.col("lang") == "en", k=100).select(
+    # ONE weight computation feeds both selection modes (the weights=
+    # passthrough); localCheckpoint materializes the k·corpus-doc-scale
+    # weight table once so the two k-row rankings don't re-run the
+    # feature pass (the connected_components precedent — eager, tiny:
+    # one row per doc)
+    w = dsir_weights(d, F.col("lang") == "en").localCheckpoint()
+    top = dsir_select(d, F.col("lang") == "en", k=100, weights=w).select(
         F.lit("top").alias("mode"),
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_features",
         "log_weight",
         "rank",
     )
-    gum = dsir_resample(d, F.col("lang") == "en", k=100, round_to=4).select(
+    gum = dsir_resample(
+        d, F.col("lang") == "en", k=100, round_to=4, weights=w
+    ).select(
         F.lit("gumbel").alias("mode"),
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_features",
