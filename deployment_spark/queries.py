@@ -4010,7 +4010,9 @@ WHERE event_id BETWEEN 2500 AND 6500
 # token_extract+concat_serialize → text_functions, events_hourly →
 # streaming_hourly_counts' batch columns, doc_repetition → doc_quality
 # to make room for the round-3 surface: attribution_join,
-# hist_quantiles, profile_sketch_bounds, store_range_read), and
+# hist_quantiles, profile_sketch_bounds, store_range_read; late-r5
+# folded frame-plan→media_payload_stats and packing→doc_chunks to gate
+# doc_span_dedup and dsir_select), and
 # (b) newer / previously-unwindowed surface runs FIRST so even a
 # smaller window sees it.
 REGISTRY: dict = {
