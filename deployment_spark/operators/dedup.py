@@ -100,24 +100,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def _band_signatures(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_words: int = 3,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
 ) -> DataFrame:
-    """MinHash + LSH banding → candidate near-dup pairs (a_id < b_id).
-
-    Docs sharing any band signature become candidates; with r rows per
-    band, P(candidate) = 1 - (1 - J^r)^bands. One shuffle computes the
-    signatures (see _minhash_wide); the only other exchange is the join
-    on (band_id, signature) — group sizes bound the pair blowup, never
-    N²."""
+    """(id, band_id, sig) LSH band signatures — md5 over each band's
+    rows of the wide MinHash table. Shared by the batch candidate join
+    and the incremental kept×new join (same params ⇒ same buckets)."""
     rows_per_band = num_hashes // bands
     wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_words)
-    band_sigs = wide.select(
+    return wide.select(
         id_col,
         F.posexplode(
             F.array(
@@ -133,6 +129,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "sig"),
     ).withColumn("band_id", F.col("band_id").cast("long"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding → candidate near-dup pairs (a_id < b_id).
+
+    Docs sharing any band signature become candidates; with r rows per
+    band, P(candidate) = 1 - (1 - J^r)^bands. One shuffle computes the
+    signatures (see _minhash_wide); the only other exchange is the join
+    on (band_id, signature) — group sizes bound the pair blowup, never
+    N²."""
+    band_sigs = _band_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_words
+    )
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(
@@ -588,4 +604,126 @@ def span_dedup(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_removed").cast("long").alias("n_removed"),
         clean.alias("clean_hash"),
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    kept: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.6,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Incremental corpus dedup — admit only the NEW documents that are
+    neither exact nor near duplicates of the already-kept corpus or of
+    each other. This is the operational mode a continuously-ingesting
+    training-data pipeline actually runs: the batch chain
+    (``minhash_lsh_candidates → ngram_jaccard_pairs → dedup_by_pairs``)
+    re-pairs the whole corpus every time, while here **kept×kept pairs
+    are never generated, verified, or propagated** — the per-batch cost
+    is O(new + matched kept), which is what makes daily curation viable
+    against a 100 TB kept corpus.
+
+    CONTRACT: every kept id is smaller than every new id (append-only
+    ingest ids). Under keep-lowest-id semantics incremental admission
+    matches running the batch chain on kept ∪ new and keeping the
+    difference — pinned by the equivalence test — with ONE documented
+    semantic difference inherent to representative-based incremental
+    dedup: new docs are compared against the KEPT representatives, not
+    against previously-dropped near-dups, so a transitive chain that
+    spans batches (new ~ dropped-old ~ kept while new ≁ kept) is
+    dropped by the batch chain but admitted here. Every production
+    incremental dedup (kept-set MinHash index) makes this trade; the
+    divergence case is pinned explicitly in tests. Raises
+    ``ValueError`` eagerly when the contract is violated (a silently
+    wrong kept set is the one failure mode this operator must not
+    have; the two-row id-range check is a bounded aggregate, not a
+    corpus collect).
+
+    Stages, all reusing the batch primitives (same params ⇒ same
+    buckets/verdicts):
+
+    1. exact: intra-batch keep-first, then md5 anti-join against the
+       kept corpus's content hashes;
+    2. near candidates: LSH band join kept×new (``_band_signatures``
+       both sides — the kept side's signatures are recomputable or can
+       be persisted by the caller) plus ``minhash_lsh_candidates`` over
+       the new batch alone for new×new;
+    3. verify: exact n-gram Jaccard on the candidate pairs only, over
+       the TOUCHED docs (semi-join on candidate ids — the 100 TB kept
+       corpus contributes only its matched rows to verification);
+    4. admit: min-label propagation over the verified pairs; a new doc
+       is dropped iff its component contains a kept doc (the incumbent
+       always has the smaller id) or a smaller-id surviving new doc.
+
+    Returns the admitted NEW rows with the columns of ``new``.
+    """
+    bounds = (
+        kept.select(F.max(id_col).alias("hi"))
+        .crossJoin(new.select(F.min(id_col).alias("lo")))
+        .collect()
+    )
+    if bounds and bounds[0]["hi"] is not None and bounds[0]["lo"] is not None:
+        if bounds[0]["hi"] >= bounds[0]["lo"]:
+            raise ValueError(
+                "incremental_dedup requires max(kept id) < min(new id) "
+                f"(got kept max {bounds[0]['hi']} >= new min {bounds[0]['lo']})"
+            )
+    new_cols = new.columns
+
+    # 1. exact
+    survivors = exact_dedup(new, text_col, id_col)
+    kept_hashes = kept.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    survivors = survivors.join(kept_hashes, "content_hash", "left_anti").drop(
+        "content_hash"
+    )
+
+    # 2. near candidates: kept×new band join + new×new
+    kb = _band_signatures(
+        kept, text_col, id_col, num_hashes, bands, shingle_words
+    ).alias("a")
+    nb = _band_signatures(
+        survivors, text_col, id_col, num_hashes, bands, shingle_words
+    ).alias("b")
+    cross = (
+        kb.join(
+            nb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    intra = minhash_lsh_candidates(
+        survivors, text_col, id_col, num_hashes, bands, shingle_words
+    )
+    cand = cross.unionByName(intra).distinct()
+
+    # 3. verify on touched docs only
+    touched = (
+        cand.select(F.col("a_id").alias(id_col))
+        .unionByName(cand.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    corpus = (
+        kept.select(id_col, text_col)
+        .unionByName(survivors.select(id_col, text_col))
+        .join(touched, id_col, "left_semi")
+    )
+    verified = ngram_jaccard_pairs(
+        corpus,
+        text_col,
+        id_col,
+        shingle_words=shingle_words,
+        threshold=jaccard_threshold,
+        candidates=cand,
+    )
+
+    # 4. admission
+    return dedup_by_pairs(survivors, verified, id_col, max_iters=max_iters).select(
+        *new_cols
     )

@@ -174,3 +174,84 @@ def test_contamination_pairs_flags_planted_overlap(spark):
     assert rows[(3, 100)] == 13  # 20-word span -> 13 distinct 8-grams
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _batch_chain(df, threshold=0.6):
+    from deployment_spark.operators.dedup import (
+        dedup_by_pairs,
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    e = exact_dedup(df).drop("content_hash")
+    cand = minhash_lsh_candidates(e)
+    ver = ngram_jaccard_pairs(e, threshold=threshold, candidates=cand)
+    return dedup_by_pairs(e, ver)
+
+
+def test_incremental_dedup_matches_batch_chain(spark, documents):
+    """kept(U1) + incremental(U2 vs kept) must equal the batch chain on
+    U1 ∪ U2 — exact copies, near copies (first word dropped), and an
+    intra-batch dup planted across the batch boundary."""
+    from pyspark.sql import functions as F2
+
+    from deployment_spark.operators.dedup import incremental_dedup
+
+    docs = documents.select("doc_id", "text")
+    u1 = docs.filter(F2.col("doc_id") < 120)
+    fresh = docs.filter((F2.col("doc_id") >= 120) & (F2.col("doc_id") < 180)).select(
+        (F2.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    exact_copies = u1.filter(F2.col("doc_id") < 10).select(
+        (F2.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near_copies = u1.filter((F2.col("doc_id") >= 10) & (F2.col("doc_id") < 20)).select(
+        (F2.col("doc_id") + 300000).alias("doc_id"),
+        F2.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    intra = fresh.filter(F2.col("doc_id") == 100150).select(
+        (F2.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    u2 = fresh.unionByName(exact_copies).unionByName(near_copies).unionByName(intra)
+
+    kept1 = _batch_chain(u1)
+    kept1_ids = {r.doc_id for r in kept1.collect()}
+    admitted = {r.doc_id for r in incremental_dedup(u2, kept1).collect()}
+    batch_ids = {r.doc_id for r in _batch_chain(u1.unionByName(u2)).collect()}
+    assert kept1_ids | admitted == batch_ids
+    # the planted duplicates were all rejected
+    assert not any(i >= 200000 for i in admitted)
+
+
+def test_incremental_dedup_contract_violation_raises(spark):
+    from deployment_spark.operators.dedup import incremental_dedup
+
+    kept = spark.createDataFrame([(10, "a b c")], ["doc_id", "text"])
+    new = spark.createDataFrame([(5, "d e f")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max.kept id"):
+        incremental_dedup(new, kept).collect()
+
+
+def test_incremental_dedup_transitive_chain_divergence_documented(spark):
+    """The documented semantic difference, pinned: a transitive chain
+    A(kept) ~ B(dropped in batch 1) ~ C(new), with A !~ C. The batch
+    chain over everything drops C (one component with A); incremental
+    admits C because B — C's only link — was never kept. Texts are
+    fixed so the md5-band LSH deterministically catches A-B and B-C but
+    not A-C (J = 0.71 / 0.71 / 0.50, threshold 0.6)."""
+    from deployment_spark.operators.dedup import incremental_dedup
+
+    base = [f"w{i}" for i in range(20)]
+    A = " ".join(base)
+    b = list(base); b[10] = "x0"; B = " ".join(b)
+    c = list(b); c[3] = "y0"; C = " ".join(c)
+    u1 = spark.createDataFrame([(1, A), (2, B)], ["doc_id", "text"])
+    u2 = spark.createDataFrame([(10, C)], ["doc_id", "text"])
+
+    kept1 = _batch_chain(u1)
+    assert {r.doc_id for r in kept1.collect()} == {1}  # B dropped as A's near-dup
+    admitted = {r.doc_id for r in incremental_dedup(u2, kept1).collect()}
+    batch = {r.doc_id for r in _batch_chain(u1.unionByName(u2)).collect()}
+    assert admitted == {10}  # incremental admits C (no kept link)
+    assert batch == {1}      # batch drops C through the A-B-C chain
