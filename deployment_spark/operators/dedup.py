@@ -131,6 +131,25 @@ def _band_signatures(
     ).withColumn("band_id", F.col("band_id").cast("long"))
 
 
+def minhash_band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Public band-signature builder — (id, band_id, sig) — for
+    maintaining a kept-corpus LSH signature INDEX alongside the kept
+    set: compute once per admitted batch, append, and feed back into
+    :func:`incremental_dedup` via ``kept_bands`` so the kept corpus's
+    MinHash is never recomputed. For 100 TB kept sets persist it
+    bucketed (``sources.io.write_bucketed``) so per-batch reads stay
+    co-located. Same params ⇒ the same buckets the batch candidate
+    join uses."""
+    return _band_signatures(df, text_col, id_col, num_hashes, bands, shingle_words)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -617,6 +636,7 @@ def incremental_dedup(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.6,
     max_iters: int = 50,
+    kept_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup — admit only the NEW documents that are
     neither exact nor near duplicates of the already-kept corpus or of
@@ -682,16 +702,25 @@ def incremental_dedup(
         "content_hash"
     )
 
-    # 2. near candidates: kept×new band join + new×new
-    kb = _band_signatures(
-        kept, text_col, id_col, num_hashes, bands, shingle_words
+    # 2. near candidates: kept×new band join + new×new. The NEW side is
+    # explicitly broadcast: batches are MBs while the kept signature
+    # index is corpus-scale, so the kept side streams through a
+    # shuffle-free broadcast-hash join — per batch the kept index is
+    # SCANNED once but never exchanged (the contamination_pairs shape).
+    # Callers maintaining a signature index pass it via kept_bands
+    # (build with minhash_band_signatures, same params) so the kept
+    # MinHash computation isn't redone per batch either.
+    kb = (
+        kept_bands
+        if kept_bands is not None
+        else _band_signatures(kept, text_col, id_col, num_hashes, bands, shingle_words)
     ).alias("a")
     nb = _band_signatures(
         survivors, text_col, id_col, num_hashes, bands, shingle_words
     ).alias("b")
     cross = (
         kb.join(
-            nb,
+            F.broadcast(nb),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.sig") == F.col("b.sig")),
         )

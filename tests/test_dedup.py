@@ -255,3 +255,35 @@ def test_incremental_dedup_transitive_chain_divergence_documented(spark):
     batch = {r.doc_id for r in _batch_chain(u1.unionByName(u2)).collect()}
     assert admitted == {10}  # incremental admits C (no kept link)
     assert batch == {1}      # batch drops C through the A-B-C chain
+
+
+def test_incremental_dedup_with_precomputed_signature_index(spark, documents):
+    """The operational mode: maintain a kept-corpus band-signature
+    index, feed it back via kept_bands — results identical to
+    recomputing, and the cross join must broadcast the new side (the
+    kept index streams shuffle-free)."""
+    from pyspark.sql import functions as F2
+
+    from deployment_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_signatures,
+    )
+    from deployment_spark.plans import audit
+
+    docs = documents.select("doc_id", "text")
+    u1 = docs.filter(F2.col("doc_id") < 100)
+    u2 = docs.filter((F2.col("doc_id") >= 100) & (F2.col("doc_id") < 140)).select(
+        (F2.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        u1.filter(F2.col("doc_id") < 5).select(
+            (F2.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    kept1 = _batch_chain(u1)
+    idx = minhash_band_signatures(kept1)
+    with_idx = incremental_dedup(u2, kept1, kept_bands=idx)
+    without = incremental_dedup(u2, kept1)
+    assert {r.doc_id for r in with_idx.collect()} == {
+        r.doc_id for r in without.collect()
+    }
+    assert audit.has_broadcast_join(with_idx)
