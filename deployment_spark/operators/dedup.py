@@ -695,19 +695,35 @@ def incremental_dedup(
             )
     new_cols = new.columns
 
-    # 1. exact
-    survivors = exact_dedup(new, text_col, id_col)
-    kept_hashes = kept.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
-    survivors = survivors.join(kept_hashes, "content_hash", "left_anti").drop(
-        "content_hash"
+    # The asymmetry rule this body lives by: the KEPT side (corpus-
+    # scale) may be SCANNED but never shuffled and never recomputed;
+    # the NEW side (batch-scale) is localCheckpointed once per derived
+    # frame and broadcast into every kept-side join. Each kept scan is
+    # a broadcast-probe stage; every exchange in the plan is batch- or
+    # candidate-sized. (The first cut anti-joined kept's hash set —
+    # an O(kept) distinct SHUFFLE per batch — and re-derived the small
+    # frames per consumer; measured SLOWER than the batch chain.)
+
+    # 1. exact: intra-batch keep-first, then drop batch hashes that
+    # exist in kept — kept streams through a broadcast semi-join
+    # against the batch's hash set, and only the (batch-bounded)
+    # matched hashes come back
+    batch = exact_dedup(new, text_col, id_col).localCheckpoint()
+    batch_hashes = batch.select("content_hash").distinct()
+    matched_hashes = (
+        kept.select(F.md5(F.col(text_col)).alias("content_hash"))
+        .join(F.broadcast(batch_hashes), "content_hash", "left_semi")
+        .distinct()
+    )
+    survivors = (
+        batch.join(F.broadcast(matched_hashes), "content_hash", "left_anti")
+        .drop("content_hash")
+        .localCheckpoint()
     )
 
-    # 2. near candidates: kept×new band join + new×new. The NEW side is
-    # explicitly broadcast: batches are MBs while the kept signature
-    # index is corpus-scale, so the kept side streams through a
-    # shuffle-free broadcast-hash join — per batch the kept index is
-    # SCANNED once but never exchanged (the contamination_pairs shape).
-    # Callers maintaining a signature index pass it via kept_bands
+    # 2. near candidates: kept×new band join + new×new. The kept
+    # signature index is scanned once, probing the broadcast batch
+    # signatures; callers maintaining the index pass it via kept_bands
     # (build with minhash_band_signatures, same params) so the kept
     # MinHash computation isn't redone per batch either.
     kb = (
@@ -730,9 +746,10 @@ def incremental_dedup(
     intra = minhash_lsh_candidates(
         survivors, text_col, id_col, num_hashes, bands, shingle_words
     )
-    cand = cross.unionByName(intra).distinct()
+    cand = cross.unionByName(intra).distinct().localCheckpoint()
 
-    # 3. verify on touched docs only
+    # 3. verify on touched docs only — kept contributes its matched
+    # rows via one more broadcast-semi scan
     touched = (
         cand.select(F.col("a_id").alias(id_col))
         .unionByName(cand.select(F.col("b_id").alias(id_col)))
@@ -740,8 +757,13 @@ def incremental_dedup(
     )
     corpus = (
         kept.select(id_col, text_col)
-        .unionByName(survivors.select(id_col, text_col))
-        .join(touched, id_col, "left_semi")
+        .join(F.broadcast(touched), id_col, "left_semi")
+        .unionByName(
+            survivors.select(id_col, text_col).join(
+                F.broadcast(touched), id_col, "left_semi"
+            )
+        )
+        .localCheckpoint()
     )
     verified = ngram_jaccard_pairs(
         corpus,
