@@ -106,3 +106,67 @@ def windowed_event_counts(
             "cnt",
         )
     )
+
+
+def curated_ingest_to_store(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_params: dict | None = None,
+    available_now: bool = True,
+):
+    """Continuous CURATED ingestion — the streaming face of
+    ``operators.dedup.incremental_dedup``: every micro-batch is admitted
+    against the store's current kept corpus (exact + MinHash near dedup,
+    intra-batch and vs-corpus) BEFORE insertion, so duplicates never
+    land in the store at all. This is the shape a training-data
+    pipeline actually runs ("curate as you ingest"), and it composes
+    three existing pieces: the file-source checkpoint (exactly-once per
+    file), incremental_dedup's kept-side-scan-only admission, and the
+    snapshot store's atomic versioned commits.
+
+    Id contract: the stream's ids must be append-only increasing across
+    batches. Replay safety comes from a HIGH-WATERMARK: every id at or
+    below the store's max kept id counts as already processed — whether
+    it was admitted or dropped back then (an id-membership check would
+    miss replayed docs that were DROPPED: they are absent from the
+    store, yet re-evaluating them against a kept set that has since
+    grown can violate the keep-lowest-id contract). A recovered batch
+    therefore reduces to its genuinely-new remainder — empty on a full
+    replay — and incremental_dedup's contract holds by construction;
+    pinned in tests. The watermark is a 1-row max aggregate per batch
+    (a scan of the kept id column, no shuffle).
+
+    ``dedup_params`` passes through to ``incremental_dedup``
+    (num_hashes / bands / shingle_words / jaccard_threshold).
+    Returns the StreamingQuery (caller awaits termination)."""
+    from deployment_spark.operators.dedup import incremental_dedup
+
+    params = dedup_params or {}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists():
+            kept = store.read().select(id_col, text_col)
+            hi = kept.agg(F.max(id_col)).collect()[0][0]
+            fresh = (
+                batch_df.filter(F.col(id_col) > hi)
+                if hi is not None
+                else batch_df
+            )
+        else:
+            kept = batch_df.select(id_col, text_col).limit(0)
+            fresh = batch_df
+        admitted = incremental_dedup(
+            fresh, kept, text_col=text_col, id_col=id_col, **params
+        )
+        store.insert(admitted)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

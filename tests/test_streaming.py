@@ -522,3 +522,68 @@ def test_streaming_entry_restores_session_conf(spark, sf_dir):
     out = q_streaming_hourly_counts(spark, sf_dir)
     assert out.count() > 0
     assert spark.conf.get(key, None) == session_value
+
+
+def test_curated_ingest_dedups_across_micro_batches(spark, tmp_path):
+    """curated_ingest_to_store: two files land as two micro-batches
+    (maxFilesPerTrigger=1); the second carries exact and near copies of
+    the first's docs plus an intra-batch dup — none may land. The store
+    must equal kept(U1) + incremental(U2 vs kept), i.e. the manual
+    two-step admission."""
+    from deployment_spark.operators.dedup import incremental_dedup
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 80)
+    u2 = (
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            u1.filter(F.col("doc_id") < 6).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            u1.filter((F.col("doc_id") >= 6) & (F.col("doc_id") < 12)).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+            )
+        )
+    )
+    landing = str(tmp_path / "landing")
+    u1.coalesce(1).write.parquet(f"{landing}/batch=000")
+    u2.coalesce(1).write.parquet(f"{landing}/batch=001")
+
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="doc_id")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    q = curated_ingest_to_store(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {r.doc_id for r in store.read().select("doc_id").collect()}
+    # no planted duplicate landed
+    assert not any(i >= 200000 for i in got)
+    # equals the manual two-step admission over the same split
+    # (micro-batch order is the lexicographic file order; batch 1 runs
+    # the full exact+near admission against an empty kept set too)
+    kept1 = incremental_dedup(u1, u1.limit(0))
+    manual = {r.doc_id for r in kept1.collect()} | {
+        r.doc_id for r in incremental_dedup(u2, kept1.select("doc_id", "text")).collect()
+    }
+    assert got == manual
+
+    # replay safety: a fresh checkpoint re-delivers BOTH files against
+    # the populated store — every id is already kept, the batch reduces
+    # to empty, nothing double-lands
+    n_before = store.count()
+    q2 = curated_ingest_to_store(
+        stream, store, str(tmp_path / "ckpt_replay")
+    )
+    q2.awaitTermination(180)
+    assert store.count() == n_before
