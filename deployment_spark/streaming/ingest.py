@@ -115,6 +115,7 @@ def curated_ingest_to_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     dedup_params: dict | None = None,
+    index_dir: str | None = None,
     available_now: bool = True,
 ):
     """Continuous CURATED ingestion — the streaming face of
@@ -139,14 +140,34 @@ def curated_ingest_to_store(
     pinned in tests. The watermark is a 1-row max aggregate per batch
     (a scan of the kept id column, no shuffle).
 
+    With ``index_dir`` the wrapper also MAINTAINS the kept-corpus LSH
+    signature index (``minhash_band_signatures`` of each admitted
+    batch, appended as parquet): admission reads the index instead of
+    recomputing the whole kept corpus's MinHash per batch — without it
+    each batch pays an O(kept) signature recomputation, which defeats
+    the incremental design at real corpus sizes. Index appends are
+    keyed by the same ids as the store, so watermark-filtered replays
+    skip the index append too (nothing admitted → nothing appended).
+
     ``dedup_params`` passes through to ``incremental_dedup``
     (num_hashes / bands / shingle_words / jaccard_threshold).
     Returns the StreamingQuery (caller awaits termination)."""
-    from deployment_spark.operators.dedup import incremental_dedup
+    import os
+
+    from deployment_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_signatures,
+    )
 
     params = dedup_params or {}
+    sig_params = {
+        k: v
+        for k, v in params.items()
+        if k in ("num_hashes", "bands", "shingle_words")
+    }
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         if store.exists():
             kept = store.read().select(id_col, text_col)
             hi = kept.agg(F.max(id_col)).collect()[0][0]
@@ -158,10 +179,22 @@ def curated_ingest_to_store(
         else:
             kept = batch_df.select(id_col, text_col).limit(0)
             fresh = batch_df
+        kept_bands = None
+        if index_dir is not None and os.path.isdir(index_dir):
+            kept_bands = spark.read.parquet(index_dir)
         admitted = incremental_dedup(
-            fresh, kept, text_col=text_col, id_col=id_col, **params
-        )
+            fresh,
+            kept,
+            text_col=text_col,
+            id_col=id_col,
+            kept_bands=kept_bands,
+            **params,
+        ).localCheckpoint()
         store.insert(admitted)
+        if index_dir is not None:
+            minhash_band_signatures(
+                admitted, text_col=text_col, id_col=id_col, **sig_params
+            ).write.mode("append").parquet(index_dir)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)

@@ -587,3 +587,52 @@ def test_curated_ingest_dedups_across_micro_batches(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert store.count() == n_before
+
+
+def test_curated_ingest_maintains_signature_index(spark, tmp_path):
+    """index_dir mode: the wrapper appends each admitted batch's band
+    signatures, admission reads the index instead of recomputing kept
+    MinHash, and the final store matches the index-less run."""
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 60)
+    u2 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        u1.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    landing = str(tmp_path / "landing")
+    u1.coalesce(1).write.parquet(f"{landing}/b=000")
+    u2.coalesce(1).write.parquet(f"{landing}/b=001")
+
+    def run(root, index_dir=None):
+        store = SnapshotStore(spark, f"{root}/corpus", key="doc_id")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = curated_ingest_to_store(
+            stream, store, f"{root}/ckpt", index_dir=index_dir
+        )
+        q.awaitTermination(180)
+        return store
+
+    plain = run(str(tmp_path / "plain"))
+    idx_dir = str(tmp_path / "sig_index")
+    indexed = run(str(tmp_path / "indexed"), index_dir=idx_dir)
+    a = {r.doc_id for r in plain.read().select("doc_id").collect()}
+    b = {r.doc_id for r in indexed.read().select("doc_id").collect()}
+    assert a == b
+    # the index covers exactly the admitted ids
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(idx_dir).select("doc_id").distinct().collect()
+    }
+    assert sig_ids == b
