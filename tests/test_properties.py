@@ -678,3 +678,56 @@ def test_dsir_weights_match_python_reference(spark, n_docs, vocab, max_len, seed
         assert got[did].n_features == n_f, did
         assert abs(got[did].log_weight - w) < 1e-9, (did, got[did].log_weight, w)
         assert got[did].is_target == int(docs[did][1]), did
+
+
+@PROP
+@given(
+    n=st.integers(5, 40),
+    nq=st.integers(1, 4),
+    k=st.integers(1, 6),
+    dim=st.integers(2, 6),
+    seed=st.integers(0, 2**16),
+)
+def test_keyset_pages_tile_ranking_random(spark, n, nq, k, dim, seed):
+    """Pagination invariant under random geometry (including tied and
+    near-tied scores): page1 + page2 via the keyset cursor == global
+    top-2k, exactly, for every query. Requires a full first page
+    (n > k): a query with no rank-k row has no cursor, and a NULL
+    cursor re-opens the iterator at page 1 by design."""
+    from hypothesis import assume
+
+    from deployment_spark.operators.similarity import (
+        keyset_page,
+        topk_similarity_join_expr,
+    )
+
+    assume(n > k)
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    # plant exact duplicates so similarity ties actually occur
+    if n >= 10:
+        vecs[n - 1] = vecs[0]
+        vecs[n - 2] = vecs[1]
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(nq)], ["query_id", "query_vec"]
+    )
+    page1 = topk_similarity_join_expr(corpus, queries, k=k)
+    after = page1.filter(F.col("rank") == k).select(
+        "query_id",
+        F.col("similarity").alias("last_sim"),
+        F.col("vec_id").alias("last_id"),
+    )
+    page2 = keyset_page(corpus, queries, after, k=k)
+    want = topk_similarity_join_expr(corpus, queries, k=2 * k)
+    got = {(r.query_id, r.rank + k, r.vec_id) for r in page2.collect()}
+    exp = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in want.collect()
+        if r.rank > k
+    }
+    # queries with fewer than k results have no cursor: page2 is empty
+    # for them and exp contains nothing past rank k either
+    assert got == exp
