@@ -142,3 +142,78 @@ def temperature_mixture(
         df.join(F.broadcast(rates.drop("_n")), group_col)
         .withColumn("kept", u < F.col("rate"))
     )
+
+
+def unimax_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    budget_rows: int = 1000,
+    epochs_cap: float = 2.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining") — the OTHER published mixing rule next to temperature
+    scaling: spread a total row budget as uniformly as possible across
+    groups, but cap any group at ``epochs_cap`` passes over its data
+    (temperature re-weighting has no such cap, so at small alpha a tiny
+    language gets epoched dozens of times and memorized).
+
+    Waterfilling, closed form instead of the paper's sequential loop:
+    sort groups by cap = epochs_cap·n ascending; with prefix sums the
+    fair share at position k (assuming 1..k-1 capped) is
+    τ_k = (B − cum_{k−1})/(L−k+1); capped groups form a prefix, τ is
+    τ_k at the first uncapped position (the maximum over uncapped rows
+    — τ_k decreases from there on), and alloc = min(cap, τ). When the
+    whole corpus fits the budget (Σcap ≤ B) every group is capped and
+    the budget is under-used by design. All of it is two windows over
+    the L-row group-count table — never a corpus-side loop.
+
+    epochs = alloc/n may exceed 1 (up-sampling): per doc,
+    n_copies = floor(epochs) + (portable hash < frac(epochs)), so the
+    realized copy counts are row-local, engine-reproducible, and sum to
+    ≈alloc per group. Output adds (epochs, n_copies); callers explode
+    ``sequence(1, n_copies)`` to materialize the mix.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_sorted = Window.orderBy(F.asc("_cap"), F.asc(group_col))
+    w_all = Window.partitionBy()
+    caps = (
+        counts.withColumn("_cap", F.lit(float(epochs_cap)) * F.col("_n"))
+        .withColumn("_rn", F.row_number().over(w_sorted))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("_cap").over(w_sorted.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_L", F.count(F.lit(1)).over(w_all))
+    )
+    tau_k = (F.lit(float(budget_rows)) - F.col("_cum_before")) / (
+        F.col("_L") - F.col("_rn") + 1
+    )
+    caps = caps.withColumn("_tau_k", tau_k)
+    tau_row = caps.agg(
+        F.max(F.when(F.col("_cap") >= F.col("_tau_k"), F.col("_tau_k"))).alias("_tau")
+    )
+    alloc = F.least(F.col("_cap"), F.coalesce(F.col("_tau"), F.col("_cap")))
+    rates = (
+        caps.crossJoin(F.broadcast(tau_row))
+        .withColumn("_alloc", alloc)
+        .select(
+            group_col,
+            (F.col("_alloc") / F.col("_n")).alias("epochs"),
+        )
+    )
+    u = _hash_u32(F.col(id_col), seed, "unimax", portable) / F.lit(_U32)
+    ep = F.col("epochs")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn(
+            "n_copies",
+            (F.floor(ep) + (u < (ep - F.floor(ep))).cast("long")).cast("long"),
+        )
+    )

@@ -366,22 +366,44 @@ GROUP BY shard
 
 
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 mixture sampling (r6) — temperature-scaled domain re-mixing
-    (operators/export.py): sources re-weighted to p ∝ n^0.5 (the
-    multilingual up-sample-the-tail rule), 300-row target, keep decided
-    row-locally by portable hash < rate. The oracle recomputes the rate
-    vector AND the exact kept set. Complements deterministic_sample's
-    stratified slot, where rates are GIVEN — here they derive from the
-    corpus histogram + temperature."""
+    """M8 mixture sampling (r6) — BOTH published mixing rules as a
+    tagged union. mode='temperature': sources re-weighted to p ∝ n^0.5
+    (the multilingual up-sample-the-tail rule), 300-row target, keep
+    decided row-locally by portable hash < rate; k carries kept as
+    0/1. mode='unimax' (late r5, Chung et al. 2023): budget-capped
+    language balancing — 700 rows water-filled across the skewed lang
+    histogram with a 2-epoch cap (en down-samples to ~0.66 epochs
+    while fr/de cap at exactly 2.0), closed-form waterfill over two
+    windows on the L-row count table; rate carries epochs, k the
+    per-doc n_copies (floor(epochs) + hash-decided fractional copy).
+    The oracle recomputes both rate vectors and both exact per-doc
+    decisions. Complements deterministic_sample's stratified slot,
+    where rates are GIVEN — here they derive from the corpus
+    histogram."""
     from deployment_spark.operators import export as export_ops
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     m = export_ops.temperature_mixture(
-        d, group_col="source", alpha=0.5, target_rows=300, seed=42, portable=True
+        d.select("doc_id", "source"),
+        group_col="source", alpha=0.5, target_rows=300, seed=42, portable=True,
+    ).select(
+        F.lit("temperature").alias("mode"),
+        "doc_id",
+        F.col("source").alias("grp"),
+        F.round("rate", 6).alias("rate"),
+        F.col("kept").cast("long").alias("k"),
     )
-    return m.select(
-        "doc_id", "source", F.round("rate", 6).alias("rate"), "kept"
+    u = export_ops.unimax_mixture(
+        d.select("doc_id", "lang"),
+        group_col="lang", budget_rows=700, epochs_cap=2.0, seed=42, portable=True,
+    ).select(
+        F.lit("unimax").alias("mode"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        F.round("epochs", 6).alias("rate"),
+        F.col("n_copies").alias("k"),
     )
+    return m.unionByName(u)
 
 
 SQL_DOMAIN_MIXTURE = """
@@ -392,11 +414,35 @@ WITH counts AS (
 ), rates AS (
   SELECT source, least(1.0, 300 * pow(n, 0.5) / ws / n) AS rate
   FROM counts CROSS JOIN wsum
+), lc AS (
+  SELECT lang, count(*) AS n, 2.0 * count(*) AS cap FROM documents GROUP BY lang
+), sorted AS (
+  SELECT lang, n, cap,
+         row_number() OVER (ORDER BY cap, lang) AS rn,
+         coalesce(sum(cap) OVER (ORDER BY cap, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         count(*) OVER () AS L
+  FROM lc
+), tk AS (
+  SELECT *, (700 - cum_before) / (L - rn + 1) AS tau_k FROM sorted
+), tau AS (
+  SELECT max(CASE WHEN cap >= tau_k THEN tau_k END) AS tau FROM tk
+), eps AS (
+  SELECT lang, least(cap, coalesce(tau, cap)) / n AS epochs
+  FROM tk CROSS JOIN tau
 )
-SELECT d.doc_id, d.source, round(r.rate, 6) AS rate,
-       (('0x' || substring(md5('42|mix|' || d.doc_id), 1, 8))::BIGINT
-          / 4294967296.0) < r.rate AS kept
+SELECT 'temperature' AS mode, d.doc_id, d.source AS grp,
+       round(r.rate, 6) AS rate,
+       ((('0x' || substring(md5('42|mix|' || d.doc_id), 1, 8))::BIGINT
+          / 4294967296.0) < r.rate)::BIGINT AS k
 FROM documents d JOIN rates r USING (source)
+UNION ALL
+SELECT 'unimax', d.doc_id, d.lang,
+       round(e.epochs, 6),
+       floor(e.epochs)::BIGINT
+         + ((('0x' || substring(md5('42|unimax|' || d.doc_id), 1, 8))::BIGINT
+              / 4294967296.0) < e.epochs - floor(e.epochs))::BIGINT
+FROM documents d JOIN eps e USING (lang)
 """
 
 

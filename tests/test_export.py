@@ -138,3 +138,90 @@ def test_mixture_portable_and_prod_both_deterministic(docs, portable):
         ).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------------------ unimax
+
+
+def _py_waterfill(counts: dict, budget: float, cap_epochs: float) -> dict:
+    """The paper's sequential waterfill, as the reference."""
+    caps = sorted((cap_epochs * n, g) for g, n in counts.items())
+    rem, rem_l, alloc = budget, len(caps), {}
+    for cap, g in caps:
+        a = min(cap, rem / rem_l)
+        alloc[g] = a
+        rem -= a
+        rem_l -= 1
+    return {g: alloc[g] / counts[g] for g in counts}
+
+
+def test_unimax_epochs_match_sequential_waterfill(documents):
+    from deployment_spark.operators.export import unimax_mixture
+
+    d = documents.select("doc_id", "lang")
+    counts = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {
+        r.lang: r.epochs
+        for r in unimax_mixture(d, "lang", budget_rows=700, epochs_cap=2.0)
+        .select("lang", "epochs")
+        .distinct()
+        .collect()
+    }
+    want = _py_waterfill(counts, 700.0, 2.0)
+    assert got.keys() == want.keys()
+    assert all(abs(got[g] - want[g]) < 1e-9 for g in got)
+
+
+def test_unimax_capped_and_uncapped_branches(documents):
+    """A deliberately skewed synthetic histogram (10/20/200 docs,
+    budget 150, cap 3): the tail groups hit the epoch cap exactly, the
+    head absorbs the waterfilled remainder below one epoch — both
+    branches of the closed-form waterfill, checked against the
+    sequential reference."""
+    from deployment_spark.operators.export import unimax_mixture
+
+    spark = documents.sparkSession
+    rows = (
+        [(i, "tiny") for i in range(10)]
+        + [(100 + i, "small") for i in range(20)]
+        + [(1000 + i, "huge") for i in range(200)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {
+        r.lang: r.epochs
+        for r in unimax_mixture(d, "lang", budget_rows=150, epochs_cap=3.0)
+        .select("lang", "epochs").distinct().collect()
+    }
+    want = _py_waterfill({"tiny": 10, "small": 20, "huge": 200}, 150.0, 3.0)
+    assert all(abs(got[g] - want[g]) < 1e-9 for g in got)
+    assert abs(got["tiny"] - 3.0) < 1e-9      # capped
+    assert got["huge"] < 1.0                   # waterfilled remainder
+
+
+def test_unimax_budget_above_all_caps_caps_everything(documents):
+    from deployment_spark.operators.export import unimax_mixture
+
+    d = documents.select("doc_id", "lang")
+    got = {
+        r.lang: r.epochs
+        for r in unimax_mixture(d, "lang", budget_rows=10_000_000, epochs_cap=1.5)
+        .select("lang", "epochs").distinct().collect()
+    }
+    assert all(abs(e - 1.5) < 1e-9 for e in got.values())
+
+
+def test_unimax_copies_sum_tracks_budget_and_is_reproducible(documents):
+    from deployment_spark.operators.export import unimax_mixture
+
+    d = documents.select("doc_id", "lang")
+    out = unimax_mixture(d, "lang", budget_rows=700, epochs_cap=2.0)
+    rows = out.select("doc_id", "n_copies").collect()
+    total = sum(r.n_copies for r in rows)
+    assert abs(total - 700) <= 25  # hash-fractional copies, ±noise
+    again = {
+        (r.doc_id, r.n_copies)
+        for r in unimax_mixture(
+            d.repartition(16), "lang", budget_rows=700, epochs_cap=2.0
+        ).select("doc_id", "n_copies").collect()
+    }
+    assert {(r.doc_id, r.n_copies) for r in rows} == again
