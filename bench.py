@@ -67,7 +67,7 @@ HEADLINE = [
     # composed query mode
     "doc_bm25_topk",
     "hybrid_search",
-    # r6 additions: block-pair kNN graph, LSH+components semantic dedup,
+    # r5 additions: block-pair kNN graph, LSH+components semantic dedup,
     # hash-permutation shard export, temperature-scaled domain mixing
     "knn_graph",
     "semantic_dedup",
@@ -217,23 +217,26 @@ def main() -> None:
         timings[name] = min(times)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-                # every raw timing, not just the min: lets a reader separate
-                # plan regressions from host scheduling noise (the r2
-                # methodology note) without re-running the bench
-                "raw_runs": raw_runs,
-            }
-        )
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    # Full payload (per-run raws, for separating plan regressions from
+    # host scheduling noise) goes to a SIDE FILE; stdout carries only the
+    # compact headline as the LAST line. r5's stdout payload included
+    # raw_runs and overflowed the driver's tail capture, leaving
+    # BENCH_r05.json with parsed: null (VERDICT r5 wrong #1).
+    raw_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_raw_latest.json"
     )
+    with open(raw_path, "w") as f:
+        json.dump({**headline, "raw_runs": raw_runs}, f, indent=1)
     spark.stop()
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -477,14 +477,21 @@ class SnapshotStore:
             )
         return self._commit(df, meta=meta)
 
-    def insert(self, rows: DataFrame, dedup_new: bool = True) -> int:
+    def insert(
+        self, rows: DataFrame, dedup_new: bool = True, meta: dict | None = None
+    ) -> int:
         """C1 — append (``index.add`` / ``collection.insert``). The Milvus
         path dedups incoming rows on pk first (``stream1.py:215,265``);
         rows whose key already exists in the corpus are dropped, matching
         primary-key insert semantics. mor cost: one O(batch) segment
-        write (plus the key anti-join read)."""
+        write (plus the key anti-join read). ``meta`` rides in the
+        atomically-swapped pointer exactly like ``create``'s — streaming
+        callers persist their replay watermark in it so the watermark is
+        exactly as durable as the rows it describes."""
         if not self.exists():
-            return self.create(rows.dropDuplicates([self.key]) if dedup_new else rows)
+            return self.create(
+                rows.dropDuplicates([self.key]) if dedup_new else rows, meta=meta
+            )
         self._check_schema(rows)
         # pin the version we read; the claim below is on base_v + 1, so a
         # concurrent commit between this read and our claim fails the
@@ -505,9 +512,12 @@ class SnapshotStore:
             m = self._read_manifest(base_v)
             seg, mn, mx = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, mn, mx)], m["tombstones"], version=v
+                m["segments"] + [self._entry(seg, v, mn, mx)],
+                m["tombstones"],
+                meta=meta,
+                version=v,
             )
-        return self._commit(self._union(base, new), base_version=base_v)
+        return self._commit(self._union(base, new), meta=meta, base_version=base_v)
 
     def delete_ids(self, ids: DataFrame | list) -> int:
         """C2/J3 — delete by id-set (``index.remove_ids``,

@@ -4079,7 +4079,7 @@ REGISTRY: dict = {
     # r5 additions: lexical BM25 and the BM25 ⊕ cosine RRF hybrid
     "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25_TOPK),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
-    # r6 additions: kNN graph + SemDeDup + export shuffle + temperature
+    # r5 additions: kNN graph + SemDeDup + export shuffle + temperature
     # mixing (slots freed by folding lag→funnel, normalize→chunks,
     # sketch-bounds→table_profile, stage-order→text_functions)
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),

@@ -129,31 +129,48 @@ def curated_ingest_to_store(
     snapshot store's atomic versioned commits.
 
     Id contract: the stream's ids must be append-only increasing across
-    batches. Replay safety comes from a HIGH-WATERMARK: every id at or
-    below the store's max kept id counts as already processed — whether
-    it was admitted or dropped back then (an id-membership check would
-    miss replayed docs that were DROPPED: they are absent from the
-    store, yet re-evaluating them against a kept set that has since
-    grown can violate the keep-lowest-id contract). A recovered batch
-    therefore reduces to its genuinely-new remainder — empty on a full
-    replay — and incremental_dedup's contract holds by construction;
-    pinned in tests. The watermark is a 1-row max aggregate per batch
-    (a scan of the kept id column, no shuffle).
+    batches. Replay safety comes from a HIGH-WATERMARK persisted in the
+    store's commit metadata: each batch commits ``max(batch id)`` — the
+    max id SEEN, admitted or dropped — alongside its rows, so the
+    watermark is exactly as durable as the commit it describes. Every
+    id at or below it counts as already processed (an id-membership
+    check would miss replayed docs that were DROPPED: they are absent
+    from the store, yet re-evaluating them against a kept set that has
+    since grown can violate the keep-lowest-id contract — and a
+    max-*kept*-id watermark has the same hole when the batch's highest
+    ids were dropped dups, the r5 ADVICE finding). A recovered batch
+    therefore reduces to empty on a full replay — even one whose tail
+    was all duplicates — and incremental_dedup's contract holds by
+    construction; pinned in tests. Stores written before this field
+    existed fall back to max kept id (the weaker pre-fix guarantee).
+    The watermark costs a pointer-file read per batch, no scan.
 
     With ``index_dir`` the wrapper also MAINTAINS the kept-corpus LSH
     signature index (``minhash_band_signatures`` of each admitted
     batch, appended as parquet): admission reads the index instead of
     recomputing the whole kept corpus's MinHash per batch — without it
     each batch pays an O(kept) signature recomputation, which defeats
-    the incremental design at real corpus sizes. Index appends are
-    keyed by the same ids as the store, so watermark-filtered replays
-    skip the index append too (nothing admitted → nothing appended).
+    the incremental design at real corpus sizes. The index is probed
+    through the batch's own Hadoop-FS reader (``spark.read.parquet`` +
+    catch), never ``os.path`` — a driver-local check silently reports
+    "absent" for an HDFS/S3 index and the wrapper would quietly
+    recompute kept MinHash forever (r5 ADVICE finding).
+
+    store.insert and the index append are two non-atomic writes; a
+    crash between them would leave the index permanently missing the
+    batch's signatures — and every later batch would silently admit
+    near-dups of those docs (r5 ADVICE finding). The wrapper therefore
+    RECONCILES at each batch start: index appends happen in id order,
+    so any kept id above the index's max id marks a lost append, and
+    those rows' signatures are recomputed from the kept corpus and
+    backfilled before admission. Happy-path cost is one max() over the
+    index id column (answered from parquet footer stats); the backfill
+    path also covers enabling ``index_dir`` on a pre-existing store
+    (full one-time backfill).
 
     ``dedup_params`` passes through to ``incremental_dedup``
     (num_hashes / bands / shingle_words / jaccard_threshold).
     Returns the StreamingQuery (caller awaits termination)."""
-    import os
-
     from deployment_spark.operators.dedup import (
         incremental_dedup,
         minhash_band_signatures,
@@ -166,11 +183,23 @@ def curated_ingest_to_store(
         if k in ("num_hashes", "bands", "shingle_words")
     }
 
+    def read_index(spark):
+        """Filesystem-agnostic index probe: attempt the read and treat
+        'path does not exist / not yet any parquet there' as absent."""
+        if index_dir is None:
+            return None
+        try:
+            return spark.read.parquet(index_dir)
+        except Exception:  # AnalysisException: path missing / empty
+            return None
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if store.exists():
             kept = store.read().select(id_col, text_col)
-            hi = kept.agg(F.max(id_col)).collect()[0][0]
+            hi = store.commit_meta().get("curated_max_seen")
+            if hi is None:  # pre-fix store: weaker max-kept-id fallback
+                hi = kept.agg(F.max(id_col)).collect()[0][0]
             fresh = (
                 batch_df.filter(F.col(id_col) > hi)
                 if hi is not None
@@ -179,9 +208,26 @@ def curated_ingest_to_store(
         else:
             kept = batch_df.select(id_col, text_col).limit(0)
             fresh = batch_df
-        kept_bands = None
-        if index_dir is not None and os.path.isdir(index_dir):
-            kept_bands = spark.read.parquet(index_dir)
+        if fresh.isEmpty():  # full replay of a committed batch
+            return
+        kept_bands = read_index(spark)
+        if index_dir is not None and store.exists():
+            # reconcile lost index appends (see docstring): ids are
+            # append-only and appends are in id order, so kept ids above
+            # the index's max id are exactly the unindexed rows
+            hi_idx = (
+                kept_bands.agg(F.max(id_col)).collect()[0][0]
+                if kept_bands is not None
+                else None
+            )
+            missing = (
+                kept if hi_idx is None else kept.filter(F.col(id_col) > hi_idx)
+            )
+            if not missing.isEmpty():
+                minhash_band_signatures(
+                    missing, text_col=text_col, id_col=id_col, **sig_params
+                ).write.mode("append").parquet(index_dir)
+                kept_bands = read_index(spark)
         admitted = incremental_dedup(
             fresh,
             kept,
@@ -190,7 +236,8 @@ def curated_ingest_to_store(
             kept_bands=kept_bands,
             **params,
         ).localCheckpoint()
-        store.insert(admitted)
+        batch_max = fresh.agg(F.max(id_col)).collect()[0][0]
+        store.insert(admitted, meta={"curated_max_seen": batch_max})
         if index_dir is not None:
             minhash_band_signatures(
                 admitted, text_col=text_col, id_col=id_col, **sig_params

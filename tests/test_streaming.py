@@ -636,3 +636,119 @@ def test_curated_ingest_maintains_signature_index(spark, tmp_path):
         for r in spark.read.parquet(idx_dir).select("doc_id").distinct().collect()
     }
     assert sig_ids == b
+
+def test_curated_ingest_watermark_is_max_seen_not_max_kept(spark, tmp_path):
+    """r5 ADVICE (ingest.py:140): the replay watermark must be the max id
+    SEEN per batch, not the max id KEPT — a batch whose highest ids were
+    all dropped duplicates must still reduce to a no-op on replay. Old
+    behavior: the dropped tail sat above the max-kept watermark, got
+    re-evaluated against the grown kept set, and the replayed 'batch'
+    committed a fresh (empty) version. Pinned here via the version
+    counter: a full replay may not commit at all."""
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 50)
+    # batch 2: 20 genuinely-new docs, then a TAIL of exact dups of u1
+    # docs at the HIGHEST ids in the batch (they all get dropped)
+    u2 = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 70))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            u1.filter(F.col("doc_id") < 8).select(
+                (F.col("doc_id") + 900000).alias("doc_id"), "text"
+            )
+        )
+    )
+    landing = str(tmp_path / "landing")
+    u1.coalesce(1).write.parquet(f"{landing}/b=000")
+    u2.coalesce(1).write.parquet(f"{landing}/b=001")
+
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="doc_id")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    q = curated_ingest_to_store(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    kept = {r.doc_id for r in store.read().select("doc_id").collect()}
+    assert not any(i >= 900000 for i in kept)  # the dup tail was dropped
+    # the persisted watermark covers the dropped tail
+    max_seen = u2.agg(F.max("doc_id")).collect()[0][0]
+    assert store.commit_meta()["curated_max_seen"] == max_seen
+    assert max_seen > max(kept)  # i.e. the fix is actually exercised
+
+    # fresh-checkpoint replay of both files: zero new commits, store
+    # byte-identical (old code would bump the version on the dropped
+    # tail's re-evaluation)
+    v_before = store.current_version()
+    q2 = curated_ingest_to_store(stream, store, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    assert store.current_version() == v_before
+    assert {r.doc_id for r in store.read().select("doc_id").collect()} == kept
+
+
+def test_curated_ingest_reconciles_lost_index_append(spark, tmp_path):
+    """r5 ADVICE (ingest.py:193): store.insert and the signature-index
+    append are non-atomic; a crash between them loses the batch's
+    signatures and every later batch silently admits near-dups of those
+    docs. The wrapper must detect (index max id < kept max id) and
+    backfill before admission. Simulated by deleting the index after
+    batch 1, then streaming batch 2 through the same checkpoint."""
+    import shutil
+
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 60)
+    # batch 2: new docs + near-copies of u1 docs (first word stripped) —
+    # these are caught ONLY via the kept side's MinHash signatures
+    u2 = (
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            u1.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+            )
+        )
+    )
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    idx_dir = str(tmp_path / "sig_index")
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="doc_id")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = curated_ingest_to_store(stream, store, ckpt, index_dir=idx_dir)
+        q.awaitTermination(180)
+
+    u1.coalesce(1).write.parquet(f"{landing}/b=000")
+    drain()
+    shutil.rmtree(idx_dir)  # the 'crash lost the index append' state
+
+    u2.coalesce(1).write.parquet(f"{landing}/b=001")
+    drain()  # same checkpoint: only batch 2 is delivered
+
+    kept = {r.doc_id for r in store.read().select("doc_id").collect()}
+    # the near-dups were caught — possible only because the kept
+    # signatures were backfilled before admission
+    assert not any(i >= 300000 for i in kept)
+    assert any(i >= 100000 for i in kept)  # new docs landed
+    # index coverage is whole again: exactly the kept ids
+    sig_ids = {
+        r.doc_id
+        for r in spark.read.parquet(idx_dir).select("doc_id").distinct().collect()
+    }
+    assert sig_ids == kept
