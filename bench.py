@@ -38,7 +38,7 @@ HEADLINE = [
     # agg, plus the AvailableNow stream drain it is hash-joined against
     "streaming_hourly_counts",
     "rank_per_group",
-    "dedup_keepfirst",
+    # r6: dedup_keepfirst folded into doc_exact_dedup's tagged union
     "doc_exact_dedup",
     "doc_minhash_lsh",
     "doc_ngram_jaccard",

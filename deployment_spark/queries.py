@@ -1511,21 +1511,53 @@ FROM s
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 exact dedup — md5-hash groupBy keep-first. Exact copies of docs
-    0-49 are planted at doc_id+100000 (same construction in the oracle);
-    only the lowest doc_id of each content group survives."""
+    """M8 exact dedup + P4 keep-first in one tagged slot (r6 fold: the
+    former dedup_keepfirst entry joins as the 'keepfirst' probe, freeing
+    a window slot for incremental_dedup; both semantics stay
+    hash-verified).
+
+    'docs' probe — md5-hash groupBy keep-first: exact copies of docs
+    0-49 planted at doc_id+100000 (same construction in the oracle);
+    only the lowest doc_id of each content group survives.
+    'keepfirst' probe — drop_duplicates(keep='first') with a defined
+    order (Milvus/stream1.py:215): first line of each order under a
+    full deterministic ordering."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     alld = d.unionByName(planted)
     w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
-    return (
+    docs = (
         alld.withColumn("content_hash", F.md5("text"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("doc_id", "content_hash")
+        .select(
+            F.lit("docs").alias("probe"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("long").alias("k3"),
+            F.lit(None).cast("double").alias("vnum"),
+            F.col("content_hash").alias("vstr"),
+        )
     )
+    li = _t(spark, sf_dir, "lineitem")
+    wk = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey"), F.asc("l_quantity")
+    )
+    keepfirst = (
+        li.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.lit("keepfirst").alias("probe"),
+            F.col("l_orderkey").cast("long").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.col("l_partkey").cast("long").alias("k3"),
+            F.round("l_quantity", 2).alias("vnum"),
+            F.lit(None).cast("string").alias("vstr"),
+        )
+    )
+    return docs.unionByName(keepfirst)
 
 
 SQL_DOC_EXACT_DEDUP = """
@@ -1538,7 +1570,19 @@ WITH alld AS (
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM alld
 )
-SELECT doc_id, content_hash FROM h WHERE rn = 1
+SELECT 'docs' AS probe, doc_id::BIGINT AS k1, CAST(NULL AS BIGINT) AS k2,
+       CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS vnum,
+       content_hash AS vstr
+FROM h WHERE rn = 1
+UNION ALL
+SELECT 'keepfirst', l_orderkey::BIGINT, l_linenumber::BIGINT,
+       l_partkey::BIGINT, round(l_quantity, 2), CAST(NULL AS VARCHAR)
+FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+  FROM lineitem
+) WHERE rn = 1
 """
 
 
@@ -4041,6 +4085,215 @@ WHERE event_id BETWEEN 2500 AND 6500
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup via CURATED STREAMING INGEST (driver
+    gate for operators/dedup.py incremental_dedup + streaming/ingest.py
+    curated_ingest_to_store — VERDICT r5 next #1). Three batches land as
+    files and stream through curated_ingest_to_store (one micro-batch
+    each, signature index maintained): batch b holds the natural docs
+    with doc_id % 3 == b remapped to b*10M + doc_id (append-only id
+    ranges), plus planted exact and near (first-word-stripped) copies of
+    earlier batches' docs at higher in-range ids. Output is the full
+    admission ledger (batch_id, doc_id, admitted) for every input doc.
+
+    The oracle replays the INCREMENTAL semantics exactly — three
+    sequential DuckDB stages, each running the full exact→MinHash-LSH→
+    Jaccard→components chain over (kept so far ∪ batch) and admitting
+    the batch docs whose component min is themselves. Per-batch
+    chain-on-(kept ∪ batch) is provably identical to incremental
+    admission (kept×kept verified pairs cannot exist in a deduped kept
+    set, and extra kept-side edges never change a batch verdict), so
+    the oracle holds on ANY corpus — including the natural near-dup
+    pairs in the test data — with no batch-vs-incremental equivalence
+    assumption. The one-shot whole-corpus chain equivalence (and its
+    documented transitive-chain divergence) is pinned separately in
+    tests/test_dedup.py."""
+    import shutil
+    import tempfile
+
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    M = 10_000_000
+    strip1 = F.regexp_replace("text", r"^\S+\s+", "").alias("text")
+
+    def nat(b: int) -> DataFrame:
+        return d.filter(F.col("doc_id") % 3 == b).select(
+            (F.lit(b * M) + F.col("doc_id")).alias("doc_id"), "text"
+        )
+
+    def planted(src_mod: int, lo: int, hi: int, base: int, near: bool) -> DataFrame:
+        src = d.filter(
+            (F.col("doc_id") % 3 == src_mod)
+            & (F.col("doc_id") >= lo)
+            & (F.col("doc_id") < hi)
+        )
+        return src.select(
+            (F.lit(base) + F.col("doc_id")).alias("doc_id"),
+            strip1 if near else F.col("text"),
+        )
+
+    b0 = nat(0)
+    # batch 1: new docs + exact copies of batch-0 docs + near copies of
+    # batch-0 docs (caught only through the kept-side signature index)
+    b1 = (
+        nat(1)
+        .unionByName(planted(0, 0, 30, M + 5_000_000, near=False))
+        .unionByName(planted(0, 30, 60, M + 6_000_000, near=True))
+    )
+    # batch 2: new docs + exact copies of batch-1 naturals (two-hop kept
+    # growth) + near copies of batch-0 + an intra-batch exact dup of its
+    # own naturals (keep-first inside the batch)
+    b2 = (
+        nat(2)
+        .unionByName(planted(1, 0, 30, 2 * M + 5_000_000, near=False))
+        .unionByName(planted(0, 60, 90, 2 * M + 6_000_000, near=True))
+        .unionByName(planted(2, 0, 15, 2 * M + 7_000_000, near=False))
+    )
+    root = tempfile.mkdtemp(prefix="incr_dedup_entry_")
+    try:
+        landing = os.path.join(root, "landing")
+        for i, b in enumerate((b0, b1, b2)):
+            b.coalesce(1).write.parquet(os.path.join(landing, f"b={i:03d}"))
+        store = SnapshotStore(spark, os.path.join(root, "corpus"), key="doc_id")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = curated_ingest_to_store(
+            stream, store, os.path.join(root, "ckpt"),
+            index_dir=os.path.join(root, "idx"),
+        )
+        q.awaitTermination(600)
+        ledger = (
+            b0.select(F.lit(0).cast("long").alias("batch_id"), "doc_id")
+            .unionByName(b1.select(F.lit(1).cast("long").alias("batch_id"), "doc_id"))
+            .unionByName(b2.select(F.lit(2).cast("long").alias("batch_id"), "doc_id"))
+        )
+        kept = store.read().select("doc_id", F.lit(True).alias("_adm"))
+        return (
+            ledger.join(kept, "doc_id", "left")
+            .select(
+                "batch_id",
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.coalesce("_adm", F.lit(False)).alias("admitted"),
+            )
+            .localCheckpoint()  # materialize before the tmp store is removed
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    """Three-stage sequential replay of incremental admission (see
+    q_incremental_dedup). Each stage c: exact keep-first within the
+    batch, md5 anti vs kept, then the portable MinHash(16 seeds, 4
+    bands)/3-word-shingle Jaccard(>=0.6)/recursive-closure chain over
+    kept ∪ survivors; admitted = batch docs whose component min is
+    themselves; kept grows by the admitted rows."""
+    m = 10_000_000
+    stages = []
+    for c in range(3):
+        stages.append(f"""
+ex{c} AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, md5(text) AS h,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM b{c}
+  ) WHERE rn = 1 AND h NOT IN (SELECT md5(text) FROM kept{c})
+), corpus{c} AS MATERIALIZED (
+  SELECT doc_id, text FROM kept{c} UNION ALL SELECT doc_id, text FROM ex{c}
+), words{c} AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus{c}
+), sh{c} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM words{c}
+), seeded{c} AS MATERIALIZED (
+  SELECT doc_id, sh.sh, s.seed, md5(s.seed::VARCHAR || '|' || sh.sh) AS h
+  FROM sh{c} sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+), minhash{c} AS MATERIALIZED (
+  SELECT doc_id, seed, min(h) AS mh FROM seeded{c} GROUP BY doc_id, seed
+), bands{c} AS MATERIALIZED (
+  SELECT doc_id, seed // 4 AS band_id,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+  FROM minhash{c} GROUP BY doc_id, seed // 4
+), cand{c} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands{c} a JOIN bands{c} b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+), sizes{c} AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_sh FROM sh{c} GROUP BY doc_id
+), shared{c} AS MATERIALIZED (
+  SELECT c.a_id, c.b_id, count(*) AS shared
+  FROM cand{c} c
+  JOIN sh{c} a ON a.doc_id = c.a_id
+  JOIN sh{c} b ON b.doc_id = c.b_id AND b.sh = a.sh
+  GROUP BY 1, 2
+), verified{c} AS MATERIALIZED (
+  SELECT a_id, b_id FROM shared{c}
+  JOIN sizes{c} sa ON sa.doc_id = a_id
+  JOIN sizes{c} sb ON sb.doc_id = b_id
+  WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.6
+), edges{c} AS MATERIALIZED (
+  SELECT a_id AS x, b_id AS y FROM verified{c}
+  UNION
+  SELECT b_id AS x, a_id AS y FROM verified{c}
+), reach{c} AS (
+  SELECT x, y FROM edges{c}
+  UNION
+  SELECT r.x, e.y FROM reach{c} r JOIN edges{c} e ON r.y = e.x
+), labels{c} AS MATERIALIZED (
+  SELECT x AS node, least(x, min(y)) AS label FROM reach{c} GROUP BY x
+), adm{c} AS MATERIALIZED (
+  SELECT doc_id, text FROM ex{c}
+  WHERE doc_id NOT IN (SELECT node FROM labels{c} WHERE node > label)
+), kept{c + 1} AS MATERIALIZED (
+  SELECT doc_id, text FROM kept{c} UNION ALL SELECT doc_id, text FROM adm{c}
+)""")
+    stage_sql = ",".join(stages)
+    return f"""
+WITH RECURSIVE b0 AS MATERIALIZED (
+  SELECT 0 * {m} + doc_id AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+), b1 AS MATERIALIZED (
+  SELECT {m} + doc_id AS doc_id, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT {m + 5_000_000} + doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id < 30
+  UNION ALL
+  SELECT {m + 6_000_000} + doc_id, regexp_replace(text, '^\\S+\\s+', '')
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 30 AND doc_id < 60
+), b2 AS MATERIALIZED (
+  SELECT 2 * {m} + doc_id AS doc_id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT {2 * m + 5_000_000} + doc_id, text FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id < 30
+  UNION ALL
+  SELECT {2 * m + 6_000_000} + doc_id, regexp_replace(text, '^\\S+\\s+', '')
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 60 AND doc_id < 90
+  UNION ALL
+  SELECT {2 * m + 7_000_000} + doc_id, text FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id < 15
+), kept0 AS MATERIALIZED (
+  SELECT doc_id, text FROM b0 WHERE 1 = 0
+),{stage_sql}
+SELECT lb.batch_id::BIGINT AS batch_id, lb.doc_id::BIGINT AS doc_id,
+       (k.doc_id IS NOT NULL) AS admitted
+FROM (
+  SELECT 0 AS batch_id, doc_id FROM b0
+  UNION ALL SELECT 1, doc_id FROM b1
+  UNION ALL SELECT 2, doc_id FROM b2
+) lb LEFT JOIN kept3 k ON k.doc_id = lb.doc_id
+"""
+
+
+SQL_INCREMENTAL_DEDUP = _incremental_dedup_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4076,6 +4329,10 @@ REGISTRY: dict = {
     # r5 fold: the four per-codec recall entries share one tagged-union
     # slot (gate windows at 50); each remains callable and floor-pinned
     "ann_recall": (q_ann_recall, None),
+    # r6 addition: incremental corpus dedup via curated streaming ingest
+    # (slot freed by folding dedup_keepfirst → doc_exact_dedup); the
+    # oracle replays per-batch admission as three sequential chain stages
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # r5 additions: lexical BM25 and the BM25 ⊕ cosine RRF hybrid
     "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25_TOPK),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
@@ -4100,7 +4357,6 @@ REGISTRY: dict = {
     "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "text_functions": (q_text_functions, SQL_TEXT_FUNCTIONS),
-    "dedup_keepfirst": (q_dedup_keepfirst, SQL_DEDUP_KEEPFIRST),
     "rank_per_group": (q_rank_per_group, SQL_RANK_PER_GROUP),
     "deterministic_sample": (q_deterministic_sample, SQL_DETERMINISTIC_SAMPLE),
     "crud_ops_summary": (q_crud_ops_summary, SQL_CRUD_OPS_SUMMARY),
