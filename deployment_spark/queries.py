@@ -1410,6 +1410,21 @@ SELECT op, grp, cnt, total FROM ({SQL_SCHEMA_EVOLUTION})
 # Documents / training-data pipeline queries (M8: dedup, text analysis)
 # ---------------------------------------------------------------------------
 
+# Fixed, literal export of a train_quality_classifier fit (weights
+# rounded to 2 decimals) — the corpus-scale SCORING contract of
+# operators/quality_model.py, driver-gated here (VERDICT r5 next #2).
+# The MLlib fit itself stays pytest-gated (training nondeterminism);
+# scoring is pure codegen arithmetic and must replay bit-for-bit.
+QUALITY_MODEL = {
+    "coefficients": [0.85, -0.4, 1.6, 2.3, -3.1, -2.2],
+    "intercept": -2.0,
+    "features": [
+        "f_log_tokens", "mean_word_len", "stopword_ratio",
+        "alpha_ratio", "dup_word_ratio", "dup_bigram_ratio",
+    ],
+}
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 text analysis — token/char counting plus quality scoring: mean
     word length, stopword ratio, alpha ratio; composite score. (Absorbs
@@ -1417,10 +1432,26 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     former doc_repetition entry: intra-document duplicate-word/bigram
     ratios from operators/textstats.add_repetition_metrics. One scan
     produces all three per-doc signal families, pure Catalyst, zero
-    exchanges; one registry slot covers them in the driver gate.)"""
+    exchanges; one registry slot covers them in the driver gate.)
+
+    r6: also carries the TRAINED-classifier scoring path
+    (operators/quality_model.score_quality with the fixed QUALITY_MODEL
+    weights): model_logit = w·x + b and model_prob = sigmoid(logit) as
+    two more pure-codegen columns on the same rows — the oracle replays
+    the identical arithmetic (same term order, ln/exp) in DuckDB."""
+    from deployment_spark.operators.quality_model import (
+        quality_logit,
+        score_quality,
+    )
     from deployment_spark.operators.textstats import add_repetition_metrics
 
-    d = add_repetition_metrics(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_quality(docs, QUALITY_MODEL).select(
+        "doc_id",
+        F.round(quality_logit(QUALITY_MODEL), 4).alias("model_logit"),
+        F.round("quality_prob", 4).alias("model_prob"),
+    )
+    d = add_repetition_metrics(docs).join(scored, "doc_id")
     toks = tokens("text")
     n_tok = F.size(toks).cast("double")
     n_chars = F.length("text").cast("double")
@@ -1441,6 +1472,8 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_score"),
         "dup_word_ratio",
         "dup_bigram_ratio",
+        "model_logit",
+        "model_prob",
     )
 
 
@@ -1466,8 +1499,24 @@ SELECT doc_id,
        round(least(n_tok / 100.0, 1.0) * 0.5 + (stop_hits / n_tok) * 0.3
              + (alpha_chars / n_chars) * 0.2, 4) AS quality_score,
        round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 4) AS dup_word_ratio,
-       round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE, 4) AS dup_bigram_ratio
-FROM b
+       round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE, 4) AS dup_bigram_ratio,
+       round(logit, 4) AS model_logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS model_prob
+FROM (
+  -- trained-classifier scoring replay: same feature definitions
+  -- (rounded to 4 like the engine's add_quality_metrics), same term
+  -- order as quality_model.quality_logit, NULLs imputed to 0
+  SELECT *,
+         -2.0
+         + 0.85 * coalesce(ln(1 + n_tok), 0.0)
+         + -0.4 * coalesce(round(alpha_chars / n_tok, 4), 0.0)
+         + 1.6 * coalesce(round(stop_hits / n_tok, 4), 0.0)
+         + 2.3 * coalesce(round(alpha_chars / n_chars, 4), 0.0)
+         + -3.1 * coalesce(round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 4), 0.0)
+         + -2.2 * coalesce(round(1.0 - len(list_distinct(bg)) / len(bg)::DOUBLE, 4), 0.0)
+         AS logit
+  FROM b
+)
 """
 
 
