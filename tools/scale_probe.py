@@ -141,6 +141,105 @@ def build_scaled_dir(spark, src: str, factor: int, root: str) -> str:
     return out
 
 
+def run_store_probe(spark, src: str, factors: list[int], root: str, runs: int) -> None:
+    """--store mode (VERDICT r5 next #5/#6): per-MUTATION cost of the
+    snapshot store as the CORPUS grows, cow vs mor, at a FIXED batch
+    size. The claim under test: cow mutations rewrite the snapshot —
+    O(corpus) per mutation — while mor appends a segment/tombstone —
+    O(batch) per mutation, paid back at read/compaction time. The probe
+    seeds a store with factor × the sf0.1 events table, then times
+    insert / delete / upsert (2,000-row batches) and a zone-map range
+    read at each corpus size. Slopes over corpus size are the evidence:
+    cow mutation cost must GROW with the corpus, mor's must stay ~flat.
+    """
+    from pyspark.sql import functions as F
+
+    from deployment_spark.operators.crud import SnapshotStore
+
+    ev = spark.read.parquet(os.path.join(src, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    batch = 2_000
+    results: dict[tuple[str, str], dict[int, float]] = {}
+    for factor in factors:
+        parts = [
+            ev.select(
+                (F.col("event_id") + F.lit(r * n)).alias("event_id"),
+                "event_type", "value",
+            )
+            for r in range(factor)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        corpus = corpus.localCheckpoint()  # seed data off the critical path
+        hi = factor * n
+        for mode in ("cow", "mor"):
+            store_root = os.path.join(root, f"store_{mode}_{factor}x")
+            shutil.rmtree(store_root, ignore_errors=True)
+            store = SnapshotStore(spark, store_root, key="event_id", mode=mode)
+            store.insert(corpus)  # untimed seed
+            ops: dict[str, float] = {}
+            for i in range(runs):
+                # each rep mutates DISJOINT fresh ids so reps are
+                # comparable (no rep sees another's leftovers)
+                new_lo = hi + i * 3 * batch
+                ins = corpus.limit(batch).select(
+                    (F.col("event_id") % batch + new_lo).alias("event_id"),
+                    "event_type", "value",
+                )
+                t0 = time.perf_counter()
+                store.insert(ins)
+                ops["insert"] = min(ops.get("insert", 9e9), time.perf_counter() - t0)
+                dele = list(range(new_lo, new_lo + batch // 2))
+                t0 = time.perf_counter()
+                store.delete_ids(dele)
+                ops["delete"] = min(ops.get("delete", 9e9), time.perf_counter() - t0)
+                ups = corpus.limit(batch).select(
+                    (F.col("event_id") % batch + new_lo + batch).alias("event_id"),
+                    "event_type",
+                    (F.col("value") + 1.0).alias("value"),
+                )
+                t0 = time.perf_counter()
+                store.upsert(ups)
+                ops["upsert"] = min(ops.get("upsert", 9e9), time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                store.read_where_key_between(1000, 3000).count()
+                ops["range_read"] = min(
+                    ops.get("range_read", 9e9), time.perf_counter() - t0
+                )
+            for op, sec in ops.items():
+                results[(mode, op)] = {**results.get((mode, op), {}), factor: sec}
+                print(
+                    json.dumps(
+                        {
+                            "probe": "store", "mode": mode, "op": op,
+                            "factor": factor, "corpus_rows": factor * n,
+                            "sec": round(sec, 3),
+                        }
+                    ),
+                    flush=True,
+                )
+            shutil.rmtree(store_root, ignore_errors=True)
+    base, top = factors[0], factors[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "store_scale_slope",
+                "span": f"{base}x->{top}x",
+                "batch_rows": batch,
+                "slopes": {
+                    f"{mode}.{op}": round(times[top] / times[base], 2)
+                    for (mode, op), times in sorted(results.items())
+                    if base in times and top in times and times[base] > 0
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -148,12 +247,25 @@ def main() -> int:
     ap.add_argument("--entries", default=",".join(DEFAULT_ENTRIES))
     ap.add_argument("--runs", type=int, default=2, help="best-of-N per cell")
     ap.add_argument("--root", default="/tmp/spark_graft_scale")
+    ap.add_argument(
+        "--store", action="store_true",
+        help="probe SnapshotStore mutation cost vs corpus size (cow vs mor)",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     entries = args.entries.split(",")
 
     from deployment_spark import get_spark
     from deployment_spark.queries import REGISTRY
+
+    if args.store:
+        spark = get_spark()
+        try:
+            run_store_probe(spark, args.src, factors, args.root, args.runs)
+        finally:
+            spark.stop()
+            shutil.rmtree(args.root, ignore_errors=True)
+        return 0
 
     unknown = [e for e in entries if e not in REGISTRY]
     if unknown:
