@@ -478,7 +478,11 @@ class SnapshotStore:
         return self._commit(df, meta=meta)
 
     def insert(
-        self, rows: DataFrame, dedup_new: bool = True, meta: dict | None = None
+        self,
+        rows: DataFrame,
+        dedup_new: bool = True,
+        meta: dict | None = None,
+        assume_new: bool = False,
     ) -> int:
         """C1 — append (``index.add`` / ``collection.insert``). The Milvus
         path dedups incoming rows on pk first (``stream1.py:215,265``);
@@ -487,7 +491,17 @@ class SnapshotStore:
         write (plus the key anti-join read). ``meta`` rides in the
         atomically-swapped pointer exactly like ``create``'s — streaming
         callers persist their replay watermark in it so the watermark is
-        exactly as durable as the rows it describes."""
+        exactly as durable as the rows it describes.
+
+        ``assume_new=True`` skips the existence anti-join for callers
+        that GUARANTEE fresh keys (append-only id streams above a
+        watermark, e.g. curated ingest). The r6 store scale probe showed
+        the anti-join is the hidden O(corpus) term of insert in BOTH
+        engines (mor insert slope 6.4× at 64× corpus while its other
+        mutations stayed flat) — with assume_new, a mor insert never
+        reads the base at all and is O(batch) for real. Violating the
+        guarantee lands duplicate-key rows, exactly like inserting dups
+        with ``dedup_new=False``."""
         if not self.exists():
             return self.create(
                 rows.dropDuplicates([self.key]) if dedup_new else rows, meta=meta
@@ -498,11 +512,12 @@ class SnapshotStore:
         # claim instead of letting the anti-join against a stale base
         # silently drop the other writer's rows
         base_v = self.current_version()
-        base = self.read(base_v)
         new = rows
         if dedup_new:
             new = new.dropDuplicates([self.key])
-        new = new.join(base.select(self.key), on=self.key, how="left_anti")
+        if not assume_new:
+            base = self.read(base_v)
+            new = new.join(base.select(self.key), on=self.key, how="left_anti")
         if self.mode == "mor":
             # claim BEFORE writing s{v}: the claim loser must error out
             # here, not overwrite the winner's segment files (and a claim
@@ -517,7 +532,11 @@ class SnapshotStore:
                 meta=meta,
                 version=v,
             )
-        return self._commit(self._union(base, new), meta=meta, base_version=base_v)
+        # cow rewrites the snapshot either way; assume_new only spares it
+        # the anti-join, not the O(corpus) union write
+        return self._commit(
+            self._union(self.read(base_v), new), meta=meta, base_version=base_v
+        )
 
     def delete_ids(self, ids: DataFrame | list) -> int:
         """C2/J3 — delete by id-set (``index.remove_ids``,

@@ -16,6 +16,8 @@ connected components → keep one doc per component.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +150,39 @@ def minhash_band_signatures(
     co-located. Same params ⇒ the same buckets the batch candidate
     join uses."""
     return _band_signatures(df, text_col, id_col, num_hashes, bands, shingle_words)
+
+
+def compact_signature_index(
+    spark, index_dir: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Rewrite the kept-corpus signature index into few right-sized
+    files. A long-running curated ingest appends one small parquet file
+    set per batch; after thousands of batches the per-batch index READ
+    pays file-open overhead proportional to batch COUNT, not index size
+    — the classic small-files decay. Compaction is write-new → swap:
+    the rewritten index lands beside the old one, then replaces it, so
+    a concurrent reader sees either the old or the new file set. A
+    crash in the swap window can only lose the index ENTIRELY, which is
+    safe by design: curated ingest treats an unreadable index as absent
+    and the reconcile pass rebuilds it from the kept corpus (the same
+    path that heals lost appends). The swap uses POSIX renames — on an
+    object store run it offline with a plain overwrite instead (same
+    absence-is-safe recovery argument). Returns the new file count."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(index_dir)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return files
 
 
 def minhash_lsh_candidates(

@@ -116,6 +116,7 @@ def curated_ingest_to_store(
     id_col: str = "doc_id",
     dedup_params: dict | None = None,
     index_dir: str | None = None,
+    compact_index_files: int | None = 64,
     available_now: bool = True,
 ):
     """Continuous CURATED ingestion — the streaming face of
@@ -172,6 +173,7 @@ def curated_ingest_to_store(
     (num_hashes / bands / shingle_words / jaccard_threshold).
     Returns the StreamingQuery (caller awaits termination)."""
     from deployment_spark.operators.dedup import (
+        compact_signature_index,
         incremental_dedup,
         minhash_band_signatures,
     )
@@ -237,11 +239,28 @@ def curated_ingest_to_store(
             **params,
         ).localCheckpoint()
         batch_max = fresh.agg(F.max(id_col)).collect()[0][0]
-        store.insert(admitted, meta={"curated_max_seen": batch_max})
+        # assume_new: every admitted id is > the watermark ≥ every kept
+        # id by construction, so the pk existence anti-join (the hidden
+        # O(kept) term of insert — r6 store probe) is provably redundant
+        store.insert(
+            admitted, meta={"curated_max_seen": batch_max}, assume_new=True
+        )
         if index_dir is not None:
             minhash_band_signatures(
                 admitted, text_col=text_col, id_col=id_col, **sig_params
             ).write.mode("append").parquet(index_dir)
+            # small-files maintenance: one parquet file set lands per
+            # batch; past the threshold the per-batch index read pays
+            # open-overhead per BATCH EVER RUN, so rewrite to few
+            # right-sized files (inputFiles() counts through the Hadoop
+            # FS — works on HDFS/S3 too, unlike an os.listdir)
+            if compact_index_files is not None:
+                idx_now = read_index(spark)
+                if (
+                    idx_now is not None
+                    and len(idx_now.inputFiles()) > compact_index_files
+                ):
+                    compact_signature_index(spark, index_dir)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)

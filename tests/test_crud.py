@@ -432,3 +432,42 @@ def test_auto_compaction_failure_is_observable_not_silent(spark, tmp_path, monke
     assert any("auto-compaction deferred" in str(w.message) for w in caught)
     # the mutation itself committed; the store reads fine uncompacted
     assert {r.id for r in s.read().collect()} == {1, 2}
+
+
+def test_insert_assume_new_fast_path(spark, tmp_path):
+    """assume_new skips the pk existence anti-join (the hidden O(corpus)
+    insert term the r6 store probe measured). Fresh-key inserts must be
+    byte-equivalent to the checked path; violating the caller guarantee
+    lands duplicate keys — the documented sharp edge, same as
+    dedup_new=False."""
+    for mode in ("cow", "mor"):
+        store = SnapshotStore(
+            spark, str(tmp_path / f"an_{mode}"), key="k", mode=mode
+        )
+        base = spark.createDataFrame([(i, "a") for i in range(100)], "k long, v string")
+        store.insert(base)
+        fresh = spark.createDataFrame(
+            [(i, "b") for i in range(100, 120)], "k long, v string"
+        )
+        store.insert(fresh, assume_new=True)
+        assert store.count() == 120
+        got = {r.k: r.v for r in store.read().collect()}
+        assert all(got[i] == "b" for i in range(100, 120))
+        # intra-batch dedup still applies on the fast path
+        dup_batch = spark.createDataFrame(
+            [(200, "c"), (200, "c2"), (201, "d")], "k long, v string"
+        )
+        store.insert(dup_batch, assume_new=True)
+        assert store.count() == 122
+        # violating the guarantee: the existing key lands again — as two
+        # raw rows under cow, and as a silent last-wins shadow under mor
+        # (the merge-on-read key dedup hides the older row)
+        store.insert(
+            spark.createDataFrame([(0, "dup")], "k long, v string"),
+            assume_new=True,
+        )
+        k0 = store.read().filter("k = 0").collect()
+        if mode == "cow":
+            assert sorted(r.v for r in k0) == ["a", "dup"]
+        else:
+            assert [r.v for r in k0] == ["dup"]

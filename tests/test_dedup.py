@@ -287,3 +287,32 @@ def test_incremental_dedup_with_precomputed_signature_index(spark, documents):
         r.doc_id for r in without.collect()
     }
     assert audit.has_broadcast_join(with_idx)
+
+
+def test_compact_signature_index_preserves_content(spark, tmp_path):
+    """compact_signature_index: many per-batch appends → few files, same
+    rows; the swap leaves either old or new layout, never a mix."""
+    from deployment_spark.operators.dedup import (
+        compact_signature_index,
+        minhash_band_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "sig_idx")
+    for lo in (0, 40, 80):
+        minhash_band_signatures(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)
+            )
+        ).write.mode("append").parquet(idx)
+    before = spark.read.parquet(idx)
+    n_files_before = len(before.inputFiles())
+    rows_before = sorted(
+        (r.doc_id, r.band_id, r.sig) for r in before.collect()
+    )
+    n_new = compact_signature_index(spark, idx)
+    after = spark.read.parquet(idx)
+    assert len(after.inputFiles()) == n_new < n_files_before
+    assert sorted((r.doc_id, r.band_id, r.sig) for r in after.collect()) == rows_before

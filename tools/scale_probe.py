@@ -192,6 +192,17 @@ def run_store_probe(spark, src: str, factors: list[int], root: str, runs: int) -
                 t0 = time.perf_counter()
                 store.insert(ins)
                 ops["insert"] = min(ops.get("insert", 9e9), time.perf_counter() - t0)
+                ins2 = corpus.limit(batch).select(
+                    (F.col("event_id") % batch + new_lo + 2 * batch).alias(
+                        "event_id"
+                    ),
+                    "event_type", "value",
+                )
+                t0 = time.perf_counter()
+                store.insert(ins2, assume_new=True)
+                ops["insert_nocheck"] = min(
+                    ops.get("insert_nocheck", 9e9), time.perf_counter() - t0
+                )
                 dele = list(range(new_lo, new_lo + batch // 2))
                 t0 = time.perf_counter()
                 store.delete_ids(dele)
