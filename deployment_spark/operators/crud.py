@@ -68,6 +68,7 @@ class SnapshotStore:
         mode: str = "cow",
         schema_evolution: bool = False,
         compact_when: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
@@ -101,6 +102,10 @@ class SnapshotStore:
         # remember a maintenance cadence (VERDICT r4 #5: the bench's
         # fixed every-3-sizes choice let segment accretion drift).
         self.compact_when = compact_when
+        # non-key columns to zone-map per segment (min/max observed on
+        # the write job, zero extra scans) — enables
+        # read_where_between() data skipping on value predicates
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(root, exist_ok=True)
 
     def _union(self, a: DataFrame, b: DataFrame) -> DataFrame:
@@ -306,18 +311,25 @@ class SnapshotStore:
                 return version
         return version
 
-    def _write_files(self, df: DataFrame, name: str) -> tuple[str, object, object]:
+    def _write_files(
+        self, df: DataFrame, name: str
+    ) -> tuple[str, object, object, dict]:
         """Write an immutable segment/tombstone file set and return
-        ``(name, key_min, key_max)``. The zone stats ride on the WRITE
-        JOB ITSELF via the Observation API — zero extra scans (a
-        follow-up stats agg measured +27% on the mor CRUD grid)."""
+        ``(name, key_min, key_max, stats)`` where ``stats`` maps each
+        tracked ``stats_cols`` column present in the frame to its
+        [min, max]. ALL zone stats ride on the WRITE JOB ITSELF via the
+        Observation API — zero extra scans (a follow-up stats agg
+        measured +27% on the mor CRUD grid)."""
         from pyspark.sql import Observation
 
         path = os.path.join(self.root, name)
         obs = Observation()
-        observed = df.observe(
-            obs, F.min(F.col(self.key)).alias("mn"), F.max(F.col(self.key)).alias("mx")
-        )
+        scols = [c for c in self.stats_cols if c in df.columns and c != self.key]
+        aggs = [F.min(F.col(self.key)).alias("mn"), F.max(F.col(self.key)).alias("mx")]
+        for c in scols:
+            aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+        observed = df.observe(obs, *aggs)
         writer = observed.write.mode("overwrite").option(
             # row-group bloom filter on the key: point lookups that
             # survive zone-map pruning skip row groups the key can't be
@@ -329,10 +341,11 @@ class SnapshotStore:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(path)
         got = obs.get
-        return name, got.get("mn"), got.get("mx")
+        stats = {c: [got.get(f"mn_{c}"), got.get(f"mx_{c}")] for c in scols}
+        return name, got.get("mn"), got.get("mx"), stats
 
     @staticmethod
-    def _entry(name: str, seq: int, mn, mx) -> dict:
+    def _entry(name: str, seq: int, mn, mx, stats: dict | None = None) -> dict:
         """Manifest entry with key ZONE MAP: `read_where_key_between`
         prunes whole segments/tombstone files against [key_min, key_max]
         before any scan — the lakehouse file-skipping move; at 100 TB the
@@ -341,7 +354,14 @@ class SnapshotStore:
         never to wrong pruning."""
         if not isinstance(mn, (int, float, str)) or not isinstance(mx, (int, float, str)):
             mn = mx = None
-        return {"path": name, "seq": seq, "key_min": mn, "key_max": mx}
+        e = {"path": name, "seq": seq, "key_min": mn, "key_max": mx}
+        ok = lambda b: (
+            isinstance(b[0], (int, float, str)) and isinstance(b[1], (int, float, str))
+        )
+        clean = {c: b for c, b in (stats or {}).items() if ok(b)}
+        if clean:
+            e["stats"] = clean
+        return e
 
     def _keys_df(self, ids: "DataFrame | list", like: DataFrame) -> DataFrame:
         if isinstance(ids, list):
@@ -423,6 +443,61 @@ class SnapshotStore:
             return self.read(version).filter(pred).limit(0)
         return self._merge_files(segs, hits(m["tombstones"])).filter(pred)
 
+    def read_where_between(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Data skipping on a NON-KEY predicate column: segments whose
+        tracked [min, max] (``stats_cols``) cannot contain a matching
+        row are pruned before any scan — the secondary-zone-map move
+        that turns "scan 100 TB, filter on value" into "scan the
+        segments whose value range overlaps".
+
+        Correctness under merge-on-read is SUBTLER than the key zone
+        map: a segment's rows also SHADOW same-key rows in older
+        segments, so dropping a segment whose values don't match could
+        resurrect a stale row whose OLD value does match (upsert moved
+        the value out of range; the stale row would pass the filter).
+        A segment is therefore pruned only when BOTH hold: (a) its
+        value zone misses [lo, hi], and (b) its KEY zone overlaps no
+        older segment — it cannot be shadowing anything. Append-style
+        workloads (curated ingest: disjoint key ranges per batch)
+        satisfy (b) for every segment, so skipping is fully effective
+        exactly where the data layout makes it sound; overlapping-key
+        histories degrade to scan-and-filter, never to wrong answers.
+        Missing stats prune nothing (conservative). Tombstones are
+        key-only and only ever REMOVE rows, so they are always kept."""
+        pred = F.col(col).between(lo, hi)
+        if col == self.key:
+            return self.read_where_key_between(lo, hi, version)
+        if self.mode == "cow":
+            # single snapshot, no shadowing: parquet row-group stats do
+            # the file-level skipping under the pushed filter
+            return self.read(version).filter(pred)
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"snapshot store {self.root} is empty")
+        m = self._read_manifest(v)
+        segs = m["segments"]
+
+        def value_misses(e: dict) -> bool:
+            b = (e.get("stats") or {}).get(col)
+            return b is not None and (b[0] > hi or b[1] < lo)
+
+        def may_shadow(e: dict) -> bool:
+            if e.get("key_min") is None or e.get("key_max") is None:
+                return True
+            for o in segs:
+                if o["seq"] >= e["seq"]:
+                    continue
+                if o.get("key_min") is None or o.get("key_max") is None:
+                    return True
+                if e["key_min"] <= o["key_max"] and e["key_max"] >= o["key_min"]:
+                    return True
+            return False
+
+        kept = [e for e in segs if not (value_misses(e) and not may_shadow(e))]
+        if not kept:
+            return self.read(version).filter(pred).limit(0)
+        return self._merge_files(kept, m["tombstones"]).filter(pred)
+
     def _merge_files(self, segs: list[dict], tombs: list[dict]) -> DataFrame:
         if len(segs) == 1 and not tombs:  # compacted fast path: plain scan
             return self.spark.read.parquet(os.path.join(self.root, segs[0]["path"]))
@@ -471,9 +546,9 @@ class SnapshotStore:
         if self.mode == "mor":
             v = self.current_version() + 1
             self._claim_version(v)
-            seg, mn, mx = self._write_files(df, f"s{v:06d}")
+            seg, mn, mx, st = self._write_files(df, f"s{v:06d}")
             return self._commit_manifest(
-                [self._entry(seg, v, mn, mx)], [], meta=meta, version=v
+                [self._entry(seg, v, mn, mx, st)], [], meta=meta, version=v
             )
         return self._commit(df, meta=meta)
 
@@ -525,9 +600,9 @@ class SnapshotStore:
             v = base_v + 1
             self._claim_version(v)
             m = self._read_manifest(base_v)
-            seg, mn, mx = self._write_files(new, f"s{v:06d}")
+            seg, mn, mx, st = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, mn, mx)],
+                m["segments"] + [self._entry(seg, v, mn, mx, st)],
                 m["tombstones"],
                 meta=meta,
                 version=v,
@@ -549,7 +624,7 @@ class SnapshotStore:
             v = base_v + 1
             self._claim_version(v)
             m = self._read_manifest(base_v)
-            tomb, tmn, tmx = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
+            tomb, tmn, tmx, _ = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
             return self._commit_manifest(
                 m["segments"], m["tombstones"] + [self._entry(tomb, v, tmn, tmx)], version=v
             )
@@ -594,10 +669,10 @@ class SnapshotStore:
             # segment at the same seq: the tombstone only kills rows from
             # strictly OLDER segments (read() uses _tseq > _seq), so the
             # re-inserted rows survive their sibling tombstone.
-            tomb, tmn, tmx = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
-            seg, smn, smx = self._write_files(new, f"s{v:06d}")
+            tomb, tmn, tmx, _ = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
+            seg, smn, smx, sst = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, smn, smx)],
+                m["segments"] + [self._entry(seg, v, smn, smx, sst)],
                 m["tombstones"] + [self._entry(tomb, v, tmn, tmx)],
                 version=v,
             )
@@ -616,9 +691,9 @@ class SnapshotStore:
             v = self.current_version() + 1
             self._claim_version(v)
             m = self._read_manifest(v - 1)
-            seg, mn, mx = self._write_files(new, f"s{v:06d}")
+            seg, mn, mx, st = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, mn, mx)],
+                m["segments"] + [self._entry(seg, v, mn, mx, st)],
                 m["tombstones"],
                 meta=meta,
                 version=v,
@@ -646,8 +721,8 @@ class SnapshotStore:
         current = self.read(base_v)
         v = base_v + 1
         self._claim_version(v)
-        seg, mn, mx = self._write_files(current, f"s{v:06d}")
-        return self._commit_manifest([self._entry(seg, v, mn, mx)], [], version=v)
+        seg, mn, mx, st = self._write_files(current, f"s{v:06d}")
+        return self._commit_manifest([self._entry(seg, v, mn, mx, st)], [], version=v)
 
     # -- maintenance --------------------------------------------------------
 

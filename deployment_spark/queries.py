@@ -4105,7 +4105,8 @@ def q_store_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="store_range_entry_")
     try:
         store = SnapshotStore(
-            spark, os.path.join(root, "store"), key="event_id", mode="mor"
+            spark, os.path.join(root, "store"), key="event_id", mode="mor",
+            stats_cols=["value"],
         )
         store.insert(ev.filter(F.col("event_id") < 2000))
         store.insert(ev.filter(F.col("event_id").between(2000, 5999)))
@@ -4115,22 +4116,40 @@ def q_store_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.col("value") + F.lit(1000.0)
         )
         store.update(upd_keys, upd_rows)
-        out = store.read_where_key_between(2500, 6500)
-        return out.select(
-            F.col("event_id").cast("long").alias("event_id"),
-            "event_type",
-            F.round("value", 2).alias("value"),
-        ).localCheckpoint()  # materialize before the tmp store is removed
+
+        def shape(df, probe):
+            return df.select(
+                F.lit(probe).alias("probe"),
+                F.col("event_id").cast("long").alias("event_id"),
+                "event_type",
+                F.round("value", 2).alias("value"),
+            )
+
+        out = shape(store.read_where_key_between(2500, 6500), "key_range").unionByName(
+            # r6: secondary-zone-map value-band read. The band excludes
+            # the UPDATED rows' live values (~1030-1070), so the probe
+            # also verifies shadow-safety: the stale in-band originals
+            # of keys 3000-3999 must NOT resurface
+            shape(store.read_where_between("value", 30, 70), "value_band")
+        )
+        return out.localCheckpoint()  # materialize before the tmp store is removed
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_STORE_RANGE_READ = """
-SELECT event_id::BIGINT AS event_id, event_type,
+SELECT 'key_range' AS probe, event_id::BIGINT AS event_id, event_type,
        round(value + CASE WHEN event_id BETWEEN 3000 AND 3999
                           THEN 1000.0 ELSE 0.0 END, 2) AS value
 FROM events
 WHERE event_id BETWEEN 2500 AND 6500
+UNION ALL
+SELECT 'value_band', event_id::BIGINT, event_type,
+       round(value + CASE WHEN event_id BETWEEN 3000 AND 3999
+                          THEN 1000.0 ELSE 0.0 END, 2)
+FROM events
+WHERE (value + CASE WHEN event_id BETWEEN 3000 AND 3999
+                    THEN 1000.0 ELSE 0.0 END) BETWEEN 30 AND 70
 """
 
 

@@ -471,3 +471,48 @@ def test_insert_assume_new_fast_path(spark, tmp_path):
             assert sorted(r.v for r in k0) == ["a", "dup"]
         else:
             assert [r.v for r in k0] == ["dup"]
+
+
+def test_read_where_between_value_skipping(spark, tmp_path):
+    """Secondary zone maps (stats_cols): value-range reads prune
+    segments whose tracked [min,max] cannot match — but NEVER at the
+    cost of resurrecting shadowed rows (the mor hazard: an upsert that
+    moved a value out of range must still hide the stale in-range row).
+    """
+    store = SnapshotStore(
+        spark, str(tmp_path / "zs"), key="k", mode="mor", stats_cols=["val"]
+    )
+    # three append batches with DISJOINT key ranges and value bands
+    store.insert(spark.createDataFrame(
+        [(i, float(10 + i % 5)) for i in range(100)], "k long, val double"))
+    store.insert(spark.createDataFrame(
+        [(i, float(1000 + i % 5)) for i in range(100, 200)], "k long, val double"))
+    store.insert(spark.createDataFrame(
+        [(i, float(2000 + i % 5)) for i in range(200, 300)], "k long, val double"))
+
+    got = store.read_where_between("val", 900, 1100)
+    rows = got.collect()
+    assert sorted(r.k for r in rows) == list(range(100, 200))
+    # pruning is real: the plan reads fewer files than a full read
+    assert len(got.inputFiles()) < len(store.read().inputFiles())
+
+    # shadow-safety: move keys 0-9 OUT of the low band via upsert; a
+    # naive value-pruner would drop the new segment (values 5000) and
+    # resurrect the stale in-band rows
+    store.upsert(spark.createDataFrame(
+        [(i, 5000.0) for i in range(10)], "k long, val double"))
+    low = store.read_where_between("val", 0, 100)
+    assert sorted(r.k for r in low.collect()) == list(range(10, 100))
+
+    # equivalence with the naive filtered read on every band
+    for lo, hi in ((0, 100), (900, 1100), (0, 10000), (3000, 4000)):
+        a = sorted((r.k, r.val) for r in store.read_where_between("val", lo, hi).collect())
+        b = sorted((r.k, r.val) for r in store.read().filter(
+            F.col("val").between(lo, hi)).collect())
+        assert a == b, (lo, hi)
+
+    # stores without stats degrade to scan-and-filter, same answers
+    plain = SnapshotStore(spark, str(tmp_path / "ns"), key="k", mode="mor")
+    plain.insert(spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, val double"))
+    assert plain.read_where_between("val", 10, 20).count() == 11
