@@ -152,6 +152,86 @@ def minhash_band_signatures(
     return _band_signatures(df, text_col, id_col, num_hashes, bands, shingle_words)
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Banded SimHash near-duplicate pairs (Manku et al., WWW 2007 —
+    the web-scale simhash dedup construction): all (a, b), a < b, with
+    Hamming distance ≤ ``max_hamming`` between 64-bit SimHashes. EXACT,
+    not probabilistic: with B bands, any pair differing in ≤ B−1 bits
+    leaves at least one band untouched (pigeonhole), so the band
+    equi-join loses nothing when ``max_hamming ≤ bands − 1`` — enforced
+    eagerly. This complements MinHash LSH: one 16-hex fingerprint per
+    doc instead of a shingle explosion, candidate generation is a plain
+    equi-join on (band_id, band_value), and verification is 16 nibble
+    popcounts in whole-stage codegen — no shingle sets, no Jaccard.
+
+    Shuffle shape: B rows per doc keyed by band value — content-keyed,
+    never the pair space; bucket sizes bound the blowup exactly like
+    ``minhash_lsh_candidates``. Uses the PORTABLE md5 simhash so the
+    whole operator (fingerprint → bands → popcount) replays in ANSI SQL
+    (driver-gated in the doc_hashes entry). Pass ``fingerprints``
+    ((id, simhash)) to reuse a precomputed table.
+
+    Output: (a_id, b_id, hamming LONG), a_id < b_id."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantee broken: max_hamming {max_hamming} needs "
+            f"at least {max_hamming + 1} bands (got {bands}) — pairs "
+            "could differ in one bit per band and never collide"
+        )
+    if 16 % bands:
+        raise ValueError(f"bands must divide the 16 hex nibbles, got {bands}")
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_portable(df, text_col, id_col)
+    ).select(id_col, "simhash")
+    width = 16 // bands
+    bdf = fp.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sh"),
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", b * width + 1, width) for b in range(bands)]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bdf.alias("a"), bdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("a._sh").alias("_sa"),
+            F.col("b._id").alias("b_id"),
+            F.col("b._sh").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        " + ".join(
+            f"bit_count(CAST(conv(substring(_sa, {i}, 1), 16, 10) AS INT)"
+            f" ^ CAST(conv(substring(_sb, {i}, 1), 16, 10) AS INT))"
+            for i in range(1, 17)
+        )
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 def compact_signature_index(
     spark, index_dir: str, target_rows_per_file: int = 1_000_000
 ) -> int:

@@ -2945,7 +2945,7 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable(docs).orderBy("doc_id")
 
 
-def _simhash_oracle_sql() -> str:
+def _simhash_oracle_sql(src: str = "documents") -> str:
     votes = ",\n    ".join(
         f"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
         f" // {2 ** (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
@@ -2960,7 +2960,7 @@ def _simhash_oracle_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
+  FROM {src}
 ), hashed AS (
   SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
 ), votes AS (
@@ -3005,15 +3005,83 @@ SELECT doc_id, md5(array_to_string(smallest, '|')) AS fingerprint FROM hashed
 
 
 def q_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 SimHash + min-k content fingerprint joined per doc — the two
-    per-doc dedup hash families in one registry slot (driver gate
-    windows at 50 entries). Components stay callable individually."""
-    return q_doc_simhash(spark, sf_dir).join(q_doc_fingerprint(spark, sf_dir), "doc_id")
+    """M8 SimHash + min-k content fingerprint joined per doc, plus (r6)
+    the Manku-et-al BANDED SimHash near-dup pairs as a second tagged
+    probe — one registry slot, three hash operators, all hash-verified.
+
+    'doc' probe: per-doc portable simhash + min-k fingerprint (as
+    before). 'pair' probe: simhash_neardup_pairs over documents ∪
+    planted exact copies (docs < 40 at +100000, hamming 0 by
+    construction) ∪ planted first-word-stripped near copies (docs
+    40-79 at +200000, small data-dependent hamming) — EXACT for
+    hamming ≤ 3 by the 4-band pigeonhole, so the oracle replays it as
+    literal all-pairs nibble-popcount Hamming over the same md5
+    simhashes."""
+    from deployment_spark.operators.dedup import simhash_neardup_pairs
+
+    base = q_doc_simhash(spark, sf_dir).join(q_doc_fingerprint(spark, sf_dir), "doc_id")
+    doc_probe = base.select(
+        F.lit("doc").alias("probe"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        "simhash",
+        "fingerprint",
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    alld = (
+        d.unionByName(
+            d.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+            )
+        )
+    )
+    pair_probe = simhash_neardup_pairs(alld).select(
+        F.lit("pair").alias("probe"),
+        F.col("a_id").cast("long").alias("k1"),
+        F.col("b_id").cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("simhash"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+    return doc_probe.unionByName(pair_probe)
+
+
+def _simhash_pair_sql() -> str:
+    """All-pairs nibble-popcount Hamming over the planted corpus — the
+    literal replay of simhash_neardup_pairs (banding is lossless for
+    hamming ≤ 3, so all-pairs ≡ banded candidates + verify)."""
+    ham = " + ".join(
+        f"bit_count(xor(strpos('0123456789abcdef', substring(a.simhash, {i}, 1)) - 1,"
+        f" strpos('0123456789abcdef', substring(b.simhash, {i}, 1)) - 1))"
+        for i in range(1, 17)
+    )
+    return f"""
+WITH alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 200000, regexp_replace(text, '^\\S+\\s+', '')
+  FROM documents WHERE doc_id >= 40 AND doc_id < 80
+), sh AS ({_simhash_oracle_sql("alld")})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, ({ham})::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
 
 
 SQL_DOC_HASHES = f"""
-SELECT a.doc_id, a.simhash, b.fingerprint
+SELECT 'doc' AS probe, a.doc_id::BIGINT AS k1, CAST(NULL AS BIGINT) AS k2,
+       a.simhash, b.fingerprint, CAST(NULL AS BIGINT) AS hamming
 FROM ({SQL_DOC_SIMHASH}) a JOIN ({SQL_DOC_FINGERPRINT}) b ON a.doc_id = b.doc_id
+UNION ALL
+SELECT 'pair', a_id, b_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), hamming
+FROM ({_simhash_pair_sql()}) WHERE hamming <= 3
 """
 
 

@@ -316,3 +316,47 @@ def test_compact_signature_index_preserves_content(spark, tmp_path):
     after = spark.read.parquet(idx)
     assert len(after.inputFiles()) == n_new < n_files_before
     assert sorted((r.doc_id, r.band_id, r.sig) for r in after.collect()) == rows_before
+
+
+def test_simhash_neardup_pairs_exact_vs_bruteforce(spark):
+    """Banded simhash pairs must equal brute-force all-pairs Hamming at
+    the guarantee boundary (hamming ≤ bands−1 is lossless by
+    pigeonhole); exact copies land at hamming 0; an unsatisfiable
+    (max_hamming, bands) combination is rejected eagerly."""
+    import pytest as _pytest
+
+    from deployment_spark.operators.dedup import (
+        simhash_neardup_pairs,
+        simhash_portable,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 120)
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    alld = docs.unionByName(planted)
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_neardup_pairs(alld, max_hamming=3).collect()
+    }
+    # brute force from the same portable fingerprints
+    fps = {r.doc_id: int(r.simhash, 16) for r in simhash_portable(alld).collect()}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    # every planted exact copy pairs with its source at hamming 0
+    for i in range(10):
+        assert got.get((i, i + 100000)) == 0
+
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(alld, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(alld, bands=5)
