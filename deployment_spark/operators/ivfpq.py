@@ -93,6 +93,7 @@ class IVFPQIndex:
         query_vec: str = "query_vec",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        routing: str = "driver",
     ) -> DataFrame:
         """nprobe-pruned ADC search; with ``shortlist`` set, exact cosine
         re-rank of the shortlist against the (equally pruned)
@@ -113,8 +114,21 @@ class IVFPQIndex:
         qrows = queries.select(query_id, query_vec).collect()  # nq-scale
         if not qrows:
             return self.ivf.search_empty(query_id, id_col)
-        routing, probed = self.ivf.route(qrows, nprobe, query_id, query_vec)
-        routing_df = self.spark.createDataFrame(routing, [query_id, "cluster_id"])
+        # 'distributed' routes through IVFIndex.route_distributed — no
+        # centroid collect at nlist = 10^4-10^5; only the nq×nprobe
+        # probed ids reach the driver (the queries themselves are
+        # already nq-scale driver state by the LUT/codec contract)
+        if routing == "distributed":
+            routing_df = self.ivf.route_distributed(
+                queries, nprobe, query_id, query_vec
+            ).localCheckpoint()
+            probed = [
+                r.cluster_id
+                for r in routing_df.select("cluster_id").distinct().collect()
+            ]
+        else:
+            pairs, probed = self.ivf.route(qrows, nprobe, query_id, query_vec)
+            routing_df = self.spark.createDataFrame(pairs, [query_id, "cluster_id"])
 
         codec = self.codec()
         m, dsub = codec.m, codec.dsub

@@ -99,3 +99,17 @@ def test_per_query_pruning_batch_independent(norm_emb, index, queries):
     ]
     assert sorted(solo) == sorted(batched)
     assert solo  # non-empty
+
+
+def test_distributed_routing_parity_ivfpq(index, queries):
+    """routing='distributed' (no centroid collect) must return the same
+    results as the driver router on the composed IVF×PQ index."""
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search(queries, k=5, nprobe=4).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search(queries, k=5, nprobe=4, routing="distributed").collect()
+    )
+    assert a == b

@@ -102,3 +102,17 @@ def test_per_query_routing_independent_of_batch(norm_emb, index, queries):
         if r.query_id == 0
     }
     assert solo == batched
+
+
+def test_distributed_routing_parity_ivfsq(index, queries):
+    """routing='distributed' (no centroid collect) must return the same
+    results as the driver router on the composed IVF×SQ8 index."""
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search(queries, k=5, nprobe=4).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search(queries, k=5, nprobe=4, routing="distributed").collect()
+    )
+    assert a == b
