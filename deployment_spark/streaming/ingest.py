@@ -117,6 +117,7 @@ def curated_ingest_to_store(
     dedup_params: dict | None = None,
     index_dir: str | None = None,
     compact_index_files: int | None = 64,
+    admit_filter=None,
     available_now: bool = True,
 ):
     """Continuous CURATED ingestion — the streaming face of
@@ -169,6 +170,14 @@ def curated_ingest_to_store(
     path also covers enabling ``index_dir`` on a pre-existing store
     (full one-time backfill).
 
+    ``admit_filter`` (optional) is a DataFrame→DataFrame quality gate
+    applied to each batch BEFORE dedup — "filter as you ingest", e.g.
+    a trained-classifier threshold via ``quality_model.score_quality``.
+    Rejected docs pay no signature cost and, like dropped duplicates,
+    still advance the replay watermark (the max-SEEN-id contract is
+    computed pre-filter, so a replayed rejected doc stays rejected even
+    if the gate later changes).
+
     ``dedup_params`` passes through to ``incremental_dedup``
     (num_hashes / bands / shingle_words / jaccard_threshold).
     Returns the StreamingQuery (caller awaits termination)."""
@@ -212,6 +221,22 @@ def curated_ingest_to_store(
             fresh = batch_df
         if fresh.isEmpty():  # full replay of a committed batch
             return
+        # compute the watermark BEFORE any quality gate: an id dropped
+        # for quality was still SEEN — replaying it must be a no-op,
+        # exactly like an id dropped as a duplicate
+        batch_max = fresh.agg(F.max(id_col)).collect()[0][0]
+        if admit_filter is not None:
+            # quality gate ("filter as you ingest"): e.g.
+            # lambda df: score_quality(df, model).filter("quality_prob >= .5")
+            # — runs BEFORE dedup so rejected docs pay no signature cost
+            fresh = admit_filter(fresh).select(*batch_df.columns)
+            if fresh.isEmpty():
+                store.insert(
+                    fresh, meta={"curated_max_seen": batch_max}, assume_new=True
+                ) if store.exists() else store.create(
+                    fresh, meta={"curated_max_seen": batch_max}
+                )
+                return
         kept_bands = read_index(spark)
         if index_dir is not None and store.exists():
             # reconcile lost index appends (see docstring): ids are
@@ -238,7 +263,6 @@ def curated_ingest_to_store(
             kept_bands=kept_bands,
             **params,
         ).localCheckpoint()
-        batch_max = fresh.agg(F.max(id_col)).collect()[0][0]
         # assume_new: every admitted id is > the watermark ≥ every kept
         # id by construction, so the pk existence anti-join (the hidden
         # O(kept) term of insert — r6 store probe) is provably redundant

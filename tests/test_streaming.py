@@ -752,3 +752,46 @@ def test_curated_ingest_reconciles_lost_index_append(spark, tmp_path):
         for r in spark.read.parquet(idx_dir).select("doc_id").distinct().collect()
     }
     assert sig_ids == kept
+
+
+def test_curated_ingest_quality_gate(spark, tmp_path):
+    """admit_filter: a quality gate runs before dedup, rejected docs
+    never land, and — like dropped duplicates — they still advance the
+    replay watermark (re-delivery is a no-op even for an all-rejected
+    batch)."""
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 40)
+    # batch 2 is ALL short junk — the gate must reject every row
+    u2 = spark.createDataFrame(
+        [(100000 + i, "junk") for i in range(10)], "doc_id long, text string"
+    )
+    landing = str(tmp_path / "landing")
+    u1.coalesce(1).write.parquet(f"{landing}/b=000")
+    u2.coalesce(1).write.parquet(f"{landing}/b=001")
+
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="doc_id")
+    gate = lambda df: df.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = curated_ingest_to_store(stream, store, ckpt, admit_filter=gate)
+        q.awaitTermination(180)
+
+    drain(str(tmp_path / "ckpt"))
+    kept = {r.doc_id for r in store.read().select("doc_id").collect()}
+    assert kept and not any(i >= 100000 for i in kept)  # junk rejected
+    # the all-rejected batch still advanced the watermark
+    assert store.commit_meta()["curated_max_seen"] == 100009
+    v = store.current_version()
+    drain(str(tmp_path / "ckpt2"))  # full replay: no-op
+    assert store.current_version() == v
+    assert {r.doc_id for r in store.read().select("doc_id").collect()} == kept
