@@ -336,3 +336,19 @@ def test_dsir_single_feature_pass(spark, sf_dir, tmp_path):
     gens = [ln for ln in final.splitlines() if "Generate" in ln]
     assert len(gens) == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_simhash_pair_plan_is_band_keyed_no_cartesian(spark, sf_dir):
+    """Banded simhash pairs shuffle on (band_id, band_value) — a keyed
+    equi-join, never a cartesian — and the popcount verify is pure
+    codegen (no Python anywhere in the plan)."""
+    from deployment_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = simhash_neardup_pairs(docs)
+    plan = audit.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py not in plan, py
+    assert "band_id" in plan and "band_val" in plan
