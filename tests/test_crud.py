@@ -516,3 +516,58 @@ def test_read_where_between_value_skipping(spark, tmp_path):
     plain.insert(spark.createDataFrame(
         [(i, float(i)) for i in range(50)], "k long, val double"))
     assert plain.read_where_between("val", 10, 20).count() == 11
+
+
+def test_read_where_between_random_histories(spark, tmp_path):
+    """Property check for shadow-safe value skipping: for random
+    insert/upsert/delete histories (overlapping keys, values migrating
+    across bands), read_where_between must equal the naive filtered
+    read on every probed band. Deterministic seeds; both engines."""
+    import random
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        for mode in ("cow", "mor"):
+            store = SnapshotStore(
+                spark,
+                str(tmp_path / f"rh_{mode}_{seed}"),
+                key="k",
+                mode=mode,
+                stats_cols=["val"],
+            )
+            expected: dict[int, float] = {}
+            next_id = 0
+            for step in range(6):
+                op = rng.choice(["insert", "upsert", "delete"]) if step else "insert"
+                if op == "insert":
+                    rows = [
+                        (next_id + i, float(rng.randrange(0, 5000)))
+                        for i in range(rng.randrange(5, 40))
+                    ]
+                    next_id += len(rows)
+                    store.insert(
+                        spark.createDataFrame(rows, "k long, val double")
+                    )
+                    for kk, vv in rows:
+                        expected.setdefault(kk, vv)
+                elif op == "upsert" and expected:
+                    ks = rng.sample(sorted(expected), min(8, len(expected)))
+                    rows = [(kk, float(rng.randrange(0, 5000))) for kk in ks]
+                    store.upsert(
+                        spark.createDataFrame(rows, "k long, val double")
+                    )
+                    expected.update(dict(rows))
+                elif op == "delete" and expected:
+                    ks = rng.sample(sorted(expected), min(5, len(expected)))
+                    store.delete_ids(ks)
+                    for kk in ks:
+                        expected.pop(kk)
+            for lo, hi in ((0, 1000), (1000, 3000), (2500, 5000), (0, 5000)):
+                got = sorted(
+                    (r.k, r.val)
+                    for r in store.read_where_between("val", lo, hi).collect()
+                )
+                want = sorted(
+                    (kk, vv) for kk, vv in expected.items() if lo <= vv <= hi
+                )
+                assert got == want, (mode, seed, lo, hi)
