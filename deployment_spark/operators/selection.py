@@ -278,3 +278,61 @@ def dsir_resample(
     top = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
     rank_w = Window.orderBy(F.desc("gumbel_key"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict | None = None,
+    salt: str = "split",
+    resolution: int = 10000,
+) -> DataFrame:
+    """Group-aware train/valid/test assignment — the eval-LEAKAGE
+    control a corpus pipeline needs after near-dedup: a document's
+    split is a pure function of its near-dup COMPONENT label (the min
+    doc id of its connected component over ``pairs``; singletons label
+    themselves), so two near-duplicate documents can NEVER straddle
+    splits — a per-doc hash split would leak eval content into
+    training through surviving near-copies. Assignment is the same
+    portable md5-prefix bucket as ``stratified_sample``
+    (hash(label|salt) % resolution against cumulative weight
+    boundaries), reproducible across runs, engines, and partitionings.
+
+    Shuffle shape: connected components over the pair graph (bounded
+    by component diameter), one left join of the corpus against the
+    (pair-nodes-only) label table, then row-local hashing — the corpus
+    never shuffles on anything but the label join key.
+
+    Output: (id_col, label, split) for every input row."""
+    from deployment_spark.operators.dedup import connected_components
+
+    w = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    total = float(sum(w.values()))
+    labels = connected_components(pairs).withColumnRenamed("node", id_col)
+    lab = (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .withColumn("label", F.coalesce("label", F.col(id_col)))
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("label").cast("string"), F.lit("|" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % resolution
+    )
+    cum = 0.0
+    expr = None
+    names = list(w)
+    for name in names[:-1]:
+        cum += w[name] / total
+        cond = h < F.lit(int(round(cum * resolution)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return lab.select(id_col, "label", split.alias("split"))

@@ -2859,7 +2859,13 @@ def q_doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs 0-29 planted at +100000 as in the candidate/verify entries; the
     returned rows are the SURVIVING doc ids, so the whole chain — not
     just candidate pairs — is driver-checked (round-1 verdict item 2).
-    Oracle replays components with a recursive transitive-closure CTE."""
+    Oracle replays components with a recursive transitive-closure CTE.
+
+    r6: a second tagged probe gates selection.leakage_safe_splits —
+    every doc (including dropped near-dups) gets a train/valid/test
+    assignment hashed from its COMPONENT label (80/10/10), replayed in
+    SQL with the same md5-prefix bucket, so the no-leakage property
+    (near-dups share a split) is hash-verified end to end."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -2876,7 +2882,21 @@ def q_doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         alld, shingle_words=3, threshold=0.6, candidates=cand
     )
-    return dedup_by_pairs(alld, verified).select("doc_id")
+    # r6: ONE components pass feeds both probes — 'kept' (component-min
+    # survivors, the original entry) and 'split' (leakage-safe
+    # train/valid/test: split is a pure function of the component
+    # LABEL, so near-duplicates can never straddle splits)
+    from deployment_spark.operators.selection import leakage_safe_splits
+
+    assign = leakage_safe_splits(alld, verified).localCheckpoint()
+    kept = assign.filter(F.col("label") == F.col("doc_id")).select(
+        F.lit("kept").alias("probe"),
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+    )
+    return kept.unionByName(
+        assign.select(F.lit("split").alias("probe"), "doc_id", "split")
+    )
 
 
 SQL_DOC_DEDUP_PIPELINE = """
@@ -2929,9 +2949,20 @@ WITH RECURSIVE alld AS (
   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
 ), labels AS (
   SELECT x AS node, least(x, min(y)) AS label FROM reach GROUP BY x
+), assign AS (
+  SELECT alld.doc_id,
+         coalesce(l.label, alld.doc_id) AS label,
+         ('0x' || substring(md5(coalesce(l.label, alld.doc_id)::VARCHAR
+                  || '|split'), 1, 8))::BIGINT % 10000 AS b
+  FROM alld LEFT JOIN labels l ON l.node = alld.doc_id
 )
-SELECT doc_id FROM alld
-WHERE doc_id NOT IN (SELECT node FROM labels WHERE node > label)
+SELECT 'kept' AS probe, doc_id, CAST(NULL AS VARCHAR) AS split
+FROM assign WHERE label = doc_id
+UNION ALL
+SELECT 'split', doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'valid' ELSE 'test' END
+FROM assign
 """
 
 

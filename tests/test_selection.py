@@ -183,3 +183,39 @@ def test_dsir_resample_seed_changes_sample(spark):
     a = {r.doc_id for r in dsir_resample(d, F.col("lang") == "en", k=8, seed="g1").collect()}
     b = {r.doc_id for r in dsir_resample(d, F.col("lang") == "en", k=8, seed="g2").collect()}
     assert a != b
+
+
+def test_leakage_safe_splits_never_straddle(spark):
+    """Near-duplicate pairs must always share a split; fractions track
+    the weights; singletons hash on their own id; every doc assigned."""
+    from deployment_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from deployment_spark.operators.selection import leakage_safe_splits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    alld = docs.unionByName(planted)
+    cand = minhash_lsh_candidates(alld)
+    pairs = ngram_jaccard_pairs(alld, candidates=cand).localCheckpoint()
+    out = leakage_safe_splits(alld, pairs)
+    rows = {r.doc_id: (r.label, r.split) for r in out.collect()}
+    assert len(rows) == alld.count()  # every doc assigned
+    # the no-leakage property: both ends of every verified pair share
+    # label AND split
+    for p in pairs.collect():
+        assert rows[p.a_id] == rows[p.b_id], (p.a_id, p.b_id)
+    # fractions roughly track 80/10/10 (component-level hashing over
+    # ~500 labels: generous tolerance)
+    from collections import Counter
+
+    frac = Counter(s for _, s in rows.values())
+    n = sum(frac.values())
+    assert 0.68 < frac["train"] / n < 0.92
+    assert frac["valid"] > 0 and frac["test"] > 0
