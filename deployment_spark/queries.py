@@ -1438,20 +1438,23 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quality_model.score_quality with the fixed QUALITY_MODEL
     weights): model_logit = w·x + b and model_prob = sigmoid(logit) as
     two more pure-codegen columns on the same rows — the oracle replays
-    the identical arithmetic (same term order, ln/exp) in DuckDB."""
+    the identical arithmetic (same term order, ln/exp) in DuckDB. The
+    model columns ride the SAME single scan as the heuristics (the
+    first cut self-joined two scans of documents on doc_id — one scan,
+    one shuffle, and a whole exchange for nothing; plan-asserted
+    exchange-free in tests/test_plans.py)."""
     from deployment_spark.operators.quality_model import (
         quality_logit,
         score_quality,
     )
-    from deployment_spark.operators.textstats import add_repetition_metrics
 
     docs = _t(spark, sf_dir, "documents")
-    scored = score_quality(docs, QUALITY_MODEL).select(
-        "doc_id",
-        F.round(quality_logit(QUALITY_MODEL), 4).alias("model_logit"),
-        F.round("quality_prob", 4).alias("model_prob"),
-    )
-    d = add_repetition_metrics(docs).join(scored, "doc_id")
+    # score_quality's output keeps text + every feature/heuristic column
+    # (quality_features chains add_quality_metrics + add_repetition_
+    # metrics), so the rest of the entry derives from IT — zero joins
+    d = score_quality(docs, QUALITY_MODEL).withColumn(
+        "model_logit", F.round(quality_logit(QUALITY_MODEL), 4)
+    ).withColumn("model_prob", F.round("quality_prob", 4))
     toks = tokens("text")
     n_tok = F.size(toks).cast("double")
     n_chars = F.length("text").cast("double")

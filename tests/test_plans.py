@@ -352,3 +352,15 @@ def test_simhash_pair_plan_is_band_keyed_no_cartesian(spark, sf_dir):
     for py in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
         assert py not in plan, py
     assert "band_id" in plan and "band_val" in plan
+
+
+def test_doc_quality_single_scan_no_exchange(spark, sf_dir):
+    """doc_quality (heuristics + trained-classifier scoring) must be ONE
+    scan of documents with zero exchanges — the model columns ride the
+    same row-local projection, not a second scan self-joined back."""
+    from deployment_spark.queries import q_doc_quality
+
+    df = q_doc_quality(spark, sf_dir)
+    plan = audit.physical_plan(df)
+    assert audit.count_exchanges(df) == 0, plan
+    assert plan.count("documents.parquet") <= 1
