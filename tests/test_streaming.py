@@ -795,3 +795,51 @@ def test_curated_ingest_quality_gate(spark, tmp_path):
     drain(str(tmp_path / "ckpt2"))  # full replay: no-op
     assert store.current_version() == v
     assert {r.doc_id for r in store.read().select("doc_id").collect()} == kept
+
+
+def test_curated_ingest_mor_store_o_batch_inserts(spark, tmp_path):
+    """Curated ingest over a MERGE-ON-READ store: the assume_new insert
+    path appends one O(batch) segment per micro-batch (no base read),
+    and the final kept set matches the cow run exactly."""
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 50)
+    u2 = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            u1.filter(F.col("doc_id") < 6).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    landing = str(tmp_path / "landing")
+    u1.coalesce(1).write.parquet(f"{landing}/b=000")
+    u2.coalesce(1).write.parquet(f"{landing}/b=001")
+
+    def run(mode):
+        store = SnapshotStore(
+            spark, str(tmp_path / f"corpus_{mode}"), key="doc_id", mode=mode
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = curated_ingest_to_store(stream, store, str(tmp_path / f"ckpt_{mode}"))
+        q.awaitTermination(180)
+        return store
+
+    cow = run("cow")
+    mor = run("mor")
+    a = {r.doc_id for r in cow.read().select("doc_id").collect()}
+    b = {r.doc_id for r in mor.read().select("doc_id").collect()}
+    assert a == b and not any(i >= 200000 for i in a)
+    # mor landed one segment per committing batch, zero tombstones —
+    # the O(batch) shape (create + assume_new insert, no rewrite)
+    m = mor._read_manifest(mor.current_version())
+    assert len(m["segments"]) == 2 and m["tombstones"] == []
