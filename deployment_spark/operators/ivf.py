@@ -219,50 +219,93 @@ class IVFIndex:
         collect, correct for nlist in the 10⁴-10⁵ range where the
         quantizer itself is a distributed table.
 
-        Shape: broadcast the (bounded, per-contract) query batch against
-        the centroid table, score cosine in codegen, then top-nprobe per
-        query in TWO stages — a per-task partial top-nprobe via
-        groupBy(query_id, spark_partition_id()) + array_sort/slice (the
-        partial agg collapses each task's nq×(centroids-in-task) rows to
-        nq rows BEFORE the exchange), then a final per-query merge. The
-        exchange volume is O(tasks × nq × nprobe), independent of nlist.
-        Tie-break matches the driver router: similarity desc, then
-        cluster_id asc (np.argsort is stable over index order)."""
-        cents = self.centroids_df()
-        cn = F.col("centroid")
-        cnorm = F.sqrt(
-            F.aggregate(cn, F.lit(0.0), lambda a, x: a + x * x)
-        )
-        qn = F.col("_qv")
-        qnorm = F.sqrt(
-            F.aggregate(qn, F.lit(0.0), lambda a, x: a + x * x)
-        )
-        qb = F.broadcast(
-            queries.select(
-                query_id, F.col(query_vec).cast("array<double>").alias("_qv")
+        Shape — the knn block pattern applied to the centroid table:
+        the (contract-bounded, nq-scale) query batch rides a broadcast;
+        each centroid-table partition runs ONE numpy matmul against it
+        and emits only its local per-query top-nprobe; a final window
+        merges the tasks × nq × nprobe survivors. Every exchange is
+        survivor-sized — a first cut aggregated with collect_list and
+        sliced AFTER the exchange, which collapsed row counts but still
+        shipped all nq×nlist scored structs as array payload; this
+        version truncates BEFORE anything is shuffled. Tie-break
+        matches the driver router: similarity desc, then cluster_id asc
+        (np.argsort is stable over index order)."""
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        qrows = queries.select(query_id, query_vec).collect()  # nq-scale
+        spark = self.spark
+        if not qrows:
+            return (
+                queries.select(query_id)
+                .limit(0)
+                .withColumn("cluster_id", F.lit(0).cast("int"))
             )
+        qids = [r[query_id] for r in qrows]
+        qmat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
+        qmat = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
         )
-        dot = F.aggregate(
-            F.zip_with(cn, qn, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        bq = spark.sparkContext.broadcast((qids, qmat))
+        np_ = int(nprobe)
+        id_field = queries.select(query_id).schema.fields[0]
+        out_schema = StructType(
+            [
+                id_field,
+                StructField("cluster_id", self.centroids_df().schema["cluster_id"].dataType),
+                StructField("_neg", DoubleType()),
+            ]
         )
-        sim = dot / F.greatest(cnorm * qnorm, F.lit(1e-12))
-        pair = F.struct(
-            (-sim).alias("_neg"), F.col("cluster_id").alias("cluster_id")
+
+        def local_topk(batches):
+            qids_, qm = bq.value
+            neg_parts, cid_parts = [], []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cmat = np.array(pdf["centroid"].tolist(), dtype=np.float64)
+                cmat = cmat / np.maximum(
+                    np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+                )
+                cids = pdf["cluster_id"].to_numpy()
+                sims = qm @ cmat.T  # (nq, nc_batch)
+                take = min(np_, sims.shape[1])
+                order = np.lexsort(
+                    (cids[None, :].repeat(len(qids_), 0), -sims), axis=1
+                )[:, :take]
+                rows = np.repeat(np.arange(len(qids_)), take)
+                cols = order.reshape(-1)
+                # keep per-part matrices (nq, take_i): takes differ per
+                # batch, so a flat concat would interleave queries
+                neg_parts.append((-sims[rows, cols]).reshape(len(qids_), take))
+                cid_parts.append(cids[cols].reshape(len(qids_), take))
+            if not neg_parts:
+                return
+            neg = np.hstack(neg_parts)
+            cid = np.hstack(cid_parts)
+            take = min(np_, neg.shape[1])
+            order = np.lexsort((cid, neg), axis=1)[:, :take]
+            rows = np.repeat(np.arange(len(qids_)), take)
+            cols = order.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    id_field.name: np.repeat(np.array(qids_), take),
+                    "cluster_id": cid[rows, cols],
+                    "_neg": neg[rows, cols],
+                }
+            )
+
+        local = self.centroids_df().mapInPandas(local_topk, schema=out_schema)
+        w = Window.partitionBy(query_id).orderBy(
+            F.asc("_neg"), F.asc("cluster_id")
         )
-        scored = cents.join(qb)  # broadcast nested loop: every (centroid, query)
-        local = scored.groupBy(
-            query_id, F.spark_partition_id().alias("_pid")
-        ).agg(
-            F.slice(F.array_sort(F.collect_list(pair)), 1, nprobe).alias("_top")
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= np_)
+            .select(query_id, "cluster_id")
         )
-        merged = local.groupBy(query_id).agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("_top"))), 1, nprobe
-            ).alias("_top")
-        )
-        return merged.select(
-            query_id, F.explode("_top").alias("_p")
-        ).select(query_id, F.col("_p.cluster_id").alias("cluster_id"))
 
     def route(
         self,
