@@ -141,14 +141,54 @@ class SnapshotStore:
             return json.load(f)["version"]
 
     def commit_meta(self) -> dict:
-        """Caller-supplied metadata of the LAST commit (e.g. a streaming
-        batch_id) — rides in the atomically-swapped pointer file, so it
-        is exactly as durable as the commit it describes; the replay
-        check in streaming.rollup relies on that atomicity."""
+        """Caller-supplied metadata as of the LAST commit (e.g. a
+        streaming batch_id) — rides in the atomically-swapped pointer
+        file, so it is exactly as durable as the commit it describes;
+        the replay check in streaming.rollup relies on that atomicity.
+
+        Meta is CARRIED FORWARD: every commit merges the previous
+        pointer's meta under its own keys (new keys win), so a commit
+        that supplies no meta — compact(), a delete, the auto-compaction
+        follow-up — cannot erase another writer's durable state. Before
+        this, a curated-ingest store with ``compact_when`` set lost its
+        ``curated_max_seen`` replay watermark at the first auto-
+        compaction and the next recovery fell back to max-kept-id,
+        reintroducing the dropped-tail replay bug (r6 ADVICE). Keys are
+        therefore sticky; there is deliberately no way to clear one
+        short of rebuilding the store."""
         if not os.path.exists(self._pointer):
             return {}
         with open(self._pointer) as f:
             return json.load(f).get("meta", {})
+
+    def _merged_meta(self, meta: dict | None) -> dict:
+        """Previous pointer meta merged under the new commit's keys —
+        see :meth:`commit_meta` for why carry-forward is load-bearing.
+        Must be read BEFORE the pointer swap of the commit using it."""
+        return {**self.commit_meta(), **(meta or {})}
+
+    def update_meta(self, meta: dict) -> int:
+        """Meta-ONLY commit: merge ``meta`` into the current pointer
+        without writing any snapshot data — same version, same files,
+        atomic pointer swap. For bookkeeping that must be durable even
+        when a mutation has nothing to write: the curated-ingest replay
+        watermark after an all-rejected batch previously had to ride an
+        insert of ZERO rows, which on a cow store rewrites the entire
+        snapshot (O(corpus) per rejected batch — r6 ADVICE). Single-
+        writer only, like every meta producer here: two concurrent
+        update_meta calls last-write-win on the pointer (they cannot
+        corrupt it — the swap is atomic — but one merge can be lost).
+        Returns the (unchanged) current version."""
+        if not os.path.exists(self._pointer):
+            raise ValueError(f"snapshot store {self.root} is empty")
+        with open(self._pointer) as f:
+            pointer = json.load(f)
+        pointer["meta"] = {**pointer.get("meta", {}), **meta}
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pointer, f)
+        os.replace(tmp, self._pointer)
+        return pointer["version"]
 
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:06d}")
@@ -226,7 +266,7 @@ class SnapshotStore:
                     "version": version,
                     "path": os.path.basename(path),
                     "ts": time.time(),
-                    "meta": meta or {},
+                    "meta": self._merged_meta(meta),
                 },
                 f,
             )
@@ -273,7 +313,7 @@ class SnapshotStore:
                     "version": version,
                     "mode": self.mode,
                     "ts": time.time(),
-                    "meta": meta or {},
+                    "meta": self._merged_meta(meta),
                 },
                 f,
             )

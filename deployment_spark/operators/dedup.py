@@ -245,23 +245,34 @@ def compact_signature_index(
     crash in the swap window can only lose the index ENTIRELY, which is
     safe by design: curated ingest treats an unreadable index as absent
     and the reconcile pass rebuilds it from the kept corpus (the same
-    path that heals lost appends). The swap uses POSIX renames — on an
-    object store run it offline with a plain overwrite instead (same
-    absence-is-safe recovery argument). Returns the new file count."""
+    path that heals lost appends). The swap runs through the Hadoop
+    FileSystem API resolved FROM the index path — curated ingest
+    auto-invokes this on whatever filesystem ``index_dir`` lives on, and
+    a driver-local ``os.rename`` would raise on the HDFS/S3 stores the
+    index reads were explicitly hardened for (r6 ADVICE), failing the
+    micro-batch. On object stores without native rename the FS shim
+    copies — still correct under the absence-is-safe recovery argument.
+    Returns the new file count."""
     import math
-    import shutil
 
     df = spark.read.parquet(index_dir)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
+    jvm = spark.sparkContext._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(index_dir).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
     tmp = index_dir.rstrip("/") + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(hadoop_path(tmp), True)
     df.repartition(files).write.mode("overwrite").parquet(tmp)
     old = index_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(hadoop_path(old), True)
+    if not fs.rename(hadoop_path(index_dir), hadoop_path(old)):
+        raise IOError(f"compact swap: rename {index_dir} -> {old} failed")
+    if not fs.rename(hadoop_path(tmp), hadoop_path(index_dir)):
+        raise IOError(f"compact swap: rename {tmp} -> {index_dir} failed")
+    fs.delete(hadoop_path(old), True)
     return files
 
 

@@ -124,7 +124,10 @@ class IVFIndex:
         try:
             with open(self._centroids_path) as f:
                 return int(json.load(f)["nlist"])
-        except OSError:
+        except (OSError, ValueError, KeyError, TypeError):
+            # missing file OR truncated/corrupt JSON (JSONDecodeError is a
+            # ValueError) — fall back to counting the centroid table, as
+            # the docstring promises, instead of crashing routing='auto'
             return self.centroids_df().count()
 
     def ntotal(self) -> int:

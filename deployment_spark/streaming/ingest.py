@@ -231,11 +231,17 @@ def curated_ingest_to_store(
             # — runs BEFORE dedup so rejected docs pay no signature cost
             fresh = admit_filter(fresh).select(*batch_df.columns)
             if fresh.isEmpty():
-                store.insert(
-                    fresh, meta={"curated_max_seen": batch_max}, assume_new=True
-                ) if store.exists() else store.create(
-                    fresh, meta={"curated_max_seen": batch_max}
-                )
+                # all rejected: only the replay watermark needs to become
+                # durable. On an existing store that is a meta-ONLY
+                # pointer rewrite — an insert of zero rows would rewrite
+                # the whole snapshot on cow (O(corpus) per rejected
+                # batch, r6 ADVICE) and land a useless empty segment on
+                # mor. A store that doesn't exist yet has no pointer to
+                # carry the watermark, so the empty create stays.
+                if store.exists():
+                    store.update_meta({"curated_max_seen": batch_max})
+                else:
+                    store.create(fresh, meta={"curated_max_seen": batch_max})
                 return
         kept_bands = read_index(spark)
         if index_dir is not None and store.exists():

@@ -571,3 +571,54 @@ def test_read_where_between_random_histories(spark, tmp_path):
                     (kk, vv) for kk, vv in expected.items() if lo <= vv <= hi
                 )
                 assert got == want, (mode, seed, lo, hi)
+
+
+def test_commit_meta_survives_compaction_and_metaless_commits(spark, tmp_path):
+    """r6 ADVICE (crud.py compact): commits that supply no meta —
+    compact(), the auto-compaction follow-up, a delete — must CARRY the
+    previous pointer's meta forward, not erase it. A curated-ingest
+    store in mor mode with compact_when set previously lost its
+    curated_max_seen replay watermark at the first auto-compaction; the
+    next recovery fell back to max-kept-id, reintroducing the
+    dropped-tail replay bug the watermark exists to fix."""
+    s = SnapshotStore(
+        spark, str(tmp_path / "s"), key="id", mode="mor", compact_when=3
+    )
+    s.create(mk(spark, [(1, "a")]), meta={"curated_max_seen": 10})
+    # manual compact: meta must ride through the follow-up commit
+    s.compact()
+    assert s.commit_meta()["curated_max_seen"] == 10
+    # meta-less mutations keep it too
+    s.delete_ids([1])
+    assert s.commit_meta()["curated_max_seen"] == 10
+    # grow past compact_when so a metadata-carrying insert TRIPS
+    # auto-compaction: the follow-up commit must not wipe the new value
+    for i in range(2, 7):
+        s.insert(mk(spark, [(i, f"p{i}")]), meta={"curated_max_seen": i * 10})
+    assert s.commit_meta()["curated_max_seen"] == 60
+    # the table really did compact (meta survived a real fold, not a no-op)
+    m = s._read_manifest(s.current_version())
+    assert len(m["segments"]) == 1 and not m["tombstones"]
+    # newer keys override, older unrelated keys persist
+    s.insert(mk(spark, [(99, "z")]), meta={"other": "x"})
+    assert s.commit_meta() == {"curated_max_seen": 60, "other": "x"}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_meta_is_meta_only(spark, tmp_path, mode):
+    """r6 ADVICE (ingest.py all-rejected branch): persisting a watermark
+    must not cost a snapshot rewrite. update_meta merges keys into the
+    CURRENT pointer — same version, no new snapshot/segment files."""
+    s = SnapshotStore(spark, str(tmp_path / "s"), key="id", mode=mode)
+    s.create(mk(spark, [(1, "a"), (2, "b")]), meta={"curated_max_seen": 5})
+    v = s.current_version()
+    files_before = sorted(os.listdir(s.root))
+    s.update_meta({"curated_max_seen": 9})
+    assert s.current_version() == v
+    assert s.commit_meta() == {"curated_max_seen": 9}
+    assert sorted(os.listdir(s.root)) == files_before  # no new data files
+    assert sorted(r.id for r in s.read().collect()) == [1, 2]
+    # empty store: nothing to attach meta to — loud error, not silence
+    empty = SnapshotStore(spark, str(tmp_path / "empty"), key="id")
+    with pytest.raises(ValueError):
+        empty.update_meta({"x": 1})

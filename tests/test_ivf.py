@@ -295,3 +295,20 @@ def test_distributed_search_exact_at_large_nlist(spark, tmp_path):
     # the capture may include trailing non-INSET predicates; the point
     # is the probe set is query-contract-sized, nowhere near nlist
     assert len(m.group(1).split(",")) < 50 < NLIST
+
+
+def test_nlist_survives_corrupt_centroids_json(spark, tmp_path, embeddings):
+    """r6 ADVICE (ivf.py nlist): a truncated/corrupt centroids.json must
+    fall back to counting the centroid table — the behavior the
+    docstring advertises — not crash search(routing='auto')."""
+    import os
+
+    idx = IVFIndex(spark, str(tmp_path / "ivf_corrupt")).build(
+        embeddings.limit(100), nlist=4
+    )
+    with open(os.path.join(idx.root, "centroids.json"), "w") as f:
+        f.write('{"nlist": 4, "cent')  # truncated mid-write
+    assert idx.nlist() == 4  # from centroids_parquet
+    with open(os.path.join(idx.root, "centroids.json"), "w") as f:
+        f.write('{"dim": 64}')  # valid JSON, missing key
+    assert idx.nlist() == 4

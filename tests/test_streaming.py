@@ -843,3 +843,39 @@ def test_curated_ingest_mor_store_o_batch_inserts(spark, tmp_path):
     # the O(batch) shape (create + assume_new insert, no rewrite)
     m = mor._read_manifest(mor.current_version())
     assert len(m["segments"]) == 2 and m["tombstones"] == []
+
+
+def test_curated_ingest_all_rejected_batch_commits_meta_only(spark, tmp_path):
+    """r6 ADVICE (ingest.py all-rejected branch): on an EXISTING store an
+    all-rejected batch persists its replay watermark via a meta-only
+    pointer rewrite — the version may not bump and no snapshot may be
+    rewritten (the old path inserted zero rows, which on cow rewrote the
+    whole corpus per rejected batch)."""
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    u1 = docs.filter(F.col("doc_id") < 40)
+    u2 = spark.createDataFrame(
+        [(100000 + i, "junk") for i in range(10)], "doc_id long, text string"
+    )
+    landing = str(tmp_path / "landing")
+    u1.coalesce(1).write.parquet(f"{landing}/b=000")
+    u2.coalesce(1).write.parquet(f"{landing}/b=001")
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="doc_id")
+    gate = lambda df: df.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    q = curated_ingest_to_store(
+        stream, store, str(tmp_path / "ckpt"), admit_filter=gate
+    )
+    q.awaitTermination(180)
+    # batch 1 created v1; batch 2 (all rejected) must NOT have committed
+    assert store.current_version() == 1
+    # ... yet its watermark is durable, so a replay stays a no-op
+    assert store.commit_meta()["curated_max_seen"] == 100009
