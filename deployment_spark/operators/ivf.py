@@ -86,6 +86,66 @@ class IVFIndex:
         self._write_centroids_parquet(centroids)
         return self
 
+    def build_from_centroids(
+        self,
+        df: DataFrame,
+        centroids: "np.ndarray | list",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Build the index layout from a GIVEN quantizer — the shape a
+        100 TB corpus actually uses: k-means runs on a driver-side
+        sample (or the centroids come from an earlier build), then the
+        corpus is assigned DISTRIBUTED via :meth:`assign_distributed`
+        and written partitioned. Unlike :meth:`build` there is no
+        KMeans fit over the data, and unlike :meth:`assign` the
+        centroid set may be large (nlist ≈ √n = 10⁴-10⁵): it travels
+        as a broadcast numpy matrix (nlist × dim floats — megabytes at
+        10⁵ lists), never as a Catalyst literal."""
+        cents = [list(map(float, c)) for c in np.asarray(centroids, dtype=np.float64)]
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._centroids_path, "w") as f:
+            json.dump({"nlist": len(cents), "dim": len(cents[0]), "centroids": cents}, f)
+        self._write_centroids_parquet(cents)
+        assigned = self.assign_distributed(df, vec_col=vec_col)
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            self._data_path
+        )
+        return self
+
+    def assign_distributed(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Nearest-centroid assignment for LARGE centroid sets: one numpy
+        argmin per Arrow batch against the broadcast centroid matrix.
+        The driver touches nlist × dim floats once (broadcast — the
+        same bounded contract as the PQ/SQ train samples), never the
+        corpus. Tie-break: np.argmin first-min == :meth:`assign` ==
+        the KMeans builder, so the three assignment paths agree."""
+        import pandas as pd
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cents = self.centroids()
+        bc = self.spark.sparkContext.broadcast(cents)
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField("cluster_id", IntegerType())]
+        )
+
+        def nearest(batches):
+            cmat = bc.value  # (nlist, dim)
+            c_sq = (cmat * cmat).sum(axis=1)  # precompute once per task
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                # argmin_j |v - c_j|^2 == argmin_j (c_j.c_j - 2 v.c_j);
+                # matmul keeps this O(rows x nlist x dim) vectorized
+                d2 = c_sq[None, :] - 2.0 * (v @ cmat.T)
+                pdf = pdf.copy()
+                pdf["cluster_id"] = np.argmin(d2, axis=1).astype("int32")
+                yield pdf
+
+        return df.mapInPandas(nearest, schema=out_schema)
+
     def _write_centroids_parquet(self, centroids: list) -> None:
         """Centroid table as DATA, not driver state: (cluster_id,
         centroid) parquet alongside the JSON. The JSON serves the

@@ -312,3 +312,32 @@ def test_nlist_survives_corrupt_centroids_json(spark, tmp_path, embeddings):
     with open(os.path.join(idx.root, "centroids.json"), "w") as f:
         f.write('{"dim": 64}')  # valid JSON, missing key
     assert idx.nlist() == 4
+
+
+def test_build_from_centroids_matches_literal_assign(spark, tmp_path, embeddings):
+    """build_from_centroids / assign_distributed (the broadcast-numpy
+    scale path for nlist >> 100) must reproduce the Catalyst literal
+    assign() row for row — same argmin, same first-min tie-break."""
+    emb = embeddings.limit(300)
+    built = IVFIndex(spark, str(tmp_path / "a")).build(emb, nlist=8)
+    twin = IVFIndex(spark, str(tmp_path / "b")).build_from_centroids(
+        emb, built.centroids()
+    )
+    lit = {r.vec_id: r.cluster_id for r in built.assign(emb).collect()}
+    dist = {r.vec_id: r.cluster_id for r in twin.assign_distributed(emb).collect()}
+    assert lit == dist
+    stored = {r.vec_id: r.cluster_id for r in twin.data().collect()}
+    assert stored == lit
+    assert twin.nlist() == 8
+
+
+def test_ann_recall_distributed_group_is_exact(spark, sf_dir):
+    """The r7 ann_recall widening: the (ivf, distributed) group runs
+    route_distributed on a hand-seeded nlist > 1,024 index whose
+    construction makes recall 1.0 the only correct answer."""
+    from deployment_spark.queries import q_ivf_distributed_recall
+
+    rows = q_ivf_distributed_recall(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.recall_at_10 == 1.0 for r in rows)
+    assert all(r.meets_floor for r in rows)

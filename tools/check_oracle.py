@@ -123,12 +123,14 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
     from deployment_spark.operators.pq import PQCodec
     from deployment_spark.operators.sq import SQCodec
     from deployment_spark.queries import (
+        IVF_DISTRIBUTED_FLOOR,
         IVF_RECALL_FLOOR,
         IVFPQ_RERANK_FLOOR,
         PQ_ADC_FLOOR,
         PQ_RERANK_FLOOR,
         SQ_ADC_FLOOR,
         SQ_RERANK_FLOOR,
+        _ivf_big_index,
         _ivf_index,
         _t,
     )
@@ -153,6 +155,24 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
             .select("query_id", "vec_id").collect()
         ),
         IVF_RECALL_FLOOR,
+    )
+
+    # distributed routing on the hand-seeded nlist > 1,024 index: the
+    # approximate set comes from the engine's route_distributed path
+    # (the object under test — NO driver centroid collect inside), the
+    # exact set and arithmetic stay independent; the one-doc-per-cluster
+    # construction makes 1.0 the only correct mean (floor is equality)
+    big_index, big_emb = _ivf_big_index(spark, spark_sf)
+    assert big_index.nlist() > 1024, big_index.nlist()
+    copies = -(-big_index.nlist() // big_emb.count())
+    specs[("ivf", "distributed")] = (
+        _pairs_to_sets(
+            big_index.search(
+                raw_queries, k=k, nprobe=copies * k, routing="distributed"
+            )
+            .select("query_id", "vec_id").collect()
+        ),
+        IVF_DISTRIBUTED_FLOOR,
     )
 
     pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
