@@ -580,6 +580,19 @@ class SnapshotStore:
         """A6 — ``index.ntotal`` / ``collection.num_entities``."""
         return self.read().count() if self.exists() else 0
 
+    def snapshot_dir(self, version: int | None = None) -> str:
+        """Filesystem path of a cow snapshot — for composing the store
+        with path-oriented readers (e.g. pointing IVFIndex's
+        ``data_path`` at a cluster-partitioned snapshot so nprobe
+        partition pruning runs directly on store files). mor snapshots
+        are manifests, not single directories — use :meth:`read`."""
+        if self.mode != "cow":
+            raise ValueError("snapshot_dir is cow-only; mor state is a manifest")
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"snapshot store {self.root} is empty")
+        return self._snapshot_path(v)
+
     # -- mutations (each returns the new version) ---------------------------
 
     def create(self, df: DataFrame, meta: dict | None = None) -> int:

@@ -44,13 +44,22 @@ class IVFIndex:
     """Partitioned-parquet IVF index: ``root/data/cluster_id=*/...`` plus
     ``root/centroids.json``."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, data_path: str | None = None
+    ) -> None:
+        """``data_path`` points the index at EXTERNAL cluster-partitioned
+        data instead of ``root/data`` — e.g. a SnapshotStore snapshot
+        maintained by streaming ingest with ``transform=index.assign``
+        (SURVEY §7.1 M7): the store IS the inverted-list layout, and
+        search prunes its partitions exactly like an index-owned one.
+        The quantizer (centroids) still lives under ``root``."""
         self.spark = spark
         self.root = root
+        self._data_override = data_path
 
     @property
     def _data_path(self) -> str:
-        return os.path.join(self.root, "data")
+        return self._data_override or os.path.join(self.root, "data")
 
     @property
     def _centroids_path(self) -> str:

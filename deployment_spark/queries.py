@@ -4368,12 +4368,31 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs in the test data — with no batch-vs-incremental equivalence
     assumption. The one-shot whole-corpus chain equivalence (and its
     documented transitive-chain divergence) is pinned separately in
-    tests/test_dedup.py."""
+    tests/test_dedup.py.
+
+    r7 fold (VERDICT r6 next #3 — SURVEY §7.1 M7's foreachBatch index
+    maintenance, driver-gated): scope='vecsearch' rows prove the ANN
+    index stays correct WHILE curated batches land. The admitted
+    corpus's embeddings (vec = embeddings[(doc_id % 10M) % 1M], a
+    deterministic remap both engines share) stream batch-by-batch
+    through ``ingest_to_store(transform=IVFIndex.assign)`` into a
+    cluster-partitioned SnapshotStore — the store IS the inverted-list
+    layout — and a post-ingest full-probe search over the store
+    snapshot (``IVFIndex(data_path=store.snapshot_dir())``) must
+    hash-match exact cosine top-5 computed by DuckDB over the same
+    kept set. Full probe makes the search SQL-expressible; the
+    nprobe < nlist pruning of the same streamed-store path is pinned
+    in tests/test_ivf.py (plan-asserted partition filters).
+    Column mapping: admission rows (k1=batch_id, k2=doc_id,
+    flag=admitted as 0/1 — a BIGINT because nullable booleans
+    stringify asymmetrically across the two compare sides); vecsearch
+    rows (k1=query_id, k2=result doc_id, k3=rank, val=similarity)."""
     import shutil
     import tempfile
 
     from deployment_spark.operators.crud import SnapshotStore
-    from deployment_spark.streaming.ingest import curated_ingest_to_store
+    from deployment_spark.operators.ivf import IVFIndex
+    from deployment_spark.streaming.ingest import curated_ingest_to_store, ingest_to_store
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     M = 10_000_000
@@ -4435,15 +4454,79 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(b2.select(F.lit(2).cast("long").alias("batch_id"), "doc_id"))
         )
         kept = store.read().select("doc_id", F.lit(True).alias("_adm"))
-        return (
+        admission = (
             ledger.join(kept, "doc_id", "left")
             .select(
-                "batch_id",
-                F.col("doc_id").cast("long").alias("doc_id"),
-                F.coalesce("_adm", F.lit(False)).alias("admitted"),
+                F.lit("admission").alias("scope"),
+                F.col("batch_id").alias("k1"),
+                F.col("doc_id").cast("long").alias("k2"),
+                F.lit(None).cast("long").alias("k3"),
+                F.coalesce("_adm", F.lit(False)).cast("long").alias("flag"),
+                F.lit(None).cast("double").alias("val"),
             )
-            .localCheckpoint()  # materialize before the tmp store is removed
         )
+
+        # -- vecsearch probe: index maintenance WHILE batches land ------
+        emb = _t(spark, sf_dir, "embeddings")
+        kept_vec = (
+            store.read()
+            .select("doc_id")
+            .join(
+                emb.select(F.col("vec_id").alias("_orig"), "embedding"),
+                ((F.col("doc_id") % M) % 1_000_000) == F.col("_orig"),
+            )
+            .select("doc_id", "embedding")
+        )
+        # quantizer trained on batch 0's admitted vectors (seeded KMeans);
+        # the stream then routes EVERY batch through assign() into the
+        # same layout — the incremental path a build() never sees
+        idx = IVFIndex(spark, os.path.join(root, "ivfq")).build(
+            kept_vec.filter(F.col("doc_id") < M), id_col="doc_id", nlist=8
+        )
+        vec_landing = os.path.join(root, "vec_landing")
+        for i in range(3):
+            kept_vec.filter(F.floor(F.col("doc_id") / M) == i).coalesce(1).write.parquet(
+                os.path.join(vec_landing, f"b={i:03d}")
+            )
+        vec_store = SnapshotStore(
+            spark,
+            os.path.join(root, "vec_corpus"),
+            key="doc_id",
+            partition_by="cluster_id",
+        )
+        vq = ingest_to_store(
+            (
+                spark.readStream.schema(kept_vec.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(vec_landing)
+            ),
+            vec_store,
+            os.path.join(root, "vec_ckpt"),
+            transform=idx.assign,
+        )
+        vq.awaitTermination(600)
+        # the streamed store IS the index data: full-probe search over
+        # its snapshot must equal exact cosine top-5 (SQL-expressible)
+        searcher = IVFIndex(
+            spark, idx.root, data_path=vec_store.snapshot_dir()
+        )
+        queries = kept_vec.orderBy("doc_id").limit(5).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        vecsearch = searcher.search(
+            queries, k=5, nprobe=10**9, id_col="doc_id"
+        ).select(
+            F.lit("vecsearch").alias("scope"),
+            F.col("query_id").cast("long").alias("k1"),
+            F.col("doc_id").cast("long").alias("k2"),
+            F.col("rank").cast("long").alias("k3"),
+            F.lit(None).cast("long").alias("flag"),
+            F.round("similarity", 4).alias("val"),
+        )
+        # materialize before the tmp store is removed
+        return admission.unionByName(vecsearch).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4541,14 +4624,35 @@ WITH RECURSIVE b0 AS MATERIALIZED (
   WHERE doc_id % 3 = 2 AND doc_id < 15
 ), kept0 AS MATERIALIZED (
   SELECT doc_id, text FROM b0 WHERE 1 = 0
-),{stage_sql}
-SELECT lb.batch_id::BIGINT AS batch_id, lb.doc_id::BIGINT AS doc_id,
-       (k.doc_id IS NOT NULL) AS admitted
+),{stage_sql},
+keptv AS MATERIALIZED (
+  -- the vecsearch probe's corpus: admitted docs carrying the shared
+  -- deterministic embedding remap (see q_incremental_dedup docstring)
+  SELECT k.doc_id, e.embedding::DOUBLE[] AS v
+  FROM kept3 k JOIN embeddings e ON (k.doc_id % {m}) % 1000000 = e.vec_id
+), vq AS MATERIALIZED (
+  SELECT doc_id AS query_id, v AS qv FROM keptv ORDER BY doc_id LIMIT 5
+), vr AS (
+  SELECT query_id, doc_id,
+         list_cosine_similarity(keptv.v, vq.qv) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(keptv.v, vq.qv) DESC, doc_id
+         ) AS rank
+  FROM keptv CROSS JOIN vq
+)
+SELECT 'admission' AS scope, lb.batch_id::BIGINT AS k1,
+       lb.doc_id::BIGINT AS k2, CAST(NULL AS BIGINT) AS k3,
+       (k.doc_id IS NOT NULL)::BIGINT AS flag, CAST(NULL AS DOUBLE) AS val
 FROM (
   SELECT 0 AS batch_id, doc_id FROM b0
   UNION ALL SELECT 1, doc_id FROM b1
   UNION ALL SELECT 2, doc_id FROM b2
 ) lb LEFT JOIN kept3 k ON k.doc_id = lb.doc_id
+UNION ALL
+SELECT 'vecsearch', query_id::BIGINT, doc_id::BIGINT, rank::BIGINT,
+       CAST(NULL AS BIGINT), round(sim, 4)
+FROM vr WHERE rank <= 5
 """
 
 

@@ -341,3 +341,53 @@ def test_ann_recall_distributed_group_is_exact(spark, sf_dir):
     assert len(rows) == 20
     assert all(r.recall_at_10 == 1.0 for r in rows)
     assert all(r.meets_floor for r in rows)
+
+
+def test_streamed_store_snapshot_is_prunable_index_data(spark, sf_dir, tmp_path):
+    """r7 (VERDICT r6 next #3 support): point IVFIndex at a snapshot the
+    streaming ingest maintained (data_path=store.snapshot_dir()) — the
+    pruned search must carry a partition filter over the STORE's files
+    and match the driver-gated full-probe semantics on the probed lists."""
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.plans import audit
+    from deployment_spark.streaming.ingest import ingest_to_store
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = IVFIndex(spark, str(tmp_path / "quant")).build(emb.limit(200), nlist=8)
+    landing = str(tmp_path / "landing")
+    emb.repartition(3).write.parquet(landing)
+    store = SnapshotStore(
+        spark, str(tmp_path / "vstore"), key="vec_id", partition_by="cluster_id"
+    )
+    q = ingest_to_store(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+        store,
+        str(tmp_path / "ckpt"),
+        transform=idx.assign,
+    )
+    q.awaitTermination(120)
+    assert store.count() == emb.count()
+
+    searcher = IVFIndex(spark, idx.root, data_path=store.snapshot_dir())
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pruned = searcher.search(queries, k=3, nprobe=2)
+    assert audit.has_partition_filters(pruned)
+    assert "cluster_id" in audit.physical_plan(pruned)
+    # rank-1 self-hit survives pruning (query's own cluster probed first)
+    for r in pruned.collect():
+        if r.rank == 1:
+            assert r.vec_id == r.query_id
+    # full probe over the streamed snapshot == exact brute force
+    got = searcher.search(queries, k=3, nprobe=10**9).select(
+        "query_id", "vec_id", "rank"
+    ).collect()
+    want = topk_similarity_join(emb, queries, k=3).select(
+        "query_id", "vec_id", "rank"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
