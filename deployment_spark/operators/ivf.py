@@ -40,6 +40,19 @@ def reference_nlist(n: int) -> int:
     return max(1, min(100, int(n**0.5)))
 
 
+# routing="auto" switches driver → distributed above this list count.
+# MEASURED, not asserted (tools/routing_probe.py, r7 — BASELINE.md
+# "routing crossover" table): driver routing cost is linear in nlist
+# (centroids.json parse dominates: 0.09 s at 4k, 0.36 s at 16k, 1.5 s
+# at 64k lists) while the distributed route is flat ≈ 0.5 s; the two
+# curves cross at ≈ 4-5k lists on the local[32] host. 4,096 sits at the
+# measured crossover AND keeps the driver's resident centroid matrix
+# ≤ 2 MiB — above it, distributed is both faster and the only
+# driver-safe choice as nlist heads toward the 10⁴-10⁵ a 100 TB corpus
+# needs.
+AUTO_DISTRIBUTED_NLIST = 4096
+
+
 class IVFIndex:
     """Partitioned-parquet IVF index: ``root/data/cluster_id=*/...`` plus
     ``root/centroids.json``."""
@@ -431,10 +444,15 @@ class IVFIndex:
         (≤ nq × nprobe ints, bounded by the query-batch contract, not by
         nlist), which becomes the same literal partition-pruning filter.
         This path stays correct (and driver-safe) at nlist ≈ √n =
-        10⁴-10⁵ on a 100 TB corpus. 'auto' picks driver below 1,024
-        lists, distributed above."""
+        10⁴-10⁵ on a 100 TB corpus. 'auto' picks driver at or below
+        AUTO_DISTRIBUTED_NLIST (4,096 — the measured crossover, see the
+        constant's note), distributed above."""
         if routing == "auto":
-            routing = "driver" if self.nlist() <= 1024 else "distributed"
+            routing = (
+                "driver"
+                if self.nlist() <= AUTO_DISTRIBUTED_NLIST
+                else "distributed"
+            )
         if routing == "distributed":
             if queries.isEmpty():
                 return self.search_empty(query_id, id_col)

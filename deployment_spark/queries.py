@@ -3148,9 +3148,11 @@ _IVF_BIG_CACHE: dict[str, str] = {}
 
 def _ivf_big_index(spark: SparkSession, sf_dir: str):
     """Build-once-per-process LARGE-nlist IVF index (nlist > 1,024 — the
-    nlist ≈ √n regime of a 100 TB corpus, where routing MUST run
-    distributed: a driver centroid collect at 10⁴-10⁵ lists is the
-    scale bug route_distributed exists to avoid). Hand-seeded, not
+    nlist ≈ √n regime of a 100 TB corpus, where routing runs
+    distributed: past the measured AUTO_DISTRIBUTED_NLIST crossover a
+    driver centroid collect is slower, and at 10⁴-10⁵ lists it is the
+    scale bug route_distributed exists to avoid; this entry routes
+    "distributed" explicitly). Hand-seeded, not
     KMeans (the quantizer fit is not the thing under test):
     centroid_i = embedding_{i mod n} with nlist = max(1280, n).
 
