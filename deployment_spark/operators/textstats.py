@@ -145,6 +145,102 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return out.withColumn(out_col, stage)
 
 
+# HTML stripping (r7 — VERDICT r6 next #6): the one widely-used
+# pretraining-cleanup step the text family lacked. jusText/trafilatura-
+# style in spirit, expressed as the same shuffle-free Catalyst regex/
+# array projections as scrub_pii. The pattern constants are SHARED with
+# the DuckDB oracle builder in queries.py so the two engines can never
+# drift: every pattern is RE2-compatible (no backreferences, no
+# lookaround) AND Java-regex-compatible, with inline (?is) flags.
+HTML_BLOCK_PATTERNS: list[str] = [
+    # script/style bodies are payload, not text; comments likewise.
+    # Two patterns instead of <(script|style)>...</\1> because RE2 (the
+    # DuckDB oracle's engine) has no backreferences.
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+# closing block-level tags and <br> become newlines so the line-level
+# boilerplate filter sees the document's visual line structure
+HTML_BREAK_PATTERN = (
+    r"(?i)</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote"
+    r"|title|head|html|body|header|footer|section|article|nav)>|<br[^>]*>"
+)
+HTML_TAG_PATTERN = r"<[^>]*>"
+# fixed entity set, unescaped AFTER tag stripping (standard order: an
+# escaped '&lt;tag&gt;' must surface as literal text, never as a tag).
+# '&amp;' goes last so it cannot manufacture new entities.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+HTML_MIN_LINE_WORDS = 4  # jusText-lite: shorter lines without terminal
+HTML_LINE_PUNCT = r"[.!?]$"  # punctuation are nav/footer boilerplate
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Strip tags and drop boilerplate lines from HTML-ish text — the
+    standard first pass over crawled pretraining data. Stages (each a
+    codegen regexp/array projection; one linear scan, zero Python,
+    zero shuffles):
+
+    1. remove ``<script>``/``<style>`` bodies and HTML comments;
+    2. turn closing block tags and ``<br>`` into newlines (preserves
+       the visual line structure the boilerplate filter needs);
+    3. strip every remaining tag;
+    4. unescape the fixed entity set (after tag-stripping, so escaped
+       markup stays text);
+    5. per line: collapse whitespace, trim, drop empty lines, then
+       drop lines with fewer than ``HTML_MIN_LINE_WORDS`` words that
+       don't end in sentence punctuation — the jusText-lite heuristic
+       that removes nav/footer/menu fragments while keeping headlines
+       that end a sentence;
+    6. re-join kept lines with newlines.
+
+    Adds: ``out_col`` (cleaned text), ``n_tags`` (tags stripped),
+    ``n_lines_kept``, ``n_lines_dropped`` (boilerplate lines removed;
+    empty lines count as structure, not content, and are excluded from
+    both). Mirrored 1:1 by the DuckDB oracle via the shared pattern
+    constants (queries.py _strip_html_sql)."""
+    out_col = out_col or f"{text_col}_clean"
+    stage = F.col(text_col)
+    n_tags = F.regexp_count(stage, F.lit(HTML_TAG_PATTERN)).cast("long")
+    for pat in HTML_BLOCK_PATTERNS:
+        stage = F.regexp_replace(stage, pat, "")
+    stage = F.regexp_replace(stage, HTML_BREAK_PATTERN, "\n")
+    stage = F.regexp_replace(stage, HTML_TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        stage = F.replace(stage, F.lit(ent), F.lit(rep))
+    lines = F.transform(
+        F.split(stage, "\n"),
+        lambda l: F.trim(F.regexp_replace(l, r"\s+", " ")),
+    )
+    nonempty = F.filter(lines, lambda l: F.length(l) > 0)
+    kept = F.filter(
+        nonempty,
+        lambda l: (F.size(F.split(l, " ")) >= HTML_MIN_LINE_WORDS)
+        | l.rlike(HTML_LINE_PUNCT),
+    )
+    return (
+        df.withColumn("n_tags", n_tags)
+        .withColumn("_nonempty", nonempty)
+        .withColumn("_kept", kept)
+        .withColumn("n_lines_kept", F.size("_kept").cast("long"))
+        .withColumn(
+            "n_lines_dropped",
+            (F.size("_nonempty") - F.size("_kept")).cast("long"),
+        )
+        .withColumn(out_col, F.array_join("_kept", "\n"))
+        .drop("_nonempty", "_kept")
+    )
+
+
 def add_compressibility(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Compression-ratio quality signal — the classic boilerplate/spam
     detector (highly compressible text = repetitive templates; near 1.0

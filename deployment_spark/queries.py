@@ -989,7 +989,17 @@ def q_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the former stage_ordered_metrics entry — T4 categorical ordered sort
     (Milvus/stream1.py:548-556, the fixed Initial Load → Add → Delete →
     Update pipeline ordering via array_position; unseen categories sort
-    last) — out holds the stage_rank, val the per-stage avg_value."""
+    last) — out holds the stage_rank, val the per-stage avg_value.
+
+    r7 fold (VERDICT r6 next #6): fn='html_strip' rows gate the HTML/
+    boilerplate stripping operator (textstats.strip_html) — every doc
+    is wrapped in a deterministic HTML template (head/script/style/
+    nav/footer boilerplate + entity-escaped text in the body; same
+    construction in the oracle), stripped, and value-checked via
+    md5(cleaned) so one mis-stripped character fails the gate. The
+    oracle mirrors the regex chain 1:1 via the SHARED pattern
+    constants (_strip_html_sql) — out=md5(clean), n=n_tags,
+    val=n_lines_dropped."""
     ev = _t(spark, sf_dir, "events")
     ser = ev.select(
         F.lit("serialize").alias("fn"),
@@ -1024,7 +1034,46 @@ def q_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("n"),
         F.col("avg_value").alias("val"),
     )
-    return ser.unionByName(hist).unionByName(stage)
+    from deployment_spark.operators.textstats import strip_html
+
+    wrapped = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(HTML_WRAP_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(HTML_WRAP_POST),
+        ).alias("text"),
+    )
+    html = strip_html(wrapped).select(
+        F.lit("html_strip").alias("fn"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.md5("text_clean").alias("out"),
+        F.col("n_tags").alias("n"),
+        F.col("n_lines_dropped").cast("double").alias("val"),
+    )
+    return ser.unionByName(hist).unionByName(stage).unionByName(html)
+
+
+# deterministic HTML wrapper for the html_strip gate probe — shared
+# verbatim between the Spark entry and the DuckDB oracle. Boilerplate
+# by construction: 2-word title, 2-word nav, 3-word footer (all below
+# HTML_MIN_LINE_WORDS, no terminal punctuation → dropped), script/
+# style/comment payload (removed), and entity-escaped markup in the
+# body that must surface as TEXT (unescape runs after tag-stripping).
+HTML_WRAP_PRE = (
+    '<html><head><title>Doc '
+)
+HTML_WRAP_MID = (
+    '</title><script type="text/javascript">var x = 1 < 2; // <p>not text</p>'
+    "</script><style>.nav (color:red)</style><!-- hidden <b>comment</b> -->"
+    '</head><body><div class="nav">Home About</div><p>'
+)
+HTML_WRAP_POST = (
+    " AT&amp;T says &lt;tags&gt; stay text &#39;quoted&#39;.</p><br>"
+    '<div class="foot">Copyright Example Corp</div></body></html>'
+)
 
 
 SQL_TEXT_FUNCTIONS = """
@@ -1053,6 +1102,68 @@ FROM (
   FROM events GROUP BY event_type
 )
 """
+
+
+def _strip_html_union_sql() -> str:
+    """The html_strip oracle arm, generated FROM the operator's own
+    pattern constants (textstats) — Spark and DuckDB run literally the
+    same regex chain, so the two sides cannot drift. All patterns are
+    RE2-safe; backslashes interpolate verbatim (DuckDB string literals
+    do not process escapes)."""
+    from deployment_spark.operators.textstats import (
+        HTML_BLOCK_PATTERNS,
+        HTML_BREAK_PATTERN,
+        HTML_ENTITIES,
+        HTML_LINE_PUNCT,
+        HTML_MIN_LINE_WORDS,
+        HTML_TAG_PATTERN,
+    )
+
+    stage = "text"
+    for pat in HTML_BLOCK_PATTERNS:
+        stage = f"regexp_replace({stage}, '{pat}', '', 'g')"
+    stage = f"regexp_replace({stage}, '{HTML_BREAK_PATTERN}', chr(10), 'g')"
+    stage = f"regexp_replace({stage}, '{HTML_TAG_PATTERN}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        stage = f"replace({stage}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    lines = (
+        f"list_transform(string_split({stage}, chr(10)), "
+        "l -> trim(regexp_replace(l, '\\s+', ' ', 'g')))"
+    )
+    return f"""
+SELECT 'html_strip' AS fn, doc_id::VARCHAR AS key,
+       md5(array_to_string(kept, chr(10))) AS out,
+       n_tags::BIGINT AS n, (len(nonempty) - len(kept))::DOUBLE AS val
+FROM (
+  SELECT doc_id, n_tags, nonempty,
+         list_filter(nonempty,
+           l -> len(string_split(l, ' ')) >= {HTML_MIN_LINE_WORDS}
+                OR regexp_matches(l, '{HTML_LINE_PUNCT}')) AS kept
+  FROM (
+    SELECT doc_id, n_tags, list_filter(lines, l -> len(l) > 0) AS nonempty
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{HTML_TAG_PATTERN}')) AS n_tags,
+             {lines} AS lines
+      FROM (
+        SELECT doc_id,
+               '{{PRE}}' || doc_id::VARCHAR || '{{MID}}' || text || '{{POST}}' AS text
+        FROM documents
+      )
+    )
+  )
+)
+"""
+
+
+SQL_TEXT_FUNCTIONS = (
+    SQL_TEXT_FUNCTIONS.rstrip()
+    + "\nUNION ALL"
+    + _strip_html_union_sql()
+    .replace("{PRE}", HTML_WRAP_PRE)
+    .replace("{MID}", HTML_WRAP_MID)
+    .replace("{POST}", HTML_WRAP_POST)
+)
 
 
 def q_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
