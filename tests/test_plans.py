@@ -364,3 +364,40 @@ def test_doc_quality_single_scan_no_exchange(spark, sf_dir):
     plan = audit.physical_plan(df)
     assert audit.count_exchanges(df) == 0, plan
     assert plan.count("documents.parquet") <= 1
+
+
+def test_expensive_entries_exchange_budget(spark, sf_dir):
+    """r7 (VERDICT r6 next #8): pinned exchange-count ceilings for the
+    most expensive bench entries (top of BENCH_r06 by time). A future
+    edit that introduces an extra shuffle into one of these plans fails
+    THIS test, instead of surfacing as a quiet bench regression a round
+    later. Ceilings are the counts measured at pin time — an entry
+    whose budget drops can tighten its row; one that must grow has to
+    justify the new exchange here.
+
+    Entries that localCheckpoint internally (dsir_select's feature
+    pass, semantic_dedup's components) show only their POST-checkpoint
+    exchanges — the internal stages have their own shape tests."""
+    from deployment_spark.plans import audit
+    from deployment_spark.queries import REGISTRY
+
+    BUDGET = {
+        "dsir_select": 0,        # post-checkpoint: broadcast ratio join only
+        "semantic_dedup": 2,
+        "doc_ngram_jaccard": 4,  # shingle agg + prefix join + 2 verify joins
+        "doc_minhash_lsh": 2,    # signature agg + band join
+        "skewed_topn": 2,        # salted partial + final top-N
+        "hybrid_search": 11,     # BM25 ⊕ cosine ⊕ RRF composition
+        "doc_exact_dedup": 2,    # docs md5 window + lineitem keep-first fold
+        "embedding_neardup": 2,  # band join + pair dedup
+        "doc_bm25_topk": 2,
+        "doc_lm_score": 6,       # token stats + unigram join + rollup
+        "ivf_topk": 1,           # routing broadcast join + top-k window
+    }
+    over = {}
+    for name, ceiling in BUDGET.items():
+        df = REGISTRY[name][0](spark, sf_dir)
+        n = audit.count_exchanges(df)
+        if n > ceiling:
+            over[name] = (n, ceiling)
+    assert not over, f"exchange budget exceeded (got, ceiling): {over}"
