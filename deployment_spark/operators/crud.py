@@ -792,10 +792,14 @@ class SnapshotStore:
         current = self.current_version()
         removed = []
         # consumed claim markers (<= published version) are spent commit
-        # tombstones — sweep them with the versions they claimed
+        # tombstones — sweep them with the versions they claimed.
+        # missing_ok: two maintenance calls may race each other benignly.
         for name in sorted(os.listdir(self.root)):
             if name.startswith("claim.v") and int(name[len("claim.v"):]) <= current:
-                os.remove(os.path.join(self.root, name))
+                try:
+                    os.remove(os.path.join(self.root, name))
+                except FileNotFoundError:
+                    pass
         if self.mode == "mor":
             referenced: set[str] = set()
             for v in range(max(current - keep_last + 1, 1), current + 1):
@@ -813,7 +817,22 @@ class SnapshotStore:
                     and (name.startswith("s") or name.startswith("t"))
                     and name not in referenced
                 ):
-                    shutil.rmtree(full)
+                    # Segment/tombstone names encode the version that
+                    # claimed them. A dir ABOVE the published version is
+                    # a live writer's IN-FLIGHT files (claimed, not yet
+                    # committed) — sweeping it raced the write both ways
+                    # (this rmtree crashed mid-walk, and a finished-but-
+                    # unpublished segment would be silently destroyed
+                    # before its manifest landed: data loss). Found by
+                    # the r7 concurrent-reader maintenance test. Crashed-
+                    # future orphans are reclaimed later: after
+                    # recover_claims a new writer overwrites the name,
+                    # or once the version is passed the dir falls to
+                    # <= current and unreferenced, sweepable then.
+                    tail = name[1:]
+                    if not tail.isdigit() or int(tail) > current:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
             return removed
         for v in range(1, max(current - keep_last + 1, 1)):
             path = self._snapshot_path(v)

@@ -3884,7 +3884,14 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt_batch"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # sum in DECIMAL: double partial-sums are order-dependent, and
+            # at 10x data (derived sf1 panel) a .005-boundary total flipped
+            # one cent between Spark's and DuckDB's summation orders.
+            # Decimal addition is associative - scale-independent by
+            # construction (the money-sum rule).
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
     )
     return stream_counts.join(batch_counts, ["window_start", "event_type"])
@@ -3893,7 +3900,7 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_HOURLY_COUNTS = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS cnt, count(*) AS cnt_batch,
-       round(sum(value), 2) AS total_value
+       round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total_value
 FROM events GROUP BY 1, 2
 """
 

@@ -622,3 +622,35 @@ def test_update_meta_is_meta_only(spark, tmp_path, mode):
     empty = SnapshotStore(spark, str(tmp_path / "empty"), key="id")
     with pytest.raises(ValueError):
         empty.update_meta({"x": 1})
+
+
+def test_vacuum_never_sweeps_inflight_segments(spark, tmp_path):
+    """r7 (found by the concurrent-reader maintenance test): a mor
+    segment/tombstone dir whose version is ABOVE the published pointer
+    belongs to a live writer that has claimed but not yet committed —
+    vacuum must leave it alone (sweeping it raced the in-flight write:
+    rmtree crashed mid-walk, and a finished-but-unpublished segment
+    could be destroyed before its manifest landed). Once the version
+    is published, normal retention applies again."""
+    s = SnapshotStore(spark, str(tmp_path / "s"), key="id", mode="mor")
+    s.create(mk(spark, [(1, "a")]))
+    assert s.current_version() == 1
+    # simulate a concurrent writer mid-commit: claim v2 + s000002 dir
+    # written, manifest/pointer not yet swapped
+    s._claim_version(2)
+    mk(spark, [(2, "b")]).write.parquet(os.path.join(s.root, "s000002"))
+    s.vacuum(keep_last=1)
+    assert os.path.isdir(os.path.join(s.root, "s000002")), "in-flight segment swept"
+    # the writer completes its commit: the segment is now published
+    m = s._read_manifest(1)
+    s._commit_manifest(
+        m["segments"] + [s._entry("s000002", 2, 2, 2)], m["tombstones"], version=2
+    )
+    assert sorted(r.id for r in s.read().collect()) == [1, 2]
+    # published history obeys retention: compact to v3, vacuum, and the
+    # now-unreferenced old segments (<= current) ARE swept
+    s.compact()
+    s.vacuum(keep_last=1)
+    names = set(os.listdir(s.root))
+    assert "s000003" in names and "s000001" not in names and "s000002" not in names
+    assert sorted(r.id for r in s.read().collect()) == [1, 2]

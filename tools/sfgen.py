@@ -79,10 +79,14 @@ def main() -> None:
         )
 
     def jit(expr: str, salt: str, pct: float = 0.005) -> str:
-        """value * (1 ± pct), hash-derived, deterministic."""
+        """value * (1 ± pct), hash-derived, deterministic. Rounded to 2
+        decimals — the source columns are all exactly 2-dec, and a
+        4-dec jitter put values on .xx5 half-up boundaries where Spark
+        and DuckDB round(x, 2) disagree by one cent (first sf1 gate
+        run caught exactly that in store_range_read/streaming)."""
         return (
             f"round({expr} * (1.0 + {pct} * "
-            f"(((hash({salt} || '|' || c::VARCHAR) % 1000)::BIGINT - 500) / 500.0)), 4)"
+            f"(((hash({salt} || '|' || c::VARCHAR) % 1000)::BIGINT - 500) / 500.0)), 2)"
         )
 
     def write(table: str, sql: str) -> None:
