@@ -204,13 +204,21 @@ class SnapshotStore:
         that both read version N race to claim N+1; the loser gets
         ConcurrentCommitError instead of silently overwriting the
         winner's snapshot — the lost-update failure snapshot isolation
-        alone does not prevent. Claims are tiny permanent tombstones of
-        commit attempts; vacuum ignores them."""
+        alone does not prevent.
+
+        The marker alone is NOT sufficient once maintenance runs:
+        vacuum sweeps consumed markers (<= published version), so a
+        STALE writer could win the O_EXCL race for an already-published
+        version whose marker was swept and overwrite committed files
+        (r7 review finding). A successful claim therefore also
+        validates freshness against the pointer: the claimed version
+        must be exactly published+1. The order matters — marker first,
+        THEN the pointer read — so between the two steps no concurrent
+        writer can publish the claimed version (publishing requires
+        this same marker)."""
+        marker = os.path.join(self.root, f"claim.v{version:06d}")
         try:
-            fd = os.open(
-                os.path.join(self.root, f"claim.v{version:06d}"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
         except FileExistsError:
             raise ConcurrentCommitError(
@@ -219,6 +227,20 @@ class SnapshotStore:
                 "if the claimant crashed mid-commit, run recover_claims() "
                 "once no writer is live"
             ) from None
+        current = self.current_version()
+        if current != version - 1:
+            # stale claim: the version was already published (its spent
+            # marker may have been vacuumed). Remove our marker — the
+            # version stays protected by this same check for any later
+            # stale claimant — and fail loudly like the marker race.
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
+            raise ConcurrentCommitError(
+                f"version {version} is stale: store {self.root} is already "
+                f"at v{current}; re-read and retry the mutation"
+            )
 
     def recover_claims(self) -> list[int]:
         """Crash recovery: remove claim markers ABOVE the published

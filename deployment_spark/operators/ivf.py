@@ -42,15 +42,17 @@ def reference_nlist(n: int) -> int:
 
 # routing="auto" switches driver → distributed above this list count.
 # MEASURED, not asserted (tools/routing_probe.py, r7 — BASELINE.md
-# "routing crossover" table): driver routing cost is linear in nlist
-# (centroids.json parse dominates: 0.09 s at 4k, 0.36 s at 16k, 1.5 s
-# at 64k lists) while the distributed route is flat ≈ 0.5 s; the two
-# curves cross at ≈ 4-5k lists on the local[32] host. 4,096 sits at the
-# measured crossover AND keeps the driver's resident centroid matrix
-# ≤ 2 MiB — above it, distributed is both faster and the only
-# driver-safe choice as nlist heads toward the 10⁴-10⁵ a 100 TB corpus
-# needs.
-AUTO_DISTRIBUTED_NLIST = 4096
+# "routing crossover (corrected)" table): driver routing cost is linear
+# in nlist (centroids.json parse dominates: 0.11 s at 4k, 0.41 s at
+# 16k, 1.6 s at 64k lists) while the distributed route is flat ≈ 0.5 s;
+# the curves cross at ≈ 8k lists on the local[32] host (fit 7,902; at
+# 16k driver already loses, 0.73 vs 0.51). 8,192 sits at the measured
+# crossover — below it the FAISS-style in-RAM quantizer is faster,
+# above it distributed wins on latency and is the only driver-safe
+# shape as nlist heads toward the 10⁴-10⁵ a 100 TB corpus needs. (The
+# probe's first cut double-counted the JSON parse and published 4,096;
+# corrected same-round by review.)
+AUTO_DISTRIBUTED_NLIST = 8192
 
 
 class IVFIndex:
@@ -140,10 +142,18 @@ class IVFIndex:
         argmin per Arrow batch against the broadcast centroid matrix.
         The driver touches nlist × dim floats once (broadcast — the
         same bounded contract as the PQ/SQ train samples), never the
-        corpus. Tie-break: np.argmin first-min == :meth:`assign` ==
-        the KMeans builder, so the three assignment paths agree."""
-        import pandas as pd
+        corpus.
 
+        Agreement with :meth:`assign` (the Catalyst literal path): the
+        EXACT-tie break is identical (first-min index in both), pinned
+        by test. For near-equidistant centroids the two paths compute
+        distance with different float formulations (c·c − 2v·c via
+        BLAS here vs per-component Σ(v−c)² in codegen), so a vector
+        whose two nearest centroids differ by ~1 ulp can land in
+        either list — harmless for full-probe search (exact rerank),
+        and for pruned search bounded like any quantizer boundary case
+        (the neighboring list is among the first probed). Bitwise
+        cross-engine float parity is not achievable and not claimed."""
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         cents = self.centroids()

@@ -654,3 +654,30 @@ def test_vacuum_never_sweeps_inflight_segments(spark, tmp_path):
     names = set(os.listdir(s.root))
     assert "s000003" in names and "s000001" not in names and "s000002" not in names
     assert sorted(r.id for r in s.read().collect()) == [1, 2]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stale_writer_cannot_reclaim_vacuumed_version(spark, tmp_path, mode):
+    """r7 review finding: vacuum sweeps consumed claim markers, so the
+    marker alone no longer blocks a STALE writer from re-claiming an
+    already-published version and overwriting committed data. The
+    claim now also validates freshness against the pointer: claiming
+    any version other than published+1 fails loudly, marker or not."""
+    s = SnapshotStore(spark, str(tmp_path / "s"), key="id", mode=mode)
+    s.create(mk(spark, [(1, "a")]))
+    base_v = s.current_version()          # stale writer reads v1
+    s.insert(mk(spark, [(2, "b")]))       # concurrent writer publishes v2
+    s.vacuum(keep_last=5)                 # sweeps spent claim markers
+    assert not any(n.startswith("claim.") for n in os.listdir(s.root))
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    with pytest.raises(ConcurrentCommitError):
+        if mode == "cow":
+            s._commit(mk(spark, [(9, "stale")]), base_version=base_v)
+        else:
+            s._claim_version(base_v + 1)
+    # the published state survived the stale attempt untouched
+    assert sorted(r.id for r in s.read().collect()) == [1, 2]
+    # and a FRESH mutation still works (the check doesn't brick writes)
+    s.insert(mk(spark, [(3, "c")]))
+    assert sorted(r.id for r in s.read().collect()) == [1, 2, 3]

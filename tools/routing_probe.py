@@ -66,17 +66,23 @@ def main() -> None:
 
             drv, dist, parse = [], [], []
             for _ in range(RUNS):
+                # informational: the JSON-parse component of the driver
+                # path, timed SEPARATELY. route() parses internally, so
+                # the driver total below already includes exactly one
+                # parse — adding this on top double-counted it and
+                # biased the first published crossover low (r7 review
+                # finding; the corrected table supersedes it).
                 t0 = time.perf_counter()
-                cents_loaded = idx.centroids()  # the JSON parse the driver path pays
+                cents_loaded = idx.centroids()
                 parse.append(time.perf_counter() - t0)
+                del cents_loaded
                 t0 = time.perf_counter()
                 pairs, _probed = idx.route(qrows, NPROBE)
                 spark.createDataFrame(pairs, ["query_id", "cluster_id"]).count()
-                drv.append(time.perf_counter() - t0 + parse[-1])
+                drv.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 idx.route_distributed(queries, NPROBE).count()
                 dist.append(time.perf_counter() - t0)
-            del cents_loaded
             row = {
                 "nlist": nlist,
                 "driver_s": round(min(drv), 3),

@@ -171,11 +171,12 @@ def main() -> None:
                          || ' ' ||
                          array_to_string(
                            list_slice(ws, 1, c % greatest(len(ws),1)), ' ')
-                         || ' c{{}}x' || ((doc_id * 31 + c) % 9973)::VARCHAR
+                         || ' c' || c::VARCHAR || 'x'
+                         || ((doc_id * 31 + c) % 9973)::VARCHAR
                END AS text,
                lang, source,
                CAST(NULL AS BIGINT) AS n_chars
-        FROM w CROSS JOIN copies""".replace("{{}}", "' || c::VARCHAR || '"))
+        FROM w CROSS JOIN copies""")
     # recompute n_chars from the generated text (column must stay honest)
     con.sql(
         f"""COPY (
