@@ -393,3 +393,43 @@ def test_streamed_store_snapshot_is_prunable_index_data(spark, sf_dir, tmp_path)
         "query_id", "vec_id", "rank"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_auto_routing_threshold_pinned(spark, tmp_path, embeddings):
+    """The routing='auto' switch point is MEASURED (tools/routing_probe,
+    BASELINE.md corrected table) — pin the constant and the switch
+    behavior so an accidental edit resurfaces as a red test, not a
+    silent latency change."""
+    import json
+    import os
+    from unittest import mock
+
+    from deployment_spark.operators.ivf import AUTO_DISTRIBUTED_NLIST
+
+    assert AUTO_DISTRIBUTED_NLIST == 8192
+    idx = IVFIndex(spark, str(tmp_path / "thr")).build(
+        embeddings.limit(60), nlist=4
+    )
+    q = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for fake_nlist, expect_distributed in (
+        (AUTO_DISTRIBUTED_NLIST, False),
+        (AUTO_DISTRIBUTED_NLIST + 1, True),
+    ):
+        with open(os.path.join(idx.root, "centroids.json")) as f:
+            meta = json.load(f)
+        meta["nlist"] = fake_nlist
+        with open(os.path.join(idx.root, "centroids.json"), "w") as f:
+            json.dump(meta, f)
+        called = {"d": False}
+        orig = IVFIndex.route_distributed
+
+        def spy(self, *a, **k):
+            called["d"] = True
+            return orig(self, *a, **k)
+
+        with mock.patch.object(IVFIndex, "route_distributed", spy):
+            rows = idx.search(q, k=2, nprobe=4, routing="auto").collect()
+        assert len(rows) == 4
+        assert called["d"] == expect_distributed, (fake_nlist, called)

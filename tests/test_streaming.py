@@ -983,3 +983,49 @@ def test_concurrent_reader_during_curated_ingest_with_maintenance(spark, tmp_pat
     got = {r.doc_id for r in store.read().select("doc_id").collect()}
     want = {r.doc_id for r in ref.read().select("doc_id").collect()}
     assert got == want
+
+
+def test_curated_ingest_with_html_strip_preclean(spark, tmp_path):
+    """Composition: strip_html as a curated-ingest admit transform —
+    the 'clean as you ingest' shape a crawl pipeline runs. Raw HTML
+    pages land; the gate strips tags/boilerplate BEFORE dedup, so two
+    pages whose differences are markup-only become exact duplicates
+    and only the first is admitted, with cleaned text in the store."""
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+    from deployment_spark.operators.textstats import strip_html
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") < 30)
+    wrap1 = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                     F.lit("</p></body></html>"))
+    # same content, different markup + nav boilerplate
+    wrap2 = F.concat(F.lit('<html><body><div class="nav">Home About</div><p>'),
+                     F.col("text"), F.lit("</p><footer>Copyright Example Corp</footer></body></html>"))
+    b0 = base.select("doc_id", wrap1.alias("text"))
+    b1 = base.select((F.col("doc_id") + 1000).alias("doc_id"), wrap2.alias("text"))
+    landing = str(tmp_path / "landing")
+    b0.coalesce(1).write.parquet(f"{landing}/b=000")
+    b1.coalesce(1).write.parquet(f"{landing}/b=001")
+
+    def preclean(df):
+        return strip_html(df).select("doc_id", F.col("text_clean").alias("text"))
+
+    store = SnapshotStore(spark, str(tmp_path / "corpus"), key="doc_id")
+    q = curated_ingest_to_store(
+        (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        ),
+        store,
+        str(tmp_path / "ckpt"),
+        admit_filter=preclean,
+    )
+    q.awaitTermination(180)
+    rows = {r.doc_id: r.text for r in store.read().collect()}
+    # batch 2's markup-variant pages deduped against batch 1's cleaned text
+    assert set(rows) == {r.doc_id for r in base.collect()}, sorted(rows)[:5]
+    assert all("<" not in t for t in rows.values())
