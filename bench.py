@@ -204,6 +204,12 @@ def main() -> None:
     # 1.9 s - 15 s across back-to-back runs while isolated steady-state
     # was stable). Methodology stated in BASELINE.md.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # external host load at start/end rides in the payload: an r7 run
+    # on a loaded host read EVERY row uniformly ~2× (including entries
+    # untouched for five rounds) — load attribution belongs in the
+    # artifact, not in after-the-fact archaeology. load_avg_1m is the
+    # 1-minute average EXCLUDING this process's own about-to-start work.
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -224,6 +230,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        "load_avg_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
     }
     # Full payload (per-run raws, for separating plan regressions from
     # host scheduling noise) goes to a SIDE FILE; stdout carries only the
