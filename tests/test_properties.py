@@ -731,3 +731,83 @@ def test_keyset_pages_tile_ranking_random(spark, n, nq, k, dim, seed):
     # queries with fewer than k results have no cursor: page2 is empty
     # for them and exp contains nothing past rank k either
     assert got == exp
+
+
+@PROP
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["insert", "upsert", "delete", "compact", "vacuum", "meta"]
+            ),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=3,
+        max_size=10,
+    ),
+    mode=st.sampled_from(["cow", "mor"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops, mode, seed):
+    """Stateful model check of the store — the component whose claim /
+    vacuum / meta logic all changed in r7. Random interleavings of
+    mutations and maintenance against a plain dict model: after every
+    op, read() == model, versions move strictly forward, and commit
+    meta is carried forward (never erased by compact/vacuum/meta-less
+    mutations)."""
+    import random
+
+    from deployment_spark.operators.crud import SnapshotStore
+
+    rng = random.Random(seed)
+    root = str(tmp_path_factory.mktemp("prop_store"))
+    store = SnapshotStore(
+        spark, root, key="id", mode=mode,
+        compact_when=4 if mode == "mor" else None,
+    )
+    model: dict[int, str] = {}
+    meta_model: dict = {}
+    next_id = 0
+    last_version = 0
+
+    def mk_rows(pairs):
+        return spark.createDataFrame(pairs, "id long, payload string")
+
+    for op, arg in ops:
+        if op == "insert":
+            rows = [(next_id + i, f"p{seed}-{next_id + i}") for i in range(arg + 1)]
+            next_id += len(rows)
+            if store.exists():
+                store.insert(mk_rows(rows))
+            else:
+                store.create(mk_rows(rows))
+            for k, v in rows:
+                model.setdefault(k, v)
+        elif op == "upsert" and model:
+            ks = rng.sample(sorted(model), min(arg + 1, len(model)))
+            rows = [(k, f"u{seed}-{k}-{arg}") for k in ks]
+            store.upsert(mk_rows(rows))
+            model.update(dict(rows))
+        elif op == "delete" and model:
+            ks = rng.sample(sorted(model), min(arg + 1, len(model)))
+            store.delete_ids(ks)
+            for k in ks:
+                model.pop(k)
+        elif op == "compact" and store.exists():
+            store.compact()
+        elif op == "vacuum" and store.exists():
+            store.vacuum(keep_last=rng.choice([1, 2, 5]))
+        elif op == "meta" and store.exists():
+            new = {f"k{arg % 3}": arg}
+            store.update_meta(new)
+            meta_model.update(new)
+        if not store.exists():
+            continue
+        v = store.current_version()
+        assert v >= last_version, (v, last_version)
+        last_version = v
+        got = {r.id: r.payload for r in store.read().collect()}
+        assert got == model, (op, arg, len(got), len(model))
+        got_meta = store.commit_meta()
+        for k, want in meta_model.items():
+            assert got_meta.get(k) == want, (k, got_meta)
