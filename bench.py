@@ -112,6 +112,13 @@ def run_grid() -> None:
     rows = metrics.collect()
     total = round(time.perf_counter() - t0, 3)
     metrics.toPandas().to_csv(os.path.join(root, "metrics.csv"), index=False)
+    # S10 plot sink: the reference saves a 3-panel figure beside the
+    # metrics (pipeline.py:183-230); ours is dependency-free SVG
+    from deployment_spark.sources.plot import write_metrics_svg
+
+    svg_path = write_metrics_svg(
+        rows, os.path.join(root, "metrics.svg"), model_name=f"hash-embedder ({mode})"
+    )
     per_op: dict[str, list[float]] = {}
     for r in rows:
         per_op.setdefault(r.operation_type, []).append(float(r.execution_time))
@@ -124,6 +131,7 @@ def run_grid() -> None:
                 "queries": {op: round(sum(v) / len(v), 3) for op, v in sorted(per_op.items())},
                 "sf": REFERENCE_GRID[-1],
                 "metrics_csv": os.path.join(root, "metrics.csv"),
+                "metrics_svg": svg_path,
             }
         )
     )

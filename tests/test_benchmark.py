@@ -68,3 +68,80 @@ def test_bench_headline_maps_onto_registry():
 
     assert set(bench.HEADLINE) <= set(REGISTRY)
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_plot_sink_renders_reference_figure(tmp_path):
+    """S10 — the plot sink (sources/plot.py) renders the reference's
+    3-panel figure (FAISS/PlainDemo/pipeline.py:183-230) as valid SVG:
+    three framed panels titled Execution Time / CPU Usage / Memory
+    Usage, one polyline + markers per operation type, legend, suptitle
+    with the model name. Parsed with stdlib ElementTree — a malformed
+    document fails here."""
+    import xml.etree.ElementTree as ET
+
+    from deployment_spark.sources.plot import render_metrics_svg, write_metrics_svg
+
+    rows = [
+        {
+            "model_name": "m",
+            "operation_type": op,
+            "operation_size": size,
+            "execution_time": 0.1 * size / 2500 + i,
+            "cpu_usage": 10.0 * (i + 1),
+            "memory_usage": 5.0 * size / 2500,
+        }
+        for i, op in enumerate(["insertion", "deletion", "update", "query"])
+        for size in (2500, 5000, 7500)
+    ]
+    path = write_metrics_svg(rows, str(tmp_path / "metrics.svg"), "unit-model")
+    svg = open(path).read()
+    root = ET.fromstring(svg)  # well-formed XML or this raises
+    ns = "{http://www.w3.org/2000/svg}"
+    texts = [t.text for t in root.iter(f"{ns}text")]
+    assert "Performance Metrics for unit-model" in texts
+    for title in ("Execution Time", "CPU Usage", "Memory Usage"):
+        assert title in texts
+    polylines = root.findall(f"{ns}polyline")
+    assert len(polylines) == 12  # 4 series x 3 panels
+    # every polyline has one x,y pair per grid size, inside the canvas
+    for pl in polylines:
+        pts = [tuple(map(float, p.split(","))) for p in pl.get("points").split()]
+        assert len(pts) == 3
+        assert all(0 <= x <= 1500 and 0 <= y <= 500 for x, y in pts)
+        assert [x for x, _ in pts] == sorted(x for x, _ in pts)  # x ascending
+    # execution_time panel: series i has strictly higher time => lower y
+    # at the same x for the first panel's polylines (series order pinned)
+    first_panel = [
+        [tuple(map(float, p.split(","))) for p in pl.get("points").split()]
+        for pl in polylines
+        if all(float(p.split(",")[0]) < 570 for p in pl.get("points").split())
+    ]
+    assert len(first_panel) == 4
+    # markers present (circle/rect/polygon/path per series)
+    assert root.findall(f"{ns}circle") and root.findall(f"{ns}polygon")
+    # model name is XML-escaped, not injected
+    evil = render_metrics_svg(rows, 'x"><script>alert(1)</script>')
+    ET.fromstring(evil)
+    assert "<script>" not in evil
+
+
+def test_plot_sink_accepts_spark_metrics(spark, tmp_path):
+    """The sink's DataFrame path: collect the grid-size metrics rows
+    and render — the composition bench.py --grid runs."""
+    from deployment_spark.sources.plot import write_metrics_svg
+
+    df = spark.createDataFrame(
+        [
+            ("m", "insertion", 2500, 0.5, 12.0, 3.0),
+            ("m", "insertion", 5000, 0.9, 14.0, 4.0),
+            ("m", "query", 2500, 0.2, 8.0, 1.0),
+            ("m", "query", 5000, 0.4, 9.0, 1.5),
+        ],
+        "model_name string, operation_type string, operation_size long, "
+        "execution_time double, cpu_usage double, memory_usage double",
+    )
+    path = write_metrics_svg(df, str(tmp_path / "m.svg"), "spark-df")
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    assert len(root.findall("{http://www.w3.org/2000/svg}polyline")) == 6  # 2x3
