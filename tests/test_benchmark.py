@@ -145,3 +145,87 @@ def test_plot_sink_accepts_spark_metrics(spark, tmp_path):
 
     root = ET.parse(path).getroot()
     assert len(root.findall("{http://www.w3.org/2000/svg}polyline")) == 6  # 2x3
+
+
+def test_prometheus_exposition_format(spark, tmp_path):
+    """B5 — engine-side Prometheus exporter (sources/metrics.py): the
+    text exposition rendering (HELP/TYPE headers, label escaping,
+    deterministic order) and the store health gauges."""
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.sources.metrics import (
+        STORE_TYPES,
+        prometheus_text,
+        store_samples,
+    )
+
+    s = SnapshotStore(spark, str(tmp_path / "s"), key="id", mode="mor")
+    s.create(spark.createDataFrame([(1, "a")], ["id", "p"]))
+    s.insert(spark.createDataFrame([(2, "b")], ["id", "p"]))
+    text = prometheus_text(store_samples(s, include_count=True), types=STORE_TYPES)
+    lines = text.strip().splitlines()
+    assert "# TYPE deployment_store_compaction_failures_total counter" in lines
+    assert any(
+        l.startswith("deployment_store_version{") and l.endswith(" 2") for l in lines
+    )
+    assert any(
+        l.startswith("deployment_store_rows{") and l.endswith(" 2") for l in lines
+    )
+    # label escaping: quotes/backslashes/newlines can't corrupt the format
+    esc = prometheus_text([("m_x", {"k": 'a"b\\c\nd'}, 1.0)])
+    assert 'k="a\\"b\\\\c\\nd"' in esc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prometheus_text([("bad name", {}, 1.0)])
+    with _pytest.raises(ValueError):
+        prometheus_text([("ok", {"bad label": "x"}, 1.0)])
+
+
+def test_metrics_endpoint_scrapes_benchmark_rows():
+    """The /metrics endpoint end-to-end with stdlib urllib as the
+    scraper — the shape the reference's prometheus.yml scrape config
+    (observability_deployment/prometheus.yml:15-17) points at."""
+    import urllib.request
+
+    from deployment_spark.sources.metrics import (
+        BENCH_HELP,
+        CONTENT_TYPE,
+        MetricsServer,
+        benchmark_samples,
+    )
+
+    rows = [
+        {
+            "model_name": "hash-64",
+            "operation_type": "insertion",
+            "operation_size": 2500,
+            "execution_time": 0.42,
+            "cpu_usage": 11.0,
+            "memory_usage": 3.5,
+        }
+    ]
+    srv = MetricsServer(
+        lambda: benchmark_samples(rows), help_text=BENCH_HELP
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=10
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == CONTENT_TYPE
+            body = resp.read().decode()
+        assert (
+            'deployment_benchmark_execution_seconds{model="hash-64",'
+            'operation="insertion",size="2500"} 0.42' in body
+        )
+        assert "# HELP deployment_benchmark_execution_seconds" in body
+        # non-/metrics paths 404
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/other", timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
