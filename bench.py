@@ -155,6 +155,17 @@ def run_model_grid_bench() -> None:
     rows = metrics.collect()
     total = round(time.perf_counter() - t0, 3)
     metrics.toPandas().to_csv(os.path.join(root, "combined_metrics.csv"), index=False)
+    # the reference saves ONE figure PER MODEL (pipeline.py:227, save
+    # path keyed by model_name) — mirror that with the SVG sink
+    from deployment_spark.sources.plot import write_metrics_svg
+
+    svgs = {}
+    for model in sorted({r.model_name for r in rows}):
+        svgs[model] = write_metrics_svg(
+            [r for r in rows if r.model_name == model],
+            os.path.join(root, f"metrics_{model}.svg"),
+            model_name=model,
+        )
     per: dict[str, list[float]] = {}
     for r in rows:
         per.setdefault(f"{r.model_name}|{r.operation_type}", []).append(
@@ -169,6 +180,7 @@ def run_model_grid_bench() -> None:
                 "queries": {kk: round(sum(v) / len(v), 3) for kk, v in sorted(per.items())},
                 "sf": 5000,
                 "metrics_csv": os.path.join(root, "combined_metrics.csv"),
+                "metrics_svg": svgs,
             }
         )
     )
