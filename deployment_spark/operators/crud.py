@@ -69,11 +69,23 @@ class SnapshotStore:
         schema_evolution: bool = False,
         compact_when: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_bits: int | None = None,
     ) -> None:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         if compact_when is not None and compact_when < 1:
             raise ValueError(f"compact_when must be >= 1, got {compact_when}")
+        if bloom_bits is not None:
+            if mode != "mor":
+                raise ValueError(
+                    "bloom_bits is manifest-level file skipping — mor only "
+                    "(a cow snapshot is one file set; parquet row-group "
+                    "blooms already skip below file level there)"
+                )
+            if bloom_bits < 64 or bloom_bits % 64:
+                raise ValueError(
+                    f"bloom_bits must be a positive multiple of 64, got {bloom_bits}"
+                )
         self.spark = spark
         self.root = root
         self.key = key
@@ -106,6 +118,15 @@ class SnapshotStore:
         # the write job, zero extra scans) — enables
         # read_where_between() data skipping on value predicates
         self.stats_cols = list(stats_cols or [])
+        # per-segment KEY bloom filter (the Hudi/Iceberg bloom-index
+        # move): zone maps prune point reads only when segments have
+        # disjoint key RANGES — with hash-distributed keys (uuid/md5)
+        # every segment spans the whole keyspace and zones never prune.
+        # A bloom sidecar answers "is key k definitely absent from this
+        # file?" regardless of key layout. Sizing: ~10 bits/row ≈ 1% fp
+        # (a false positive only costs a scan, never a wrong answer).
+        # Cost: one O(batch) column-pruned read-back per written file.
+        self.bloom_bits = bloom_bits
         os.makedirs(root, exist_ok=True)
 
     def _union(self, a: DataFrame, b: DataFrame) -> DataFrame:
@@ -387,7 +408,12 @@ class SnapshotStore:
         path = os.path.join(self.root, name)
         obs = Observation()
         scols = [c for c in self.stats_cols if c in df.columns and c != self.key]
-        aggs = [F.min(F.col(self.key)).alias("mn"), F.max(F.col(self.key)).alias("mx")]
+        aggs = [
+            F.min(F.col(self.key)).alias("mn"),
+            F.max(F.col(self.key)).alias("mx"),
+            # row count sizes the bloom's hash count k; free on the write job
+            F.count(F.lit(1)).alias("cnt"),
+        ]
         for c in scols:
             aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
             aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
@@ -404,10 +430,110 @@ class SnapshotStore:
         writer.parquet(path)
         got = obs.get
         stats = {c: [got.get(f"mn_{c}"), got.get(f"mx_{c}")] for c in scols}
+        if self.bloom_bits:
+            self._build_bloom(path, int(got.get("cnt") or 0))
         return name, got.get("mn"), got.get("mx"), stats
 
-    @staticmethod
-    def _entry(name: str, seq: int, mn, mx, stats: dict | None = None) -> dict:
+    # -- per-segment key bloom filters (manifest-level point-read skipping) --
+
+    _BLOOM_SIDECAR = "_bloom.json"  # "_" prefix: invisible to parquet scans,
+    # lives INSIDE the segment dir so vacuum/compact/drop clean it for free
+
+    def _key_hash_cols(self):
+        """The two independent 64-bit key hashes both the build and the
+        probe path derive bloom positions from (Kirsch-Mitzenmacher:
+        pos_i = (h1 + i·h2) mod m). The key is canonicalized with a
+        Spark-side cast to string so int32/int64/string keys hash
+        identically on every path, and BOTH sides use Catalyst's
+        xxhash64 — the probe hashes are computed by an nq-scale Spark
+        job precisely so no Python reimplementation can drift from the
+        JVM hash."""
+        ks = F.col(self.key).cast("string")
+        return F.xxhash64(ks).alias("_h1"), F.xxhash64(ks, F.lit(1)).alias("_h2")
+
+    def _build_bloom(self, path: str, n: int) -> None:
+        """Distributed bloom build over the JUST-WRITTEN segment files
+        (read-back guarantees the filter matches file content even for
+        nondeterministic input frames): key → k bit positions →
+        64-bit-word bit_or aggregate → collect m/64 longs. The driver
+        holds m/8 bytes per segment (KBs at the ~10-bits/row sizing),
+        never rows. Overflow-safe position arithmetic: pmod before the
+        multiply keeps every term < 2^34 under Spark 4's ANSI mode."""
+        m = self.bloom_bits
+        k = max(1, min(16, round(m * 0.6931 / max(n, 1))))
+        sidecar = os.path.join(path, self._BLOOM_SIDECAR)
+        if n == 0:
+            with open(sidecar, "w") as f:
+                json.dump({"m": m, "k": k, "n": 0, "words": {}}, f)
+            return
+        keys = self.spark.read.parquet(path).select(*self._key_hash_cols())
+        h1m = F.pmod(F.col("_h1"), F.lit(m))
+        h2m = F.pmod(F.col("_h2"), F.lit(m))
+        pos = F.explode(
+            F.array(*[F.pmod(h1m + F.lit(i) * h2m, F.lit(m)) for i in range(k)])
+        ).alias("_p")
+        words = (
+            keys.select(pos)
+            .select(
+                F.floor(F.col("_p") / 64).alias("_w"),
+                # SQL form: the Python shiftleft wrapper takes only a
+                # literal bit count, the SQL function takes a column
+                F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_b"),
+            )
+            .groupBy("_w")
+            .agg(F.bit_or("_b").alias("_bits"))
+            .collect()
+        )
+        with open(sidecar, "w") as f:
+            json.dump(
+                {"m": m, "k": k, "n": n, "words": {str(r._w): r._bits for r in words}},
+                f,
+            )
+
+    def _probe_hashes(self, keys: list) -> list[tuple[int, int]]:
+        """(h1, h2) per probe key via the same Catalyst exprs as the
+        build — one tiny job over the (contract-bounded) probe set."""
+        kdf = self.spark.createDataFrame([(k,) for k in keys], [self.key])
+        return [(r._h1, r._h2) for r in kdf.select(*self._key_hash_cols()).collect()]
+
+    def _bloom_keep(self, entries: list[dict], hashes: list[tuple[int, int]]) -> list[dict]:
+        """Entries some probe key MAY be in. No false negatives by bloom
+        construction, so skipping is sound for point predicates: a file
+        every probe key is definitely absent from cannot contribute a
+        matching row, cannot shadow one (last-wins only consults rows of
+        the probed keys), and cannot tombstone one. A missing, corrupt,
+        or differently-sized sidecar keeps the entry — degrade to scan,
+        never to wrong pruning. Python's % and & on the JSON-signed
+        words match Java pmod / long bit tests exactly (two's-complement
+        semantics of arbitrary-precision ints)."""
+        out = []
+        for e in entries:
+            if not e.get("bloom"):
+                out.append(e)
+                continue
+            try:
+                with open(os.path.join(self.root, e["path"], self._BLOOM_SIDECAR)) as f:
+                    b = json.load(f)
+                m, k, words = int(b["m"]), int(b["k"]), b["words"]
+            except (OSError, ValueError, KeyError, TypeError):
+                out.append(e)
+                continue
+            hit = False
+            for h1, h2 in hashes:
+                h1m, h2m = h1 % m, h2 % m
+                if all(
+                    int(words.get(str(((h1m + i * h2m) % m) // 64), 0))
+                    >> (((h1m + i * h2m) % m) % 64)
+                    & 1
+                    for i in range(k)
+                ):
+                    hit = True
+                    break
+            if hit:
+                out.append(e)
+        return out
+
+    def _entry(self, name: str, seq: int, mn, mx, stats: dict | None = None) -> dict:
         """Manifest entry with key ZONE MAP: `read_where_key_between`
         prunes whole segments/tombstone files against [key_min, key_max]
         before any scan — the lakehouse file-skipping move; at 100 TB the
@@ -423,6 +549,10 @@ class SnapshotStore:
         clean = {c: b for c, b in (stats or {}).items() if ok(b)}
         if clean:
             e["stats"] = clean
+        if self.bloom_bits:
+            # flag, not payload: readers open the sidecar only for
+            # flagged entries, so non-bloom stores pay zero probe I/O
+            e["bloom"] = True
         return e
 
     def _keys_df(self, ids: "DataFrame | list", like: DataFrame) -> DataFrame:
@@ -477,11 +607,19 @@ class SnapshotStore:
         return self._merge_files(segs, tombs).filter(rng)
 
     def read_where_key_in(self, keys: list, version: int | None = None) -> DataFrame:
-        """Point-set read with the same manifest-level skipping as
-        :meth:`read_where_key_between`: a segment/tombstone file is
-        scanned only if SOME probe key falls inside its zone; the isin
-        filter then pushes to the surviving scans (parquet row-group
-        stats + the key bloom filter prune below file level)."""
+        """Point-set read with manifest-level skipping, two layers deep:
+        (1) zone maps — a file is kept only if SOME probe key falls
+        inside its [key_min, key_max]; (2) per-segment bloom sidecars
+        (stores built with ``bloom_bits``) — a zone-hit file is still
+        skipped when every probe key is definitely absent from it. Zones
+        carry range layouts (curated ingest: disjoint id bands per
+        batch); blooms carry HASH layouts (uuid/md5 keys), where every
+        segment's zone spans the whole keyspace and layer (1) never
+        prunes. The isin filter then pushes to the surviving scans
+        (parquet row-group stats + the row-group key bloom prune below
+        file level). Skipping soundness: a file no probe key can be in
+        contributes no matching row, shadows none, tombstones none;
+        bloom false positives cost a scan, false negatives don't exist."""
         if not keys:
             return self.read(version).limit(0)
         pred = F.col(self.key).isin(list(keys))
@@ -501,9 +639,14 @@ class SnapshotStore:
             return out
 
         segs = hits(m["segments"])
+        tombs = hits(m["tombstones"])
+        if any(e.get("bloom") for e in segs + tombs):
+            hashes = self._probe_hashes(list(keys))
+            segs = self._bloom_keep(segs, hashes)
+            tombs = self._bloom_keep(tombs, hashes)
         if not segs:
             return self.read(version).filter(pred).limit(0)
-        return self._merge_files(segs, hits(m["tombstones"])).filter(pred)
+        return self._merge_files(segs, tombs).filter(pred)
 
     def read_where_between(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Data skipping on a NON-KEY predicate column: segments whose

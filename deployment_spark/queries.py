@@ -4438,12 +4438,45 @@ def q_store_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("value", 2).alias("value"),
             )
 
-        out = shape(store.read_where_key_between(2500, 6500), "key_range").unionByName(
-            # r6: secondary-zone-map value-band read. The band excludes
-            # the UPDATED rows' live values (~1030-1070), so the probe
-            # also verifies shadow-safety: the stale in-band originals
-            # of keys 3000-3999 must NOT resurface
-            shape(store.read_where_between("value", 30, 70), "value_band")
+        # r7: per-segment KEY BLOOM skipping (crud.py read_where_key_in /
+        # _build_bloom). A second store keyed by md5(event_id) — the
+        # hash layout where every segment's zone map spans the whole
+        # keyspace, so only the bloom sidecars can prune — takes three
+        # key-interleaved segment writes plus an update (tombstone +
+        # fresh segment, both bloomed), then point-reads three keys.
+        # The oracle is the unpruned filtered read with the update
+        # replayed as CASE; the pruning itself (only bloom-hit files
+        # scanned) is asserted in tests/test_crud.py.
+        evk = ev.withColumn("ek", F.md5(F.col("event_id").cast("string")))
+        bstore = SnapshotStore(
+            spark, os.path.join(root, "bloomstore"), key="ek", mode="mor",
+            bloom_bits=1 << 15,
+        )
+        for mod in (0, 1, 2):
+            bstore.insert(evk.filter(F.col("event_id") % 3 == mod))
+        upd = evk.filter(F.col("event_id") == 101).withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+        bstore.update(upd.select("ek"), upd)
+        # probes span all three segments (mod 3: 735→0, 100→1, 17/101→2)
+        # and include the updated key 101, so the read exercises bloom
+        # hits in every file plus the tombstone/new-segment pair
+        probe_keys = [
+            r.ek
+            for r in evk.filter(F.col("event_id").isin(17, 100, 101, 735))
+            .select("ek")
+            .collect()
+        ]
+        out = (
+            shape(store.read_where_key_between(2500, 6500), "key_range")
+            .unionByName(
+                # r6: secondary-zone-map value-band read. The band excludes
+                # the UPDATED rows' live values (~1030-1070), so the probe
+                # also verifies shadow-safety: the stale in-band originals
+                # of keys 3000-3999 must NOT resurface
+                shape(store.read_where_between("value", 30, 70), "value_band")
+            )
+            .unionByName(shape(bstore.read_where_key_in(probe_keys), "bloom_point"))
         )
         return out.localCheckpoint()  # materialize before the tmp store is removed
     finally:
@@ -4463,6 +4496,11 @@ SELECT 'value_band', event_id::BIGINT, event_type,
 FROM events
 WHERE (value + CASE WHEN event_id BETWEEN 3000 AND 3999
                     THEN 1000.0 ELSE 0.0 END) BETWEEN 30 AND 70
+UNION ALL
+SELECT 'bloom_point', event_id::BIGINT, event_type,
+       round(value + CASE WHEN event_id = 101 THEN 1000.0 ELSE 0.0 END, 2)
+FROM events
+WHERE event_id IN (17, 100, 101, 735)
 """
 
 

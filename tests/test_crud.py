@@ -681,3 +681,122 @@ def test_stale_writer_cannot_reclaim_vacuumed_version(spark, tmp_path, mode):
     # and a FRESH mutation still works (the check doesn't brick writes)
     s.insert(mk(spark, [(3, "c")]))
     assert sorted(r.id for r in s.read().collect()) == [1, 2, 3]
+
+
+# -- per-segment key bloom filters (r7: manifest-level point-read skipping) --
+
+
+def _hash_keyed(spark, lo, hi):
+    """Rows keyed by md5 — the hash layout where every segment's zone
+    map spans the whole keyspace and only blooms can prune."""
+    return spark.range(lo, hi).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.col("id").alias("v")
+    )
+
+
+def _segs_scanned(df, root):
+    return sorted(
+        {f.split(str(root) + "/")[1].split("/")[0] for f in df.inputFiles()}
+    )
+
+
+def bloom_store(spark, tmp_path, **kw):
+    s = SnapshotStore(
+        spark, str(tmp_path / "bs"), key="k", mode="mor", bloom_bits=1 << 14, **kw
+    )
+    df = _hash_keyed(spark, 0, 300)
+    for m in (0, 1, 2):
+        s.insert(df.filter(F.col("v") % 3 == m))
+    return s, df
+
+
+def test_bloom_point_read_scans_only_owning_segment(spark, tmp_path):
+    """With md5 keys the three segments' zone maps all span ~the full
+    keyspace (zone layer prunes nothing); the bloom sidecars must still
+    reduce a point read to the one segment that holds the key."""
+    s, df = bloom_store(spark, tmp_path)
+    m = s._read_manifest(s.current_version())
+    assert all(e.get("bloom") for e in m["segments"])
+    # zones really are useless here: every segment zone-hits every key
+    probe = [r.k for r in df.filter(F.col("v") == 4).collect()]  # batch 2
+    out = s.read_where_key_in(probe)
+    assert [r.v for r in out.collect()] == [4]
+    assert _segs_scanned(out, s.root) == ["s000002"]
+
+
+def test_bloom_absent_key_scans_nothing(spark, tmp_path):
+    s, _ = bloom_store(spark, tmp_path)
+    out = s.read_where_key_in(["0123456789abcdef0123456789abcdef"])
+    assert out.count() == 0
+    assert out.inputFiles() == []
+    assert [f.name for f in out.schema.fields] == ["k", "v"]  # typed empty
+
+
+def test_bloom_no_false_negatives(spark, tmp_path):
+    """Every present key must be found — blooms may over-scan (false
+    positive) but a skip of a file that holds a probe key is data loss."""
+    s, df = bloom_store(spark, tmp_path)
+    allk = [r.k for r in df.collect()]
+    assert s.read_where_key_in(allk).count() == 300
+
+
+def test_bloom_tombstones_and_updates_stay_correct(spark, tmp_path):
+    """The tombstone written by delete/update carries its own bloom; a
+    point read of a deleted key returns nothing (the tombstone file is
+    bloom-HIT and applied), and an updated key reads last-wins."""
+    s, df = bloom_store(spark, tmp_path)
+    k4, k7 = (r.k for r in df.filter(F.col("v").isin(4, 7)).orderBy("v").collect())
+    s.delete_ids([k4])
+    assert s.read_where_key_in([k4]).count() == 0
+    new = df.filter(F.col("v") == 7).withColumn("v", F.lit(7000).cast("long"))
+    s.update([k7], new)
+    assert [r.v for r in s.read_where_key_in([k7]).collect()] == [7000]
+    # compaction rebuilds the bloom on the folded segment
+    s.compact()
+    m = s._read_manifest(s.current_version())
+    assert len(m["segments"]) == 1 and m["segments"][0].get("bloom")
+    assert [r.v for r in s.read_where_key_in([k7]).collect()] == [7000]
+    assert s.read_where_key_in([k4]).count() == 0
+
+
+def test_bloom_sidecar_damage_degrades_to_scan(spark, tmp_path):
+    """Missing or corrupt sidecars must keep the entry (scan it), never
+    skip it — pruning degrades, correctness doesn't."""
+    import glob
+
+    s, df = bloom_store(spark, tmp_path)
+    sides = sorted(glob.glob(os.path.join(s.root, "s*", "_bloom.json")))
+    os.remove(sides[0])
+    with open(sides[1], "w") as f:
+        f.write("{truncated")
+    allk = [r.k for r in df.collect()]
+    assert s.read_where_key_in(allk).count() == 300
+    probe = [r.k for r in df.filter(F.col("v") == 3).collect()]  # batch 1
+    out = s.read_where_key_in(probe)
+    assert [r.v for r in out.collect()] == [3]
+    # segment 1's sidecar is gone -> conservatively scanned; segment 3's
+    # intact sidecar still skips it
+    scanned = _segs_scanned(out, s.root)
+    assert "s000001" in scanned and "s000003" not in scanned
+
+
+def test_bloom_requires_mor_and_sane_bits(spark, tmp_path):
+    with pytest.raises(ValueError, match="mor only"):
+        SnapshotStore(spark, str(tmp_path / "c"), key="k", mode="cow", bloom_bits=1 << 14)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        SnapshotStore(spark, str(tmp_path / "m"), key="k", mode="mor", bloom_bits=100)
+
+
+def test_bloom_integer_keys_and_empty_segment(spark, tmp_path):
+    """Int-keyed stores hash through the same cast-to-string canon; an
+    all-rejected (empty) segment's bloom is empty and always skipped."""
+    s = SnapshotStore(spark, str(tmp_path / "i"), key="id", mode="mor", bloom_bits=1 << 12)
+    s.create(mk(spark, [(1, "a"), (2, "b")]))
+    s.insert(mk(spark, [(3, "c")]))
+    out = s.read_where_key_in([2])
+    assert [r.payload for r in out.collect()] == ["b"]
+    # empty segment: upsert of zero rows still commits a (bloomed) file
+    s.upsert(mk(spark, [(1, "a")]).filter(F.lit(False)))
+    out2 = s.read_where_key_in([2])
+    assert [r.payload for r in out2.collect()] == ["b"]
+    assert "s000003" not in _segs_scanned(out2, s.root)

@@ -1026,6 +1026,22 @@ def test_curated_ingest_with_html_strip_preclean(spark, tmp_path):
     )
     q.awaitTermination(180)
     rows = {r.doc_id: r.text for r in store.read().collect()}
-    # batch 2's markup-variant pages deduped against batch 1's cleaned text
-    assert set(rows) == {r.doc_id for r in base.collect()}, sorted(rows)[:5]
+    # the streaming composition must admit exactly what the direct batch
+    # admission admits: preclean batch 1, run incremental_dedup against
+    # an empty kept set. (NOT simply "all 30": the base docs themselves
+    # contain a MinHash near-dup pair — doc 12 — which the gate drops
+    # intra-batch by design; asserting all-30 pinned the near-dup gate
+    # OFF, which is the opposite of the composition under test.)
+    from deployment_spark.operators.dedup import incremental_dedup
+
+    b0_clean = preclean(b0)
+    expected = {
+        r.doc_id
+        for r in incremental_dedup(b0_clean, b0_clean.limit(0)).collect()
+    }
+    assert expected and expected < {r.doc_id for r in base.collect()}
+    assert set(rows) == expected, sorted(set(rows) ^ expected)
+    # batch 2's pages differ from batch 1's ONLY in markup/boilerplate:
+    # after the strip they are exact duplicates and none may land
+    assert not {i for i in rows if i >= 1000}
     assert all("<" not in t for t in rows.values())
