@@ -127,10 +127,31 @@ class SnapshotStore:
         # (a false positive only costs a scan, never a wrong answer).
         # Cost: one O(batch) column-pruned read-back per written file.
         self.bloom_bits = bloom_bits
+        # (version, StructType) memo for _table_schema — see its docstring
+        self._schema_cache = None
         os.makedirs(root, exist_ok=True)
 
     def _union(self, a: DataFrame, b: DataFrame) -> DataFrame:
         return a.unionByName(b, allowMissingColumns=self.schema_evolution)
+
+    def _table_schema(self):
+        """Published table schema, memoized per version. A mor
+        ``read().schema`` builds the merge plan over EVERY live segment
+        — file listing + footer read per segment, O(segments) of driver
+        work — which the r7 bloom scale probe caught growing
+        ``insert(assume_new=True)``'s cost with segment count (0.48 s at
+        8 segments → 1.20 s at 32, all of it schema-check overhead on an
+        otherwise O(batch) append). The schema can only change through a
+        commit (version bump), so a version-keyed cache is sound,
+        including under schema_evolution and across concurrent writers
+        (their commits bump the version this cache is keyed by)."""
+        v = self.current_version()
+        cached = self._schema_cache
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        sch = self.read(v).schema
+        self._schema_cache = (v, sch)
+        return sch
 
     def _check_schema(self, rows: DataFrame) -> None:
         """Strict mode fails FAST on column drift — mor would otherwise
@@ -141,7 +162,7 @@ class SnapshotStore:
         # silently accept type drift (e.g. a long column flipping to
         # double via coalesce(..., 0.0)) and the store's schema changes
         # out from under readers on the first merge
-        base = sorted((f.name, f.dataType.simpleString()) for f in self.read().schema.fields)
+        base = sorted((f.name, f.dataType.simpleString()) for f in self._table_schema().fields)
         new = sorted((f.name, f.dataType.simpleString()) for f in rows.schema.fields)
         if base != new:
             raise ValueError(

@@ -4477,6 +4477,16 @@ def q_store_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shape(store.read_where_between("value", 30, 70), "value_band")
             )
             .unionByName(shape(bstore.read_where_key_in(probe_keys), "bloom_point"))
+            .unionByName(
+                # TIME TRAVEL through the same skipping stack: version 3
+                # is the store BEFORE the update commit, so key 101 must
+                # read its ORIGINAL value — a wrong-version read (or a
+                # tombstone applied across versions) flips the hash
+                shape(
+                    bstore.read_where_key_in(probe_keys, version=3),
+                    "bloom_point_v3",
+                )
+            )
         )
         return out.localCheckpoint()  # materialize before the tmp store is removed
     finally:
@@ -4499,6 +4509,11 @@ WHERE (value + CASE WHEN event_id BETWEEN 3000 AND 3999
 UNION ALL
 SELECT 'bloom_point', event_id::BIGINT, event_type,
        round(value + CASE WHEN event_id = 101 THEN 1000.0 ELSE 0.0 END, 2)
+FROM events
+WHERE event_id IN (17, 100, 101, 735)
+UNION ALL
+-- time travel: version 3 predates the update, no CASE
+SELECT 'bloom_point_v3', event_id::BIGINT, event_type, round(value, 2)
 FROM events
 WHERE event_id IN (17, 100, 101, 735)
 """

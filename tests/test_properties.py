@@ -752,9 +752,9 @@ def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops, mode, s
     """Stateful model check of the store — the component whose claim /
     vacuum / meta logic all changed in r7. Random interleavings of
     mutations and maintenance against a plain dict model: after every
-    op, read() == model, versions move strictly forward, and commit
-    meta is carried forward (never erased by compact/vacuum/meta-less
-    mutations)."""
+    op, read() == model, point reads (zone + bloom skipping on mor) ==
+    model, versions move strictly forward, and commit meta is carried
+    forward (never erased by compact/vacuum/meta-less mutations)."""
     import random
 
     from deployment_spark.operators.crud import SnapshotStore
@@ -764,6 +764,9 @@ def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops, mode, s
     store = SnapshotStore(
         spark, root, key="id", mode=mode,
         compact_when=4 if mode == "mor" else None,
+        # tiny bloom (16 words): high fp rate on purpose — fp must only
+        # cost a scan; the model check catches any wrong skip
+        bloom_bits=1 << 10 if mode == "mor" else None,
     )
     model: dict[int, str] = {}
     meta_model: dict = {}
@@ -808,6 +811,12 @@ def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops, mode, s
         last_version = v
         got = {r.id: r.payload for r in store.read().collect()}
         assert got == model, (op, arg, len(got), len(model))
+        # point read through the skipping stack: present keys, a deleted/
+        # never-inserted key, mixed — must equal the model's view exactly
+        probe = rng.sample(sorted(model), min(2, len(model))) if model else []
+        probe.append(1_000_000 + arg)  # definitely absent
+        got_pt = {r.id: r.payload for r in store.read_where_key_in(probe).collect()}
+        assert got_pt == {k: model[k] for k in probe if k in model}, (op, probe)
         got_meta = store.commit_meta()
         for k, want in meta_model.items():
             assert got_meta.get(k) == want, (k, got_meta)

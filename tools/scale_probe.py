@@ -251,6 +251,93 @@ def run_store_probe(spark, src: str, factors: list[int], root: str, runs: int) -
     )
 
 
+def run_bloom_probe(spark, src: str, factors: list[int], root: str, runs: int) -> None:
+    """--bloom mode (r7): point-read cost on a HASH-keyed mor store as
+    SEGMENTS accumulate, bloom sidecars vs none. With md5 keys every
+    segment's zone map spans the whole keyspace, so without blooms a
+    point read merges ALL segments — cost grows with segment count —
+    while with blooms it scans only the files the probe keys can be in
+    (~flat). The probe seeds ``8 × factor`` segments of a FIXED
+    12.5k-row batch (the streaming-ingest accretion shape), times
+    ``read_where_key_in`` of 4 keys from one mid-history segment, and
+    also times the seeding inserts — the bloom WRITE tax (one O(batch)
+    read-back per segment) is part of the honest claim."""
+    from pyspark.sql import functions as F
+
+    from deployment_spark.operators.crud import SnapshotStore
+
+    ev = spark.read.parquet(os.path.join(src, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    batch_rows = 12_500
+    base = ev.filter(F.col("event_id") < batch_rows).localCheckpoint()
+    results: dict[tuple[str, str], dict[int, float]] = {}
+    for factor in factors:
+        segs = 8 * factor
+        for variant, bits in (("bloom", 1 << 17), ("nobloom", None)):
+            store_root = os.path.join(root, f"bloomstore_{variant}_{factor}x")
+            shutil.rmtree(store_root, ignore_errors=True)
+            store = SnapshotStore(
+                spark, store_root, key="ek", mode="mor", bloom_bits=bits
+            )
+            t0 = time.perf_counter()
+            for s in range(segs):
+                seg = base.select(
+                    F.md5((F.col("event_id") + F.lit(s * n)).cast("string")).alias("ek"),
+                    "event_type", "value",
+                )
+                store.insert(seg, assume_new=True)
+            insert_avg = (time.perf_counter() - t0) / segs
+            # 4 keys from one mid-history segment
+            mid = segs // 2
+            probe = [
+                r.ek
+                for r in base.limit(4)
+                .select(
+                    F.md5((F.col("event_id") + F.lit(mid * n)).cast("string")).alias("ek")
+                )
+                .collect()
+            ]
+            read_best = None
+            got = 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                got = store.read_where_key_in(probe).count()
+                dt = time.perf_counter() - t0
+                read_best = dt if read_best is None else min(read_best, dt)
+            assert got == 4, f"point read returned {got} rows"
+            for op, sec in (("point_read", read_best), ("insert_avg", insert_avg)):
+                results[(variant, op)] = {**results.get((variant, op), {}), factor: sec}
+                print(
+                    json.dumps(
+                        {
+                            "probe": "bloom", "variant": variant, "op": op,
+                            "factor": factor, "segments": segs,
+                            "corpus_rows": segs * batch_rows, "sec": round(sec, 3),
+                        }
+                    ),
+                    flush=True,
+                )
+            shutil.rmtree(store_root, ignore_errors=True)
+    lo, hi = factors[0], factors[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bloom_scale_slope",
+                "span": f"{8 * lo}->{8 * hi} segments",
+                "batch_rows": batch_rows,
+                "slopes": {
+                    f"{variant}.{op}": round(times[hi] / times[lo], 2)
+                    for (variant, op), times in sorted(results.items())
+                    if lo in times and hi in times and times[lo] > 0
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -262,6 +349,10 @@ def main() -> int:
         "--store", action="store_true",
         help="probe SnapshotStore mutation cost vs corpus size (cow vs mor)",
     )
+    ap.add_argument(
+        "--bloom", action="store_true",
+        help="probe hash-key point-read cost vs segment count (bloom vs none)",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     entries = args.entries.split(",")
@@ -269,10 +360,13 @@ def main() -> int:
     from deployment_spark import get_spark
     from deployment_spark.queries import REGISTRY
 
-    if args.store:
+    if args.store or args.bloom:
         spark = get_spark()
         try:
-            run_store_probe(spark, args.src, factors, args.root, args.runs)
+            if args.store:
+                run_store_probe(spark, args.src, factors, args.root, args.runs)
+            if args.bloom:
+                run_bloom_probe(spark, args.src, factors, args.root, args.runs)
         finally:
             spark.stop()
             shutil.rmtree(args.root, ignore_errors=True)
