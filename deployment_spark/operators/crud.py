@@ -216,21 +216,52 @@ class SnapshotStore:
         when a mutation has nothing to write: the curated-ingest replay
         watermark after an all-rejected batch previously had to ride an
         insert of ZERO rows, which on a cow store rewrites the entire
-        snapshot (O(corpus) per rejected batch — r6 ADVICE). Single-
-        writer only, like every meta producer here: two concurrent
-        update_meta calls last-write-win on the pointer (they cannot
-        corrupt it — the swap is atomic — but one merge can be lost).
-        Returns the (unchanged) current version."""
+        snapshot (O(corpus) per rejected batch — r6 ADVICE).
+
+        Concurrency-safe via the same claim protocol data commits use:
+        the swap happens only while HOLDING the claim marker on v+1,
+        which every data commit needs to publish v+1 — so the pointer
+        this read cannot be superseded before the replace lands (an
+        unprotected read-merge-swap could roll the pointer back over a
+        concurrent data commit, orphaning its snapshot — r7 ADVICE). A
+        concurrent data commit between our read and our claim just means
+        the claim fails; the merge is re-applied on the fresh pointer
+        (bounded retries — meta merge is idempotent). Two concurrent
+        update_meta calls serialize the same way instead of losing a
+        merge. Returns the (unchanged) current version."""
         if not os.path.exists(self._pointer):
             raise ValueError(f"snapshot store {self.root} is empty")
-        with open(self._pointer) as f:
-            pointer = json.load(f)
-        pointer["meta"] = {**pointer.get("meta", {}), **meta}
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(pointer, f)
-        os.replace(tmp, self._pointer)
-        return pointer["version"]
+        last_err = None
+        for _ in range(8):
+            v = self.current_version()
+            try:
+                self._claim_version(v + 1)
+            except ConcurrentCommitError as e:
+                last_err = e
+                continue
+            marker = os.path.join(self.root, f"claim.v{v + 1:06d}")
+            try:
+                with open(self._pointer) as f:
+                    pointer = json.load(f)
+                if pointer["version"] != v:  # pragma: no cover — claim held
+                    continue
+                pointer["meta"] = {**pointer.get("meta", {}), **meta}
+                tmp = self._pointer + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(pointer, f)
+                os.replace(tmp, self._pointer)
+                return pointer["version"]
+            finally:
+                # release: the version was never published, so the next
+                # data commit must be able to claim v+1
+                try:
+                    os.remove(marker)
+                except FileNotFoundError:  # pragma: no cover
+                    pass
+        raise ConcurrentCommitError(
+            f"update_meta on {self.root} lost the claim race 8 times "
+            f"(a writer is committing continuously); retry later"
+        ) from last_err
 
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:06d}")
@@ -513,8 +544,20 @@ class SnapshotStore:
 
     def _probe_hashes(self, keys: list) -> list[tuple[int, int]]:
         """(h1, h2) per probe key via the same Catalyst exprs as the
-        build — one tiny job over the (contract-bounded) probe set."""
+        build — one tiny job over the (contract-bounded) probe set.
+
+        The probe column is cast to the TABLE's key type before the
+        string canonicalization: createDataFrame infers the Python
+        type, and e.g. int probes against a double key column would
+        hash '101' while the build hashed '101.0' — a silent bloom
+        false negative that DROPS matching rows, unlike isin which
+        coerces (r7 ADVICE). Casting to the stored type first makes
+        both sides stringify the same value."""
+        key_type = next(
+            f.dataType for f in self._table_schema().fields if f.name == self.key
+        )
         kdf = self.spark.createDataFrame([(k,) for k in keys], [self.key])
+        kdf = kdf.withColumn(self.key, F.col(self.key).cast(key_type))
         return [(r._h1, r._h2) for r in kdf.select(*self._key_hash_cols()).collect()]
 
     def _bloom_keep(self, entries: list[dict], hashes: list[tuple[int, int]]) -> list[dict]:

@@ -252,9 +252,20 @@ def compact_signature_index(
     index reads were explicitly hardened for (r6 ADVICE), failing the
     micro-batch. On object stores without native rename the FS shim
     copies — still correct under the absence-is-safe recovery argument.
+
+    Scheme-less paths are pinned to the LOCAL filesystem (qualified as
+    ``file://``) before FS resolution: on a cluster whose defaultFS is
+    HDFS, a bare ``/tmp/idx`` would otherwise resolve against HDFS and
+    the swap would operate on the wrong store — or fail — for paths
+    that worked under the pre-r7 ``os.rename`` (r7 ADVICE). Remote
+    indexes must be fully-qualified URIs (``hdfs://…``, ``s3a://…``),
+    which is how curated ingest's own store paths arrive anyway.
     Returns the new file count."""
     import math
+    import re
 
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", index_dir):
+        index_dir = "file://" + os.path.abspath(index_dir)
     df = spark.read.parquet(index_dir)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))

@@ -455,7 +455,7 @@ class IVFIndex:
         nlist), which becomes the same literal partition-pruning filter.
         This path stays correct (and driver-safe) at nlist ≈ √n =
         10⁴-10⁵ on a 100 TB corpus. 'auto' picks driver at or below
-        AUTO_DISTRIBUTED_NLIST (4,096 — the measured crossover, see the
+        AUTO_DISTRIBUTED_NLIST (8,192 — the measured crossover, see the
         constant's note), distributed above."""
         if routing == "auto":
             routing = (

@@ -62,7 +62,13 @@ def prometheus_text(
             out.append(f"# HELP {name} {help_text[name]}")
         out.append(f"# TYPE {name} {types.get(name, 'gauge')}")
         for lab, value in sorted(by_name[name]):
-            out.append(f"{name}{{{lab}}} {value:g}" if lab else f"{name} {value:g}")
+            # repr() keeps full float precision (shortest round-trip
+            # form, like Go's strconv in official exporters): '%g'
+            # truncates to 6 significant digits, so a counter past ~1e6
+            # goes scientific and small increments vanish, breaking
+            # rate() on slow-growing counters (r7 ADVICE)
+            v = repr(float(value))
+            out.append(f"{name}{{{lab}}} {v}" if lab else f"{name} {v}")
     return "\n".join(out) + "\n"
 
 

@@ -165,11 +165,15 @@ def test_prometheus_exposition_format(spark, tmp_path):
     lines = text.strip().splitlines()
     assert "# TYPE deployment_store_compaction_failures_total counter" in lines
     assert any(
-        l.startswith("deployment_store_version{") and l.endswith(" 2") for l in lines
+        l.startswith("deployment_store_version{") and l.endswith(" 2.0") for l in lines
     )
     assert any(
-        l.startswith("deployment_store_rows{") and l.endswith(" 2") for l in lines
+        l.startswith("deployment_store_rows{") and l.endswith(" 2.0") for l in lines
     )
+    # full float precision in sample values (repr, not %g): a counter
+    # past 1e6 must keep its small increments so rate() still works
+    big = prometheus_text([("uptime_seconds_total", {}, 1234567.25)])
+    assert "uptime_seconds_total 1234567.25" in big
     # label escaping: quotes/backslashes/newlines can't corrupt the format
     esc = prometheus_text([("m_x", {"k": 'a"b\\c\nd'}, 1.0)])
     assert 'k="a\\"b\\\\c\\nd"' in esc

@@ -245,6 +245,12 @@ def test_stale_base_read_fails_claim(spark, tmp_path, mode):
     a = SnapshotStore(spark, root, key="id", mode=mode)
     b = SnapshotStore(spark, root, key="id", mode=mode)
     a.create(mk(spark, [(1, "a"), (2, "b")]))
+    # prime the version-keyed schema memo: _check_schema also does a
+    # version-pinned read, and it runs BEFORE the mutation captures
+    # base_v — unprimed, the hook would fire there and B's commit would
+    # land before the stale-base window even opens (r7 harness drift)
+    a._table_schema()
+    base_v = a.current_version()
 
     orig_read = a.read
     fired = []
@@ -252,22 +258,69 @@ def test_stale_base_read_fails_claim(spark, tmp_path, mode):
     def hooked(version=None):
         df = orig_read(version)
         # version is pinned ONLY for the mutation's base read; the
-        # schema-check read passes no version and must not trigger
+        # schema memo (primed above) absorbs the schema-check read
         if version is not None and not fired:
             fired.append(b.insert(mk(spark, [(9, "z")])))
         return df
 
     a.read = hooked
     try:
-        with pytest.raises(ConcurrentCommitError):
+        with pytest.raises(ConcurrentCommitError) as exc:
             a.insert(mk(spark, [(3, "c")]))
     finally:
         a.read = orig_read
+    # the window really was exercised: the hook fired (B committed in
+    # the gap) and A's failed claim was on its STALE base_v+1, which is
+    # exactly the version B published
+    assert fired, "hook never fired — the stale-base window was not simulated"
+    assert fired[0] == base_v + 1
+    assert f"version {base_v + 1}" in str(exc.value)
     # B's concurrent row survived; A's loser mutation changed nothing
     assert {r.id for r in a.read().collect()} == {1, 2, 9}
     # retry on the fresh base succeeds
     a.insert(mk(spark, [(3, "c")]))
     assert {r.id for r in a.read().collect()} == {1, 2, 3, 9}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stale_base_version_contract(spark, tmp_path, mode):
+    """Direct contract test for the stale-base protection, independent of
+    read-hook ordering (the hook simulation above proves the WINDOW; this
+    pins the MECHANISM so a refactor that drops the claim/freshness check
+    fails even if internal read ordering changes): committing with an
+    explicitly stale base_version must raise, whichever of the two
+    defenses (claim marker taken, or marker vacuumed but pointer ahead)
+    is in play."""
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    root = str(tmp_path / f"stalec_{mode}")
+    a = SnapshotStore(spark, root, key="id", mode=mode)
+    b = SnapshotStore(spark, root, key="id", mode=mode)
+    a.create(mk(spark, [(1, "a")]))
+    stale_v = a.current_version()
+    b.insert(mk(spark, [(2, "b")]))  # concurrent commit: stale_v+1 now published
+
+    df = a.read()  # any frame; the claim must fail before it matters
+    if mode == "cow":
+        with pytest.raises(ConcurrentCommitError):
+            a._commit(df, base_version=stale_v)
+    else:
+        with pytest.raises(ConcurrentCommitError):
+            a._claim_version(stale_v + 1)
+    # same must hold after vacuum swept the consumed claim marker — the
+    # pointer-freshness check is the defense once the marker is gone
+    a.vacuum()
+    assert not os.path.exists(os.path.join(root, f"claim.v{stale_v + 1:06d}"))
+    if mode == "cow":
+        with pytest.raises(ConcurrentCommitError):
+            a._commit(df, base_version=stale_v)
+    else:
+        with pytest.raises(ConcurrentCommitError):
+            a._claim_version(stale_v + 1)
+    # no damage: published state intact, retry on fresh base works
+    assert {r.id for r in b.read().collect()} == {1, 2}
+    a.insert(mk(spark, [(3, "c")]))
+    assert {r.id for r in a.read().collect()} == {1, 2, 3}
 
 
 def test_recover_claims_frees_crashed_writer(spark, tmp_path):
@@ -624,6 +677,33 @@ def test_update_meta_is_meta_only(spark, tmp_path, mode):
         empty.update_meta({"x": 1})
 
 
+def test_update_meta_respects_claim_protocol(spark, tmp_path):
+    """r7 ADVICE: an unprotected read-merge-swap in update_meta could
+    roll the pointer BACK over a data commit that published v+1 in the
+    gap, orphaning the committed snapshot. update_meta must therefore
+    hold the v+1 claim marker (the same one any data commit needs)
+    across its swap: while another writer holds it, update_meta raises
+    instead of racing; once free, it succeeds and releases the marker
+    so the next data commit can claim v+1 normally."""
+    from deployment_spark.operators.crud import ConcurrentCommitError
+
+    root = tmp_path / "mc"
+    s = SnapshotStore(spark, str(root), key="id")
+    s.create(mk(spark, [(1, "a")]), meta={"w": 1})
+    v = s.current_version()
+    marker = root / f"claim.v{v + 1:06d}"
+    open(str(marker), "w").close()  # a concurrent writer mid-commit
+    with pytest.raises(ConcurrentCommitError):
+        s.update_meta({"w": 2})
+    assert s.commit_meta() == {"w": 1}  # pointer untouched by the loser
+    os.remove(str(marker))
+    s.update_meta({"w": 2})
+    assert s.commit_meta() == {"w": 2}
+    assert not marker.exists()  # claim released after the meta swap
+    s.insert(mk(spark, [(2, "b")]))  # ...so data commits proceed
+    assert s.current_version() == v + 1
+
+
 def test_vacuum_never_sweeps_inflight_segments(spark, tmp_path):
     """r7 (found by the concurrent-reader maintenance test): a mor
     segment/tombstone dir whose version is ABOVE the published pointer
@@ -738,6 +818,27 @@ def test_bloom_no_false_negatives(spark, tmp_path):
     s, df = bloom_store(spark, tmp_path)
     allk = [r.k for r in df.collect()]
     assert s.read_where_key_in(allk).count() == 300
+
+
+def test_bloom_probe_type_mismatch_no_false_negatives(spark, tmp_path):
+    """r7 ADVICE: probe keys arrive with Python-inferred types; the
+    stored key column here is DOUBLE, so an int probe canonicalized
+    without a cast would hash '7' while the build hashed '7.0' — a
+    silent bloom false negative dropping rows isin() would match. The
+    probe column must be cast to the table's key type before hashing."""
+    s = SnapshotStore(
+        spark, str(tmp_path / "dbl"), key="k", mode="mor", bloom_bits=1 << 14
+    )
+    rows = spark.range(0, 30).select(
+        F.col("id").cast("double").alias("k"), F.col("id").alias("v")
+    )
+    s.insert(rows.filter(F.col("v") < 15))
+    s.insert(rows.filter(F.col("v") >= 15))
+    # int probes against the double key column: both rows must be found
+    out = s.read_where_key_in([7, 20]).collect()
+    assert sorted(r.v for r in out) == [7, 20]
+    # float probes keep working too
+    assert s.read_where_key_in([7.0]).count() == 1
 
 
 def test_bloom_tombstones_and_updates_stay_correct(spark, tmp_path):

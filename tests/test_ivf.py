@@ -264,7 +264,7 @@ def test_distributed_search_exact_at_large_nlist(spark, tmp_path):
     queries.count()
 
     # the distributed router must stay correct in the large-nlist
-    # regime (auto switches at the measured AUTO_DISTRIBUTED_NLIST=4096
+    # regime (auto switches at the measured AUTO_DISTRIBUTED_NLIST=8192
     # crossover; this fixture pins correctness, not the switch point)
     assert idx.nlist() == NLIST > 1024
 
