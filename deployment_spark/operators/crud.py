@@ -182,6 +182,44 @@ class SnapshotStore:
         with open(self._pointer) as f:
             return json.load(f)["version"]
 
+    def tracked_rows(self) -> int | None:
+        """Exact live row count as of the last commit, O(1) from the
+        pointer — never a scan (r7 VERDICT next #7). cow: always exact
+        (the snapshot write job observes its own count). mor: maintained
+        incrementally where the mutation's delta is knowable — create
+        and insert (+batch; the anti-join / assume_new guarantee means
+        no shadowing) keep it exact; delete/upsert/update set it to
+        ``None`` (their replaced/matched counts are unknowable without
+        the base scan those O(batch) paths exist to avoid); the next
+        ``compact()`` re-materializes and restores exactness. ``None``
+        means "unknown — use count() if you must pay the scan"."""
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as f:
+            r = json.load(f).get("rows")
+        return int(r) if r is not None else None
+
+    def manifest_file_rows(self) -> tuple[int | None, int | None]:
+        """(segment_rows, tombstone_rows) — PHYSICAL row sums from the
+        manifest's per-file counts (written free by the write job's
+        Observation), O(manifest) driver work, zero scans. This is
+        compaction-pressure telemetry, NOT a live count: segments may
+        shadow each other and tombstoned keys may not exist. ``None``
+        per side when any entry predates per-file counts. cow returns
+        (tracked_rows(), 0) — the snapshot is one file set."""
+        if self.mode == "cow":
+            return self.tracked_rows(), 0
+        v = self.current_version()
+        if v == 0:
+            return None, None
+
+        def total(entries):
+            rows = [e.get("rows") for e in entries]
+            return None if any(r is None for r in rows) else int(sum(rows))
+
+        m = self._read_manifest(v)
+        return total(m["segments"]), total(m["tombstones"])
+
     def commit_meta(self) -> dict:
         """Caller-supplied metadata as of the LAST commit (e.g. a
         streaming batch_id) — rides in the atomically-swapped pointer
@@ -350,7 +388,13 @@ class SnapshotStore:
         )
         self._claim_version(version)
         path = self._snapshot_path(version)
-        writer = df.write.mode("overwrite")
+        # a cow snapshot IS the table: observing its row count on the
+        # write job gives an always-exact live-rows pointer field for
+        # free (no extra scan) — /metrics reads it O(1) (r7 next #7)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("cnt")).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(path)
@@ -361,6 +405,7 @@ class SnapshotStore:
                     "version": version,
                     "path": os.path.basename(path),
                     "ts": time.time(),
+                    "rows": int(obs.get.get("cnt") or 0),
                     "meta": self._merged_meta(meta),
                 },
                 f,
@@ -383,6 +428,7 @@ class SnapshotStore:
         tombstones: list[dict],
         meta: dict | None = None,
         version: int | None = None,
+        rows: int | None = None,
     ) -> int:
         """C5 barrier, mor flavor: the new segment/tombstone files are
         fully written before the manifest that references them appears;
@@ -408,6 +454,10 @@ class SnapshotStore:
                     "version": version,
                     "mode": self.mode,
                     "ts": time.time(),
+                    # exact live row count when the mutation can derive
+                    # it O(1) (see tracked_rows()); None = unknown until
+                    # the next compact()/create() re-materializes
+                    "rows": rows,
                     "meta": self._merged_meta(meta),
                 },
                 f,
@@ -448,9 +498,9 @@ class SnapshotStore:
 
     def _write_files(
         self, df: DataFrame, name: str
-    ) -> tuple[str, object, object, dict]:
+    ) -> tuple[str, object, object, dict, int]:
         """Write an immutable segment/tombstone file set and return
-        ``(name, key_min, key_max, stats)`` where ``stats`` maps each
+        ``(name, key_min, key_max, stats, row_count)`` where ``stats`` maps each
         tracked ``stats_cols`` column present in the frame to its
         [min, max]. ALL zone stats ride on the WRITE JOB ITSELF via the
         Observation API — zero extra scans (a follow-up stats agg
@@ -482,9 +532,10 @@ class SnapshotStore:
         writer.parquet(path)
         got = obs.get
         stats = {c: [got.get(f"mn_{c}"), got.get(f"mx_{c}")] for c in scols}
+        cnt = int(got.get("cnt") or 0)
         if self.bloom_bits:
-            self._build_bloom(path, int(got.get("cnt") or 0))
-        return name, got.get("mn"), got.get("mx"), stats
+            self._build_bloom(path, cnt)
+        return name, got.get("mn"), got.get("mx"), stats, cnt
 
     # -- per-segment key bloom filters (manifest-level point-read skipping) --
 
@@ -597,7 +648,10 @@ class SnapshotStore:
                 out.append(e)
         return out
 
-    def _entry(self, name: str, seq: int, mn, mx, stats: dict | None = None) -> dict:
+    def _entry(
+        self, name: str, seq: int, mn, mx, stats: dict | None = None,
+        rows: int | None = None,
+    ) -> dict:
         """Manifest entry with key ZONE MAP: `read_where_key_between`
         prunes whole segments/tombstone files against [key_min, key_max]
         before any scan — the lakehouse file-skipping move; at 100 TB the
@@ -607,6 +661,11 @@ class SnapshotStore:
         if not isinstance(mn, (int, float, str)) or not isinstance(mx, (int, float, str)):
             mn = mx = None
         e = {"path": name, "seq": seq, "key_min": mn, "key_max": mx}
+        if rows is not None:
+            # per-file physical row count, free from the write job's
+            # Observation: lets /metrics expose segment/tombstone sizes
+            # and compaction pressure without ever scanning (r7 next #7)
+            e["rows"] = int(rows)
         ok = lambda b: (
             isinstance(b[0], (int, float, str)) and isinstance(b[1], (int, float, str))
         )
@@ -828,9 +887,13 @@ class SnapshotStore:
         if self.mode == "mor":
             v = self.current_version() + 1
             self._claim_version(v)
-            seg, mn, mx, st = self._write_files(df, f"s{v:06d}")
+            seg, mn, mx, st, cnt = self._write_files(df, f"s{v:06d}")
             return self._commit_manifest(
-                [self._entry(seg, v, mn, mx, st)], [], meta=meta, version=v
+                [self._entry(seg, v, mn, mx, st, rows=cnt)],
+                [],
+                meta=meta,
+                version=v,
+                rows=cnt,
             )
         return self._commit(df, meta=meta)
 
@@ -882,12 +945,17 @@ class SnapshotStore:
             v = base_v + 1
             self._claim_version(v)
             m = self._read_manifest(base_v)
-            seg, mn, mx, st = self._write_files(new, f"s{v:06d}")
+            seg, mn, mx, st, cnt = self._write_files(new, f"s{v:06d}")
+            prev = self.tracked_rows()
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, mn, mx, st)],
+                m["segments"] + [self._entry(seg, v, mn, mx, st, rows=cnt)],
                 m["tombstones"],
                 meta=meta,
                 version=v,
+                # exact: the anti-join (or the caller's assume_new
+                # guarantee, which data correctness already rests on)
+                # means no incoming row shadows an existing key
+                rows=prev + cnt if prev is not None else None,
             )
         # cow rewrites the snapshot either way; assume_new only spares it
         # the anti-join, not the O(corpus) union write
@@ -906,9 +974,16 @@ class SnapshotStore:
             v = base_v + 1
             self._claim_version(v)
             m = self._read_manifest(base_v)
-            tomb, tmn, tmx, _ = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
+            tomb, tmn, tmx, _, tcnt = self._write_files(
+                ids_df.select(self.key).distinct(), f"t{v:06d}"
+            )
+            # rows=None: how many tombstoned keys actually existed is
+            # unknowable without the base scan this O(ids) path exists
+            # to avoid; exactness returns at the next compact()
             return self._commit_manifest(
-                m["segments"], m["tombstones"] + [self._entry(tomb, v, tmn, tmx)], version=v
+                m["segments"],
+                m["tombstones"] + [self._entry(tomb, v, tmn, tmx, rows=tcnt)],
+                version=v,
             )
         # no broadcast hint: id-list deletes are tiny and AQE broadcasts
         # them at runtime anyway, but a delete-by-dataframe at 100 TB
@@ -951,11 +1026,13 @@ class SnapshotStore:
             # segment at the same seq: the tombstone only kills rows from
             # strictly OLDER segments (read() uses _tseq > _seq), so the
             # re-inserted rows survive their sibling tombstone.
-            tomb, tmn, tmx, _ = self._write_files(ids_df.select(self.key).distinct(), f"t{v:06d}")
-            seg, smn, smx, sst = self._write_files(new, f"s{v:06d}")
+            tomb, tmn, tmx, _, tcnt = self._write_files(
+                ids_df.select(self.key).distinct(), f"t{v:06d}"
+            )
+            seg, smn, smx, sst, scnt = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, smn, smx, sst)],
-                m["tombstones"] + [self._entry(tomb, v, tmn, tmx)],
+                m["segments"] + [self._entry(seg, v, smn, smx, sst, rows=scnt)],
+                m["tombstones"] + [self._entry(tomb, v, tmn, tmx, rows=tcnt)],
                 version=v,
             )
         return self._commit(self._union(remaining, new), base_version=base_v)
@@ -973,9 +1050,11 @@ class SnapshotStore:
             v = self.current_version() + 1
             self._claim_version(v)
             m = self._read_manifest(v - 1)
-            seg, mn, mx, st = self._write_files(new, f"s{v:06d}")
+            seg, mn, mx, st, cnt = self._write_files(new, f"s{v:06d}")
+            # rows=None: an upsert segment may shadow existing keys, and
+            # the shadow count is unknowable without a corpus read
             return self._commit_manifest(
-                m["segments"] + [self._entry(seg, v, mn, mx, st)],
+                m["segments"] + [self._entry(seg, v, mn, mx, st, rows=cnt)],
                 m["tombstones"],
                 meta=meta,
                 version=v,
@@ -1003,8 +1082,10 @@ class SnapshotStore:
         current = self.read(base_v)
         v = base_v + 1
         self._claim_version(v)
-        seg, mn, mx, st = self._write_files(current, f"s{v:06d}")
-        return self._commit_manifest([self._entry(seg, v, mn, mx, st)], [], version=v)
+        seg, mn, mx, st, cnt = self._write_files(current, f"s{v:06d}")
+        return self._commit_manifest(
+            [self._entry(seg, v, mn, mx, st, rows=cnt)], [], version=v, rows=cnt
+        )
 
     # -- maintenance --------------------------------------------------------
 

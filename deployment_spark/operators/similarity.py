@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -264,6 +265,196 @@ def topk_similarity_join(
             F.col("rank"),
             F.col("_sim").alias("similarity"),
         )
+    )
+
+
+# Above this many queries the broadcast path stops being the right shape:
+# every scoring task materializes the whole nq×d query matrix (at d=384
+# float64, 65,536 queries ≈ 200 MB per task plus the driver collect), and
+# the per-partition survivor count nq·k stops being "tiny". The blocked
+# path replicates corpus bytes ×QB instead — worth it exactly when the
+# query set is corpus-sized. tools/blocked_topk_probe.py measures both
+# curves; see BASELINE.md "blocked top-k crossover".
+BROADCAST_MAX_QUERIES = 65536
+
+
+def topk_similarity_join_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    metric: str = "cosine",
+    query_block_rows: int = 8192,
+    corpus_block_rows: int = 8192,
+    num_query_blocks: int | None = None,
+    num_corpus_blocks: int | None = None,
+) -> DataFrame:
+    """Exact top-k for CORPUS-SIZED query sets — the batch-serving /
+    offline-scoring shape (10⁶⁺ queries) where
+    :func:`topk_similarity_join`'s broadcast contract breaks: there is
+    no driver or task that can hold the query matrix.
+
+    Bipartite block-pair form (the same partitioning argument as
+    ``knn.knn_graph``, which is this operator's self-join special case):
+    queries hash into QB blocks, corpus into CB blocks, and every
+    (qb, cb) pair becomes one independent task — one numpy matmul over
+    two bounded blocks, pre-reduced to each present query's local top-k
+    with the SAME composite order (sim desc, corpus id asc) as the
+    global window, so pre-reduction can never drop a row the final
+    window would keep. One global window over the nq·k·CB survivors
+    finalizes. Nothing is ever collected or broadcast; peak task memory
+    is two blocks, independent of nq AND N; shuffle volume is
+    |queries|·CB + |corpus|·QB input rows plus nq·k·CB survivors.
+
+    Output and semantics are identical to :func:`topk_similarity_join`
+    (exact, deterministic ties) — property-tested for parity."""
+    if metric not in ("cosine", "dot", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
+    # ids travel through the pandas stage as STRINGS: the union frame
+    # necessarily has a null id column per side, and Arrow→pandas turns
+    # a nullable int64 into float64 — silently corrupting ids above 2^53
+    # (snowflake-scale). String round-trips losslessly for the int/string
+    # ids this module supports, and both ids are cast BACK to their real
+    # types before the global window so the tie-break (and the output
+    # schema) is bit-identical to the broadcast path.
+    out_schema = StructType(
+        [
+            StructField("_qid", StringType()),
+            StructField("_cid", StringType()),
+            StructField("_sim", DoubleType()),
+        ]
+    )
+    # O(1) count aggregates (not collects) to size the block grids
+    QB = int(num_query_blocks or max(1, -(-queries.count() // int(query_block_rows))))
+    CB = int(num_corpus_blocks or max(1, -(-corpus.count() // int(corpus_block_rows))))
+    kk = int(k)
+    use_cosine = metric == "cosine"
+    use_l2 = metric == "l2"
+
+    # one frame; vectors unified to double for the matmul
+    q = (
+        queries.select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
+        )
+        # replicate each query block across every corpus block
+        .withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
+    )
+    c = (
+        corpus.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(corpus_id).cast("string").alias("_cid"),
+            F.col(corpus_vec).cast("array<double>").alias("_vec"),
+            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(CB)).cast("int").alias("_cb"),
+        )
+        .withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+    )
+    both = q.unionByName(c.select(*q.columns))
+
+    # the LOCAL tie-break must apply the same order the TYPED global
+    # window will ("10" < "9" as strings, but 9 < 10 as the window sees
+    # them — a tied candidate at the local k-boundary would otherwise be
+    # pre-reduced away in favor of one the window discards)
+    cid_sql = cid_type.simpleString()
+    cid_kind = (
+        "int"
+        if cid_sql in ("tinyint", "smallint", "int", "bigint")
+        else "float" if cid_sql in ("float", "double") else "str"
+    )
+
+    def pair_topk(pdf):
+        is_q = pdf["_qid"].notna()
+        qp, cp = pdf[is_q], pdf[~is_q]
+        if qp.empty or cp.empty:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
+        qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
+        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
+        if use_cosine:
+            for m in (qmat, cmat):
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                m /= n
+        if use_l2:
+            # rank by -||c-q||² so the shared desc ordering applies
+            sims = (
+                2.0 * (cmat @ qmat.T)
+                - (cmat**2).sum(axis=1, keepdims=True)
+                - (qmat**2).sum(axis=1)
+            )
+        else:
+            sims = cmat @ qmat.T  # (nc_local, nq_local)
+        take = min(kk, sims.shape[0])
+        cid_arr = cp["_cid"].to_numpy()
+        if cid_kind == "int":
+            sort_ids = cid_arr.astype(np.int64)
+        elif cid_kind == "float":
+            sort_ids = cid_arr.astype(np.float64)
+        else:
+            sort_ids = cid_arr
+        out_q, out_c, out_s = [], [], []
+        for j, qid in enumerate(qp["_qid"]):
+            # tie-aware local select on the global window's composite key
+            order = np.lexsort((sort_ids, -sims[:, j]))[:take]
+            out_q.extend([qid] * len(order))
+            out_c.extend(cid_arr[order].tolist())
+            out_s.extend(sims[order, j].tolist())
+        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
+
+    candidates = (
+        both.groupBy("_qb", "_cb")
+        .applyInPandas(pair_topk, schema=out_schema)
+        # back to the caller's id types BEFORE the window: exact type
+        # (and tie-break) parity with the broadcast path
+        .withColumn("_qid", F.col("_qid").cast(qid_type))
+        .withColumn("_cid", F.col("_cid").cast(cid_type))
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(_rank_window("_qid")))
+        .filter(F.col("rank") <= kk)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("rank"),
+            F.col("_sim").alias("similarity"),
+        )
+    )
+
+
+def topk_similarity_join_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    metric: str = "cosine",
+    broadcast_max_queries: int = BROADCAST_MAX_QUERIES,
+) -> DataFrame:
+    """Scale-safe exact top-k entry point (mirrors ``knn_graph_auto``):
+    FAISS-contract query batches take the broadcast matmul path; above
+    ``broadcast_max_queries`` the query set routes to the block-pair
+    form that never collects or broadcasts it, so a 10⁶-query offline
+    scoring job cannot OOM the driver by accident. Both paths are exact
+    with identical deterministic tie-breaks."""
+    nq = queries.count()  # O(1) aggregate, not a collect
+    if nq <= int(broadcast_max_queries):
+        return topk_similarity_join(
+            corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec, metric
+        )
+    return topk_similarity_join_blocked(
+        corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec, metric
     )
 
 

@@ -102,17 +102,35 @@ BENCH_HELP = {
 
 
 def store_samples(store, include_count: bool = False) -> list[tuple[str, dict, float]]:
-    """SnapshotStore health gauges. ``include_count`` is opt-in — a
-    merge-on-read count is a real scan, wrong for a 15 s scrape loop;
-    version/compaction counters are pointer/driver state, always cheap."""
+    """SnapshotStore health gauges — all O(1)/O(manifest), no scans:
+
+    - ``deployment_store_rows``: exact live rows from the pointer's
+      commit-time count (``tracked_rows()``), ON BY DEFAULT since r8 —
+      the write job observes its own count, so a scrape never scans.
+      Omitted (not faked) while a mor store's count is unknown between
+      a delete/upsert and the next compact.
+    - ``deployment_store_segment_rows`` / ``_tombstone_rows``: physical
+      manifest sums — compaction-pressure telemetry for mor stores.
+
+    ``include_count=True`` additionally forces the exact ``count()``
+    scan into ``deployment_store_rows`` when tracking is unknown — for
+    callers that accept a scan per scrape."""
     labels = {"store": store.root, "mode": store.mode}
     samples = [
         ("deployment_store_version", labels, store.current_version()),
         ("deployment_store_compaction_failures_total", labels, store.compaction_failures),
         ("deployment_store_auto_compaction_seconds_total", labels, store.auto_compaction_seconds),
     ]
-    if include_count:
-        samples.append(("deployment_store_rows", labels, store.count()))
+    tracked = store.tracked_rows()
+    if tracked is None and include_count:
+        tracked = store.count()
+    if tracked is not None:
+        samples.append(("deployment_store_rows", labels, tracked))
+    seg_rows, tomb_rows = store.manifest_file_rows()
+    if seg_rows is not None:
+        samples.append(("deployment_store_segment_rows", labels, seg_rows))
+    if tomb_rows is not None:
+        samples.append(("deployment_store_tombstone_rows", labels, tomb_rows))
     return samples
 
 

@@ -841,6 +841,70 @@ def test_bloom_probe_type_mismatch_no_false_negatives(spark, tmp_path):
     assert s.read_where_key_in([7.0]).count() == 1
 
 
+def test_tracked_rows_exact_or_unknown_never_wrong(spark, tmp_path):
+    """r7 next #7: live row counts must come from commit-time write-job
+    observations (O(1) pointer read), never a scan per scrape — and a
+    mor store whose delta is unknowable (delete/upsert may not match /
+    may shadow) must report None, not a wrong number. compact()
+    re-materializes and restores exactness."""
+    # cow: always exact
+    c = SnapshotStore(spark, str(tmp_path / "c"), key="id")
+    c.create(mk(spark, [(1, "a"), (2, "b")]))
+    assert c.tracked_rows() == 2
+    c.insert(mk(spark, [(3, "c")]))
+    assert c.tracked_rows() == 3 == c.count()
+    c.delete_ids([1])
+    assert c.tracked_rows() == 2 == c.count()  # cow rewrite observes
+    assert c.manifest_file_rows() == (2, 0)
+
+    # mor: exact through create/insert, unknown after delete, exact
+    # again after compact, unknown after upsert
+    m = SnapshotStore(spark, str(tmp_path / "m"), key="id", mode="mor")
+    m.create(mk(spark, [(1, "a"), (2, "b")]))
+    m.insert(mk(spark, [(3, "c"), (3, "dup")]))  # dedup_new drops one
+    assert m.tracked_rows() == 3 == m.count()
+    m.delete_ids([2, 99])  # 99 doesn't exist: delta unknowable O(ids)
+    assert m.tracked_rows() is None
+    seg, tomb = m.manifest_file_rows()
+    assert seg == 3 and tomb == 2  # physical sums stay exact
+    m.compact()
+    assert m.tracked_rows() == 2 == m.count()
+    m.upsert(mk(spark, [(1, "A"), (7, "g")]))  # 1 shadows: delta unknown
+    assert m.tracked_rows() is None
+    assert m.manifest_file_rows() == (4, 0)  # 2 compacted + 2 upserted
+    m.compact()
+    assert m.tracked_rows() == 3 == m.count()
+
+
+def test_store_metrics_scrape_never_scans(spark, tmp_path):
+    """The default /metrics scrape must be scan-free: with read()/count()
+    poisoned, store_samples still renders — emitting the rows gauge
+    while tracked, omitting it (not scanning) while unknown."""
+    from deployment_spark.sources.metrics import store_samples
+
+    s = SnapshotStore(spark, str(tmp_path / "s"), key="id", mode="mor")
+    s.create(mk(spark, [(1, "a"), (2, "b")]))
+
+    def boom(*a, **kw):  # any scan attempt fails the test loudly
+        raise AssertionError("scrape scanned the store")
+
+    s.read = boom
+    s.count = boom
+    names = {n for n, _l, _v in store_samples(s)}
+    vals = {n: v for n, _l, v in store_samples(s)}
+    assert vals["deployment_store_rows"] == 2
+    assert vals["deployment_store_segment_rows"] == 2
+    assert vals["deployment_store_tombstone_rows"] == 0
+    # unknown phase: gauge omitted, still no scan
+    del s.read, s.count  # restore class methods for the mutation
+    s.delete_ids([1])
+    s.read = boom
+    s.count = boom
+    names = {n for n, _l, _v in store_samples(s)}
+    assert "deployment_store_rows" not in names
+    assert "deployment_store_tombstone_rows" in names
+
+
 def test_bloom_tombstones_and_updates_stay_correct(spark, tmp_path):
     """The tombstone written by delete/update carries its own bloom; a
     point read of a deleted key returns nothing (the tombstone file is

@@ -366,6 +366,31 @@ def test_doc_quality_single_scan_no_exchange(spark, sf_dir):
     assert plan.count("documents.parquet") <= 1
 
 
+def test_blocked_topk_plan_shape(spark, sf_dir):
+    """The block-pair exact top-k must be exactly two exchanges: one
+    hash shuffle on (_qb, _cb) feeding the pair-matmul tasks, one on
+    the query id for the final window — with Spark's WindowGroupLimit
+    pre-reduction on both sides of it. Anything more means the bipartite
+    replication got re-shuffled (the scale story collapses); a scan that
+    reads more than (id, vector) means pruning broke."""
+    from deployment_spark.operators.similarity import topk_similarity_join_blocked
+    from deployment_spark.plans import audit
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = topk_similarity_join_blocked(
+        emb, q, k=5, query_block_rows=16, corpus_block_rows=256
+    )
+    plan = audit.physical_plan(df)
+    assert audit.count_exchanges(df) == 2, plan
+    assert "WindowGroupLimit" in plan  # window pre-reduction engaged
+    # column pruning reaches both replicated scans
+    assert "label" not in plan.split("FileScan")[1]
+
+
 def test_expensive_entries_exchange_budget(spark, sf_dir):
     """r7 (VERDICT r6 next #8): pinned exchange-count ceilings for the
     most expensive bench entries (top of BENCH_r06 by time). A future

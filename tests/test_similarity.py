@@ -13,8 +13,17 @@ from deployment_spark.operators.similarity import (
     cosine_neardup_pairs_expr,
     enrich_topk,
     topk_similarity_join,
+    topk_similarity_join_auto,
+    topk_similarity_join_blocked,
     topk_similarity_join_expr,
 )
+
+
+def _blocked_small(corpus, queries, k=5, **kw):
+    # tiny blocks so the fixture actually exercises multi-block grids
+    return topk_similarity_join_blocked(
+        corpus, queries, k=k, query_block_rows=2, corpus_block_rows=32, **kw
+    )
 
 
 @pytest.fixture(scope="module")
@@ -45,7 +54,9 @@ def queries_df(embeddings):
     )
 
 
-@pytest.mark.parametrize("impl", [topk_similarity_join, topk_similarity_join_expr])
+@pytest.mark.parametrize(
+    "impl", [topk_similarity_join, topk_similarity_join_expr, _blocked_small]
+)
 def test_topk_matches_numpy(embeddings, queries_df, corpus_np, impl):
     k = 5
     ids, mat = corpus_np
@@ -92,6 +103,89 @@ def test_enrich_topk(embeddings, queries_df):
     rows = enriched.collect()
     assert len(rows) == 9
     assert "label" in enriched.columns
+
+
+def test_blocked_tie_break_across_corpus_blocks(spark):
+    """The blocked path's local pre-reduce must apply the TYPED global
+    tie-break even though ids travel as strings through the pandas
+    stage: 40 identical vectors hashed across 8 corpus blocks all tie
+    at exactly 1.0 (axis vectors — no BLAS jitter), so string order
+    ('10' < '9') instead of numeric order at the block-local k-boundary
+    would surface the wrong ids."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(40))
+    rng.shuffle(ids)
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in ids], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["query_id", "query_vec"])
+    got = (
+        topk_similarity_join_blocked(
+            corpus, queries, k=5, num_corpus_blocks=8, num_query_blocks=1
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [0, 1, 2, 3, 4]
+    assert all(abs(r.similarity - 1.0) < 1e-12 for r in got)
+
+
+def test_blocked_preserves_large_int64_ids(spark):
+    """Ids above 2^53 — the reason ids travel the pandas stage as
+    strings: the union frame's nullable id columns become float64 in
+    pandas, which silently corrupts snowflake-scale int64 ids."""
+    base = 1 << 60
+    corpus = spark.createDataFrame(
+        [(base + i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(base + 100, [5.0, 1.0])], "query_id long, query_vec array<double>"
+    )
+    got = topk_similarity_join_blocked(
+        corpus, queries, k=2, num_corpus_blocks=3
+    ).collect()
+    assert got[0].query_id == base + 100
+    assert sorted(r.vec_id for r in got) == [base + 4, base + 5]
+
+
+def test_blocked_empty_and_kcap(spark, embeddings, queries_df):
+    """Typed empty result on an empty query set; k > corpus never
+    over-returns (same V7 contract as the broadcast path)."""
+    empty_q = queries_df.limit(0)
+    out = topk_similarity_join_blocked(embeddings, empty_q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "rank", "similarity"]
+    small = embeddings.filter(F.col("vec_id") < 4)
+    got = topk_similarity_join_blocked(
+        small, queries_df, k=100, num_corpus_blocks=2
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v == 4 for v in per_q.values())
+
+
+def test_topk_auto_routes_by_query_count(embeddings, queries_df):
+    """The auto entry point: FAISS-contract batches broadcast; above the
+    threshold the block-pair path runs — and both return the same
+    ranking (ulp-tolerant compare: BLAS summation order differs across
+    matrix shapes, so similarities may differ in the last bits)."""
+    via_bcast = topk_similarity_join_auto(embeddings, queries_df, k=5)
+    via_blocked = topk_similarity_join_auto(
+        embeddings, queries_df, k=5, broadcast_max_queries=0
+    )
+    a = {(r.query_id, r.rank): (r.vec_id, r.similarity) for r in via_bcast.collect()}
+    b = {(r.query_id, r.rank): (r.vec_id, r.similarity) for r in via_blocked.collect()}
+    assert a.keys() == b.keys()
+    for key in a:
+        (av, asim), (bv, bsim) = a[key], b[key]
+        assert abs(asim - bsim) < 1e-9
+        # rank flips are legitimate only between ulp-tied candidates
+        if av != bv:
+            assert abs(asim - bsim) < 1e-12
 
 
 def test_topk_tie_break_deterministic_across_partitions(spark):
@@ -186,7 +280,9 @@ def test_neardup_never_touches_the_driver(spark, embeddings, monkeypatch):
     assert n_lsh >= 0 and n_exact >= 0
 
 
-@pytest.mark.parametrize("impl", [topk_similarity_join, topk_similarity_join_expr])
+@pytest.mark.parametrize(
+    "impl", [topk_similarity_join, topk_similarity_join_expr, _blocked_small]
+)
 def test_l2_metric_matches_numpy(spark, embeddings, impl):
     """metric='l2' — FAISS IndexFlatL2 parity on UN-normalized vectors:
     smallest squared distance wins, desc-similarity window unchanged."""
