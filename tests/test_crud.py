@@ -3,6 +3,7 @@ straight-line expected state (SURVEY §5.2(3))."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -965,3 +966,64 @@ def test_bloom_integer_keys_and_empty_segment(spark, tmp_path):
     out2 = s.read_where_key_in([2])
     assert [r.payload for r in out2.collect()] == ["b"]
     assert "s000003" not in _segs_scanned(out2, s.root)
+
+
+def test_multiprocess_writer_race(spark, tmp_path):
+    """r7 next #8 (stretch): every other concurrency test races two
+    store INSTANCES inside one driver process — this one certifies the
+    O_EXCL claim + pointer-freshness protocol the way real concurrent
+    writers arrive: two OS processes, each with its OWN Spark JVM,
+    racing mor inserts on one root. Invariants that must hold whatever
+    the interleaving: every writer's every row lands exactly once (no
+    lost updates), the version advanced exactly once per successful
+    commit (claims serialized), and no claim marker leaked above the
+    published version. ~60-90 s (two JVM startups) — the cost of the
+    only test that can catch a protocol assumption that holds in-process
+    but not cross-process (e.g. O_EXCL vs NFS, pointer rename
+    visibility)."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "mp")
+    go = str(tmp_path / "go")
+    s = SnapshotStore(spark, root, key="id", mode="mor")
+    s.create(mk(spark, [(1, "seed")]))
+    v0 = s.current_version()
+
+    script = os.path.join(os.path.dirname(__file__), "_race_writer.py")
+    N = 4
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, root, str(w), str(N), go],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in (1, 2)
+    ]
+    open(go, "w").close()  # barrier release: both JVMs are starting
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"stdout:\n{out}\nstderr tail:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # no lost updates: all 2N rows + seed, each exactly once
+    got = sorted(r.id for r in s.read().collect())
+    want = sorted([1] + [w * 1000 + i for w in (1, 2) for i in range(N)])
+    assert got == want
+    # one version per successful commit — claims really serialized
+    assert s.current_version() == v0 + sum(o["committed"] for o in outs)
+    assert all(o["committed"] == N for o in outs)
+    # no claim marker above the published version survived
+    s.vacuum()
+    leaked = [
+        n
+        for n in os.listdir(root)
+        if n.startswith("claim.v")
+        and int(n[len("claim.v"):]) > s.current_version()
+    ]
+    assert leaked == []
+    # contention evidence (informational, not asserted: interleaving is
+    # the OS scheduler's choice): retries recorded per writer
+    print("race retries:", {o["writer"]: o["retries"] for o in outs})
