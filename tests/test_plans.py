@@ -366,18 +366,25 @@ def test_doc_quality_single_scan_no_exchange(spark, sf_dir):
     assert plan.count("documents.parquet") <= 1
 
 
-def test_blocked_topk_plan_shape(spark, sf_dir):
+def test_blocked_topk_plan_shape(spark, sf_dir, tmp_path):
     """The block-pair exact top-k must be exactly two exchanges: one
     hash shuffle on (_qb, _cb) feeding the pair-matmul tasks, one on
     the query id for the final window — with Spark's WindowGroupLimit
     pre-reduction on both sides of it. Anything more means the bipartite
     replication got re-shuffled (the scale story collapses); a scan that
     reads more than (id, vector) means pruning broke."""
+    import re
+
     from deployment_spark.operators.similarity import topk_similarity_join_blocked
     from deployment_spark.plans import audit
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # a private parquet copy: the session-scoped cached `embeddings`
+    # fixture would otherwise substitute InMemoryRelation for the scan
+    # (test-order dependent) and there'd be no FileScan to assert on
+    own = str(tmp_path / "emb")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").write.parquet(own)
+    emb = spark.read.parquet(own)
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -388,7 +395,9 @@ def test_blocked_topk_plan_shape(spark, sf_dir):
     assert audit.count_exchanges(df) == 2, plan
     assert "WindowGroupLimit" in plan  # window pre-reduction engaged
     # column pruning reaches both replicated scans
-    assert "label" not in plan.split("FileScan")[1]
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert len(schemas) == 2, plan
+    assert all("label" not in s for s in schemas), schemas
 
 
 def test_expensive_entries_exchange_budget(spark, sf_dir):
