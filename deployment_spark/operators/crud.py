@@ -270,12 +270,19 @@ class SnapshotStore:
         if not os.path.exists(self._pointer):
             raise ValueError(f"snapshot store {self.root} is empty")
         last_err = None
+        attempt = 0
         for _ in range(8):
             v = self.current_version()
             try:
                 self._claim_version(v + 1)
             except ConcurrentCommitError as e:
                 last_err = e
+                # linear backoff (0.1..0.8 s, ~3.6 s total budget): the
+                # claim holder is typically a data commit mid-Spark-job;
+                # a zero-delay loop would burn all retries in
+                # microseconds and raise spuriously (r8 review)
+                attempt += 1
+                time.sleep(0.1 * attempt)
                 continue
             marker = os.path.join(self.root, f"claim.v{v + 1:06d}")
             try:
@@ -952,10 +959,14 @@ class SnapshotStore:
                 m["tombstones"],
                 meta=meta,
                 version=v,
-                # exact: the anti-join (or the caller's assume_new
-                # guarantee, which data correctness already rests on)
-                # means no incoming row shadows an existing key
-                rows=prev + cnt if prev is not None else None,
+                # exact only when the batch itself is key-unique
+                # (dedup_new) AND nothing shadows the base (anti-join /
+                # the caller's assume_new guarantee, which data
+                # correctness already rests on). dedup_new=False can
+                # land intra-batch duplicate keys that the last-wins
+                # read collapses — physical cnt would overcount live
+                # rows, so the gauge goes unknown instead of wrong.
+                rows=prev + cnt if (prev is not None and dedup_new) else None,
             )
         # cow rewrites the snapshot either way; assume_new only spares it
         # the anti-join, not the O(corpus) union write

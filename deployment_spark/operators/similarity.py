@@ -155,6 +155,53 @@ def keyset_page(
     )
 
 
+
+def _exact_scoring_core():
+    """The ONE source of the exact paths' scoring + tie-break semantics
+    — broadcast and blocked both capture these, so a metric fix cannot
+    silently land in only one. Returned as NESTED functions on purpose:
+    cloudpickle serializes nested callables BY VALUE into the
+    mapInPandas/applyInPandas closures, so executors never need to
+    import deployment_spark (a module-level helper pickles by
+    reference and crashes any driver whose workers lack the package on
+    PYTHONPATH — caught by the r8 from-/tmp verify drive)."""
+
+    def normalize_rows(m):
+        import numpy as np
+
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    def pair_scores(qmat, cmat, metric, query_prenormalized=False):
+        """(nc, nq) score matrix, higher = nearer: cosine = normalized
+        dot, dot/ip = raw dot, l2 = -||c-q||² in expanded form (one
+        matmul per block)."""
+        if metric == "cosine":
+            if not query_prenormalized:
+                qmat = normalize_rows(qmat)
+            cmat = normalize_rows(cmat)
+        if metric == "l2":
+            return (
+                2.0 * (cmat @ qmat.T)
+                - (cmat**2).sum(axis=1, keepdims=True)
+                - (qmat**2).sum(axis=1)
+            )
+        return cmat @ qmat.T
+
+    def tie_aware_order(sims_col, sort_ids, take):
+        """Local top-`take` indices for one query column, ordered by the
+        SAME composite key the global window uses (sim desc, corpus id
+        asc) — pre-reduction can never drop a tied candidate the final
+        window would keep. argpartition alone breaks exact-similarity
+        ties arbitrarily (nondeterministic under duplicate vectors)."""
+        import numpy as np
+
+        return np.lexsort((sort_ids, -sims_col))[:take]
+
+    return normalize_rows, pair_scores, tie_aware_order
+
+
 def topk_similarity_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,16 +236,13 @@ def topk_similarity_join(
 
     import numpy as np
 
+    _normalize_rows, _pair_scores, _tie_aware_order = _exact_scoring_core()
     qids = [r[query_id] for r in qrows]
     qmat = np.array([r[query_vec] for r in qrows], dtype=np.float64)
     if metric == "cosine":
-        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-        qn[qn == 0] = 1.0
-        qmat = qmat / qn
+        qmat = _normalize_rows(qmat)  # once on the driver, not per batch
     bq = spark.sparkContext.broadcast((qids, qmat))
     kk = int(k)
-    use_cosine = metric == "cosine"
-    use_l2 = metric == "l2"
 
     out_schema = StructType(
         [
@@ -224,32 +268,12 @@ def topk_similarity_join(
             if pdf.empty:
                 continue
             cmat = np.array(pdf["_cvec"].tolist(), dtype=np.float64)
-            if use_cosine:
-                cn = np.linalg.norm(cmat, axis=1, keepdims=True)
-                cn[cn == 0] = 1.0
-                cmat = cmat / cn
-            if use_l2:
-                # rank by -||c-q||² so the shared desc ordering applies;
-                # expanded form keeps one matmul per batch
-                sims = (
-                    2.0 * (cmat @ qm.T)
-                    - (cmat**2).sum(axis=1, keepdims=True)
-                    - (qm**2).sum(axis=1)
-                )
-            else:
-                sims = cmat @ qm.T  # (n_local, nq)
-            n_local = sims.shape[0]
-            take = min(kk, n_local)
+            sims = _pair_scores(qm, cmat, metric, query_prenormalized=True)
+            take = min(kk, sims.shape[0])
             cid_arr = pdf["_cid"].to_numpy()
             out_q, out_c, out_s = [], [], []
             for j, qid in enumerate(ids):
-                # Tie-aware local select: order by the SAME composite key
-                # the global window uses (sim desc, cid asc), so a tied
-                # candidate at the local k-boundary is never dropped in
-                # favor of one the global tie-break would discard.
-                # argpartition alone breaks exact-similarity ties
-                # arbitrarily — nondeterministic under duplicate vectors.
-                order = np.lexsort((cid_arr, -sims[:, j]))[:take]
+                order = _tie_aware_order(sims[:, j], cid_arr, take)
                 out_q.extend([qid] * len(order))
                 out_c.extend(cid_arr[order].tolist())
                 out_s.extend(sims[order, j].tolist())
@@ -277,6 +301,11 @@ def topk_similarity_join(
 # curves; see BASELINE.md "blocked top-k crossover".
 BROADCAST_MAX_QUERIES = 65536
 
+# default rows per hash block in the blocked path (8192×d float64 ≈
+# 4-50 MB per side at d 64-768 — two blocks per task, comfortably
+# in-executor); shared with the auto router's grid sizing
+DEFAULT_BLOCK_ROWS = 8192
+
 
 def topk_similarity_join_blocked(
     corpus: DataFrame,
@@ -287,8 +316,8 @@ def topk_similarity_join_blocked(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     metric: str = "cosine",
-    query_block_rows: int = 8192,
-    corpus_block_rows: int = 8192,
+    query_block_rows: int = DEFAULT_BLOCK_ROWS,
+    corpus_block_rows: int = DEFAULT_BLOCK_ROWS,
     num_query_blocks: int | None = None,
     num_corpus_blocks: int | None = None,
 ) -> DataFrame:
@@ -333,12 +362,13 @@ def topk_similarity_join_blocked(
             StructField("_sim", DoubleType()),
         ]
     )
-    # O(1) count aggregates (not collects) to size the block grids
+    # single count aggregates (no rows to the driver) to size the block
+    # grids — pass num_query_blocks / num_corpus_blocks to skip them
+    # when the caller already knows the sizes (topk_similarity_join_auto
+    # reuses its routing count this way)
     QB = int(num_query_blocks or max(1, -(-queries.count() // int(query_block_rows))))
     CB = int(num_corpus_blocks or max(1, -(-corpus.count() // int(corpus_block_rows))))
     kk = int(k)
-    use_cosine = metric == "cosine"
-    use_l2 = metric == "l2"
 
     # one frame; vectors unified to double for the matmul
     q = (
@@ -365,13 +395,29 @@ def topk_similarity_join_blocked(
     # the LOCAL tie-break must apply the same order the TYPED global
     # window will ("10" < "9" as strings, but 9 < 10 as the window sees
     # them — a tied candidate at the local k-boundary would otherwise be
-    # pre-reduced away in favor of one the window discards)
+    # pre-reduced away in favor of one the window discards). Supported
+    # id types are the ones whose string transport admits a provably
+    # window-consistent local sort key: integrals (re-parse to int64),
+    # float/double (re-parse), string (identity), date (ISO text order
+    # == chronological). Anything else (decimal, timestamp, binary)
+    # raises instead of silently mis-ranking ties (r8 review) — cast
+    # the id column before calling.
     cid_sql = cid_type.simpleString()
-    cid_kind = (
-        "int"
-        if cid_sql in ("tinyint", "smallint", "int", "bigint")
-        else "float" if cid_sql in ("float", "double") else "str"
-    )
+    if cid_sql in ("tinyint", "smallint", "int", "bigint"):
+        cid_kind = "int"
+    elif cid_sql in ("float", "double"):
+        cid_kind = "float"
+    elif cid_sql in ("string", "date"):
+        cid_kind = "str"
+    else:
+        raise ValueError(
+            f"blocked top-k: unsupported corpus id type {cid_sql} — cast "
+            "the id to int/bigint/float/double/string/date first (the "
+            "string-transported local tie-break cannot reproduce this "
+            "type's ordering)"
+        )
+
+    _, _pair_scores, _tie_aware_order = _exact_scoring_core()
 
     def pair_topk(pdf):
         is_q = pdf["_qid"].notna()
@@ -380,20 +426,7 @@ def topk_similarity_join_blocked(
             return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
         qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
         cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
-        if use_cosine:
-            for m in (qmat, cmat):
-                n = np.linalg.norm(m, axis=1, keepdims=True)
-                n[n == 0] = 1.0
-                m /= n
-        if use_l2:
-            # rank by -||c-q||² so the shared desc ordering applies
-            sims = (
-                2.0 * (cmat @ qmat.T)
-                - (cmat**2).sum(axis=1, keepdims=True)
-                - (qmat**2).sum(axis=1)
-            )
-        else:
-            sims = cmat @ qmat.T  # (nc_local, nq_local)
+        sims = _pair_scores(qmat, cmat, metric)  # (nc_local, nq_local)
         take = min(kk, sims.shape[0])
         cid_arr = cp["_cid"].to_numpy()
         if cid_kind == "int":
@@ -404,8 +437,7 @@ def topk_similarity_join_blocked(
             sort_ids = cid_arr
         out_q, out_c, out_s = [], [], []
         for j, qid in enumerate(qp["_qid"]):
-            # tie-aware local select on the global window's composite key
-            order = np.lexsort((sort_ids, -sims[:, j]))[:take]
+            order = _tie_aware_order(sims[:, j], sort_ids, take)
             out_q.extend([qid] * len(order))
             out_c.extend(cid_arr[order].tolist())
             out_s.extend(sims[order, j].tolist())
@@ -448,13 +480,17 @@ def topk_similarity_join_auto(
     form that never collects or broadcasts it, so a 10⁶-query offline
     scoring job cannot OOM the driver by accident. Both paths are exact
     with identical deterministic tie-breaks."""
-    nq = queries.count()  # O(1) aggregate, not a collect
+    nq = queries.count()  # single aggregate, no rows to the driver
     if nq <= int(broadcast_max_queries):
         return topk_similarity_join(
             corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec, metric
         )
     return topk_similarity_join_blocked(
-        corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec, metric
+        corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec, metric,
+        # reuse the routing count — the blocked path then skips its own
+        # query-side count pass (r8 review: a 10^6-row query frame built
+        # by an expensive pipeline would re-run it per count)
+        num_query_blocks=max(1, -(-nq // DEFAULT_BLOCK_ROWS)),
     )
 
 

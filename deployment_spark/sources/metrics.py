@@ -126,11 +126,15 @@ def store_samples(store, include_count: bool = False) -> list[tuple[str, dict, f
         tracked = store.count()
     if tracked is not None:
         samples.append(("deployment_store_rows", labels, tracked))
-    seg_rows, tomb_rows = store.manifest_file_rows()
-    if seg_rows is not None:
-        samples.append(("deployment_store_segment_rows", labels, seg_rows))
-    if tomb_rows is not None:
-        samples.append(("deployment_store_tombstone_rows", labels, tomb_rows))
+    if store.mode == "mor":
+        # compaction-pressure telemetry only makes sense for mor: a cow
+        # snapshot is one file set (segment_rows would just duplicate
+        # the rows gauge, tombstone_rows is constant 0 — series noise)
+        seg_rows, tomb_rows = store.manifest_file_rows()
+        if seg_rows is not None:
+            samples.append(("deployment_store_segment_rows", labels, seg_rows))
+        if tomb_rows is not None:
+            samples.append(("deployment_store_tombstone_rows", labels, tomb_rows))
     return samples
 
 

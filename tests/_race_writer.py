@@ -32,8 +32,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     store = SnapshotStore(spark, root, key="id", mode="mor")
-    # barrier: both processes finish JVM startup first, THEN race — the
-    # contention window is the commit loop, not session bring-up
+    # two-phase barrier: signal THIS writer's JVM is up (ready file),
+    # then wait for the parent's go — the parent releases go only after
+    # BOTH ready files exist, so the contention window is the commit
+    # loop, not session bring-up (a go released at spawn time would let
+    # the faster JVM finish before the slower one starts — zero
+    # contention, certifying nothing; r8 review)
+    open(f"{go_file}.ready{writer_id}", "w").close()
     while not os.path.exists(go_file):
         time.sleep(0.05)
     committed = retries = 0

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1001,7 +1002,14 @@ def test_multiprocess_writer_race(spark, tmp_path):
         )
         for w in (1, 2)
     ]
-    open(go, "w").close()  # barrier release: both JVMs are starting
+    # release the barrier only once BOTH writers' JVMs are up and have
+    # signalled ready — otherwise the faster JVM can finish all its
+    # commits before the slower one starts and nothing actually races
+    deadline = time.time() + 300
+    while not all(os.path.exists(f"{go}.ready{w}") for w in (1, 2)):
+        assert time.time() < deadline, "writer JVMs never became ready"
+        time.sleep(0.1)
+    open(go, "w").close()
     outs = []
     for p in procs:
         out, err = p.communicate(timeout=600)
@@ -1027,3 +1035,31 @@ def test_multiprocess_writer_race(spark, tmp_path):
     # contention evidence (informational, not asserted: interleaving is
     # the OS scheduler's choice): retries recorded per writer
     print("race retries:", {o["writer"]: o["retries"] for o in outs})
+
+
+def test_tracked_rows_unknown_when_batch_not_deduped(spark, tmp_path):
+    """r8 review: insert(dedup_new=False) can land intra-batch duplicate
+    keys that the mor last-wins read collapses — physical segment rows
+    would overcount live rows, so the tracked count must go unknown
+    rather than wrong."""
+    m = SnapshotStore(spark, str(tmp_path / "nd"), key="id", mode="mor")
+    m.create(mk(spark, [(1, "a")]))
+    m.insert(mk(spark, [(2, "x"), (2, "y")]), dedup_new=False)
+    assert m.count() == 2  # key 2 collapsed by last-wins
+    assert m.tracked_rows() is None  # unknown, never 3
+    m.compact()
+    assert m.tracked_rows() == 2 == m.count()
+
+
+def test_cow_scrape_has_no_manifest_gauges(spark, tmp_path):
+    """r8 review: for cow stores segment_rows always equals the rows
+    gauge and tombstone_rows is constant 0 — series noise; the manifest
+    gauges are mor-only compaction telemetry."""
+    from deployment_spark.sources.metrics import store_samples
+
+    c = SnapshotStore(spark, str(tmp_path / "c"), key="id")
+    c.create(mk(spark, [(1, "a")]))
+    names = {n for n, _l, _v in store_samples(c)}
+    assert "deployment_store_rows" in names
+    assert "deployment_store_segment_rows" not in names
+    assert "deployment_store_tombstone_rows" not in names

@@ -168,6 +168,19 @@ def test_blocked_empty_and_kcap(spark, embeddings, queries_df):
     assert all(v == 4 for v in per_q.values())
 
 
+def test_blocked_rejects_unorderable_id_types(spark):
+    """r8 review: a decimal/timestamp corpus id would silently fall back
+    to STRING tie-break order inside the pandas stage while the global
+    window orders by the real type — wrong ids at tied k-boundaries.
+    The operator must refuse such types up front instead."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+    ).withColumn("vec_id", F.col("vec_id").cast("decimal(10,0)"))
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], ["query_id", "query_vec"])
+    with pytest.raises(ValueError, match="unsupported corpus id type"):
+        topk_similarity_join_blocked(corpus, queries, k=1)
+
+
 def test_topk_auto_routes_by_query_count(embeddings, queries_df):
     """The auto entry point: FAISS-contract batches broadcast; above the
     threshold the block-pair path runs — and both return the same
