@@ -545,6 +545,162 @@ def radius_search(
     )
 
 
+def radius_search_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    limit_per_query: int | None = None,
+    query_block_rows: int = DEFAULT_BLOCK_ROWS,
+    corpus_block_rows: int = DEFAULT_BLOCK_ROWS,
+    num_query_blocks: int | None = None,
+    num_corpus_blocks: int | None = None,
+) -> DataFrame:
+    """Range search for CORPUS-SIZED query sets — :func:`radius_search`
+    for query batches no broadcast can hold. Same bipartite block-pair
+    machinery as :func:`topk_similarity_join_blocked` (same string id
+    transport, same typed tie-break contract), but the per-pair task
+    emits the radius HITS: with ``limit_per_query`` it pre-reduces each
+    query's hits to the tie-aware local top-limit (so the emit is
+    bounded by limit·nq·CB, not by selectivity) and one global window
+    finalizes; without a limit every hit streams out and no window runs
+    at all — the radius predicate is the reduction, exactly as in the
+    broadcast form. Cosine only, like radius_search."""
+    import numpy as np
+    import pandas as pd
+
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
+    out_schema = StructType(
+        [
+            StructField("_qid", StringType()),
+            StructField("_cid", StringType()),
+            StructField("_sim", DoubleType()),
+        ]
+    )
+    QB = int(num_query_blocks or max(1, -(-queries.count() // int(query_block_rows))))
+    CB = int(num_corpus_blocks or max(1, -(-corpus.count() // int(corpus_block_rows))))
+    lim = None if limit_per_query is None else int(limit_per_query)
+    rad = float(radius)
+
+    q = (
+        queries.select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
+        ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
+    )
+    c = (
+        corpus.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(corpus_id).cast("string").alias("_cid"),
+            F.col(corpus_vec).cast("array<double>").alias("_vec"),
+            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(CB)).cast("int").alias("_cb"),
+        ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+    )
+    both = q.unionByName(c.select(*q.columns))
+
+    cid_sql = cid_type.simpleString()
+    if cid_sql in ("tinyint", "smallint", "int", "bigint"):
+        cid_kind = "int"
+    elif cid_sql in ("float", "double"):
+        cid_kind = "float"
+    elif cid_sql in ("string", "date"):
+        cid_kind = "str"
+    elif lim is not None:
+        raise ValueError(
+            f"blocked radius search with limit: unsupported corpus id type "
+            f"{cid_sql} — cast to int/bigint/float/double/string/date first"
+        )
+    else:
+        cid_kind = "str"  # no limit ⇒ no ranking ⇒ id order never applies
+
+    _, _pair_scores, _tie_aware_order = _exact_scoring_core()
+
+    def pair_hits(pdf):
+        is_q = pdf["_qid"].notna()
+        qp, cp = pdf[is_q], pdf[~is_q]
+        if qp.empty or cp.empty:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
+        qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
+        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
+        sims = _pair_scores(qmat, cmat, "cosine")  # (nc_local, nq_local)
+        cid_arr = cp["_cid"].to_numpy()
+        if cid_kind == "int":
+            sort_ids = cid_arr.astype(np.int64)
+        elif cid_kind == "float":
+            sort_ids = cid_arr.astype(np.float64)
+        else:
+            sort_ids = cid_arr
+        out_q, out_c, out_s = [], [], []
+        for j, qid in enumerate(qp["_qid"]):
+            hit = np.nonzero(sims[:, j] >= rad)[0]
+            if hit.size == 0:
+                continue
+            if lim is not None and hit.size > lim:
+                # tie-aware local cap: bounded emit per (query, pair)
+                hit = hit[_tie_aware_order(sims[hit, j], sort_ids[hit], lim)]
+            out_q.extend([qid] * hit.size)
+            out_c.extend(cid_arr[hit].tolist())
+            out_s.extend(sims[hit, j].tolist())
+        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
+
+    hits = (
+        both.groupBy("_qb", "_cb")
+        .applyInPandas(pair_hits, schema=out_schema)
+        .withColumn("_qid", F.col("_qid").cast(qid_type))
+        .withColumn("_cid", F.col("_cid").cast(cid_type))
+    )
+    if lim is None:
+        return hits.select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("_sim").alias("similarity"),
+        )
+    return (
+        hits.withColumn("rank", F.row_number().over(_rank_window("_qid")))
+        .filter(F.col("rank") <= lim)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            F.col("rank"),
+            F.col("_sim").alias("similarity"),
+        )
+    )
+
+
+def radius_search_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    limit_per_query: int | None = None,
+    broadcast_max_queries: int = BROADCAST_MAX_QUERIES,
+) -> DataFrame:
+    """Scale-safe range-search entry point, mirroring
+    :func:`topk_similarity_join_auto`: FAISS/Milvus-contract query
+    batches take the broadcast Catalyst scan; above
+    ``broadcast_max_queries`` the block-pair form runs instead."""
+    nq = queries.count()  # single aggregate, no rows to the driver
+    if nq <= int(broadcast_max_queries):
+        return radius_search(
+            corpus, queries, radius, corpus_id, corpus_vec,
+            query_id, query_vec, limit_per_query,
+        )
+    return radius_search_blocked(
+        corpus, queries, radius, corpus_id, corpus_vec,
+        query_id, query_vec, limit_per_query,
+        num_query_blocks=max(1, -(-nq // DEFAULT_BLOCK_ROWS)),
+    )
+
+
 def grouped_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4098,6 +4098,17 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius_rows = shape(
         enrich_topk(rad, emb.select("vec_id", "label"), corpus_id="vec_id"), "radius"
     )
+    # r8: the corpus-scale range-search route — same semantics, zero
+    # broadcast (similarity.radius_search_blocked); tiny blocks force a
+    # real multi-block grid at the gate SFs
+    rad_b = sim_ops.radius_search_blocked(
+        emb, queries, radius=0.3, limit_per_query=20,
+        query_block_rows=4, corpus_block_rows=256,
+    )
+    radius_blocked_rows = shape(
+        enrich_topk(rad_b, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "radius_blocked",
+    )
     grouped_rows = shape(grouped_topk(emb, queries, k=5, group_col="label"), "grouped")
     filt = sim_ops.topk_similarity_join_expr(
         emb.filter(F.col("label") % 3 == 0), queries, k=5
@@ -4128,6 +4139,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         topk_rows.unionByName(radius_rows)
+        .unionByName(radius_blocked_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
@@ -4233,6 +4245,11 @@ SELECT 'topk' AS probe, query_id, vec_id, rank, label::BIGINT AS label,
 FROM r WHERE rank <= 5
 UNION ALL
 SELECT 'radius', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM rad WHERE rank <= 20
+UNION ALL
+SELECT 'radius_blocked', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM rad WHERE rank <= 20

@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from deployment_spark.operators.similarity import (
     cosine_neardup_pairs,
+    radius_search,
+    radius_search_auto,
+    radius_search_blocked,
     cosine_neardup_pairs_exact,
     cosine_neardup_pairs_expr,
     enrich_topk,
@@ -179,6 +182,45 @@ def test_blocked_rejects_unorderable_id_types(spark):
     queries = spark.createDataFrame([(1, [1.0, 0.0])], ["query_id", "query_vec"])
     with pytest.raises(ValueError, match="unsupported corpus id type"):
         topk_similarity_join_blocked(corpus, queries, k=1)
+
+
+def test_radius_blocked_matches_broadcast(embeddings, queries_df):
+    """The blocked range search must return the same HIT SET as the
+    broadcast form (membership is ulp-robust here: the probe radius sits
+    ≥ 4.5e-4 from every sim at this SF — same margin argument as the
+    topk_enriched radius probe), and the limited form the same capped
+    ranking."""
+    a = radius_search(embeddings, queries_df, 0.3).collect()
+    b = radius_search_blocked(
+        embeddings, queries_df, 0.3, query_block_rows=2, corpus_block_rows=64
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in a} == {(r.query_id, r.vec_id) for r in b}
+    al = radius_search(embeddings, queries_df, 0.3, limit_per_query=7).collect()
+    bl = radius_search_blocked(
+        embeddings, queries_df, 0.3, limit_per_query=7,
+        query_block_rows=2, corpus_block_rows=64,
+    ).collect()
+    ka = {(r.query_id, r.rank): r.vec_id for r in al}
+    kb = {(r.query_id, r.rank): r.vec_id for r in bl}
+    assert ka == kb
+    # auto: both routes agree
+    auto_b = radius_search_auto(
+        embeddings, queries_df, 0.3, limit_per_query=7, broadcast_max_queries=0
+    ).collect()
+    assert {(r.query_id, r.rank): r.vec_id for r in auto_b} == ka
+
+
+def test_radius_blocked_exact_duplicates_only(embeddings, queries_df):
+    """radius 1.0: only exact self/duplicate matches survive — mirrors
+    test_radius_one_returns_only_exact_duplicates for the blocked form
+    (1 − 1e-9 guard: pairwise numpy cosine of a vector with itself can
+    land at 1.0 − ulp)."""
+    got = radius_search_blocked(
+        embeddings, queries_df, 1.0 - 1e-9, query_block_rows=2, corpus_block_rows=64
+    ).collect()
+    assert {r.query_id for r in got} == {r.query_id for r in queries_df.collect()}
+    for r in got:
+        assert r.similarity >= 1.0 - 1e-9
 
 
 def test_topk_auto_routes_by_query_count(embeddings, queries_df):
