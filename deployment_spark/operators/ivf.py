@@ -515,6 +515,107 @@ class IVFIndex:
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_query_blocks: int | None = None,
+    ) -> DataFrame:
+        """ANN search for CORPUS-SIZED query sets — the offline-scoring
+        sibling of :meth:`search`, with NOTHING query-scale on the
+        driver: ``search`` (either routing) collects the query batch
+        and/or the nq×nprobe probed-id set, which is the right FAISS
+        contract for interactive batches and impossible for a 10⁶-query
+        job. Here:
+
+        1. ROUTING is the blocked exact top-k over the CENTROID table
+           (``similarity.topk_similarity_join_blocked`` with k=nprobe):
+           no query broadcast, no centroid collect — scale-safe in nq
+           AND nlist simultaneously (route_distributed broadcasts the
+           query matrix; the driver router collects centroids).
+        2. SCORING groups the probed (query, cluster) pairs WITH the
+           cluster's corpus rows by cluster_id — the same union-frame
+           task as the hash-blocked exact path, keyed by the index's
+           own partitioning instead of hash blocks — one numpy matmul
+           per cluster, tie-aware local top-k.
+        3. One global window finalizes, same (sim desc, id asc) contract
+           as ``search``.
+
+        Shuffle volume: |queries|·nprobe + |corpus| input rows plus
+        nq·k·nprobe survivors. Task memory is bounded by CLUSTER size —
+        for batch workloads size nlist so N/nlist rows fit a task (the
+        usual nlist ≈ √N already gives √N-row clusters); a pathological
+        hot cluster is the IVF skew case, not specific to this path.
+        Cosine only, like the index itself."""
+        from deployment_spark.operators.similarity import (
+            _cid_sort_kind,
+            _grouped_pair_topk,
+            topk_similarity_join_blocked,
+        )
+        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+        if queries.isEmpty():
+            return self.search_empty(query_id, id_col)
+        data = self.data()
+        qid_type = queries.schema[query_id].dataType
+        cid_type = data.schema[id_col].dataType
+        cid_kind = _cid_sort_kind(cid_type, "ivf batch search")
+        kk = int(k)
+
+        probes = topk_similarity_join_blocked(
+            self.centroids_df(),
+            queries,
+            k=int(nprobe),
+            corpus_id="cluster_id",
+            corpus_vec="centroid",
+            query_id=query_id,
+            query_vec=query_vec,
+            num_query_blocks=num_query_blocks,
+        ).select(query_id, "cluster_id")
+
+        q = queries.join(probes, query_id).select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        c = data.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(id_col).cast("string").alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        out_schema = StructType(
+            [
+                StructField("_qid", StringType()),
+                StructField("_cid", StringType()),
+                StructField("_sim", DoubleType()),
+            ]
+        )
+        candidates = (
+            _grouped_pair_topk(
+                q.unionByName(c), ["_g"], kk, "cosine", cid_kind, out_schema
+            )
+            .withColumn("_qid", F.col("_qid").cast(qid_type))
+            .withColumn("_cid", F.col("_cid").cast(cid_type))
+        )
+        w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                "rank",
+                F.col("_sim").alias("similarity"),
+            )
+        )
+
     def search_empty(self, query_id: str, id_col: str) -> DataFrame:
         from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 

@@ -307,6 +307,66 @@ BROADCAST_MAX_QUERIES = 65536
 DEFAULT_BLOCK_ROWS = 8192
 
 
+
+def _cid_sort_kind(cid_type, context: str):
+    """Resolve the local-sort coercion for a string-transported corpus
+    id: the block-task tie-break must reproduce the TYPED global window
+    order. Raises for types whose ordering a string transport cannot
+    reproduce (decimal, timestamp, binary) instead of silently
+    mis-ranking ties at local k-boundaries."""
+    cid_sql = cid_type.simpleString()
+    if cid_sql in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if cid_sql in ("float", "double"):
+        return "float"
+    if cid_sql in ("string", "date"):
+        return "str"
+    raise ValueError(
+        f"{context}: unsupported corpus id type {cid_sql} — cast the id "
+        "to int/bigint/float/double/string/date first (the "
+        "string-transported local tie-break cannot reproduce this "
+        "type's ordering)"
+    )
+
+
+def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind, out_schema):
+    """groupBy(group_cols).applyInPandas local top-k over a union frame
+    carrying string-transported (_qid, _cid, _vec) — the scoring task
+    shared by the hash-blocked exact path (group = (_qb, _cb)) and the
+    IVF batch path (group = probed cluster): split sides, one matmul,
+    tie-aware per-query top-k on the typed composite order."""
+    import numpy as np
+    import pandas as pd
+
+    _, _pair_scores, _tie_aware_order = _exact_scoring_core()
+
+    def pair_topk(pdf):
+        is_q = pdf["_qid"].notna()
+        qp, cp = pdf[is_q], pdf[~is_q]
+        if qp.empty or cp.empty:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
+        qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
+        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
+        sims = _pair_scores(qmat, cmat, metric)  # (nc_local, nq_local)
+        take = min(kk, sims.shape[0])
+        cid_arr = cp["_cid"].to_numpy()
+        if cid_kind == "int":
+            sort_ids = cid_arr.astype(np.int64)
+        elif cid_kind == "float":
+            sort_ids = cid_arr.astype(np.float64)
+        else:
+            sort_ids = cid_arr
+        out_q, out_c, out_s = [], [], []
+        for j, qid in enumerate(qp["_qid"]):
+            order = _tie_aware_order(sims[:, j], sort_ids, take)
+            out_q.extend([qid] * len(order))
+            out_c.extend(cid_arr[order].tolist())
+            out_s.extend(sims[order, j].tolist())
+        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
+
+    return both.groupBy(*group_cols).applyInPandas(pair_topk, schema=out_schema)
+
+
 def topk_similarity_join_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -395,57 +455,12 @@ def topk_similarity_join_blocked(
     # the LOCAL tie-break must apply the same order the TYPED global
     # window will ("10" < "9" as strings, but 9 < 10 as the window sees
     # them — a tied candidate at the local k-boundary would otherwise be
-    # pre-reduced away in favor of one the window discards). Supported
-    # id types are the ones whose string transport admits a provably
-    # window-consistent local sort key: integrals (re-parse to int64),
-    # float/double (re-parse), string (identity), date (ISO text order
-    # == chronological). Anything else (decimal, timestamp, binary)
-    # raises instead of silently mis-ranking ties (r8 review) — cast
-    # the id column before calling.
-    cid_sql = cid_type.simpleString()
-    if cid_sql in ("tinyint", "smallint", "int", "bigint"):
-        cid_kind = "int"
-    elif cid_sql in ("float", "double"):
-        cid_kind = "float"
-    elif cid_sql in ("string", "date"):
-        cid_kind = "str"
-    else:
-        raise ValueError(
-            f"blocked top-k: unsupported corpus id type {cid_sql} — cast "
-            "the id to int/bigint/float/double/string/date first (the "
-            "string-transported local tie-break cannot reproduce this "
-            "type's ordering)"
-        )
-
-    _, _pair_scores, _tie_aware_order = _exact_scoring_core()
-
-    def pair_topk(pdf):
-        is_q = pdf["_qid"].notna()
-        qp, cp = pdf[is_q], pdf[~is_q]
-        if qp.empty or cp.empty:
-            return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
-        qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
-        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
-        sims = _pair_scores(qmat, cmat, metric)  # (nc_local, nq_local)
-        take = min(kk, sims.shape[0])
-        cid_arr = cp["_cid"].to_numpy()
-        if cid_kind == "int":
-            sort_ids = cid_arr.astype(np.int64)
-        elif cid_kind == "float":
-            sort_ids = cid_arr.astype(np.float64)
-        else:
-            sort_ids = cid_arr
-        out_q, out_c, out_s = [], [], []
-        for j, qid in enumerate(qp["_qid"]):
-            order = _tie_aware_order(sims[:, j], sort_ids, take)
-            out_q.extend([qid] * len(order))
-            out_c.extend(cid_arr[order].tolist())
-            out_s.extend(sims[order, j].tolist())
-        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
+    # pre-reduced away in favor of one the window discards); see
+    # _cid_sort_kind for the supported-type contract (r8 review)
+    cid_kind = _cid_sort_kind(cid_type, "blocked top-k")
 
     candidates = (
-        both.groupBy("_qb", "_cb")
-        .applyInPandas(pair_topk, schema=out_schema)
+        _grouped_pair_topk(both, ["_qb", "_cb"], kk, metric, cid_kind, out_schema)
         # back to the caller's id types BEFORE the window: exact type
         # (and tie-break) parity with the broadcast path
         .withColumn("_qid", F.col("_qid").cast(qid_type))
@@ -604,18 +619,8 @@ def radius_search_blocked(
     )
     both = q.unionByName(c.select(*q.columns))
 
-    cid_sql = cid_type.simpleString()
-    if cid_sql in ("tinyint", "smallint", "int", "bigint"):
-        cid_kind = "int"
-    elif cid_sql in ("float", "double"):
-        cid_kind = "float"
-    elif cid_sql in ("string", "date"):
-        cid_kind = "str"
-    elif lim is not None:
-        raise ValueError(
-            f"blocked radius search with limit: unsupported corpus id type "
-            f"{cid_sql} — cast to int/bigint/float/double/string/date first"
-        )
+    if lim is not None:
+        cid_kind = _cid_sort_kind(cid_type, "blocked radius search with limit")
     else:
         cid_kind = "str"  # no limit ⇒ no ranking ⇒ id order never applies
 

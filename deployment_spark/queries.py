@@ -3347,6 +3347,7 @@ def _ivf_big_index(spark: SparkSession, sf_dir: str):
 
 
 IVF_DISTRIBUTED_FLOOR = 1.0  # exact by construction — see _ivf_big_index
+IVF_BATCH_FLOOR = 1.0  # same fixture + full-coverage nprobe ⇒ exactness
 
 
 def q_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3385,6 +3386,47 @@ def q_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
     return per_q.crossJoin(F.broadcast(summary)).withColumn(
         "meets_floor", F.col("mean_recall") >= IVF_DISTRIBUTED_FLOOR
+    )
+
+
+def q_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5, corpus-scale-batch flavor (r8): recall@10 of
+    ``search_batch`` — blocked centroid routing (no query broadcast, no
+    centroid collect) + cluster-grouped scoring, NOTHING query-scale on
+    the driver — on the same hand-seeded nlist > 1,024 index as the
+    distributed group. Same exact-by-construction argument (each true
+    neighbor's own-embedding centroid is routed within copies·k
+    probes), so the floor is equality at 1.0: any routing, grouping, or
+    id-transport error in the batch path reads as a hard red, not a
+    soft recall dip. Checker-verified like every panel group."""
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    index, emb = _ivf_big_index(spark, sf_dir)
+    k = 10
+    copies = -(-index.nlist() // emb.count())  # ceil
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = index.search_batch(queries, k=k, nprobe=copies * k).select(
+        "query_id", "vec_id"
+    )
+    exact = topk_similarity_join_expr(emb, queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = queries.select("query_id")
+    per_q = qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall_at_10"),
+    )
+    summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor", F.col("mean_recall") >= IVF_BATCH_FLOOR
     )
 
 
@@ -3783,6 +3825,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_variant(
             q_ivf_distributed_recall(spark, sf_dir), "ivf", "distributed"
         ),
+        # r8: the corpus-scale batch path on the same exact fixture
+        one_variant(q_ivf_batch_recall(spark, sf_dir), "ivf", "batch"),
         two_variant(q_pq_recall(spark, sf_dir), "pq", PQ_ADC_FLOOR, PQ_RERANK_FLOOR),
         one_variant(q_ivfpq_recall(spark, sf_dir), "ivfpq", "rerank"),
         two_variant(q_sq_recall(spark, sf_dir), "sq8", SQ_ADC_FLOOR, SQ_RERANK_FLOOR),

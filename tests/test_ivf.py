@@ -45,6 +45,36 @@ def test_full_probe_equals_exact(index, embeddings, queries_df):
     assert e == g
 
 
+def test_search_batch_matches_search(index, embeddings, queries_df):
+    """The corpus-scale batch path (blocked centroid routing + cluster-
+    grouped scoring, nothing query-scale on the driver) must return the
+    same results as search() — full probe (exact) AND pruned, with the
+    same deterministic tie contract. Sims may differ in the last ulp
+    (numpy matmul vs Catalyst aggregate), so id equality is asserted
+    per rank with an ulp-tie escape, like the auto-router parity test."""
+
+    def keyed(df):
+        return {(r.query_id, r.rank): (r.vec_id, r.similarity) for r in df.collect()}
+
+    for nprobe in (16, 4):  # full probe = exact; pruned = same candidates
+        a = keyed(index.search(queries_df, k=5, nprobe=nprobe, routing="driver"))
+        b = keyed(index.search_batch(queries_df, k=5, nprobe=nprobe))
+        assert a.keys() == b.keys()
+        for key in a:
+            (av, asim), (bv, bsim) = a[key], b[key]
+            assert abs(asim - bsim) < 1e-9
+            if av != bv:  # only ulp-tied candidates may swap ranks
+                assert abs(asim - bsim) < 1e-12
+
+
+def test_search_batch_empty_and_self_hit(index, queries_df):
+    empty = index.search_batch(queries_df.limit(0), k=3)
+    assert empty.count() == 0
+    got = index.search_batch(queries_df, k=1, nprobe=4).collect()
+    for r in got:  # own cluster is probed first: self-hit at rank 1
+        assert r.vec_id == r.query_id and abs(r.similarity - 1.0) < 1e-9
+
+
 def test_pruned_probe_recall(index, embeddings, queries_df):
     exact = topk_similarity_join(embeddings, queries_df, k=10)
     ivf = index.search(queries_df, k=10, nprobe=4)

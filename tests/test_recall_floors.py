@@ -77,3 +77,14 @@ def test_ivfsq_recall_meets_floor(spark):
         rows[0].mean_recall_adc,
         rows[0].mean_recall_rerank,
     )
+
+
+def test_ivf_batch_recall_meets_floor(spark):
+    """r8: the corpus-scale batch path on the exact-by-construction
+    big-nlist fixture — floor is EQUALITY at 1.0 (any routing/grouping/
+    id-transport error is a hard red, not a recall dip)."""
+    from deployment_spark.queries import q_ivf_batch_recall
+
+    rows = _floor_rows(q_ivf_batch_recall, spark)
+    assert all(r.meets_floor for r in rows), rows[0].mean_recall
+    assert all(abs(r.mean_recall - 1.0) < 1e-9 for r in rows)

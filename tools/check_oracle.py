@@ -123,6 +123,7 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
     from deployment_spark.operators.pq import PQCodec
     from deployment_spark.operators.sq import SQCodec
     from deployment_spark.queries import (
+        IVF_BATCH_FLOOR,
         IVF_DISTRIBUTED_FLOOR,
         IVF_RECALL_FLOOR,
         IVFPQ_RERANK_FLOOR,
@@ -173,6 +174,17 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
             .select("query_id", "vec_id").collect()
         ),
         IVF_DISTRIBUTED_FLOOR,
+    )
+
+    # r8: the batch path (blocked centroid routing + cluster-grouped
+    # scoring, nothing query-scale on the driver) on the same
+    # exact-by-construction fixture — floor is equality at 1.0
+    specs[("ivf", "batch")] = (
+        _pairs_to_sets(
+            big_index.search_batch(raw_queries, k=k, nprobe=copies * k)
+            .select("query_id", "vec_id").collect()
+        ),
+        IVF_BATCH_FLOOR,
     )
 
     pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
