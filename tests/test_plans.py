@@ -400,6 +400,31 @@ def test_blocked_topk_plan_shape(spark, sf_dir, tmp_path):
     assert all("label" not in s for s in schemas), schemas
 
 
+def test_batch_ann_plan_shape(spark, sf_dir, tmp_path):
+    """search_batch's plan budget: 2 exchanges for the blocked centroid
+    routing (pair grid + its window), 1 for the cluster groupBy, 1 for
+    the global window, plus the queries⋈probes join (broadcast at
+    fixture scale) — ≤ 5 total, two pandas group stages (routing pairs,
+    cluster scoring), and NEVER a cartesian product. An extra exchange
+    means the probed-pair replication got re-shuffled."""
+    import re
+
+    from deployment_spark.operators.ivf import IVFIndex
+    from deployment_spark.plans import audit
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IVFIndex(spark, str(tmp_path / "ivfplan")).build(emb, nlist=16)
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = idx.search_batch(q, k=5, nprobe=4)
+    plan = audit.physical_plan(df)
+    assert audit.count_exchanges(df) <= 5, plan
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_expensive_entries_exchange_budget(spark, sf_dir):
     """r7 (VERDICT r6 next #8): pinned exchange-count ceilings for the
     most expensive bench entries (top of BENCH_r06 by time). A future
