@@ -456,12 +456,23 @@ class IVFIndex:
         This path stays correct (and driver-safe) at nlist ≈ √n =
         10⁴-10⁵ on a 100 TB corpus. 'auto' picks driver at or below
         AUTO_DISTRIBUTED_NLIST (8,192 — the measured crossover, see the
-        constant's note), distributed above."""
+        constant's note), distributed above. 'batch' dispatches to
+        :meth:`search_batch` — the corpus-scale-QUERY-set path where
+        nothing query-scale reaches the driver (both other routings
+        collect the query batch, which is their contract)."""
         if routing == "auto":
             routing = (
                 "driver"
                 if self.nlist() <= AUTO_DISTRIBUTED_NLIST
                 else "distributed"
+            )
+        if routing == "batch":
+            # explicit corpus-scale-queries dispatch (r8): auto stays a
+            # function of nlist only — sizing by nq would force a count
+            # job onto every interactive search; batch callers know
+            # they are batch
+            return self.search_batch(
+                queries, k, nprobe, query_id, query_vec, id_col, vec_col
             )
         if routing == "distributed":
             if queries.isEmpty():
@@ -525,6 +536,7 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         num_query_blocks: int | None = None,
+        max_cluster_rows_per_task: int | None = None,
     ) -> DataFrame:
         """ANN search for CORPUS-SIZED query sets — the offline-scoring
         sibling of :meth:`search`, with NOTHING query-scale on the
@@ -549,9 +561,18 @@ class IVFIndex:
         Shuffle volume: |queries|·nprobe + |corpus| input rows plus
         nq·k·nprobe survivors. Task memory is bounded by CLUSTER size —
         for batch workloads size nlist so N/nlist rows fit a task (the
-        usual nlist ≈ √N already gives √N-row clusters); a pathological
-        hot cluster is the IVF skew case, not specific to this path.
-        Cosine only, like the index itself."""
+        usual nlist ≈ √N already gives √N-row clusters). A HOT cluster
+        (the IVF skew case) serializes its one task and can exceed task
+        memory; ``max_cluster_rows_per_task`` opts into sub-block
+        salting — clusters above the bound split into
+        ceil(size/bound) salts (corpus rows hash-salted, probing
+        queries replicated across the cluster's salts), so the
+        per-task matrix stays bounded and the hot cluster's work
+        spreads across its salt count. Costs one nlist-bounded count
+        aggregate + a small routing join; local-global top-k stays
+        exact because every (query, salt) emits its tie-aware local
+        top-k and the global window merges. Cosine only, like the
+        index itself."""
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_topk,
@@ -590,6 +611,31 @@ class IVFIndex:
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
+        group_cols = ["_g"]
+        if max_cluster_rows_per_task is not None:
+            bound = int(max_cluster_rows_per_task)
+            # nlist-bounded count aggregate (one row per cluster, never
+            # row-scale) → per-cluster salt counts for the hot ones
+            salts = (
+                data.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(
+                    F.col("cluster_id").alias("_g"),
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("_n") / F.lit(bound))
+                    ).cast("int").alias("_ns"),
+                )
+            )
+            # corpus rows: one salt by id hash; queries: replicated
+            # across the probed cluster's salts (both sides join the
+            # tiny salt table — broadcast by size)
+            c = c.join(F.broadcast(salts), "_g").withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
+            ).drop("_ns")
+            q = q.join(F.broadcast(salts), "_g").withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+            ).drop("_ns")
+            group_cols = ["_g", "_salt"]
         out_schema = StructType(
             [
                 StructField("_qid", StringType()),
@@ -599,7 +645,8 @@ class IVFIndex:
         )
         candidates = (
             _grouped_pair_topk(
-                q.unionByName(c), ["_g"], kk, "cosine", cid_kind, out_schema
+                q.unionByName(c.select(*q.columns)), group_cols, kk,
+                "cosine", cid_kind, out_schema
             )
             .withColumn("_qid", F.col("_qid").cast(qid_type))
             .withColumn("_cid", F.col("_cid").cast(cid_type))

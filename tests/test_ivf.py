@@ -67,6 +67,39 @@ def test_search_batch_matches_search(index, embeddings, queries_df):
                 assert abs(asim - bsim) < 1e-12
 
 
+def test_search_routing_batch_dispatches(index, queries_df):
+    """search(routing='batch') is the explicit corpus-scale-queries
+    entry — same results as search_batch."""
+    a = {
+        (r.query_id, r.rank): r.vec_id
+        for r in index.search(queries_df, k=3, nprobe=4, routing="batch").collect()
+    }
+    b = {
+        (r.query_id, r.rank): r.vec_id
+        for r in index.search_batch(queries_df, k=3, nprobe=4).collect()
+    }
+    assert a == b
+
+
+def test_search_batch_salted_matches_unsalted(index, queries_df):
+    """Hot-cluster sub-blocking must not change results: with a bound
+    small enough to split EVERY cluster into multiple salts, the salted
+    grid returns exactly what the unsalted path returns (local-global
+    correctness: every (query, salt) emits its tie-aware local top-k;
+    the global window merges)."""
+    plain = {
+        (r.query_id, r.rank): r.vec_id
+        for r in index.search_batch(queries_df, k=5, nprobe=16).collect()
+    }
+    salted = {
+        (r.query_id, r.rank): r.vec_id
+        for r in index.search_batch(
+            queries_df, k=5, nprobe=16, max_cluster_rows_per_task=8
+        ).collect()
+    }
+    assert plain == salted
+
+
 def test_search_batch_empty_and_self_hit(index, queries_df):
     empty = index.search_batch(queries_df.limit(0), k=3)
     assert empty.count() == 0
