@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Measure search() (driver-routed, query-collecting) vs search_batch()
+(fully distributed) on one IVF index as the query count grows — the
+ANN sibling of tools/blocked_topk_probe.py. The interactive path
+collects the query batch and the nq×nprobe probed-id set on the
+driver; the batch path's driver footprint is zero in nq. This probe
+records both wall-time curves plus the driver-resident quantity so
+BASELINE.md's batch-ANN note is measured, not asserted.
+
+Usage: python tools/batch_ann_probe.py
+Emits one JSON line per (path, nq) plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from deployment_spark import get_spark
+    from deployment_spark.operators.ivf import IVFIndex
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="batch-ann-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    DIM, K, NPROBE, NLIST, RUNS = 64, 5, 10, 64, 2
+    N_CORPUS = 50_000
+    corpus = (
+        spark.range(N_CORPUS)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.sin(F.col("id") * i * 0.7213),
+            ).cast("array<double>").alias("embedding"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="batch_ann_probe_")
+    idx = IVFIndex(spark, os.path.join(root, "ivf")).build(corpus, nlist=NLIST)
+
+    # the driver path is MEASURED only through 8k queries: at 32k its
+    # broadcast-join plan scores ~250M rows through the per-row Catalyst
+    # cosine aggregate (nq·nprobe·cluster_size) and a single timing run
+    # exceeds this probe's whole budget — which is the result: the
+    # interactive path does not have a batch operating point. The batch
+    # path runs every tier.
+    DRIVER_MAX_NQ = 8_000
+    results = []
+    for nq in (20, 1_000, 8_000, 32_000):
+        queries = (
+            spark.range(nq)
+            .select(
+                F.col("id").alias("query_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DIM)),
+                    lambda i: F.cos(F.col("id") * i * 0.3141),
+                ).cast("array<double>").alias("query_vec"),
+            )
+            .cache()
+        )
+        queries.count()
+        paths = [
+            ("batch", lambda: idx.search_batch(queries, k=K, nprobe=NPROBE)),
+        ]
+        if nq <= DRIVER_MAX_NQ:
+            paths.insert(0, (
+                "driver",
+                lambda: idx.search(queries, k=K, nprobe=NPROBE, routing="driver"),
+            ))
+        for path, fn in paths:
+            fn().count()  # warm
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.time()
+                n = fn().count()
+                ts.append(time.time() - t0)
+            rec = {
+                "path": path,
+                "nq": nq,
+                "rows": n,
+                "best_sec": round(min(ts), 3),
+                # driver-resident rows for this path at this nq: the
+                # collected query batch + the probed-pair set vs zero
+                "driver_rows": (nq + nq * NPROBE) if path == "driver" else 0,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        queries.unpersist()
+
+    by = {(r["path"], r["nq"]): r["best_sec"] for r in results}
+    nqs = sorted({r["nq"] for r in results})
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "corpus": N_CORPUS,
+                "nlist": NLIST,
+                "nprobe": NPROBE,
+                "k": K,
+                "slope_driver_to_8k": round(
+                    by[("driver", 8_000)] / by[("driver", nqs[0])], 2
+                ),
+                "slope_batch": round(by[("batch", nqs[-1])] / by[("batch", nqs[0])], 2),
+                "nq_ratio": nqs[-1] // nqs[0],
+                "crossover_hint": [
+                    nq
+                    for nq in nqs
+                    if ("driver", nq) in by and by[("batch", nq)] <= by[("driver", nq)]
+                ],
+                "driver_not_measured_above": 8_000,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
