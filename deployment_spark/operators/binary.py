@@ -123,3 +123,173 @@ def hamming_topk(
             F.col("_d").alias("hamming"),
         )
     )
+
+
+def hamming_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    bits_col: str = "bits",
+    query_id: str = "query_id",
+    query_bits: str = "query_bits",
+    query_block_rows: int = 65536,
+    corpus_block_rows: int = 65536,
+    num_query_blocks: int | None = None,
+    num_corpus_blocks: int | None = None,
+) -> DataFrame:
+    """Hamming top-k for CORPUS-SIZED query sets — ``hamming_topk``'s
+    broadcast of the query set is the right interactive contract and
+    impossible for a 10⁶-query batch job. Same bipartite block-pair
+    form as ``similarity.topk_similarity_join_blocked``: queries hash
+    into QB blocks, corpus into CB blocks, each (qb, cb) pair is one
+    task XOR-ing two bounded bit matrices (popcount via a 256-entry
+    byte table — numpy-version independent), pre-reduced per query to
+    the SAME composite order the global window uses: (distance asc
+    NULLS LAST, id asc) — null-bits rows travel as null-distance
+    candidates so they can fill trailing ranks but never displace a
+    real match, and a null-bits QUERY ranks purely by id, both exactly
+    matching the broadcast path. NOTHING query-scale touches the
+    driver; blocks default 8× the float-vector size (packed bits are
+    d/4 bytes — a 65,536-row block of 256-bit vectors is 2 MB).
+
+    Output and semantics identical to :func:`hamming_topk` —
+    parity-tested, ulp-free (Hamming is integer arithmetic)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from deployment_spark.operators.similarity import _cid_sort_kind
+
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
+    cid_kind = _cid_sort_kind(cid_type, "blocked hamming top-k")
+    QB = int(
+        num_query_blocks or max(1, -(-queries.count() // int(query_block_rows)))
+    )
+    CB = int(
+        num_corpus_blocks or max(1, -(-corpus.count() // int(corpus_block_rows)))
+    )
+    kk = int(k)
+    q = queries.select(
+        F.col(query_id).cast("string").alias("_qid"),
+        F.lit(None).cast("string").alias("_cid"),
+        F.col(query_bits).cast("array<long>").alias("_bits"),
+        F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
+    ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
+    c = corpus.select(
+        F.lit(None).cast("string").alias("_qid"),
+        F.col(corpus_id).cast("string").alias("_cid"),
+        F.col(bits_col).cast("array<long>").alias("_bits"),
+        F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(CB)).cast("int").alias("_cb"),
+    ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+    both = q.unionByName(c.select(*q.columns))
+    out_schema = StructType(
+        [
+            StructField("_qid", StringType()),
+            StructField("_cid", StringType()),
+            StructField("_d", LongType()),
+        ]
+    )
+
+    def pair_hamming_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        is_q = pdf["_qid"].notna()
+        qp, cp = pdf[is_q], pdf[~is_q]
+        if qp.empty or cp.empty:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_d": []})
+        cid_arr = cp["_cid"].to_numpy()
+        if cid_kind == "int":
+            sort_all = cid_arr.astype(np.int64)
+        elif cid_kind == "float":
+            sort_all = cid_arr.astype(np.float64)
+        else:
+            sort_all = cid_arr
+        vals = cp["_bits"].tolist()
+        nn = np.array([i for i, v in enumerate(vals) if v is not None], dtype=np.int64)
+        nulls = np.array([i for i, v in enumerate(vals) if v is None], dtype=np.int64)
+        cmat = (
+            np.array([vals[i] for i in nn], dtype=np.int64)
+            if nn.size
+            else np.empty((0, 1), dtype=np.int64)
+        )
+        sort_nn = sort_all[nn] if nn.size else sort_all[:0]
+        # trailing null-bits candidates, globally ordered by id — a
+        # block emits at most k of them; the window keeps them only
+        # when fewer than k real matches exist corpus-wide
+        null_order = nulls[np.argsort(sort_all[nulls], kind="stable")][:kk]
+        POP = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint16)
+        out_q, out_c, out_d = [], [], []
+        for qid, qbits in zip(qp["_qid"], qp["_bits"]):
+            if qbits is None:
+                # null query bits: every distance is null — rank purely
+                # by id over ALL corpus rows (broadcast-path parity)
+                order = np.argsort(sort_all, kind="stable")[:kk]
+                out_q.extend([qid] * len(order))
+                out_c.extend(cid_arr[order].tolist())
+                out_d.extend([None] * len(order))
+                continue
+            if nn.size:
+                qarr = np.asarray(qbits, dtype=np.int64)
+                x = np.ascontiguousarray(cmat ^ qarr)
+                d = POP[x.view(np.uint8)].sum(axis=1).astype(np.int64)
+                take = min(kk, d.shape[0])
+                order = np.lexsort((sort_nn, d))[:take]
+                out_q.extend([qid] * len(order))
+                out_c.extend(cid_arr[nn[order]].tolist())
+                out_d.extend(int(v) for v in d[order])
+            out_q.extend([qid] * len(null_order))
+            out_c.extend(cid_arr[null_order].tolist())
+            out_d.extend([None] * len(null_order))
+        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_d": out_d})
+
+    candidates = (
+        both.groupBy("_qb", "_cb")
+        .applyInPandas(pair_hamming_topk, schema=out_schema)
+        .withColumn("_qid", F.col("_qid").cast(qid_type))
+        .withColumn("_cid", F.col("_cid").cast(cid_type))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.asc_nulls_last("_d"), F.asc("_cid"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias(corpus_id),
+            "rank",
+            F.col("_d").cast("int").alias("hamming"),
+        )
+    )
+
+
+def hamming_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    bits_col: str = "bits",
+    query_id: str = "query_id",
+    query_bits: str = "query_bits",
+    broadcast_max_queries: int | None = None,
+) -> DataFrame:
+    """Scale-safe Hamming entry point (mirrors
+    ``topk_similarity_join_auto``): interactive-sized query sets take
+    the codegen broadcast scan, corpus-sized sets route to the
+    block-pair form that never collects or broadcasts them. One count
+    aggregate decides; both paths are exact with identical
+    deterministic tie-breaks."""
+    from deployment_spark.operators.similarity import BROADCAST_MAX_QUERIES
+
+    cap = int(
+        BROADCAST_MAX_QUERIES if broadcast_max_queries is None
+        else broadcast_max_queries
+    )
+    nq = queries.count()  # single aggregate, no rows to the driver
+    if nq <= cap:
+        return hamming_topk(
+            corpus, queries, k, corpus_id, bits_col, query_id, query_bits
+        )
+    return hamming_topk_blocked(
+        corpus, queries, k, corpus_id, bits_col, query_id, query_bits,
+        num_query_blocks=max(1, -(-nq // 65536)),
+    )

@@ -188,6 +188,24 @@ class IVFPQIndex:
                 yield pd.DataFrame({"_qid": out_q, "_cid": out_c, "_d": out_d})
 
         cand = pruned.mapInPandas(adc_topk, schema=out_schema)
+        return self._finalize(cand, k, shortlist, probed, query_id, id_col,
+                              vec_col, queries, query_vec, broadcast_queries=True)
+
+    def _finalize(
+        self, cand, k, shortlist, probed, query_id, id_col, vec_col,
+        queries, query_vec, broadcast_queries,
+    ):
+        """Shared tail of the interactive and batch searches: shortlist
+        window over ADC distances, then the optional exact-cosine
+        re-rank against the full-vector lists. ``probed`` (interactive
+        only) prunes the full-vector scan; the batch path passes None —
+        its shortlist ids alone drive the semi-join-shaped fetch.
+        ``broadcast_queries`` is the contract split: the interactive
+        path's query batch is nq-scale driver state already, the batch
+        path's query set must shuffle-join instead."""
+        from pyspark.sql import Window
+
+        take = k if shortlist is None else max(int(shortlist), k)
         w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cid"))
         short = (
             cand.withColumn("rank", F.row_number().over(w))
@@ -202,10 +220,13 @@ class IVFPQIndex:
             )
         from deployment_spark.functions.vector import cosine_similarity
 
-        full = self.ivf.data().filter(F.col("cluster_id").isin(probed)).select(
-            id_col, vec_col
-        )
-        q = F.broadcast(queries.select(query_id, F.col(query_vec).alias("_qv")))
+        full = self.ivf.data()
+        if probed is not None:
+            full = full.filter(F.col("cluster_id").isin(probed))
+        full = full.select(id_col, vec_col)
+        q = queries.select(query_id, F.col(query_vec).alias("_qv"))
+        if broadcast_queries:
+            q = F.broadcast(q)
         scored = (
             short.select(F.col("_qid").alias(query_id), F.col("_cid").alias(id_col))
             .join(full, id_col)
@@ -218,3 +239,114 @@ class IVFPQIndex:
             .filter(F.col("rank") <= k)
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 10,
+        shortlist: int | None = 50,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_query_blocks: int | None = None,
+        max_cluster_rows_per_task: int | None = None,
+    ) -> DataFrame:
+        """IVF×PQ search for CORPUS-SIZED query sets — NOTHING
+        query-scale on the driver (``search`` collects the query batch
+        to build LUTs and routing, the right FAISS contract for
+        interactive batches and impossible for a 10⁶-query job). Same
+        three stages as ``IVFIndex.search_batch``, over the COMPRESSED
+        codes:
+
+        1. ROUTING: blocked exact top-k over the centroid table
+           (k=nprobe) — scale-safe in nq and nlist simultaneously;
+        2. ADC: probed (query, cluster) pairs group WITH the cluster's
+           m-byte code rows by cluster_id; each task rebuilds its
+           queries' LUTs from the broadcast codebooks and gathers —
+           the shuffle carries codes, not float vectors (the PQ
+           compression is exactly what makes the corpus×query-batch
+           shuffle affordable);
+        3. optional exact-cosine re-rank fetching ONLY the shortlist
+           ids from the full-vector lists (shuffle join — no query
+           broadcast).
+
+        A HOT cluster serializes its one ADC task;
+        ``max_cluster_rows_per_task`` opts into the same sub-block
+        salting as ``IVFIndex.search_batch`` (corpus rows hash-salted,
+        probing queries replicated per salt; local-global top-k stays
+        exact). Output schema identical to :meth:`search`."""
+        from deployment_spark.operators.pq import _grouped_adc_topk
+        from deployment_spark.operators.similarity import (
+            _cid_sort_kind,
+            topk_similarity_join_blocked,
+        )
+
+        if queries.isEmpty():
+            return self.ivf.search_empty(query_id, id_col)
+        codes = self.codes()
+        codec = self.codec()
+        qid_type = queries.schema[query_id].dataType
+        cid_type = codes.schema[id_col].dataType
+        cid_kind = _cid_sort_kind(cid_type, "ivfpq batch search")
+        take = int(k) if shortlist is None else max(int(shortlist), int(k))
+
+        probes = topk_similarity_join_blocked(
+            self.ivf.centroids_df(),
+            queries,
+            k=int(nprobe),
+            corpus_id="cluster_id",
+            corpus_vec="centroid",
+            query_id=query_id,
+            query_vec=query_vec,
+            num_query_blocks=num_query_blocks,
+        ).select(query_id, "cluster_id")
+
+        q = queries.join(probes, query_id).select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.lit(None).cast("binary").alias("_code"),
+            F.col("cluster_id").alias("_g"),
+        )
+        c = codes.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(id_col).cast("string").alias("_cid"),
+            F.lit(None).cast("array<double>").alias("_vec"),
+            F.col("code").alias("_code"),
+            F.col("cluster_id").alias("_g"),
+        )
+        group_cols = ["_g"]
+        if max_cluster_rows_per_task is not None:
+            bound = int(max_cluster_rows_per_task)
+            salts = (
+                codes.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(
+                    F.col("cluster_id").alias("_g"),
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("_n") / F.lit(bound))
+                    ).cast("int").alias("_ns"),
+                )
+            )
+            c = c.join(F.broadcast(salts), "_g").withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
+            ).drop("_ns")
+            q = q.join(F.broadcast(salts), "_g").withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+            ).drop("_ns")
+            group_cols = ["_g", "_salt"]
+
+        books_bc = self.spark.sparkContext.broadcast(codec.codebooks)
+        cand = (
+            _grouped_adc_topk(
+                q.unionByName(c.select(*q.columns)), group_cols, take,
+                books_bc, codec.m, codec.dsub, cid_kind,
+            )
+            .withColumn("_qid", F.col("_qid").cast(qid_type))
+            .withColumn("_cid", F.col("_cid").cast(cid_type))
+        )
+        return self._finalize(cand, int(k), shortlist, None, query_id, id_col,
+                              vec_col, queries, query_vec,
+                              broadcast_queries=False)

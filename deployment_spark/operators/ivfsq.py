@@ -167,3 +167,152 @@ class IVFSQIndex:
             .filter(F.col("rank") <= k)
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 10,
+        shortlist: int | None = 50,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_query_blocks: int | None = None,
+        max_cluster_rows_per_task: int | None = None,
+    ) -> DataFrame:
+        """IVF×SQ8 search for CORPUS-SIZED query sets — NOTHING
+        query-scale on the driver (``search`` collects the query batch
+        for routing and broadcasts it into the ADC join, the right
+        interactive contract). Same three stages as
+        ``IVFIndex.search_batch``:
+
+        1. ROUTING: blocked exact top-k over the centroid table
+           (k=nprobe) — no query broadcast, no centroid collect;
+        2. ADC: probed (query, cluster) pairs group WITH the cluster's
+           1 B/dim code rows by cluster_id; each task decodes its code
+           block with the numpy image of ``decode_expr`` (bit-identical
+           float64 values) and runs one dot-product matmul — the
+           shuffle carries codes, not floats (the 4× SQ compression is
+           what the corpus-side replication pays);
+        3. optional exact-cosine re-rank fetching ONLY the shortlist
+           ids from the full-vector lists (shuffle join — no query
+           broadcast).
+
+        ``max_cluster_rows_per_task`` opts into the same hot-cluster
+        sub-block salting as the other batch searchers. Output schema
+        and tie-breaks identical to :meth:`search` (ADC scores differ
+        from the expression path only in summation-order ulps)."""
+        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+        from deployment_spark.operators.similarity import (
+            _cid_sort_kind,
+            _grouped_pair_topk,
+            topk_similarity_join_blocked,
+        )
+
+        if queries.isEmpty():
+            return self.ivf.search_empty(query_id, id_col)
+        codes = self.codes()
+        codec = self.codec()
+        qid_type = queries.schema[query_id].dataType
+        cid_type = codes.schema[id_col].dataType
+        cid_kind = _cid_sort_kind(cid_type, "ivfsq batch search")
+        take = int(k) if shortlist is None else max(int(shortlist), int(k))
+
+        probes = topk_similarity_join_blocked(
+            self.ivf.centroids_df(),
+            queries,
+            k=int(nprobe),
+            corpus_id="cluster_id",
+            corpus_vec="centroid",
+            query_id=query_id,
+            query_vec=query_vec,
+            num_query_blocks=num_query_blocks,
+        ).select(query_id, "cluster_id")
+
+        q = queries.join(probes, query_id).select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.lit(None).cast("array<tinyint>").alias("_code"),
+            F.col("cluster_id").alias("_g"),
+        )
+        c = codes.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(id_col).cast("string").alias("_cid"),
+            F.lit(None).cast("array<double>").alias("_vec"),
+            F.col("codes").alias("_code"),
+            F.col("cluster_id").alias("_g"),
+        )
+        group_cols = ["_g"]
+        if max_cluster_rows_per_task is not None:
+            bound = int(max_cluster_rows_per_task)
+            salts = (
+                codes.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(
+                    F.col("cluster_id").alias("_g"),
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("_n") / F.lit(bound))
+                    ).cast("int").alias("_ns"),
+                )
+            )
+            c = c.join(F.broadcast(salts), "_g").withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
+            ).drop("_ns")
+            q = q.join(F.broadcast(salts), "_g").withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+            ).drop("_ns")
+            group_cols = ["_g", "_salt"]
+
+        out_schema = StructType(
+            [
+                StructField("_qid", StringType()),
+                StructField("_cid", StringType()),
+                StructField("_sim", DoubleType()),
+            ]
+        )
+        lo, scale = codec.lo, codec.scale
+
+        def decode_codes(cp):
+            import numpy as np
+
+            arr = np.array(cp["_code"].tolist(), dtype=np.float64)
+            return lo + (arr + 128.0) * scale
+
+        cand = (
+            _grouped_pair_topk(
+                q.unionByName(c.select(*q.columns)), group_cols, take,
+                "dot", cid_kind, out_schema, corpus_decode=decode_codes,
+            )
+            .withColumn("_qid", F.col("_qid").cast(qid_type))
+            .withColumn("_cid", F.col("_cid").cast(cid_type))
+        )
+        w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+        short = cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= take
+        )
+        if shortlist is None:
+            return short.filter(F.col("rank") <= k).select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                "rank",
+                F.col("_sim").alias("similarity"),
+            )
+        from deployment_spark.functions.vector import cosine_similarity
+
+        full = self.ivf.data().select(id_col, vec_col)
+        qv = queries.select(query_id, F.col(query_vec).alias("_qv"))
+        rescored = (
+            short.select(F.col("_qid").alias(query_id), F.col("_cid").alias(id_col))
+            .join(full, id_col)
+            .join(qv, query_id)
+            .withColumn("_sim", cosine_similarity(vec_col, "_qv"))
+        )
+        w2 = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc(id_col))
+        return (
+            rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
+        )

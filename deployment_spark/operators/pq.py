@@ -49,6 +49,75 @@ from pyspark.sql.types import (
 )
 
 
+# rows per CODE block in the batch ADC path: codes are m bytes/row
+# (65,536 × m=16 ≈ 1 MB), so code blocks run 8× the float-vector
+# default — the per-task LUT rebuild amortizes over a bigger gather
+DEFAULT_CODE_BLOCK_ROWS = 65536
+
+
+def _grouped_adc_topk(both, group_cols, take, books_bc, m, dsub, cid_kind):
+    """groupBy(group_cols).applyInPandas ADC local top-k over a union
+    frame of string-transported (_qid, _vec) query rows and (_cid,
+    _code) code rows — the scoring task shared by the hash-blocked PQ
+    batch path (group = (_qb, _cb)) and the IVF×PQ batch path (group =
+    probed cluster). Per query the (m × ksub) LUT is rebuilt inside the
+    task from the broadcast codebooks with the SAME expressions the
+    interactive searchers use, so ADC distances are bit-identical
+    across routes; the local tie-break applies the TYPED (distance asc,
+    id asc) composite order of the global window, so pre-reduction can
+    never drop a tied candidate the window would keep. The scorer is a
+    nested closure (pickled by value — executors never import this
+    package, the _exact_scoring_core contract)."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("_qid", StringType()),
+            StructField("_cid", StringType()),
+            StructField("_d", DoubleType()),
+        ]
+    )
+
+    def adc_pair_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        is_q = pdf["_qid"].notna()
+        qp, cp = pdf[is_q], pdf[~is_q]
+        if qp.empty or cp.empty:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_d": []})
+        books = books_bc.value
+        codes_arr = np.frombuffer(
+            b"".join(cp["_code"].tolist()), dtype=np.uint8
+        ).reshape(-1, m)
+        cid_arr = cp["_cid"].to_numpy()
+        if cid_kind == "int":
+            sort_ids = cid_arr.astype(np.int64)
+        elif cid_kind == "float":
+            sort_ids = cid_arr.astype(np.float64)
+        else:
+            sort_ids = cid_arr
+        tk = min(take, codes_arr.shape[0])
+        gather = np.arange(m)[None, :]
+        out_q, out_c, out_d = [], [], []
+        for qid, vec in zip(qp["_qid"], qp["_vec"]):
+            qv = np.asarray(vec, dtype=np.float64)
+            lut = np.stack(
+                [
+                    ((books[j] - qv[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            d = lut[gather, codes_arr].sum(axis=1)
+            order = np.lexsort((sort_ids, d))[:tk]
+            out_q.extend([qid] * len(order))
+            out_c.extend(cid_arr[order].tolist())
+            out_d.extend(d[order].tolist())
+        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_d": out_d})
+
+    return both.groupBy(*group_cols).applyInPandas(adc_pair_topk, schema=out_schema)
+
+
 def _kmeans_1sub(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
     """Seeded Lloyd k-means for one subspace. Returns (k, dsub) centroids.
     k-means++-style init (distance-weighted) for stable codebooks."""
@@ -181,6 +250,92 @@ class PQCodec:
         )
 
     # -- search (ADC) --------------------------------------------------------
+
+    def search_batch(
+        self,
+        codes: DataFrame,
+        queries: DataFrame,
+        k: int = 5,
+        id_col: str = "vec_id",
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        query_block_rows: int = 8192,
+        code_block_rows: int = DEFAULT_CODE_BLOCK_ROWS,
+        num_query_blocks: int | None = None,
+        num_code_blocks: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k for CORPUS-SIZED query sets — the offline-scoring
+        sibling of :meth:`search`, which collects the query batch and
+        broadcasts one LUT per query (the FAISS contract, impossible
+        for a 10⁶-query job). Same bipartite block-pair form as
+        ``similarity.topk_similarity_join_blocked``: queries hash into
+        QB blocks, CODES into CB blocks, each (qb, cb) pair is one
+        independent task that rebuilds its queries' (m × ksub) LUTs
+        in-task from the broadcast codebooks (identical expression to
+        the interactive path, so distances are bit-identical) and
+        gathers ADC distances over the code block. NOTHING query-scale
+        touches the driver; the shuffle carries m-BYTE codes ×QB and
+        queries ×CB plus nq·k·CB survivors — the compressed
+        representation is what replicates, which is the point of PQ at
+        100 TB. Code blocks default 8× larger than query blocks (a
+        65,536-row block of m=16 codes is ~1 MB; the per-task LUT
+        rebuild amortizes over it).
+
+        Output and tie-breaks identical to :meth:`search`
+        (query_id, vec_id, rank, adc_distance) — parity-tested
+        bit-exact."""
+        from deployment_spark.operators.similarity import _cid_sort_kind
+
+        spark = codes.sparkSession
+        qid_type = queries.schema[query_id].dataType
+        cid_type = codes.schema[id_col].dataType
+        cid_kind = _cid_sort_kind(cid_type, "pq batch search")
+        QB = int(
+            num_query_blocks
+            or max(1, -(-queries.count() // int(query_block_rows)))
+        )
+        CB = int(
+            num_code_blocks or max(1, -(-codes.count() // int(code_block_rows)))
+        )
+        kk = int(k)
+        # ids transit the pandas stage as strings (nullable-int64 →
+        # float64 Arrow corruption above 2^53); cast back before the
+        # window so the tie-break stays typed — same contract as the
+        # blocked exact path
+        q = queries.select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.lit(None).cast("binary").alias("_code"),
+            F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
+        ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
+        c = codes.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(id_col).cast("string").alias("_cid"),
+            F.lit(None).cast("array<double>").alias("_vec"),
+            F.col("code").alias("_code"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(CB)).cast("int").alias("_cb"),
+        ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+        both = q.unionByName(c.select(*q.columns))
+        books_bc = spark.sparkContext.broadcast(self.codebooks)
+        candidates = (
+            _grouped_adc_topk(
+                both, ["_qb", "_cb"], kk, books_bc, self.m, self.dsub, cid_kind
+            )
+            .withColumn("_qid", F.col("_qid").cast(qid_type))
+            .withColumn("_cid", F.col("_cid").cast(cid_type))
+        )
+        w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cid"))
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                "rank",
+                F.col("_d").alias("adc_distance"),
+            )
+        )
 
     def search(
         self,

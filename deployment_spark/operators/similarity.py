@@ -329,12 +329,21 @@ def _cid_sort_kind(cid_type, context: str):
     )
 
 
-def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind, out_schema):
+def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind, out_schema,
+                       corpus_decode=None):
     """groupBy(group_cols).applyInPandas local top-k over a union frame
     carrying string-transported (_qid, _cid, _vec) — the scoring task
     shared by the hash-blocked exact path (group = (_qb, _cb)) and the
     IVF batch path (group = probed cluster): split sides, one matmul,
-    tie-aware per-query top-k on the typed composite order."""
+    tie-aware per-query top-k on the typed composite order.
+
+    ``corpus_decode`` (r8, the SQ8 batch route): a nested function
+    mapping the corpus-side pandas frame to its float64 matrix, for
+    union frames that transport COMPRESSED codes instead of a ``_vec``
+    column — the shuffle then carries 1 B/dim tinyint codes rather than
+    8 B/dim decoded doubles, and decompression happens inside the
+    scoring task. Must be a closure that imports its own deps (pickled
+    by value, same contract as _exact_scoring_core)."""
     import numpy as np
     import pandas as pd
 
@@ -346,7 +355,11 @@ def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind, out_schema):
         if qp.empty or cp.empty:
             return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
         qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
-        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
+        cmat = (
+            corpus_decode(cp)
+            if corpus_decode is not None
+            else np.array(cp["_vec"].tolist(), dtype=np.float64)
+        )
         sims = _pair_scores(qmat, cmat, metric)  # (nc_local, nq_local)
         take = min(kk, sims.shape[0])
         cid_arr = cp["_cid"].to_numpy()

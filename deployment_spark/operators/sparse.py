@@ -60,22 +60,38 @@ def sparse_topk(
     k: int = 5,
     id_col: str = "vec_id",
     query_id: str = "query_id",
+    query_routing: str = "broadcast",
 ) -> DataFrame:
     """Inverted-index top-k: score = Σ over shared dims of
     corpus_val · query_val; rank desc with the engine's deterministic
     (score desc, id asc) tie-break.
 
     ``postings``: (id_col, dim, val); ``query_postings``:
-    (query_id, dim, val) — query side is nq·m rows, broadcast.
-    Candidates with zero shared dimensions do not appear (standard
-    sparse-retrieval semantics).
+    (query_id, dim, val). Candidates with zero shared dimensions do
+    not appear (standard sparse-retrieval semantics).
+
+    ``query_routing`` (r8 — the corpus-scale batch route, an explicit
+    caller choice like ``IVFIndex.search(routing="batch")``):
+    'broadcast' hints the query postings into a broadcast-hash join —
+    the interactive contract, nq·m rows per task. 'shuffle' drops the
+    hint so corpus-sized query sets co-partition WITH the postings on
+    ``dim`` — the inverted index's own key, so at scale a
+    dim-partitioned postings store shuffles only the query side; the
+    scoring plan is otherwise identical (the dim join, the partial-
+    aggregated (query, candidate) sum, the top-k window) and NOTHING
+    is ever driver- or task-resident at query-set scale. Hot
+    dimensions (the stopword skew of learned-sparse corpora) are the
+    classic skew key of this join; AQE's skew-join split handles them
+    at runtime — same answer either routing.
 
     Output: (query_id, id_col, rank, score)."""
-    q = F.broadcast(
-        query_postings.select(
-            F.col(query_id).alias("_qid"), "dim", F.col("val").alias("_qval")
-        )
+    if query_routing not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown query_routing {query_routing!r}")
+    q = query_postings.select(
+        F.col(query_id).alias("_qid"), "dim", F.col("val").alias("_qval")
     )
+    if query_routing == "broadcast":
+        q = F.broadcast(q)
     scored = (
         postings.join(q, "dim")
         .groupBy("_qid", id_col)

@@ -180,6 +180,110 @@ class SQCodec:
             metric="dot",
         )
 
+    def search_batch(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        id_col: str = "vec_id",
+        codes_col: str = "codes",
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        query_block_rows: int = 8192,
+        code_block_rows: int = 65536,
+        num_query_blocks: int | None = None,
+        num_code_blocks: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k for CORPUS-SIZED query sets — the offline-scoring
+        sibling of :meth:`search`, whose expression plan scores through
+        a broadcast of the query batch (the right interactive contract,
+        impossible for a 10⁶-query job). Bipartite block-pair form
+        (``similarity.topk_similarity_join_blocked``), with one twist:
+        the union frame transports the 1 B/dim TINYINT codes, not
+        decoded doubles — the ×QB corpus replication that blocked
+        search pays is paid on the compressed representation (8× less
+        shuffle), and each scoring task decodes its code block with the
+        numpy image of ``decode_expr``'s arithmetic (same float64 ops,
+        bit-identical values) before the dot-product matmul. NOTHING
+        query-scale touches the driver.
+
+        Output (query_id, vec_id, rank, similarity) and the (score
+        desc, id asc) tie-break match :meth:`search`; scores differ
+        from the expression path only in summation-order ulps (matmul
+        vs sequential fold), like every blocked-vs-expr pair in this
+        engine."""
+        from pyspark.sql import Window
+        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+        from deployment_spark.operators.similarity import (
+            _cid_sort_kind,
+            _grouped_pair_topk,
+        )
+
+        qid_type = queries.schema[query_id].dataType
+        cid_type = codes_df.schema[id_col].dataType
+        cid_kind = _cid_sort_kind(cid_type, "sq batch search")
+        QB = int(
+            num_query_blocks
+            or max(1, -(-queries.count() // int(query_block_rows)))
+        )
+        CB = int(
+            num_code_blocks
+            or max(1, -(-codes_df.count() // int(code_block_rows)))
+        )
+        kk = int(k)
+        q = queries.select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.lit(None).cast("array<tinyint>").alias("_code"),
+            F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
+        ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
+        c = codes_df.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(id_col).cast("string").alias("_cid"),
+            F.lit(None).cast("array<double>").alias("_vec"),
+            F.col(codes_col).alias("_code"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(CB)).cast("int").alias("_cb"),
+        ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
+        both = q.unionByName(c.select(*q.columns))
+        out_schema = StructType(
+            [
+                StructField("_qid", StringType()),
+                StructField("_cid", StringType()),
+                StructField("_sim", DoubleType()),
+            ]
+        )
+        lo, scale = self.lo, self.scale
+
+        def decode_codes(cp):
+            import numpy as np
+
+            codes = np.array(cp["_code"].tolist(), dtype=np.float64)
+            # numpy image of decode_expr: lo + (code + 128) * scale in
+            # float64, elementwise — bit-identical to the Catalyst path
+            return lo + (codes + 128.0) * scale
+
+        candidates = (
+            _grouped_pair_topk(
+                both, ["_qb", "_cb"], kk, "dot", cid_kind, out_schema,
+                corpus_decode=decode_codes,
+            )
+            .withColumn("_qid", F.col("_qid").cast(qid_type))
+            .withColumn("_cid", F.col("_cid").cast(cid_type))
+        )
+        w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                F.col("rank"),
+                F.col("_sim").alias("similarity"),
+            )
+        )
+
     def search_rerank(
         self,
         codes_df: DataFrame,

@@ -107,3 +107,76 @@ def test_null_vector_never_displaces_matches(spark):
     )
     out = hamming_topk(packed, q, k=2).collect()
     assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1]
+
+
+def test_blocked_parity_on_fixture(spark, emb):
+    """The corpus-scale block-pair route must equal the broadcast scan
+    exactly — Hamming is integer arithmetic, so parity is bit-exact
+    with no ulp caveats. Tiny explicit block counts force a real
+    multi-block grid."""
+    from deployment_spark.operators.binary import hamming_topk_blocked
+
+    packed = binarize_signbits(emb)
+    q = packed.filter(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("query_bits")
+    )
+    a = sorted(map(tuple, hamming_topk(packed, q, k=6).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hamming_topk_blocked(
+                packed, q, k=6, num_query_blocks=3, num_corpus_blocks=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_blocked_parity_with_nulls_both_sides(spark):
+    """Null-bits corpus rows must fill trailing ranks (never displace a
+    real match) and a null-bits QUERY must rank purely by id — in the
+    blocked route exactly as in the broadcast one."""
+    from deployment_spark.operators.binary import hamming_topk_blocked
+
+    rows = [(0, [1.0, -1.0]), (1, [1.0, 1.0]), (2, None), (3, None), (4, [-1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    packed = binarize_signbits(df, dim=2)
+    q = packed.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("query_bits")
+    )
+    a = sorted(
+        map(tuple, hamming_topk(packed, q, k=4).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    b = sorted(
+        map(
+            tuple,
+            hamming_topk_blocked(
+                packed, q, k=4, num_query_blocks=2, num_corpus_blocks=2
+            ).collect(),
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert a == b
+    # null query (id 2): ranked purely by id, null distances
+    nullq = [t for t in b if t[0] == 2]
+    assert [t[1] for t in nullq] == [0, 1, 2, 3] and all(t[3] is None for t in nullq)
+
+
+def test_hamming_auto_routes_by_query_count(spark, emb):
+    """Above the cap the auto router must take the blocked path and
+    still return identical results."""
+    from deployment_spark.operators.binary import hamming_topk_auto
+
+    packed = binarize_signbits(emb)
+    q = packed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("query_bits")
+    )
+    via_broadcast = sorted(map(tuple, hamming_topk_auto(packed, q, k=3).collect()))
+    via_blocked = sorted(
+        map(
+            tuple,
+            hamming_topk_auto(packed, q, k=3, broadcast_max_queries=0).collect(),
+        )
+    )
+    assert via_broadcast == via_blocked

@@ -113,3 +113,67 @@ def test_distributed_routing_parity_ivfpq(index, queries):
         for r in index.search(queries, k=5, nprobe=4, routing="distributed").collect()
     )
     assert a == b
+
+
+def test_search_batch_probe_all_bitexact_parity(index, queries):
+    """nprobe ≥ nlist removes routing differences (both paths probe
+    every list); the ADC gather and the exact-cosine re-rank then use
+    identical expressions in both paths, so the batch route must equal
+    the interactive search bit-for-bit — scores included."""
+    a = sorted(
+        map(tuple, index.search(queries, k=8, nprobe=100, shortlist=30).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            index.search_batch(
+                queries, k=8, nprobe=100, shortlist=30, num_query_blocks=2
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_search_batch_salting_is_invisible(index, queries):
+    """Hot-cluster sub-block salting must not change results — every
+    (query, salt) emits its tie-aware local top-k and the global window
+    merges. bound=7 forces every fixture cluster to split."""
+    base = sorted(
+        map(
+            tuple,
+            index.search_batch(queries, k=5, nprobe=5, shortlist=20).collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            index.search_batch(
+                queries, k=5, nprobe=5, shortlist=20,
+                max_cluster_rows_per_task=7,
+            ).collect(),
+        )
+    )
+    assert base == salted
+
+
+def test_search_batch_operating_point_recall(norm_emb, index, queries):
+    """At the interactive tests' operating point (nprobe 5/8 + re-rank)
+    the batch route must clear the same recall floor vs exact."""
+    k = 10
+    exact = exact_topk(norm_emb, queries, k)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in index.search_batch(queries, k=k, nprobe=5, shortlist=50).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_search_batch_adc_only_and_empty(spark, index, queries):
+    res = index.search_batch(queries, k=5, nprobe=100, shortlist=None)
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(
+        map(tuple, index.search(queries, k=5, nprobe=100, shortlist=None).collect())
+    )
+    assert a == b
+    empty = spark.createDataFrame([], "query_id LONG, query_vec ARRAY<DOUBLE>")
+    assert index.search_batch(empty, k=5).count() == 0

@@ -116,3 +116,55 @@ def test_distributed_routing_parity_ivfsq(index, queries):
         for r in index.search(queries, k=5, nprobe=4, routing="distributed").collect()
     )
     assert a == b
+
+
+def test_search_batch_probe_all_covering_shortlist_parity(norm_emb, index, queries):
+    """nprobe ≥ nlist and a corpus-covering shortlist make the exact
+    re-rank consume every row, so ADC matmul-vs-fold ulps cannot shift
+    the result: the batch route must equal the interactive search
+    bit-for-bit (the re-rank cosine is the same Catalyst expression in
+    both)."""
+    n = norm_emb.count()
+    a = sorted(
+        map(
+            tuple,
+            index.search(queries, k=6, nprobe=100, shortlist=n).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            index.search_batch(
+                queries, k=6, nprobe=100, shortlist=n, num_query_blocks=2
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_search_batch_operating_point_recall(norm_emb, index, queries):
+    k = 10
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_similarity_join_expr(norm_emb, queries, k=k).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in index.search_batch(queries, k=k, nprobe=5, shortlist=50).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_search_batch_salting_is_invisible(index, queries):
+    base = sorted(
+        map(tuple, index.search_batch(queries, k=5, nprobe=5, shortlist=20).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            index.search_batch(
+                queries, k=5, nprobe=5, shortlist=20, max_cluster_rows_per_task=7
+            ).collect(),
+        )
+    )
+    assert base == salted

@@ -140,3 +140,49 @@ def test_pq_string_ids_roundtrip(spark):
     assert best == {"q-0": "doc-0", "q-1": "doc-1", "q-2": "doc-2"}
     rr = codec.search_rerank(codes, queries, corpus, k=2, shortlist=10).collect()
     assert {r.query_id: r.vec_id for r in rr if r.rank == 1} == best
+
+
+def test_search_batch_bitexact_parity(spark, norm_emb, codec):
+    """The corpus-scale batch route must equal the interactive ADC
+    search BIT-FOR-BIT — LUT build and gather use identical float64
+    expressions per query, so even the distances match exactly, and
+    the typed tie-break survives the batch path's string id
+    transport. Tiny explicit block counts force a real multi-block
+    grid."""
+    queries = norm_emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = codec.encode(norm_emb)
+    a = sorted(map(tuple, codec.search(codes, queries, k=7).collect()))
+    b = sorted(
+        map(
+            tuple,
+            codec.search_batch(
+                codes, queries, k=7, num_query_blocks=3, num_code_blocks=5
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_search_batch_empty_and_string_ids(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 16))
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    codec = PQCodec.train(corpus, m=4, ksub=16, seed=11)
+    codes = codec.encode(corpus)
+    empty = spark.createDataFrame([], "query_id STRING, query_vec ARRAY<DOUBLE>")
+    assert codec.search_batch(codes, empty, k=5).count() == 0
+    queries = spark.createDataFrame(
+        [(f"q-{i}", [float(x) for x in vecs[i]]) for i in range(4)],
+        "query_id STRING, query_vec ARRAY<DOUBLE>",
+    )
+    got = codec.search_batch(
+        codes, queries, k=3, num_query_blocks=2, num_code_blocks=3
+    ).collect()
+    assert len(got) == 12
+    best = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert best == {f"q-{i}": f"doc-{i}" for i in range(4)}

@@ -84,3 +84,34 @@ def test_no_cartesian_in_plan(emb):
     )
     plan = sparse_topk(postings, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_routing_parity_and_no_broadcast(spark, emb):
+    """query_routing='shuffle' (the corpus-scale batch route) must give
+    identical results, and with the hint gone and auto-broadcast
+    disabled the dim join must actually run as a shuffle join — the
+    plan a corpus-sized query set requires."""
+    from deployment_spark.operators.sparse import sparse_topk, sparsify_topm
+
+    postings = sparsify_topm(emb, m=8)
+    q = postings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "dim", "val"
+    )
+    a = sorted(map(tuple, sparse_topk(postings, q, k=5).collect()))
+    b_df = sparse_topk(postings, q, k=5, query_routing="shuffle")
+    assert a == sorted(map(tuple, b_df.collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = sparse_topk(
+            postings, q, k=5, query_routing="shuffle"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        hinted = sparse_topk(
+            postings, q, k=5
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hinted, hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    with pytest.raises(ValueError, match="query_routing"):
+        sparse_topk(postings, q, k=5, query_routing="nope")

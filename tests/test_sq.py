@@ -130,3 +130,59 @@ def test_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         SQCodec.train(empty)
+
+
+def test_search_batch_integer_exact_parity(spark):
+    """On an integer-exact fixture (lo=0, hi=255 per dim ⇒ scale=1 ⇒
+    codes decode to the EXACT input integers; integer dots are exact in
+    float64 in any summation order) the batch route must equal the
+    expression search bit-for-bit — scores included. This isolates the
+    routing/transport logic from matmul-vs-fold ulp noise."""
+    rng = np.random.default_rng(5)
+    dim, n = 8, 40
+    vals = rng.integers(0, 256, size=(n, dim))
+    vals[0, :] = 0    # pin lo = 0
+    vals[1, :] = 255  # pin hi = 255
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vals[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    codec = SQCodec.train(corpus)
+    assert (codec.lo == 0).all() and (codec.hi == 255).all()
+    codes = codec.encode(corpus)
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vals[i]]) for i in range(6)],
+        "query_id LONG, query_vec ARRAY<DOUBLE>",
+    )
+    a = sorted(map(tuple, codec.search(codes, queries, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            codec.search_batch(
+                codes, queries, k=5, num_query_blocks=2, num_code_blocks=3
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_search_batch_recall_on_fixture(norm_emb, codec):
+    """On the real (float) fixture the batch matmul and the expression
+    fold differ in summation-order ulps, so assert set-level agreement
+    instead of bit equality: ≥ 0.9 overlap with the expression path's
+    top-10 (in practice 1.0 unless two sims collide in the last ulp)."""
+    queries = norm_emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = codec.encode(norm_emb)
+    a = {
+        (r.query_id, r.vec_id)
+        for r in codec.search(codes, queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id)
+        for r in codec.search_batch(
+            codes, queries, k=10, num_query_blocks=3, num_code_blocks=4
+        ).collect()
+    }
+    assert len(a & b) / len(a) >= 0.9
