@@ -3505,6 +3505,49 @@ SQ_ADC_FLOOR = 0.95         # 8 bits per DIMENSION (4x), r5 measured 1.00
 SQ_RERANK_FLOOR = 0.98      # shortlist-50 re-rank, r5 measured 1.00
 IVFSQ_FLOOR = 0.85          # nprobe 5/8: pruning-bounded (SQ8 is near-
                             # lossless, so adc ≈ rerank), r5 measured 0.875
+# r8 corpus-scale batch routes. PQ's batch ADC is bit-identical to the
+# interactive path (same per-query LUT expressions), so its floor IS
+# the adc floor; the others differ only in summation-order ulps
+# (matmul vs expression fold) or blocked-vs-driver centroid routing on
+# ulp ties — measured equal to their interactive siblings at sf0.01.
+PQ_BATCH_FLOOR = PQ_ADC_FLOOR
+SQ_BATCH_FLOOR = SQ_ADC_FLOOR
+IVFPQ_BATCH_FLOOR = IVFPQ_RERANK_FLOOR
+IVFSQ_BATCH_FLOOR = IVFSQ_FLOOR
+
+
+def _recall_arms(queries, exact, k, **arms):
+    """Per-query hit/recall columns for each named approximate result
+    set, plus broadcast-attached group means — the shared shape of the
+    multi-arm recall entries (r8 fold: pq/sq8/ivfpq/ivfsq each carry
+    their interactive AND corpus-scale-batch arms off ONE codec build
+    and ONE exact reference set). ``arms`` maps arm name → a
+    (query_id, vec_id) DataFrame; output columns hits_<arm>,
+    recall_<arm>, mean_recall_<arm>."""
+    per_q = queries.select("query_id")
+    for name, approx in arms.items():
+        h = (
+            exact.join(approx, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(f"hits_{name}"))
+        )
+        per_q = per_q.join(h, "query_id", "left")
+    cols = [F.col("query_id")]
+    for name in arms:
+        cols.append(F.coalesce(f"hits_{name}", F.lit(0)).alias(f"hits_{name}"))
+        cols.append(
+            F.round(F.coalesce(f"hits_{name}", F.lit(0)) / F.lit(k), 4).alias(
+                f"recall_{name}"
+            )
+        )
+    per_q = per_q.select(*cols)
+    summary = per_q.agg(
+        *[
+            F.round(F.avg(f"recall_{name}"), 4).alias(f"mean_recall_{name}")
+            for name in arms
+        ]
+    )
+    return per_q.crossJoin(F.broadcast(summary))
 
 
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3535,36 +3578,21 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
         "query_id", "vec_id"
     )
+    # r8: the corpus-scale batch route on the same codec — bit-identical
+    # ADC math, so its recall must EQUAL the adc column; tiny explicit
+    # block counts force a real multi-block grid at every gate SF
+    batch = codec.search_batch(
+        codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
+    ).select("query_id", "vec_id")
 
-    def hits(approx, name):
-        return (
-            exact.join(approx, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    qids = queries.select("query_id")
-    per_q = (
-        qids.join(hits(adc, "hits_adc"), "query_id", "left")
-        .join(hits(rr, "hits_rerank"), "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("hits_adc", F.lit(0)).alias("hits_adc"),
-            F.round(F.coalesce("hits_adc", F.lit(0)) / F.lit(k), 4).alias("recall_adc"),
-            F.coalesce("hits_rerank", F.lit(0)).alias("hits_rerank"),
-            F.round(F.coalesce("hits_rerank", F.lit(0)) / F.lit(k), 4).alias(
-                "recall_rerank"
-            ),
-        )
+    per_q = _recall_arms(
+        queries, exact, k, adc=adc, rerank=rr, batch=batch
     )
-    summary = per_q.agg(
-        F.round(F.avg("recall_adc"), 4).alias("mean_recall_adc"),
-        F.round(F.avg("recall_rerank"), 4).alias("mean_recall_rerank"),
-    )
-    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+    return per_q.withColumn(
         "meets_floor",
         (F.col("mean_recall_rerank") >= PQ_RERANK_FLOOR)
-        & (F.col("mean_recall_adc") >= PQ_ADC_FLOOR),
+        & (F.col("mean_recall_adc") >= PQ_ADC_FLOOR)
+        & (F.col("mean_recall_batch") >= PQ_BATCH_FLOOR),
     )
 
 
@@ -3599,31 +3627,23 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    approx = index.search(queries, k=k, nprobe=5, shortlist=50).select(
+    rr = index.search(queries, k=k, nprobe=5, shortlist=50).select(
         "query_id", "vec_id"
     )
+    # r8: the corpus-scale batch route at the SAME operating point —
+    # blocked centroid routing + cluster-grouped ADC + shuffle-join
+    # re-rank; can differ from driver routing only on centroid ulp ties
+    batch = index.search_batch(
+        queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
+    ).select("query_id", "vec_id")
     exact = topk_similarity_join_expr(norm, queries, k=k).select(
         "query_id", "vec_id"
     )
-    hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    per_q = (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("hits", F.lit(0)).alias("hits"),
-            F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias(
-                "recall_at_10"
-            ),
-        )
-    )
-    summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
-    return per_q.crossJoin(F.broadcast(summary)).withColumn(
-        "meets_floor", F.col("mean_recall") >= IVFPQ_RERANK_FLOOR
+    per_q = _recall_arms(queries, exact, k, rerank=rr, batch=batch)
+    return per_q.withColumn(
+        "meets_floor",
+        (F.col("mean_recall_rerank") >= IVFPQ_RERANK_FLOOR)
+        & (F.col("mean_recall_batch") >= IVFPQ_BATCH_FLOOR),
     )
 
 
@@ -3659,36 +3679,19 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
         "query_id", "vec_id"
     )
+    # r8: the corpus-scale batch route — code-transported blocked
+    # scoring; differs from the expression ADC only in summation-order
+    # ulps, so the measured recall tracks the adc column
+    batch = codec.search_batch(
+        codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
+    ).select("query_id", "vec_id")
 
-    def hits(approx, name):
-        return (
-            exact.join(approx, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    qids = queries.select("query_id")
-    per_q = (
-        qids.join(hits(adc, "hits_adc"), "query_id", "left")
-        .join(hits(rr, "hits_rerank"), "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("hits_adc", F.lit(0)).alias("hits_adc"),
-            F.round(F.coalesce("hits_adc", F.lit(0)) / F.lit(k), 4).alias("recall_adc"),
-            F.coalesce("hits_rerank", F.lit(0)).alias("hits_rerank"),
-            F.round(F.coalesce("hits_rerank", F.lit(0)) / F.lit(k), 4).alias(
-                "recall_rerank"
-            ),
-        )
-    )
-    summary = per_q.agg(
-        F.round(F.avg("recall_adc"), 4).alias("mean_recall_adc"),
-        F.round(F.avg("recall_rerank"), 4).alias("mean_recall_rerank"),
-    )
-    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+    per_q = _recall_arms(queries, exact, k, adc=adc, rerank=rr, batch=batch)
+    return per_q.withColumn(
         "meets_floor",
         (F.col("mean_recall_rerank") >= SQ_RERANK_FLOOR)
-        & (F.col("mean_recall_adc") >= SQ_ADC_FLOOR),
+        & (F.col("mean_recall_adc") >= SQ_ADC_FLOOR)
+        & (F.col("mean_recall_batch") >= SQ_BATCH_FLOOR),
     )
 
 
@@ -3730,36 +3733,18 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = index.search(queries, k=k, nprobe=5, shortlist=50).select(
         "query_id", "vec_id"
     )
-
-    def hits(approx, name):
-        return (
-            exact.join(approx, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    qids = queries.select("query_id")
-    per_q = (
-        qids.join(hits(adc, "hits_adc"), "query_id", "left")
-        .join(hits(rr, "hits_rerank"), "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("hits_adc", F.lit(0)).alias("hits_adc"),
-            F.round(F.coalesce("hits_adc", F.lit(0)) / F.lit(k), 4).alias("recall_adc"),
-            F.coalesce("hits_rerank", F.lit(0)).alias("hits_rerank"),
-            F.round(F.coalesce("hits_rerank", F.lit(0)) / F.lit(k), 4).alias(
-                "recall_rerank"
-            ),
-        )
-    )
-    summary = per_q.agg(
-        F.round(F.avg("recall_adc"), 4).alias("mean_recall_adc"),
-        F.round(F.avg("recall_rerank"), 4).alias("mean_recall_rerank"),
-    )
-    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+    # r8: the corpus-scale batch route at the SAME operating point —
+    # blocked centroid routing + cluster-grouped SQ8 decode-and-score +
+    # shuffle-join re-rank; tracks the rerank column (SQ8 near-lossless)
+    batch = index.search_batch(
+        queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
+    ).select("query_id", "vec_id")
+    per_q = _recall_arms(queries, exact, k, adc=adc, rerank=rr, batch=batch)
+    return per_q.withColumn(
         "meets_floor",
         (F.col("mean_recall_rerank") >= IVFSQ_FLOOR)
-        & (F.col("mean_recall_adc") >= IVFSQ_FLOOR),
+        & (F.col("mean_recall_adc") >= IVFSQ_FLOOR)
+        & (F.col("mean_recall_batch") >= IVFSQ_BATCH_FLOOR),
     )
 
 
@@ -3775,7 +3760,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0), PQ ADC + re-rank (m=16 ksub=256), IVF×PQ composed (nprobe
     5/8 + shortlist), SQ8 ADC + re-rank, and IVF×SQ8 composed (the
     Milvus IVF_SQ8 index type) — each against exact cosine top-k, with
-    PER-VARIANT floors (the per-codec constants above). Rows-only by nature (trained quantizers are not
+    PER-VARIANT floors (the per-codec constants above). r8 widening:
+    every family additionally carries its CORPUS-SCALE `batch` group
+    (ivf/pq/sq8/ivfpq/ivfsq `search_batch` — blocked routing + grouped
+    scoring, nothing query-scale on the driver) at the same operating
+    point as its interactive sibling, 14 groups total. Rows-only by nature (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
     value-checked by tools/check_oracle.py against a numpy exact
     top-k.
@@ -3788,26 +3777,21 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundant work is a few corpus × 20-query expression joins in a
     gate-only path; stability of the published numbers wins."""
 
-    def two_variant(df, codec, adc_floor, rr_floor):
-        adc = df.select(
+    def arm_variant(df, codec, arm, floor):
+        # slice one _recall_arms arm (hits_<arm>/recall_<arm>/
+        # mean_recall_<arm>) into the panel's long format, re-applying
+        # that arm's OWN floor (the source df's meets_floor is the
+        # conjunction across arms — correct for the per-codec entry,
+        # wrong for a per-variant panel row)
+        return df.select(
             F.lit(codec).alias("codec"),
-            F.lit("adc").alias("variant"),
+            F.lit(arm).alias("variant"),
             F.col("query_id").cast("long").alias("query_id"),
-            F.col("hits_adc").cast("long").alias("hits"),
-            F.col("recall_adc").alias("recall"),
-            F.col("mean_recall_adc").alias("mean_recall"),
-            (F.col("mean_recall_adc") >= adc_floor).alias("meets_floor"),
+            F.col(f"hits_{arm}").cast("long").alias("hits"),
+            F.col(f"recall_{arm}").alias("recall"),
+            F.col(f"mean_recall_{arm}").alias("mean_recall"),
+            (F.col(f"mean_recall_{arm}") >= floor).alias("meets_floor"),
         )
-        rr = df.select(
-            F.lit(codec).alias("codec"),
-            F.lit("rerank").alias("variant"),
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("hits_rerank").cast("long").alias("hits"),
-            F.col("recall_rerank").alias("recall"),
-            F.col("mean_recall_rerank").alias("mean_recall"),
-            (F.col("mean_recall_rerank") >= rr_floor).alias("meets_floor"),
-        )
-        return adc.unionByName(rr)
 
     def one_variant(df, codec, variant):
         return df.select(
@@ -3820,6 +3804,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meets_floor",
         )
 
+    pq_df = q_pq_recall(spark, sf_dir)
+    ivfpq_df = q_ivfpq_recall(spark, sf_dir)
+    sq_df = q_sq_recall(spark, sf_dir)
+    ivfsq_df = q_ivfsq_recall(spark, sf_dir)
     parts = [
         one_variant(q_ivf_recall(spark, sf_dir), "ivf", "pruned"),
         one_variant(
@@ -3827,10 +3815,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # r8: the corpus-scale batch path on the same exact fixture
         one_variant(q_ivf_batch_recall(spark, sf_dir), "ivf", "batch"),
-        two_variant(q_pq_recall(spark, sf_dir), "pq", PQ_ADC_FLOOR, PQ_RERANK_FLOOR),
-        one_variant(q_ivfpq_recall(spark, sf_dir), "ivfpq", "rerank"),
-        two_variant(q_sq_recall(spark, sf_dir), "sq8", SQ_ADC_FLOOR, SQ_RERANK_FLOOR),
-        two_variant(q_ivfsq_recall(spark, sf_dir), "ivfsq", IVFSQ_FLOOR, IVFSQ_FLOOR),
+        arm_variant(pq_df, "pq", "adc", PQ_ADC_FLOOR),
+        arm_variant(pq_df, "pq", "rerank", PQ_RERANK_FLOOR),
+        # r8: every codec's corpus-scale batch route, gated at the same
+        # operating point as its interactive sibling
+        arm_variant(pq_df, "pq", "batch", PQ_BATCH_FLOOR),
+        arm_variant(ivfpq_df, "ivfpq", "rerank", IVFPQ_RERANK_FLOOR),
+        arm_variant(ivfpq_df, "ivfpq", "batch", IVFPQ_BATCH_FLOOR),
+        arm_variant(sq_df, "sq8", "adc", SQ_ADC_FLOOR),
+        arm_variant(sq_df, "sq8", "rerank", SQ_RERANK_FLOOR),
+        arm_variant(sq_df, "sq8", "batch", SQ_BATCH_FLOOR),
+        arm_variant(ivfsq_df, "ivfsq", "adc", IVFSQ_FLOOR),
+        arm_variant(ivfsq_df, "ivfsq", "rerank", IVFSQ_FLOOR),
+        arm_variant(ivfsq_df, "ivfsq", "batch", IVFSQ_BATCH_FLOOR),
     ]
     out = parts[0]
     for p in parts[1:]:

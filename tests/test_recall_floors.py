@@ -46,17 +46,25 @@ def test_pq_recall_meets_floor(spark):
     assert all(r.meets_floor for r in rows), (
         rows[0].mean_recall_adc,
         rows[0].mean_recall_rerank,
+        rows[0].mean_recall_batch,
     )
     # the sweep's chosen geometry clears the stretch target too: exact
     # re-rank stays effectively lossless on this fixture
     assert rows[0].mean_recall_rerank >= 0.98
+    # the corpus-scale batch route computes the SAME ADC math as the
+    # interactive path (identical per-query LUT expressions), so its
+    # recall must EQUAL the adc column — not just clear a floor
+    assert rows[0].mean_recall_batch == rows[0].mean_recall_adc
 
 
 def test_ivfpq_recall_meets_floor(spark):
     from deployment_spark.queries import q_ivfpq_recall
 
     rows = _floor_rows(q_ivfpq_recall, spark)
-    assert all(r.meets_floor for r in rows), rows[0].mean_recall
+    assert all(r.meets_floor for r in rows), (
+        rows[0].mean_recall_rerank,
+        rows[0].mean_recall_batch,
+    )
 
 
 def test_sq_recall_meets_floor(spark):
@@ -66,6 +74,7 @@ def test_sq_recall_meets_floor(spark):
     assert all(r.meets_floor for r in rows), (
         rows[0].mean_recall_adc,
         rows[0].mean_recall_rerank,
+        rows[0].mean_recall_batch,
     )
 
 
@@ -76,6 +85,7 @@ def test_ivfsq_recall_meets_floor(spark):
     assert all(r.meets_floor for r in rows), (
         rows[0].mean_recall_adc,
         rows[0].mean_recall_rerank,
+        rows[0].mean_recall_batch,
     )
 
 

@@ -126,10 +126,14 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         IVF_BATCH_FLOOR,
         IVF_DISTRIBUTED_FLOOR,
         IVF_RECALL_FLOOR,
+        IVFPQ_BATCH_FLOOR,
         IVFPQ_RERANK_FLOOR,
+        IVFSQ_BATCH_FLOOR,
         PQ_ADC_FLOOR,
+        PQ_BATCH_FLOOR,
         PQ_RERANK_FLOOR,
         SQ_ADC_FLOOR,
+        SQ_BATCH_FLOOR,
         SQ_RERANK_FLOOR,
         _ivf_big_index,
         _ivf_index,
@@ -202,6 +206,15 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         ),
         PQ_RERANK_FLOOR,
     )
+    # r8: the corpus-scale batch route, same block grid as the entry
+    specs[("pq", "batch")] = (
+        _pairs_to_sets(
+            pq_codec.search_batch(
+                pq_codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
+            ).select("query_id", "vec_id").collect()
+        ),
+        PQ_BATCH_FLOOR,
+    )
 
     with tempfile.TemporaryDirectory(prefix="oracle_ivfpq_") as root:
         ivfpq = IVFPQIndex(spark, root).build(norm, nlist=8, m=16, ksub=256)
@@ -211,6 +224,14 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
                 .select("query_id", "vec_id").collect()
             ),
             IVFPQ_RERANK_FLOOR,
+        )
+        specs[("ivfpq", "batch")] = (
+            _pairs_to_sets(
+                ivfpq.search_batch(
+                    queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
+                ).select("query_id", "vec_id").collect()
+            ),
+            IVFPQ_BATCH_FLOOR,
         )
 
     with tempfile.TemporaryDirectory(prefix="oracle_ivfsq_") as root:
@@ -232,6 +253,14 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
             ),
             IVFSQ_FLOOR,
         )
+        specs[("ivfsq", "batch")] = (
+            _pairs_to_sets(
+                ivfsq.search_batch(
+                    queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
+                ).select("query_id", "vec_id").collect()
+            ),
+            IVFSQ_BATCH_FLOOR,
+        )
 
     sq_codec = SQCodec.train(norm)
     sq_codes = sq_codec.encode(norm)
@@ -247,6 +276,14 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
             .select("query_id", "vec_id").collect()
         ),
         SQ_RERANK_FLOOR,
+    )
+    specs[("sq8", "batch")] = (
+        _pairs_to_sets(
+            sq_codec.search_batch(
+                sq_codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
+            ).select("query_id", "vec_id").collect()
+        ),
+        SQ_BATCH_FLOOR,
     )
 
     problems: list[str] = []
