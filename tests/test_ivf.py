@@ -456,6 +456,14 @@ def test_streamed_store_snapshot_is_prunable_index_data(spark, sf_dir, tmp_path)
         "query_id", "vec_id", "rank"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # r8: the corpus-scale batch route over the SAME streamed snapshot —
+    # blocked centroid routing + cluster-grouped scoring must read the
+    # streaming-maintained store identically (a forced ≥2-block grid so
+    # the multi-block path, not a degenerate single block, is what runs)
+    got_batch = searcher.search_batch(
+        queries, k=3, nprobe=10**9, num_query_blocks=2
+    ).select("query_id", "vec_id", "rank").collect()
+    assert sorted(map(tuple, got_batch)) == sorted(map(tuple, want))
 
 
 def test_auto_routing_threshold_pinned(spark, tmp_path, embeddings):
