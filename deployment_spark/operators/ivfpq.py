@@ -105,12 +105,25 @@ class IVFPQIndex:
         (shared helper with ``IVFIndex.search``) joins the codes scan,
         so each query scores only codes in ITS nprobe lists — results
         never depend on which other queries share the batch — while the
-        ``isin`` on the union still prunes partitions at the scan."""
+        ``isin`` on the union still prunes partitions at the scan.
+
+        ``routing='batch'`` dispatches to :meth:`search_batch` — the
+        corpus-scale-QUERY-set path where nothing query-scale reaches
+        the driver (the other routings collect the query batch, which
+        is their LUT contract) — mirroring ``IVFIndex.search``."""
         import pandas as pd
 
         from pyspark.sql import Window
         from pyspark.sql.types import DoubleType, StructField, StructType
 
+        if routing == "batch":
+            # explicit corpus-scale-queries dispatch (r8): no count job,
+            # no query collect on this path — batch callers know they
+            # are batch (same reasoning as IVFIndex.search)
+            return self.search_batch(
+                queries, k, nprobe, shortlist, query_id, query_vec,
+                id_col, vec_col,
+            )
         qrows = queries.select(query_id, query_vec).collect()  # nq-scale
         if not qrows:
             return self.ivf.search_empty(query_id, id_col)

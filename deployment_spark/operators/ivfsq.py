@@ -106,9 +106,21 @@ class IVFSQIndex:
 
         Pruning is PER QUERY (shared routing helper with IVFIndex): each
         query scores only codes in ITS nprobe lists, while the ``isin``
-        on the union still prunes partitions at the scan."""
+        on the union still prunes partitions at the scan.
+
+        ``routing='batch'`` dispatches to :meth:`search_batch` — the
+        corpus-scale-QUERY-set path where nothing query-scale reaches
+        the driver — mirroring ``IVFIndex.search``."""
         from deployment_spark.functions.vector import cosine_similarity, dot_product
 
+        if routing == "batch":
+            # explicit corpus-scale-queries dispatch (r8): no count job,
+            # no query collect on this path — batch callers know they
+            # are batch (same reasoning as IVFIndex.search)
+            return self.search_batch(
+                queries, k, nprobe, shortlist, query_id, query_vec,
+                id_col, vec_col,
+            )
         qrows = queries.select(query_id, query_vec).collect()  # nq-scale
         if not qrows:
             return self.ivf.search_empty(query_id, id_col)

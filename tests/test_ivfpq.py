@@ -134,6 +134,22 @@ def test_search_batch_probe_all_bitexact_parity(index, queries):
     assert a == b
 
 
+def test_search_routing_batch_dispatches(index, queries):
+    """search(routing='batch') is the explicit corpus-scale-queries
+    entry — same results as search_batch (mirrors IVFIndex.search)."""
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search(
+            queries, k=5, nprobe=5, shortlist=20, routing="batch"
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search_batch(queries, k=5, nprobe=5, shortlist=20).collect()
+    )
+    assert a == b
+
+
 def test_search_batch_salting_is_invisible(index, queries):
     """Hot-cluster sub-block salting must not change results — every
     (query, salt) emits its tie-aware local top-k and the global window

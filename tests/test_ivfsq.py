@@ -142,6 +142,22 @@ def test_search_batch_probe_all_covering_shortlist_parity(norm_emb, index, queri
     assert a == b
 
 
+def test_search_routing_batch_dispatches(index, queries):
+    """search(routing='batch') is the explicit corpus-scale-queries
+    entry — same results as search_batch (mirrors IVFIndex.search)."""
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search(
+            queries, k=5, nprobe=5, shortlist=20, routing="batch"
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in index.search_batch(queries, k=5, nprobe=5, shortlist=20).collect()
+    )
+    assert a == b
+
+
 def test_search_batch_operating_point_recall(norm_emb, index, queries):
     k = 10
     exact = {
