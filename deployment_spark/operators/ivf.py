@@ -460,6 +460,13 @@ class IVFIndex:
         :meth:`search_batch` — the corpus-scale-QUERY-set path where
         nothing query-scale reaches the driver (both other routings
         collect the query batch, which is their contract)."""
+        if routing not in ("auto", "driver", "distributed", "batch"):
+            # fail loudly: a typo'd routing must not silently fall
+            # through to the driver collect a batch caller is avoiding
+            raise ValueError(
+                f"unknown routing {routing!r}: "
+                "expected auto | driver | distributed | batch"
+            )
         if routing == "auto":
             routing = (
                 "driver"

@@ -116,6 +116,13 @@ class IVFPQIndex:
         from pyspark.sql import Window
         from pyspark.sql.types import DoubleType, StructField, StructType
 
+        if routing not in ("driver", "distributed", "batch"):
+            # fail loudly: a typo'd routing must not silently fall
+            # through to the driver collect a batch caller is avoiding
+            raise ValueError(
+                f"unknown routing {routing!r}: "
+                "expected driver | distributed | batch"
+            )
         if routing == "batch":
             # explicit corpus-scale-queries dispatch (r8): no count job,
             # no query collect on this path — batch callers know they

@@ -302,14 +302,17 @@ class PQCodec:
         # float64 Arrow corruption above 2^53); cast back before the
         # window so the tie-break stays typed — same contract as the
         # blocked exact path
-        q = queries.select(
+        # null-vec queries / null-code rows are excluded codegen-side:
+        # they cannot be scored (the interactive path fails on them at
+        # its driver collect), and here they must never reach the task
+        q = queries.filter(F.col(query_vec).isNotNull()).select(
             F.col(query_id).cast("string").alias("_qid"),
             F.lit(None).cast("string").alias("_cid"),
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.lit(None).cast("binary").alias("_code"),
             F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
         ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
-        c = codes.select(
+        c = codes.filter(F.col("code").isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.lit(None).cast("array<double>").alias("_vec"),

@@ -443,9 +443,16 @@ def topk_similarity_join_blocked(
     CB = int(num_corpus_blocks or max(1, -(-corpus.count() // int(corpus_block_rows))))
     kk = int(k)
 
-    # one frame; vectors unified to double for the matmul
+    # one frame; vectors unified to double for the matmul. NULL-vector
+    # rows are excluded on BOTH sides before the shuffle (codegen
+    # filter, nothing reaches the numpy task): a null corpus vector
+    # can never rank (the broadcast sibling's null cosine sorts last
+    # and surfaces only when a query has fewer than k non-null
+    # candidates), and a null query vector returns no rows — the same
+    # contract as radius_search's null-sim drop
     q = (
-        queries.select(
+        queries.filter(F.col(query_vec).isNotNull())
+        .select(
             F.col(query_id).cast("string").alias("_qid"),
             F.lit(None).cast("string").alias("_cid"),
             F.col(query_vec).cast("array<double>").alias("_vec"),
@@ -455,7 +462,8 @@ def topk_similarity_join_blocked(
         .withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
     )
     c = (
-        corpus.select(
+        corpus.filter(F.col(corpus_vec).isNotNull())
+        .select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(corpus_id).cast("string").alias("_cid"),
             F.col(corpus_vec).cast("array<double>").alias("_vec"),
@@ -614,8 +622,12 @@ def radius_search_blocked(
     lim = None if limit_per_query is None else int(limit_per_query)
     rad = float(radius)
 
+    # null-vector rows excluded codegen-side before the shuffle — the
+    # broadcast sibling drops them through its null-sim radius
+    # predicate; here they must never reach the numpy task
     q = (
-        queries.select(
+        queries.filter(F.col(query_vec).isNotNull())
+        .select(
             F.col(query_id).cast("string").alias("_qid"),
             F.lit(None).cast("string").alias("_cid"),
             F.col(query_vec).cast("array<double>").alias("_vec"),
@@ -623,7 +635,8 @@ def radius_search_blocked(
         ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
     )
     c = (
-        corpus.select(
+        corpus.filter(F.col(corpus_vec).isNotNull())
+        .select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(corpus_id).cast("string").alias("_cid"),
             F.col(corpus_vec).cast("array<double>").alias("_vec"),

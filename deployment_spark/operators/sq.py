@@ -232,14 +232,17 @@ class SQCodec:
             or max(1, -(-codes_df.count() // int(code_block_rows)))
         )
         kk = int(k)
-        q = queries.select(
+        # null-vec queries / null-code rows are excluded codegen-side:
+        # they cannot be scored (the interactive path's ADC expression
+        # nulls them out), and here they must never reach the task
+        q = queries.filter(F.col(query_vec).isNotNull()).select(
             F.col(query_id).cast("string").alias("_qid"),
             F.lit(None).cast("string").alias("_cid"),
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.lit(None).cast("array<tinyint>").alias("_code"),
             F.pmod(F.xxhash64(F.col(query_id)), F.lit(QB)).cast("int").alias("_qb"),
         ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(CB - 1))))
-        c = codes_df.select(
+        c = codes_df.filter(F.col(codes_col).isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.lit(None).cast("array<double>").alias("_vec"),

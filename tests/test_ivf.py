@@ -81,6 +81,13 @@ def test_search_routing_batch_dispatches(index, queries_df):
     assert a == b
 
 
+def test_search_rejects_unknown_routing(index, queries_df):
+    """r8 review: a typo'd routing string must raise, not silently fall
+    through to the driver-collect path a batch caller is avoiding."""
+    with pytest.raises(ValueError, match="unknown routing"):
+        index.search(queries_df, k=3, routing="Batch")
+
+
 def test_search_batch_salted_matches_unsalted(index, queries_df):
     """Hot-cluster sub-blocking must not change results: with a bound
     small enough to split EVERY cluster into multiple salts, the salted

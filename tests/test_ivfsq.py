@@ -142,6 +142,13 @@ def test_search_batch_probe_all_covering_shortlist_parity(norm_emb, index, queri
     assert a == b
 
 
+def test_search_rejects_unknown_routing(index, queries):
+    """r8 review: a typo'd routing string must raise, not silently fall
+    through to the driver-collect path a batch caller is avoiding."""
+    with pytest.raises(ValueError, match="unknown routing"):
+        index.search(queries, k=3, routing="Batch")
+
+
 def test_search_routing_batch_dispatches(index, queries):
     """search(routing='batch') is the explicit corpus-scale-queries
     entry — same results as search_batch (mirrors IVFIndex.search)."""

@@ -186,3 +186,22 @@ def test_search_batch_empty_and_string_ids(spark):
     assert len(got) == 12
     best = {r.query_id: r.vec_id for r in got if r.rank == 1}
     assert best == {f"q-{i}": f"doc-{i}" for i in range(4)}
+    # r8 review: a null query vector or null code row must be excluded
+    # codegen-side, not crash the LUT/gather task
+    with_null_q = queries.unionByName(
+        spark.createDataFrame(
+            [("q-null", None)], "query_id STRING, query_vec ARRAY<DOUBLE>"
+        )
+    )
+    from pyspark.sql import functions as F
+    with_null_code = codes.unionByName(
+        codes.limit(1).select(
+            F.lit("doc-null").alias("vec_id"),
+            F.lit(None).cast("binary").alias("code"),
+        )
+    )
+    got2 = codec.search_batch(
+        with_null_code, with_null_q, k=3, num_query_blocks=2, num_code_blocks=3
+    ).collect()
+    assert len(got2) == 12
+    assert all(r.query_id != "q-null" and r.vec_id != "doc-null" for r in got2)

@@ -171,6 +171,35 @@ def test_blocked_empty_and_kcap(spark, embeddings, queries_df):
     assert all(v == 4 for v in per_q.values())
 
 
+def test_blocked_paths_tolerate_null_vectors(spark):
+    """r8 review: null-vector rows crashed the numpy stage of the
+    blocked paths while their broadcast siblings drop such rows through
+    a null similarity — a caller auto-routed across the query-count
+    threshold went from working to crashing on identical data. Null
+    rows are now excluded codegen-side: null corpus rows never rank,
+    null-vec queries return no rows."""
+    from deployment_spark.operators.similarity import radius_search_blocked
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)],
+        "query_id long, query_vec array<double>",
+    )
+    got = _blocked_small(corpus, queries, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert sorted(by_q[10]) == [(1, 1), (2, 2)]
+    assert 11 not in by_q
+    hits = radius_search_blocked(
+        corpus, queries, radius=0.5, query_block_rows=1, corpus_block_rows=2
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in hits} == {(10, 1), (10, 2)}
+
+
 def test_blocked_rejects_unorderable_id_types(spark):
     """r8 review: a decimal/timestamp corpus id would silently fall back
     to STRING tie-break order inside the pandas stage while the global

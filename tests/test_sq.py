@@ -164,6 +164,29 @@ def test_search_batch_integer_exact_parity(spark):
         )
     )
     assert a == b
+    # r8 review: null query vectors / null code rows are excluded
+    # codegen-side, never crashing the decode-and-score task
+    with_null_q = queries.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "query_id LONG, query_vec ARRAY<DOUBLE>"
+        )
+    )
+    with_null_code = codes.unionByName(
+        codes.limit(1).select(
+            F.lit(998).cast("long").alias("vec_id"),
+            F.lit(None).cast("array<tinyint>").alias("codes"),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            codec.search_batch(
+                with_null_code, with_null_q, k=5,
+                num_query_blocks=2, num_code_blocks=3,
+            ).collect(),
+        )
+    )
+    assert c == a
 
 
 def test_search_batch_recall_on_fixture(norm_emb, codec):
