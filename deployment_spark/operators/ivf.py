@@ -583,9 +583,9 @@ class IVFIndex:
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_topk,
+            _salt_hot_groups,
             topk_similarity_join_blocked,
         )
-        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
         if queries.isEmpty():
             return self.search_empty(query_id, id_col)
@@ -620,40 +620,13 @@ class IVFIndex:
         )
         group_cols = ["_g"]
         if max_cluster_rows_per_task is not None:
-            bound = int(max_cluster_rows_per_task)
-            # nlist-bounded count aggregate (one row per cluster, never
-            # row-scale) → per-cluster salt counts for the hot ones
-            salts = (
-                data.groupBy("cluster_id")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .select(
-                    F.col("cluster_id").alias("_g"),
-                    F.greatest(
-                        F.lit(1), F.ceil(F.col("_n") / F.lit(bound))
-                    ).cast("int").alias("_ns"),
-                )
+            q, c, group_cols = _salt_hot_groups(
+                q, c, data, max_cluster_rows_per_task
             )
-            # corpus rows: one salt by id hash; queries: replicated
-            # across the probed cluster's salts (both sides join the
-            # tiny salt table — broadcast by size)
-            c = c.join(F.broadcast(salts), "_g").withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
-            ).drop("_ns")
-            q = q.join(F.broadcast(salts), "_g").withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
-            ).drop("_ns")
-            group_cols = ["_g", "_salt"]
-        out_schema = StructType(
-            [
-                StructField("_qid", StringType()),
-                StructField("_cid", StringType()),
-                StructField("_sim", DoubleType()),
-            ]
-        )
         candidates = (
             _grouped_pair_topk(
                 q.unionByName(c.select(*q.columns)), group_cols, kk,
-                "cosine", cid_kind, out_schema
+                "cosine", cid_kind
             )
             .withColumn("_qid", F.col("_qid").cast(qid_type))
             .withColumn("_cid", F.col("_cid").cast(cid_type))

@@ -339,24 +339,11 @@ class IVFPQIndex:
         )
         group_cols = ["_g"]
         if max_cluster_rows_per_task is not None:
-            bound = int(max_cluster_rows_per_task)
-            salts = (
-                codes.groupBy("cluster_id")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .select(
-                    F.col("cluster_id").alias("_g"),
-                    F.greatest(
-                        F.lit(1), F.ceil(F.col("_n") / F.lit(bound))
-                    ).cast("int").alias("_ns"),
-                )
+            from deployment_spark.operators.similarity import _salt_hot_groups
+
+            q, c, group_cols = _salt_hot_groups(
+                q, c, codes, max_cluster_rows_per_task
             )
-            c = c.join(F.broadcast(salts), "_g").withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
-            ).drop("_ns")
-            q = q.join(F.broadcast(salts), "_g").withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
-            ).drop("_ns")
-            group_cols = ["_g", "_salt"]
 
         books_bc = self.spark.sparkContext.broadcast(codec.codebooks)
         cand = (

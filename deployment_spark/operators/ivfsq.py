@@ -222,8 +222,6 @@ class IVFSQIndex:
         sub-block salting as the other batch searchers. Output schema
         and tie-breaks identical to :meth:`search` (ADC scores differ
         from the expression path only in summation-order ulps)."""
-        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
-
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_topk,
@@ -266,32 +264,12 @@ class IVFSQIndex:
         )
         group_cols = ["_g"]
         if max_cluster_rows_per_task is not None:
-            bound = int(max_cluster_rows_per_task)
-            salts = (
-                codes.groupBy("cluster_id")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .select(
-                    F.col("cluster_id").alias("_g"),
-                    F.greatest(
-                        F.lit(1), F.ceil(F.col("_n") / F.lit(bound))
-                    ).cast("int").alias("_ns"),
-                )
-            )
-            c = c.join(F.broadcast(salts), "_g").withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
-            ).drop("_ns")
-            q = q.join(F.broadcast(salts), "_g").withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
-            ).drop("_ns")
-            group_cols = ["_g", "_salt"]
+            from deployment_spark.operators.similarity import _salt_hot_groups
 
-        out_schema = StructType(
-            [
-                StructField("_qid", StringType()),
-                StructField("_cid", StringType()),
-                StructField("_sim", DoubleType()),
-            ]
-        )
+            q, c, group_cols = _salt_hot_groups(
+                q, c, codes, max_cluster_rows_per_task
+            )
+
         lo, scale = codec.lo, codec.scale
 
         def decode_codes(cp):
@@ -303,7 +281,7 @@ class IVFSQIndex:
         cand = (
             _grouped_pair_topk(
                 q.unionByName(c.select(*q.columns)), group_cols, take,
-                "dot", cid_kind, out_schema, corpus_decode=decode_codes,
+                "dot", cid_kind, corpus_decode=decode_codes,
             )
             .withColumn("_qid", F.col("_qid").cast(qid_type))
             .withColumn("_cid", F.col("_cid").cast(cid_type))

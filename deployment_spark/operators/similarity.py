@@ -329,8 +329,56 @@ def _cid_sort_kind(cid_type, context: str):
     )
 
 
-def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind, out_schema,
-                       corpus_decode=None):
+# the string-transport emit schema shared by every _grouped_pair_topk
+# task (ids go back to their real types before the global window)
+_PAIR_TOPK_SCHEMA = StructType(
+    [
+        StructField("_qid", StringType()),
+        StructField("_cid", StringType()),
+        StructField("_sim", DoubleType()),
+    ]
+)
+
+
+def _salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id"):
+    """Sub-block salting for hot groups — the IVF-skew guard shared by
+    the IVF / IVF×PQ / IVF×SQ8 batch searchers. Groups in ``counts_src``
+    larger than ``bound`` rows split into ceil(n/bound) salts: corpus
+    rows take ONE salt by id hash, probing queries replicate across the
+    group's salts, so the per-task matrix stays bounded while
+    local-global top-k stays exact (every (query, salt) emits its
+    tie-aware local top-k; the global window merges). Costs one
+    group-count aggregate (one row per cluster, never row-scale) plus
+    two broadcast joins of that tiny salt table. Returns the salted
+    (q, c, group_cols)."""
+    bound = int(bound)
+    salts = (
+        counts_src.groupBy(group_key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col(group_key).alias("_g"),
+            F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(bound)))
+            .cast("int")
+            .alias("_ns"),
+        )
+    )
+    c = (
+        c.join(F.broadcast(salts), "_g")
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
+        )
+        .drop("_ns")
+    )
+    q = (
+        q.join(F.broadcast(salts), "_g")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)))
+        .drop("_ns")
+    )
+    return q, c, ["_g", "_salt"]
+
+
+def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind,
+                       out_schema=None, corpus_decode=None):
     """groupBy(group_cols).applyInPandas local top-k over a union frame
     carrying string-transported (_qid, _cid, _vec) — the scoring task
     shared by the hash-blocked exact path (group = (_qb, _cb)) and the
@@ -377,7 +425,9 @@ def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind, out_schema,
             out_s.extend(sims[order, j].tolist())
         return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
 
-    return both.groupBy(*group_cols).applyInPandas(pair_topk, schema=out_schema)
+    return both.groupBy(*group_cols).applyInPandas(
+        pair_topk, schema=out_schema or _PAIR_TOPK_SCHEMA
+    )
 
 
 def topk_similarity_join_blocked(
@@ -425,16 +475,10 @@ def topk_similarity_join_blocked(
     # necessarily has a null id column per side, and Arrow→pandas turns
     # a nullable int64 into float64 — silently corrupting ids above 2^53
     # (snowflake-scale). String round-trips losslessly for the int/string
-    # ids this module supports, and both ids are cast BACK to their real
-    # types before the global window so the tie-break (and the output
-    # schema) is bit-identical to the broadcast path.
-    out_schema = StructType(
-        [
-            StructField("_qid", StringType()),
-            StructField("_cid", StringType()),
-            StructField("_sim", DoubleType()),
-        ]
-    )
+    # ids this module supports (_PAIR_TOPK_SCHEMA is that transport
+    # shape), and both ids are cast BACK to their real types before the
+    # global window so the tie-break (and the output schema) is
+    # bit-identical to the broadcast path.
     # single count aggregates (no rows to the driver) to size the block
     # grids — pass num_query_blocks / num_corpus_blocks to skip them
     # when the caller already knows the sizes (topk_similarity_join_auto
@@ -481,7 +525,7 @@ def topk_similarity_join_blocked(
     cid_kind = _cid_sort_kind(cid_type, "blocked top-k")
 
     candidates = (
-        _grouped_pair_topk(both, ["_qb", "_cb"], kk, metric, cid_kind, out_schema)
+        _grouped_pair_topk(both, ["_qb", "_cb"], kk, metric, cid_kind)
         # back to the caller's id types BEFORE the window: exact type
         # (and tie-break) parity with the broadcast path
         .withColumn("_qid", F.col("_qid").cast(qid_type))

@@ -213,7 +213,6 @@ class SQCodec:
         vs sequential fold), like every blocked-vs-expr pair in this
         engine."""
         from pyspark.sql import Window
-        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
@@ -250,13 +249,6 @@ class SQCodec:
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(CB)).cast("int").alias("_cb"),
         ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
         both = q.unionByName(c.select(*q.columns))
-        out_schema = StructType(
-            [
-                StructField("_qid", StringType()),
-                StructField("_cid", StringType()),
-                StructField("_sim", DoubleType()),
-            ]
-        )
         lo, scale = self.lo, self.scale
 
         def decode_codes(cp):
@@ -269,7 +261,7 @@ class SQCodec:
 
         candidates = (
             _grouped_pair_topk(
-                both, ["_qb", "_cb"], kk, "dot", cid_kind, out_schema,
+                both, ["_qb", "_cb"], kk, "dot", cid_kind,
                 corpus_decode=decode_codes,
             )
             .withColumn("_qid", F.col("_qid").cast(qid_type))
