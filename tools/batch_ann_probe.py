@@ -9,6 +9,13 @@ BASELINE.md's batch-ANN note is measured, not asserted.
 
 Usage: python tools/batch_ann_probe.py
 Emits one JSON line per (path, nq) plus a summary line.
+
+``--salting`` runs the hot-cluster probe instead: a deterministic
+2-centroid index (build_from_centroids) where one cluster holds ~90%
+of the corpus — the IVF skew case ``max_cluster_rows_per_task`` exists
+for — timed unsalted (the hot cluster's whole matmul serializes in ONE
+applyInPandas task) vs salted (bounded sub-blocks spread across
+cores), so the salting knob's benefit is measured, not asserted.
 """
 
 from __future__ import annotations
@@ -122,5 +129,95 @@ def main() -> None:
     spark.stop()
 
 
+def salting_probe() -> None:
+    import numpy as np
+
+    from deployment_spark import get_spark
+    from deployment_spark.operators.ivf import IVFIndex
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="salting-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    DIM, K, NQ, RUNS = 64, 5, 2_000, 2
+    N_HOT, N_COLD = 135_000, 15_000
+    BOUND = 8_192  # hot cluster splits into ceil(135k/8k) = 17 salts
+
+    # two centroids on opposite poles of dim 0; hot points jitter
+    # around +pole, cold around -pole, so assignment is deterministic
+    cents = np.zeros((2, DIM))
+    cents[0, 0], cents[1, 0] = 1.0, -1.0
+
+    def blob(n, pole, tag):
+        return (
+            spark.range(n)
+            .select(
+                (F.col("id") + (0 if pole > 0 else N_HOT)).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DIM)),
+                    lambda i: F.when(i == 1, F.lit(float(pole))).otherwise(
+                        F.sin(F.col("id") * i * 0.7213) * 0.05
+                    ),
+                ).cast("array<double>").alias("embedding"),
+            )
+        )
+
+    corpus = blob(N_HOT, 1.0, "hot").unionByName(blob(N_COLD, -1.0, "cold"))
+    root = tempfile.mkdtemp(prefix="salting_probe_")
+    idx = IVFIndex(spark, os.path.join(root, "ivf")).build_from_centroids(
+        corpus, cents
+    )
+    sizes = {
+        r.cluster_id: r.n
+        for r in idx.data().groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    queries = (
+        spark.range(NQ)
+        .select(
+            F.col("id").alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.when(i == 1, F.lit(1.0)).otherwise(
+                    F.cos(F.col("id") * i * 0.3141) * 0.05
+                ),
+            ).cast("array<double>").alias("query_vec"),
+        )
+        .cache()
+    )
+    queries.count()
+    results = {}
+    for mode, bound in (("unsalted", None), ("salted", BOUND)):
+        fn = lambda: idx.search_batch(  # noqa: E731
+            queries, k=K, nprobe=1, max_cluster_rows_per_task=bound
+        )
+        fn().count()  # warm
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            n = fn().count()
+            ts.append(time.time() - t0)
+        results[mode] = round(min(ts), 3)
+        print(json.dumps({"mode": mode, "rows": n, "best_sec": results[mode]}), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "probe": "salting",
+                "cluster_sizes": {str(k_): v for k_, v in sorted(sizes.items())},
+                "nq": NQ,
+                "bound": BOUND,
+                "unsalted_sec": results["unsalted"],
+                "salted_sec": results["salted"],
+                "speedup": round(results["unsalted"] / results["salted"], 2),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--salting" in sys.argv:
+        salting_probe()
+    else:
+        main()
