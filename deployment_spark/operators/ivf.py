@@ -533,6 +533,81 @@ class IVFIndex:
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
 
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        nprobe: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        limit_per_query: int | None = None,
+        routing: str = "auto",
+    ) -> DataFrame:
+        """Milvus range search over the IVF index (the search-params
+        ``radius`` mode run against an index instead of a flat scan):
+        every corpus vector with cosine ≥ ``radius`` inside each
+        query's nprobe probed lists. Approximate through pruning
+        exactly like :meth:`search` — a hit living outside the probed
+        lists is missed — and EXACT at nprobe ≥ nlist, where it is
+        ``similarity.radius_search`` computed over a partition-pruned
+        scan + routing join (that full-probe equivalence is the
+        hash-gated arm; pruning subset semantics are pinned in
+        test_ivf.py). Same plan shape as ``search`` with the radius
+        predicate replacing the top-k window; with ``limit_per_query``
+        the tie-aware rank window caps each query, matching
+        radius_search's contract. Output
+        (query_id, vec_id, similarity[, rank])."""
+        if routing not in ("auto", "driver", "distributed"):
+            raise ValueError(
+                f"unknown routing {routing!r}: expected auto | driver | distributed"
+            )
+        if routing == "auto":
+            routing = (
+                "driver"
+                if self.nlist() <= AUTO_DISTRIBUTED_NLIST
+                else "distributed"
+            )
+        if queries.isEmpty():
+            empty = self.search_empty(query_id, id_col)
+            cols = [query_id, id_col, "similarity"]
+            if limit_per_query is not None:
+                cols = [query_id, id_col, "rank", "similarity"]
+            return empty.select(*cols)
+        if routing == "distributed":
+            routing_df = self.route_distributed(
+                queries, nprobe, query_id, query_vec
+            ).localCheckpoint()
+            probed = [
+                r.cluster_id
+                for r in routing_df.select("cluster_id").distinct().collect()
+            ]
+        else:
+            qrows = queries.select(query_id, query_vec).collect()
+            pairs, probed = self.route(qrows, nprobe, query_id, query_vec)
+            routing_df = self.spark.createDataFrame(pairs, [query_id, "cluster_id"])
+        q = F.broadcast(
+            queries.withColumnRenamed(query_vec, "_qvec").join(routing_df, query_id)
+        )
+        hits = (
+            self.data()
+            .filter(F.col("cluster_id").isin(probed))
+            .join(q, "cluster_id")
+            .withColumn("_sim", cosine_similarity(vec_col, "_qvec"))
+            .filter(F.col("_sim") >= float(radius))
+        )
+        if limit_per_query is None:
+            return hits.select(
+                query_id, id_col, F.col("_sim").alias("similarity")
+            )
+        w = Window.partitionBy(query_id).orderBy(F.desc("_sim"), F.asc(id_col))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(limit_per_query))
+            .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

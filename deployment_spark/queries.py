@@ -4082,7 +4082,10 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-iterator keyset pagination (similarity.keyset_page — the
     Milvus ``search_iterator`` protocol: page 2 fetched strictly after
     page 1's (last_sim, last_id) cursor, OFFSET-free; the oracle pins
-    it to global ranks 6..10)."""
+    it to global ranks 6..10); ``ivf_range`` (r8, 9th probe) drives
+    range search ON THE IVF INDEX (IVFIndex.range_search) at full
+    probe, hash-pinning the index-path plumbing to the flat radius
+    oracle."""
     from deployment_spark.operators.similarity import (
         enrich_topk,
         grouped_topk,
@@ -4150,6 +4153,20 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_topk(rad_b, emb.select("vec_id", "label"), corpus_id="vec_id"),
         "radius_blocked",
     )
+    # r8: range search against the IVF INDEX (the Milvus range-search
+    # params run on an index, not a flat scan) at FULL probe — pruning
+    # is a no-op there, so the hash-gate pins the index plumbing
+    # (routing join + partition-pruned scan + radius predicate) to the
+    # same flat-radius oracle; the pruned-subset semantics (nprobe <
+    # nlist may only REMOVE hits) are pinned in test_ivf.py
+    ivf_idx, _ = _ivf_index(spark, sf_dir)
+    ivf_rng = ivf_idx.range_search(
+        queries, radius=0.3, nprobe=10**9, limit_per_query=20
+    )
+    ivf_range_rows = shape(
+        enrich_topk(ivf_rng, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "ivf_range",
+    )
     grouped_rows = shape(grouped_topk(emb, queries, k=5, group_col="label"), "grouped")
     filt = sim_ops.topk_similarity_join_expr(
         emb.filter(F.col("label") % 3 == 0), queries, k=5
@@ -4181,6 +4198,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk_rows.unionByName(radius_rows)
         .unionByName(radius_blocked_rows)
+        .unionByName(ivf_range_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
@@ -4291,6 +4309,11 @@ SELECT 'radius', query_id, vec_id, rank, label::BIGINT,
 FROM rad WHERE rank <= 20
 UNION ALL
 SELECT 'radius_blocked', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM rad WHERE rank <= 20
+UNION ALL
+SELECT 'ivf_range', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM rad WHERE rank <= 20

@@ -45,6 +45,75 @@ def test_full_probe_equals_exact(index, embeddings, queries_df):
     assert e == g
 
 
+def test_range_search_full_probe_is_exact_radius(index, embeddings, queries_df):
+    """r8: Milvus range search against the index. At nprobe ≥ nlist the
+    pruning is a no-op, so the result must equal the flat radius_search
+    on the same rows — both sides run the identical Catalyst cosine on
+    the identical vectors, so even the similarities are bit-equal."""
+    from deployment_spark.operators.similarity import radius_search
+
+    got = sorted(
+        map(
+            tuple,
+            index.range_search(
+                queries_df, radius=0.3, nprobe=10**9, limit_per_query=20
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            radius_search(
+                embeddings, queries_df, radius=0.3, limit_per_query=20
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    # unlimited form: no rank column, every limited hit present, every
+    # row a true radius hit
+    g2 = index.range_search(queries_df, radius=0.3, nprobe=10**9)
+    assert g2.columns == ["query_id", "vec_id", "similarity"]
+    rows2 = g2.collect()
+    assert {(q, v) for q, v, _r, _s in want} <= {
+        (r.query_id, r.vec_id) for r in rows2
+    }
+    assert all(r.similarity >= 0.3 for r in rows2)
+
+
+def test_range_search_pruned_is_subset(index, embeddings, queries_df):
+    """Pruning may only REMOVE hits (the Milvus approximate-range
+    contract): every pruned hit is a true radius hit. (No self-hit
+    guarantee at nprobe=1: assignment is Euclidean k-means while
+    routing is cosine on the raw vectors, so a query's top cosine
+    centroid need not be its assigned cluster.)"""
+    from deployment_spark.operators.similarity import radius_search
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in radius_search(embeddings, queries_df, radius=0.3).collect()
+    }
+    pruned = [
+        r for r in index.range_search(queries_df, radius=0.3, nprobe=1).collect()
+    ]
+    assert pruned
+    assert {(r.query_id, r.vec_id) for r in pruned} <= exact
+    assert all(r.similarity >= 0.3 for r in pruned)
+    # pruning at nprobe=1 must be a STRICT subset on this fixture (if it
+    # ever equals the exact set the test is vacuous — widen the fixture)
+    assert len({(r.query_id, r.vec_id) for r in pruned}) < len(exact)
+
+
+def test_range_search_empty_and_bad_routing(spark, index, queries_df):
+    empty = queries_df.limit(0)
+    out = index.range_search(empty, radius=0.3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "similarity"]
+    out_lim = index.range_search(empty, radius=0.3, limit_per_query=5)
+    assert out_lim.columns == ["query_id", "vec_id", "rank", "similarity"]
+    with pytest.raises(ValueError, match="unknown routing"):
+        index.range_search(queries_df, radius=0.3, routing="Driver")
+
+
 def test_search_batch_matches_search(index, embeddings, queries_df):
     """The corpus-scale batch path (blocked centroid routing + cluster-
     grouped scoring, nothing query-scale on the driver) must return the
