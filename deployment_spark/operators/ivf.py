@@ -608,6 +608,110 @@ class IVFIndex:
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
 
+    def range_search_batch(
+        self,
+        queries: DataFrame,
+        radius: float,
+        nprobe: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        limit_per_query: int | None = None,
+        num_query_blocks: int | None = None,
+        max_cluster_rows_per_task: int | None = None,
+    ) -> DataFrame:
+        """Range search over the index for CORPUS-SIZED query sets —
+        completing the matrix: :meth:`search`/:meth:`search_batch` are
+        the top-k pair, :meth:`range_search`/this the radius pair.
+        Same two distributed stages as ``search_batch`` (blocked
+        centroid routing with NOTHING query-scale on the driver, then
+        probed (query, cluster) pairs grouped with the cluster's rows),
+        but the grouped task emits radius HITS via the shared
+        ``_grouped_pair_hits`` — with ``limit_per_query`` each query's
+        per-cluster emit is pre-reduced tie-aware and one global window
+        finalizes; without a limit the predicate is the reduction and
+        no window runs. Hot clusters salt via
+        ``max_cluster_rows_per_task`` exactly as in ``search_batch``
+        (every (query, salt) emits its local hits; radius membership is
+        per-row, so salting cannot change the hit set — only the local
+        cap needs the global window to re-merge)."""
+        from deployment_spark.operators.similarity import (
+            _cid_sort_kind,
+            _grouped_pair_hits,
+            _salt_hot_groups,
+            topk_similarity_join_blocked,
+        )
+
+        lim = None if limit_per_query is None else int(limit_per_query)
+        if queries.isEmpty():
+            empty = self.search_empty(query_id, id_col)
+            cols = [query_id, id_col, "similarity"]
+            if lim is not None:
+                cols = [query_id, id_col, "rank", "similarity"]
+            return empty.select(*cols)
+        data = self.data()
+        qid_type = queries.schema[query_id].dataType
+        cid_type = data.schema[id_col].dataType
+        if lim is not None:
+            cid_kind = _cid_sort_kind(cid_type, "ivf batch range search with limit")
+        else:
+            cid_kind = "str"  # no limit ⇒ no ranking ⇒ id order never applies
+
+        probes = topk_similarity_join_blocked(
+            self.centroids_df(),
+            queries,
+            k=int(nprobe),
+            corpus_id="cluster_id",
+            corpus_vec="centroid",
+            query_id=query_id,
+            query_vec=query_vec,
+            num_query_blocks=num_query_blocks,
+        ).select(query_id, "cluster_id")
+
+        q = queries.join(probes, query_id).select(
+            F.col(query_id).cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col(query_vec).cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        c = data.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col(id_col).cast("string").alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        group_cols = ["_g"]
+        if max_cluster_rows_per_task is not None:
+            q, c, group_cols = _salt_hot_groups(
+                q, c, data, max_cluster_rows_per_task
+            )
+        hits = (
+            _grouped_pair_hits(
+                q.unionByName(c.select(*q.columns)), group_cols,
+                float(radius), lim, cid_kind,
+            )
+            .withColumn("_qid", F.col("_qid").cast(qid_type))
+            .withColumn("_cid", F.col("_cid").cast(cid_type))
+        )
+        if lim is None:
+            return hits.select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                F.col("_sim").alias("similarity"),
+            )
+        w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= lim)
+            .select(
+                F.col("_qid").alias(query_id),
+                F.col("_cid").alias(id_col),
+                "rank",
+                F.col("_sim").alias("similarity"),
+            )
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

@@ -430,6 +430,54 @@ def _grouped_pair_topk(both, group_cols, kk, metric, cid_kind,
     )
 
 
+def _grouped_pair_hits(both, group_cols, radius, lim, cid_kind):
+    """groupBy(group_cols).applyInPandas RADIUS hits over a union frame
+    carrying string-transported (_qid, _cid, _vec) — the range-search
+    sibling of :func:`_grouped_pair_topk`, shared by the hash-blocked
+    flat path (group = (_qb, _cb)) and the IVF batch range path
+    (group = probed cluster): split sides, one matmul, emit every hit
+    ≥ radius; with ``lim`` each query's per-group emit is pre-reduced
+    to the tie-aware local top-lim (bounded by lim·nq·groups, not by
+    selectivity) for the global window to finalize."""
+    import numpy as np
+    import pandas as pd
+
+    _, _pair_scores, _tie_aware_order = _exact_scoring_core()
+    rad = float(radius)
+
+    def pair_hits(pdf):
+        is_q = pdf["_qid"].notna()
+        qp, cp = pdf[is_q], pdf[~is_q]
+        if qp.empty or cp.empty:
+            return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
+        qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
+        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
+        sims = _pair_scores(qmat, cmat, "cosine")  # (nc_local, nq_local)
+        cid_arr = cp["_cid"].to_numpy()
+        if cid_kind == "int":
+            sort_ids = cid_arr.astype(np.int64)
+        elif cid_kind == "float":
+            sort_ids = cid_arr.astype(np.float64)
+        else:
+            sort_ids = cid_arr
+        out_q, out_c, out_s = [], [], []
+        for j, qid in enumerate(qp["_qid"]):
+            hit = np.nonzero(sims[:, j] >= rad)[0]
+            if hit.size == 0:
+                continue
+            if lim is not None and hit.size > lim:
+                # tie-aware local cap: bounded emit per (query, group)
+                hit = hit[_tie_aware_order(sims[hit, j], sort_ids[hit], lim)]
+            out_q.extend([qid] * hit.size)
+            out_c.extend(cid_arr[hit].tolist())
+            out_s.extend(sims[hit, j].tolist())
+        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
+
+    return both.groupBy(*group_cols).applyInPandas(
+        pair_hits, schema=_PAIR_TOPK_SCHEMA
+    )
+
+
 def topk_similarity_join_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -649,18 +697,8 @@ def radius_search_blocked(
     finalizes; without a limit every hit streams out and no window runs
     at all — the radius predicate is the reduction, exactly as in the
     broadcast form. Cosine only, like radius_search."""
-    import numpy as np
-    import pandas as pd
-
     qid_type = queries.schema[query_id].dataType
     cid_type = corpus.schema[corpus_id].dataType
-    out_schema = StructType(
-        [
-            StructField("_qid", StringType()),
-            StructField("_cid", StringType()),
-            StructField("_sim", DoubleType()),
-        ]
-    )
     QB = int(num_query_blocks or max(1, -(-queries.count() // int(query_block_rows))))
     CB = int(num_corpus_blocks or max(1, -(-corpus.count() // int(corpus_block_rows))))
     lim = None if limit_per_query is None else int(limit_per_query)
@@ -694,39 +732,8 @@ def radius_search_blocked(
     else:
         cid_kind = "str"  # no limit ⇒ no ranking ⇒ id order never applies
 
-    _, _pair_scores, _tie_aware_order = _exact_scoring_core()
-
-    def pair_hits(pdf):
-        is_q = pdf["_qid"].notna()
-        qp, cp = pdf[is_q], pdf[~is_q]
-        if qp.empty or cp.empty:
-            return pd.DataFrame({"_qid": [], "_cid": [], "_sim": []})
-        qmat = np.array(qp["_vec"].tolist(), dtype=np.float64)
-        cmat = np.array(cp["_vec"].tolist(), dtype=np.float64)
-        sims = _pair_scores(qmat, cmat, "cosine")  # (nc_local, nq_local)
-        cid_arr = cp["_cid"].to_numpy()
-        if cid_kind == "int":
-            sort_ids = cid_arr.astype(np.int64)
-        elif cid_kind == "float":
-            sort_ids = cid_arr.astype(np.float64)
-        else:
-            sort_ids = cid_arr
-        out_q, out_c, out_s = [], [], []
-        for j, qid in enumerate(qp["_qid"]):
-            hit = np.nonzero(sims[:, j] >= rad)[0]
-            if hit.size == 0:
-                continue
-            if lim is not None and hit.size > lim:
-                # tie-aware local cap: bounded emit per (query, pair)
-                hit = hit[_tie_aware_order(sims[hit, j], sort_ids[hit], lim)]
-            out_q.extend([qid] * hit.size)
-            out_c.extend(cid_arr[hit].tolist())
-            out_s.extend(sims[hit, j].tolist())
-        return pd.DataFrame({"_qid": out_q, "_cid": out_c, "_sim": out_s})
-
     hits = (
-        both.groupBy("_qb", "_cb")
-        .applyInPandas(pair_hits, schema=out_schema)
+        _grouped_pair_hits(both, ["_qb", "_cb"], rad, lim, cid_kind)
         .withColumn("_qid", F.col("_qid").cast(qid_type))
         .withColumn("_cid", F.col("_cid").cast(cid_type))
     )

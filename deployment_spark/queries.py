@@ -4082,10 +4082,11 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-iterator keyset pagination (similarity.keyset_page — the
     Milvus ``search_iterator`` protocol: page 2 fetched strictly after
     page 1's (last_sim, last_id) cursor, OFFSET-free; the oracle pins
-    it to global ranks 6..10); ``ivf_range`` (r8, 9th probe) drives
-    range search ON THE IVF INDEX (IVFIndex.range_search) at full
-    probe, hash-pinning the index-path plumbing to the flat radius
-    oracle."""
+    it to global ranks 6..10); ``ivf_range`` / ``ivf_range_batch``
+    (r8, 9th/10th probes) drive range search ON THE IVF INDEX
+    (IVFIndex.range_search and its corpus-scale batch twin
+    range_search_batch) at full probe, hash-pinning both index-path
+    plumbings to the flat radius oracle."""
     from deployment_spark.operators.similarity import (
         enrich_topk,
         grouped_topk,
@@ -4167,6 +4168,17 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_topk(ivf_rng, emb.select("vec_id", "label"), corpus_id="vec_id"),
         "ivf_range",
     )
+    # r8: the corpus-scale batch twin (range_search_batch — blocked
+    # routing + grouped radius hits, nothing query-scale on the driver)
+    # at the same full-probe operating point, forced multi-block grid
+    ivf_rng_b = ivf_idx.range_search_batch(
+        queries, radius=0.3, nprobe=10**9, limit_per_query=20,
+        num_query_blocks=3,
+    )
+    ivf_range_batch_rows = shape(
+        enrich_topk(ivf_rng_b, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "ivf_range_batch",
+    )
     grouped_rows = shape(grouped_topk(emb, queries, k=5, group_col="label"), "grouped")
     filt = sim_ops.topk_similarity_join_expr(
         emb.filter(F.col("label") % 3 == 0), queries, k=5
@@ -4199,6 +4211,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_rows.unionByName(radius_rows)
         .unionByName(radius_blocked_rows)
         .unionByName(ivf_range_rows)
+        .unionByName(ivf_range_batch_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
@@ -4314,6 +4327,11 @@ SELECT 'radius_blocked', query_id, vec_id, rank, label::BIGINT,
 FROM rad WHERE rank <= 20
 UNION ALL
 SELECT 'ivf_range', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM rad WHERE rank <= 20
+UNION ALL
+SELECT 'ivf_range_batch', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM rad WHERE rank <= 20

@@ -114,6 +114,51 @@ def test_range_search_empty_and_bad_routing(spark, index, queries_df):
         index.range_search(queries_df, radius=0.3, routing="Driver")
 
 
+def test_range_search_batch_matches_interactive(index, embeddings, queries_df):
+    """r8: the corpus-scale batch range route (blocked centroid routing
+    + grouped radius hits) must match range_search at the same nprobe —
+    hit set (ulp-robust: the 0.3 boundary clears every sim by ≥ 4.5e-4
+    at this SF), capped ranking, and salting invisibility."""
+    a = {
+        (r.query_id, r.vec_id)
+        for r in index.range_search(queries_df, radius=0.3, nprobe=4).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id)
+        for r in index.range_search_batch(
+            queries_df, radius=0.3, nprobe=4, num_query_blocks=2
+        ).collect()
+    }
+    assert a == b and a
+    al = index.range_search(
+        queries_df, radius=0.3, nprobe=10**9, limit_per_query=7
+    ).collect()
+    bl = index.range_search_batch(
+        queries_df, radius=0.3, nprobe=10**9, limit_per_query=7,
+        num_query_blocks=2,
+    ).collect()
+    assert {(r.query_id, r.rank): r.vec_id for r in al} == {
+        (r.query_id, r.rank): r.vec_id for r in bl
+    }
+    # salting must not change the hit set (bound small enough to split
+    # every probed cluster)
+    salted = {
+        (r.query_id, r.vec_id)
+        for r in index.range_search_batch(
+            queries_df, radius=0.3, nprobe=4, max_cluster_rows_per_task=7
+        ).collect()
+    }
+    assert salted == b
+    # empty query set keeps both shapes typed
+    empty = queries_df.limit(0)
+    assert index.range_search_batch(empty, radius=0.3).columns == [
+        "query_id", "vec_id", "similarity",
+    ]
+    assert index.range_search_batch(
+        empty, radius=0.3, limit_per_query=5
+    ).columns == ["query_id", "vec_id", "rank", "similarity"]
+
+
 def test_search_batch_matches_search(index, embeddings, queries_df):
     """The corpus-scale batch path (blocked centroid routing + cluster-
     grouped scoring, nothing query-scale on the driver) must return the
