@@ -266,7 +266,14 @@ class SnapshotStore:
         the claim fails; the merge is re-applied on the fresh pointer
         (bounded retries — meta merge is idempotent). Two concurrent
         update_meta calls serialize the same way instead of losing a
-        merge. Returns the (unchanged) current version."""
+        merge. Returns the (unchanged) current version.
+
+        Crash recovery (r8 ADVICE): a process dying between the O_EXCL
+        claim create and the finally-release leaves a stale
+        ``claim.v{v+1}`` marker that blocks every subsequent commit on
+        this store — exactly like a data commit crashing mid-write, and
+        cleared the same way: :meth:`recover_claims` removes it (the
+        version was never published, so removal is always safe)."""
         if not os.path.exists(self._pointer):
             raise ValueError(f"snapshot store {self.root} is empty")
         last_err = None
@@ -305,7 +312,9 @@ class SnapshotStore:
                     pass
         raise ConcurrentCommitError(
             f"update_meta on {self.root} lost the claim race 8 times "
-            f"(a writer is committing continuously); retry later"
+            f"(a writer is committing continuously); retry later — or, "
+            f"if the claimant crashed mid-commit, run recover_claims() "
+            f"to clear its stale marker"
         ) from last_err
 
     def _snapshot_path(self, version: int) -> str:
@@ -364,8 +373,12 @@ class SnapshotStore:
         """Crash recovery: remove claim markers ABOVE the published
         version (a writer claimed them but never swapped the pointer —
         it died mid-commit and its half-written files are unreferenced).
-        Only safe when the caller knows no writer is currently live; the
-        published state itself is never touched."""
+        This also clears the marker of a crashed :meth:`update_meta`
+        (which holds the v+1 claim during its pointer swap but never
+        publishes v+1, so its stale marker is always above the
+        published version). Only safe when the caller knows no writer
+        is currently live; the published state itself is never
+        touched."""
         current = self.current_version()
         freed = []
         for name in sorted(os.listdir(self.root)):

@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deployment_spark.functions.vector import cosine_similarity
+from deployment_spark.operators.similarity import (
+    DEFAULT_MAX_CLUSTER_ROWS_PER_TASK as DEFAULT_SALT_BOUND,
+)
 
 
 def reference_nlist(n: int) -> int:
@@ -619,7 +622,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         limit_per_query: int | None = None,
         num_query_blocks: int | None = None,
-        max_cluster_rows_per_task: int | None = None,
+        max_cluster_rows_per_task: int | None = DEFAULT_SALT_BOUND,
     ) -> DataFrame:
         """Range search over the index for CORPUS-SIZED query sets —
         completing the matrix: :meth:`search`/:meth:`search_batch` are
@@ -639,7 +642,7 @@ class IVFIndex:
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_hits,
-            _salt_hot_groups,
+            _maybe_salt_hot_groups,
             topk_similarity_join_blocked,
         )
 
@@ -658,16 +661,22 @@ class IVFIndex:
         else:
             cid_kind = "str"  # no limit ⇒ no ranking ⇒ id order never applies
 
-        probes = topk_similarity_join_blocked(
-            self.centroids_df(),
-            queries,
-            k=int(nprobe),
-            corpus_id="cluster_id",
-            corpus_vec="centroid",
-            query_id=query_id,
-            query_vec=query_vec,
-            num_query_blocks=num_query_blocks,
-        ).select(query_id, "cluster_id")
+        # same consumer-sharing lazy checkpoint + unprobed-cluster
+        # semi-join pruning + null exclusion as search_batch — see there
+        probes = (
+            topk_similarity_join_blocked(
+                self.centroids_df(),
+                queries,
+                k=int(nprobe),
+                corpus_id="cluster_id",
+                corpus_vec="centroid",
+                query_id=query_id,
+                query_vec=query_vec,
+                num_query_blocks=num_query_blocks,
+            )
+            .select(query_id, "cluster_id")
+            .localCheckpoint(eager=False)
+        )
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -675,17 +684,20 @@ class IVFIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
+        data = data.filter(F.col(vec_col).isNotNull()).join(
+            F.broadcast(probes.select("cluster_id").distinct()),
+            "cluster_id",
+            "left_semi",
+        )
         c = data.select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        group_cols = ["_g"]
-        if max_cluster_rows_per_task is not None:
-            q, c, group_cols = _salt_hot_groups(
-                q, c, data, max_cluster_rows_per_task
-            )
+        q, c, group_cols = _maybe_salt_hot_groups(
+            q, c, data, max_cluster_rows_per_task
+        )
         hits = (
             _grouped_pair_hits(
                 q.unionByName(c.select(*q.columns)), group_cols,
@@ -722,7 +734,7 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         num_query_blocks: int | None = None,
-        max_cluster_rows_per_task: int | None = None,
+        max_cluster_rows_per_task: int | None = DEFAULT_SALT_BOUND,
     ) -> DataFrame:
         """ANN search for CORPUS-SIZED query sets — the offline-scoring
         sibling of :meth:`search`, with NOTHING query-scale on the
@@ -762,7 +774,7 @@ class IVFIndex:
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_topk,
-            _salt_hot_groups,
+            _maybe_salt_hot_groups,
             topk_similarity_join_blocked,
         )
 
@@ -774,16 +786,24 @@ class IVFIndex:
         cid_kind = _cid_sort_kind(cid_type, "ivf batch search")
         kk = int(k)
 
-        probes = topk_similarity_join_blocked(
-            self.centroids_df(),
-            queries,
-            k=int(nprobe),
-            corpus_id="cluster_id",
-            corpus_vec="centroid",
-            query_id=query_id,
-            query_vec=query_vec,
-            num_query_blocks=num_query_blocks,
-        ).select(query_id, "cluster_id")
+        # localCheckpoint (lazy): the routing table feeds the query join,
+        # the corpus semi-join AND the salting decision's count — without
+        # it the centroid blocked top-k would re-run per consumer. Rows
+        # are nq·nprobe (qid, cluster_id) pairs — never corpus-scale.
+        probes = (
+            topk_similarity_join_blocked(
+                self.centroids_df(),
+                queries,
+                k=int(nprobe),
+                corpus_id="cluster_id",
+                corpus_vec="centroid",
+                query_id=query_id,
+                query_vec=query_vec,
+                num_query_blocks=num_query_blocks,
+            )
+            .select(query_id, "cluster_id")
+            .localCheckpoint(eager=False)
+        )
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -791,17 +811,27 @@ class IVFIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
+        # prune unprobed clusters BEFORE the shuffle (r8 VERDICT #2): the
+        # probed-cluster set is nlist-bounded, so the semi-join broadcast
+        # is tiny and clusters no query touches never leave the scan.
+        # Null-vector rows are excluded up front: the numpy stage would
+        # crash on them, and topk_similarity_join_blocked set the
+        # contract (r8 ADVICE) — the interactive path instead ranks a
+        # null cosine last, same visible top-k either way.
+        data = data.filter(F.col(vec_col).isNotNull()).join(
+            F.broadcast(probes.select("cluster_id").distinct()),
+            "cluster_id",
+            "left_semi",
+        )
         c = data.select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        group_cols = ["_g"]
-        if max_cluster_rows_per_task is not None:
-            q, c, group_cols = _salt_hot_groups(
-                q, c, data, max_cluster_rows_per_task
-            )
+        q, c, group_cols = _maybe_salt_hot_groups(
+            q, c, data, max_cluster_rows_per_task
+        )
         candidates = (
             _grouped_pair_topk(
                 q.unionByName(c.select(*q.columns)), group_cols, kk,

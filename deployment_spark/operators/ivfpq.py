@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 from deployment_spark.operators.ivf import IVFIndex
 from deployment_spark.operators.pq import PQCodec
+from deployment_spark.operators.similarity import (
+    DEFAULT_MAX_CLUSTER_ROWS_PER_TASK as DEFAULT_SALT_BOUND,
+)
 
 
 class IVFPQIndex:
@@ -271,7 +274,7 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         num_query_blocks: int | None = None,
-        max_cluster_rows_per_task: int | None = None,
+        max_cluster_rows_per_task: int | None = DEFAULT_SALT_BOUND,
     ) -> DataFrame:
         """IVF×PQ search for CORPUS-SIZED query sets — NOTHING
         query-scale on the driver (``search`` collects the query batch
@@ -312,16 +315,25 @@ class IVFPQIndex:
         cid_kind = _cid_sort_kind(cid_type, "ivfpq batch search")
         take = int(k) if shortlist is None else max(int(shortlist), int(k))
 
-        probes = topk_similarity_join_blocked(
-            self.ivf.centroids_df(),
-            queries,
-            k=int(nprobe),
-            corpus_id="cluster_id",
-            corpus_vec="centroid",
-            query_id=query_id,
-            query_vec=query_vec,
-            num_query_blocks=num_query_blocks,
-        ).select(query_id, "cluster_id")
+        # lazy checkpoint + unprobed-cluster semi-join pruning + null-code
+        # exclusion, same rationale as IVFIndex.search_batch (r9): the
+        # routing table feeds three consumers, clusters no query probes
+        # must not ride the code shuffle, and a null code would crash
+        # the b''.join inside _grouped_adc_topk (r8 ADVICE).
+        probes = (
+            topk_similarity_join_blocked(
+                self.ivf.centroids_df(),
+                queries,
+                k=int(nprobe),
+                corpus_id="cluster_id",
+                corpus_vec="centroid",
+                query_id=query_id,
+                query_vec=query_vec,
+                num_query_blocks=num_query_blocks,
+            )
+            .select(query_id, "cluster_id")
+            .localCheckpoint(eager=False)
+        )
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -330,6 +342,11 @@ class IVFPQIndex:
             F.lit(None).cast("binary").alias("_code"),
             F.col("cluster_id").alias("_g"),
         )
+        codes = codes.filter(F.col("code").isNotNull()).join(
+            F.broadcast(probes.select("cluster_id").distinct()),
+            "cluster_id",
+            "left_semi",
+        )
         c = codes.select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
@@ -337,13 +354,11 @@ class IVFPQIndex:
             F.col("code").alias("_code"),
             F.col("cluster_id").alias("_g"),
         )
-        group_cols = ["_g"]
-        if max_cluster_rows_per_task is not None:
-            from deployment_spark.operators.similarity import _salt_hot_groups
+        from deployment_spark.operators.similarity import _maybe_salt_hot_groups
 
-            q, c, group_cols = _salt_hot_groups(
-                q, c, codes, max_cluster_rows_per_task
-            )
+        q, c, group_cols = _maybe_salt_hot_groups(
+            q, c, codes, max_cluster_rows_per_task
+        )
 
         books_bc = self.spark.sparkContext.broadcast(codec.codebooks)
         cand = (

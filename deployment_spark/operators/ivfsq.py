@@ -40,6 +40,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deployment_spark.operators.ivf import IVFIndex
+from deployment_spark.operators.similarity import (
+    DEFAULT_MAX_CLUSTER_ROWS_PER_TASK as DEFAULT_SALT_BOUND,
+)
 from deployment_spark.operators.sq import SQCodec
 
 
@@ -198,7 +201,7 @@ class IVFSQIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         num_query_blocks: int | None = None,
-        max_cluster_rows_per_task: int | None = None,
+        max_cluster_rows_per_task: int | None = DEFAULT_SALT_BOUND,
     ) -> DataFrame:
         """IVF×SQ8 search for CORPUS-SIZED query sets — NOTHING
         query-scale on the driver (``search`` collects the query batch
@@ -237,16 +240,24 @@ class IVFSQIndex:
         cid_kind = _cid_sort_kind(cid_type, "ivfsq batch search")
         take = int(k) if shortlist is None else max(int(shortlist), int(k))
 
-        probes = topk_similarity_join_blocked(
-            self.ivf.centroids_df(),
-            queries,
-            k=int(nprobe),
-            corpus_id="cluster_id",
-            corpus_vec="centroid",
-            query_id=query_id,
-            query_vec=query_vec,
-            num_query_blocks=num_query_blocks,
-        ).select(query_id, "cluster_id")
+        # lazy checkpoint + unprobed-cluster semi-join pruning + null-code
+        # exclusion, same rationale as IVFIndex.search_batch (r9): a null
+        # codes array would crash the np.array(...tolist()) decode inside
+        # the scoring task (r8 ADVICE).
+        probes = (
+            topk_similarity_join_blocked(
+                self.ivf.centroids_df(),
+                queries,
+                k=int(nprobe),
+                corpus_id="cluster_id",
+                corpus_vec="centroid",
+                query_id=query_id,
+                query_vec=query_vec,
+                num_query_blocks=num_query_blocks,
+            )
+            .select(query_id, "cluster_id")
+            .localCheckpoint(eager=False)
+        )
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -255,6 +266,11 @@ class IVFSQIndex:
             F.lit(None).cast("array<tinyint>").alias("_code"),
             F.col("cluster_id").alias("_g"),
         )
+        codes = codes.filter(F.col("codes").isNotNull()).join(
+            F.broadcast(probes.select("cluster_id").distinct()),
+            "cluster_id",
+            "left_semi",
+        )
         c = codes.select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
@@ -262,13 +278,11 @@ class IVFSQIndex:
             F.col("codes").alias("_code"),
             F.col("cluster_id").alias("_g"),
         )
-        group_cols = ["_g"]
-        if max_cluster_rows_per_task is not None:
-            from deployment_spark.operators.similarity import _salt_hot_groups
+        from deployment_spark.operators.similarity import _maybe_salt_hot_groups
 
-            q, c, group_cols = _salt_hot_groups(
-                q, c, codes, max_cluster_rows_per_task
-            )
+        q, c, group_cols = _maybe_salt_hot_groups(
+            q, c, codes, max_cluster_rows_per_task
+        )
 
         lo, scale = codec.lo, codec.scale
 

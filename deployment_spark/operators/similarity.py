@@ -306,6 +306,15 @@ BROADCAST_MAX_QUERIES = 65536
 # in-executor); shared with the auto router's grid sizing
 DEFAULT_BLOCK_ROWS = 8192
 
+# default per-task row bound for the IVF-family batch routes' hot-cluster
+# salting (same matrix-size reasoning as DEFAULT_BLOCK_ROWS: the scoring
+# task materializes a bound×d float64 corpus block). r8 measured the
+# unsalted hot-cluster plan at 6.31× slower (BASELINE.md "hot-cluster
+# salting measured") — salting is therefore ON by default as of r9, with
+# the balanced-layout overhead reduced to one nlist-bounded count job by
+# _maybe_salt_hot_groups' skip-if-balanced decision.
+DEFAULT_MAX_CLUSTER_ROWS_PER_TASK = 8192
+
 
 
 def _cid_sort_kind(cid_type, context: str):
@@ -372,6 +381,57 @@ def _salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id"):
     q = (
         q.join(F.broadcast(salts), "_g")
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)))
+        .drop("_ns")
+    )
+    return q, c, ["_g", "_salt"]
+
+
+def _maybe_salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id"):
+    """Default-on wrapper around :func:`_salt_hot_groups` (r9): run the
+    group-count aggregate, and salt ONLY when some group actually
+    exceeds ``bound`` rows. A balanced nlist ≈ √N layout pays one count
+    job whose output is nlist-bounded and ZERO extra joins; a skewed
+    corpus gets the bounded plan WITHOUT caller opt-in — the unsalted
+    hot-cluster plan measured 6.31× slower (BASELINE.md), and a 100 TB
+    run that forgets the knob should not get the bad plan by default.
+
+    The counts are COLLECTED (one row per group — nlist-bounded by the
+    index contract, the same small-by-contract scale as the centroid
+    table itself) so the decision and both salt-table broadcasts reuse
+    one aggregate instead of recomputing it per join. ``bound=None``
+    opts out entirely (the pre-r9 default plan, kept for the
+    measurement tooling); any int forces that bound."""
+    if bound is None:
+        return q, c, ["_g"]
+    bound = int(bound)
+    counts = (
+        counts_src.groupBy(group_key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not any(r["_n"] > bound for r in counts):
+        return q, c, ["_g"]
+    spark = q.sparkSession
+    g_type = counts_src.schema[group_key].dataType
+    salts = spark.createDataFrame(
+        [(r[group_key], int(-(-r["_n"] // bound))) for r in counts],
+        StructType(
+            [
+                StructField("_g", g_type),
+                StructField("_ns", LongType()),
+            ]
+        ),
+    )
+    c = (
+        c.join(F.broadcast(salts), "_g")
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
+        )
+        .drop("_ns")
+    )
+    q = (
+        q.join(F.broadcast(salts), "_g")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), (F.col("_ns") - 1).cast("int"))))
         .drop("_ns")
     )
     return q, c, ["_g", "_salt"]

@@ -1507,12 +1507,254 @@ FROM merged GROUP BY 2
 """
 
 
+def q_reference_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's §3.1 ``main()`` chain composed END-TO-END as one
+    driver-gated entry (r8 VERDICT #3; ``FAISS/PlainDemo/
+    pipeline.py:265-401``): CSV scan forced-string (S1) → clean/coerce
+    null-on-fail + null-drop (P2/P3, the Milvus ingest chain) →
+    packet_text with the duplicated-protocol quirk (F1) → md5 embed +
+    L2 normalize (V1/V2) → SnapshotStore create → ONE grid step of the
+    CRUD loop (``pipeline.py:325-345``): insert the reference's
+    ``new_packet_texts`` pattern, delete a deterministic id sample,
+    update = delete + reinsert the ``update_texts`` UDP pattern (C1-C3)
+    → per-model IVF rebuild at nlist = min(100, √n) (V3/V4,
+    ``pipeline.py:316-321``) → top-5 query through the index at full
+    probe (T1, ≡ exact — what DuckDB replays straight-line) → the
+    long-format metrics accumulation (B1/B3, ``pipeline.py:131-181``).
+
+    Every mutation runs through the REAL snapshot store and the query
+    through the REAL index; timings in the metrics table are real but
+    nondeterministic, so the entry emits each stage's DETERMINISTIC
+    facet: corpus counts after every mutation, the metrics rows'
+    (model, operation_type, operation_size) identity, the chosen
+    nlist, and the final query hits — all hash-matched against the
+    oracle's pure-SQL replay of the same chain. Constant-size by
+    design (like packet_topk): it gates the COMPOSITION, not scale —
+    every component has its own scale-shaped entry elsewhere."""
+    import shutil
+    import tempfile
+
+    from deployment_spark.benchmark import _measure
+    from deployment_spark.functions.embed import md5_embed
+    from deployment_spark.functions.text import packet_text_v1
+    from deployment_spark.operators.cleaning import clean_packet_frame
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.ivf import IVFIndex, reference_nlist
+    from deployment_spark.schemas import (
+        PACKET_SCHEMA,
+        read_packet_csv,
+        sample_packet_rows,
+    )
+
+    model = "md5-16d"
+    root = tempfile.mkdtemp(prefix="ref_lifecycle_")
+    try:
+        # S1: land a real CSV (300 clean rows + 3 with garbage keys the
+        # coercion must null-and-drop) and re-scan it forced-string
+        dirty = spark.createDataFrame(
+            [
+                ("xa", "0", "1.1.1.1", "2.2.2.2", "1", "2", "TCP", "64"),
+                ("xb", "0", "1.1.1.1", "2.2.2.2", "1", "2", "UDP", "64"),
+                ("", "0", "1.1.1.1", "2.2.2.2", "1", "2", "DNS", "64"),
+            ],
+            PACKET_SCHEMA,
+        )
+        csv_dir = os.path.join(root, "csv")
+        sample_packet_rows(spark, 300).unionByName(dirty).coalesce(1).write.option(
+            "header", "true"
+        ).csv(csv_dir)
+        scan = read_packet_csv(spark, csv_dir)
+        # P2/P3 → F1 → V1/V2: the corpus the store is created from
+        corpus0 = (
+            clean_packet_frame(scan)
+            .withColumn("packet_text", packet_text_v1())
+            .select(
+                "frame_number",
+                "packet_text",
+                md5_embed("packet_text", dim=16).alias("vector"),
+            )
+        )
+
+        def text_batch(lo: int, hi: int, pattern: str):
+            # the reference's synthetic op batches (pipeline.py:330,334):
+            # bare texts indexed from 0 within the batch; pk = global id
+            i = F.col("id") - lo
+            if pattern == "insert":
+                t = F.format_string("192.168.1.%d 192.168.1.%d TCP %d", i, i + 1, i * 10)
+            else:
+                t = F.format_string("10.0.0.%d 10.0.0.%d UDP %d", i, i + 1, i * 5)
+            return spark.range(lo, hi).select(
+                F.col("id").alias("frame_number"),
+                t.alias("packet_text"),
+                md5_embed(t, dim=16).alias("vector"),
+            )
+
+        store = SnapshotStore(spark, os.path.join(root, "store"), key="frame_number")
+        store.create(corpus0)
+        n_clean = store.read().count()
+
+        metrics: list[tuple] = []  # B3 long format, real timings
+        _, t, c, m = _measure(lambda: store.insert(text_batch(300, 340, "insert")))
+        metrics.append((model, "insertion", 40, t, c, m))
+        n1 = store.read().count()
+
+        victims = store.read().filter(F.col("frame_number") % 7 == 3).select(
+            "frame_number"
+        )
+        n_del = victims.count()
+        _, t, c, m = _measure(lambda: store.delete_ids(victims))
+        metrics.append((model, "deletion", n_del, t, c, m))
+        n2 = store.read().count()
+
+        upd_victims = store.read().filter(F.col("frame_number") % 11 == 5).select(
+            "frame_number"
+        )
+        _, t, c, m = _measure(
+            lambda: store.update(upd_victims, text_batch(340, 380, "update"))
+        )
+        metrics.append((model, "update", 40, t, c, m))
+        n3 = store.read().count()
+
+        # per-model index rebuild over the final corpus, then the query
+        # step at FULL probe (pruning off ⇒ exact ⇒ SQL-replayable)
+        nlist = reference_nlist(n3)
+        idx = IVFIndex(spark, os.path.join(root, "ivf")).build(
+            store.read().select("frame_number", "vector"),
+            id_col="frame_number",
+            vec_col="vector",
+            nlist=nlist,
+        )
+        queries = spark.range(3).select(
+            F.col("id").alias("query_id"),
+            md5_embed(
+                F.format_string(
+                    "192.168.1.%d 192.168.1.%d TCP %d",
+                    F.col("id"), F.col("id") + 1, F.col("id") * 10,
+                ),
+                dim=16,
+            ).alias("query_vec"),
+        )
+        _, t, c, m = _measure(
+            lambda: idx.search(
+                queries, k=5, nprobe=nlist, id_col="frame_number", vec_col="vector"
+            ).count()
+        )
+        metrics.append((model, "query", 3, t, c, m))
+        hits = idx.search(
+            queries, k=5, nprobe=nlist, id_col="frame_number", vec_col="vector"
+        )
+
+        nulld = F.lit(None).cast("double")
+        counts = spark.createDataFrame(
+            [
+                ("lifecycle", "scan_clean", n_clean),
+                ("lifecycle", "after_insert", n1),
+                ("lifecycle", "after_delete", n2),
+                ("lifecycle", "after_update", n3),
+                ("lifecycle", "nlist", nlist),
+            ],
+            "op string, grp string, cnt long",
+        ).withColumn("total", nulld)
+        mdf = spark.createDataFrame(
+            metrics,
+            "model_name string, operation_type string, operation_size long, "
+            "execution_time double, cpu_usage double, memory_usage double",
+        )
+        metric_rows = mdf.select(
+            F.lit("lifecycle_metric").alias("op"),
+            F.concat_ws(
+                ":", "model_name", "operation_type", F.col("operation_size")
+            ).alias("grp"),
+            F.lit(1).cast("long").alias("cnt"),
+            nulld.alias("total"),
+        )
+        query_rows = hits.select(
+            F.lit("lifecycle_query").alias("op"),
+            F.concat_ws(":", "query_id", "rank").alias("grp"),
+            F.col("frame_number").cast("long").alias("cnt"),
+            F.round("similarity", 4).alias("total"),
+        )
+        out = counts.unionByName(metric_rows).unionByName(query_rows)
+        return out.localCheckpoint()  # materialize before the tmp chain dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_REFERENCE_LIFECYCLE = """
+WITH base AS (
+  SELECT id, concat_ws(' ',
+           '192.168.1.' || (id % 256)::VARCHAR,
+           '192.168.1.' || ((id + 1) % 256)::VARCHAR,
+           'TCP',
+           ((id % 64511) + 1024)::VARCHAR,
+           '80',
+           'TCP',
+           ((id * 10) % 1460 + 64)::VARCHAR) AS t
+  FROM (SELECT range AS id FROM range(300))
+), ins AS (
+  SELECT id, concat_ws(' ',
+      '192.168.1.' || (id - 300)::VARCHAR,
+      '192.168.1.' || (id - 299)::VARCHAR,
+      'TCP', ((id - 300) * 10)::VARCHAR) AS t
+  FROM (SELECT range AS id FROM range(300, 340))
+), upd AS (
+  SELECT id, concat_ws(' ',
+      '10.0.0.' || (id - 340)::VARCHAR,
+      '10.0.0.' || (id - 339)::VARCHAR,
+      'UDP', ((id - 340) * 5)::VARCHAR) AS t
+  FROM (SELECT range AS id FROM range(340, 380))
+), a1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+a2 AS (SELECT * FROM a1 WHERE id % 7 <> 3),
+a3 AS (SELECT * FROM a2 WHERE id % 11 <> 5 UNION ALL SELECT * FROM upd),
+emb AS (
+  SELECT id, list_transform(range(0, 16),
+      j -> ('0x' || substring(md5(t || '|' || j::VARCHAR), 1, 8))::UBIGINT
+           / 2147483648.0 - 1) AS v
+  FROM a3
+), qe AS (
+  SELECT id AS query_id, list_transform(range(0, 16),
+      j -> ('0x' || substring(md5(t || '|' || j::VARCHAR), 1, 8))::UBIGINT
+           / 2147483648.0 - 1) AS qv
+  FROM (
+    SELECT id, concat_ws(' ',
+        '192.168.1.' || id::VARCHAR, '192.168.1.' || (id + 1)::VARCHAR,
+        'TCP', (id * 10)::VARCHAR) AS t
+    FROM (SELECT range AS id FROM range(3))
+  )
+), hits AS (
+  SELECT query_id, id AS vec_id, list_cosine_similarity(v, qv) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(v, qv) DESC, id) AS rnk
+  FROM emb CROSS JOIN qe
+)
+SELECT 'lifecycle' AS op, 'scan_clean' AS grp,
+       (SELECT count(*) FROM base)::BIGINT AS cnt, CAST(NULL AS DOUBLE) AS total
+UNION ALL SELECT 'lifecycle', 'after_insert', (SELECT count(*) FROM a1)::BIGINT, NULL
+UNION ALL SELECT 'lifecycle', 'after_delete', (SELECT count(*) FROM a2)::BIGINT, NULL
+UNION ALL SELECT 'lifecycle', 'after_update', (SELECT count(*) FROM a3)::BIGINT, NULL
+UNION ALL SELECT 'lifecycle', 'nlist',
+       least(100, floor(sqrt((SELECT count(*) FROM a3))))::BIGINT, NULL
+UNION ALL SELECT 'lifecycle_metric', 'md5-16d:insertion:40', 1, NULL
+UNION ALL SELECT 'lifecycle_metric',
+       'md5-16d:deletion:' || (SELECT count(*) FROM a1 WHERE id % 7 = 3)::VARCHAR,
+       1, NULL
+UNION ALL SELECT 'lifecycle_metric', 'md5-16d:update:40', 1, NULL
+UNION ALL SELECT 'lifecycle_metric', 'md5-16d:query:3', 1, NULL
+UNION ALL SELECT 'lifecycle_query', query_id::VARCHAR || ':' || rnk::VARCHAR,
+       vec_id::BIGINT, round(sim, 4)
+FROM hits WHERE rnk <= 5
+"""
+
+
 def q_crud_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1-C4, J3/J4, T2, U1/U2, A6 as ONE tagged summary — each CRUD
     shape's verification aggregate rides under an ``op`` tag (append /
     delete_ids / delete_last_n / upsert / update / count_star, plus —
-    r5 — schema_evolution, the real-store widened-read round trip),
-    folding seven trivially-cheap registry entries into one driver-gate
+    r5 — schema_evolution, the real-store widened-read round trip; plus
+    — r9 — the reference-lifecycle chain, the §3.1 ``main()`` composed
+    end-to-end, see :func:`q_reference_lifecycle`),
+    folding eight trivially-cheap registry entries into one driver-gate
     slot. The component queries stay callable individually."""
     nulld = F.lit(None).cast("double")
     a = q_union_append(spark, sf_dir).select(
@@ -1538,9 +1780,10 @@ def q_crud_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("cnt"), nulld.alias("total"),
     )
     ev = q_schema_evolution_roundtrip(spark, sf_dir)
+    lc = q_reference_lifecycle(spark, sf_dir)
     return (
         a.unionByName(d).unionByName(n).unionByName(u).unionByName(r)
-        .unionByName(c).unionByName(ev)
+        .unionByName(c).unionByName(ev).unionByName(lc)
     )
 
 
@@ -1559,6 +1802,8 @@ UNION ALL
 SELECT 'count_star', 'lineitem', n_rows, CAST(NULL AS DOUBLE) FROM ({SQL_COUNT_STAR})
 UNION ALL
 SELECT op, grp, cnt, total FROM ({SQL_SCHEMA_EVOLUTION})
+UNION ALL
+SELECT op, grp, cnt, total FROM ({SQL_REFERENCE_LIFECYCLE})
 """
 
 

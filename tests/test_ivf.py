@@ -625,3 +625,122 @@ def test_auto_routing_threshold_pinned(spark, tmp_path, embeddings):
             rows = idx.search(q, k=2, nprobe=4, routing="auto").collect()
         assert len(rows) == 4
         assert called["d"] == expect_distributed, (fake_nlist, called)
+
+
+def test_maybe_salt_skips_balanced_and_salts_hot(spark, embeddings):
+    """r9 default-on salting decision: _maybe_salt_hot_groups runs the
+    nlist-bounded count and salts ONLY when a group exceeds the bound —
+    a balanced layout gets the IDENTICAL unsalted frames back (no join,
+    no _salt column), a hot layout gets the ["_g","_salt"] grid, and
+    bound=None opts out even on a hot layout."""
+    from deployment_spark.operators.similarity import _maybe_salt_hot_groups
+
+    counts_src = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "vec_id long, cluster_id int"
+    )
+    q = spark.createDataFrame(
+        [("0", None, [1.0], 0)],
+        "_qid string, _cid string, _vec array<double>, _g int",
+    )
+    c = counts_src.select(
+        F.lit(None).cast("string").alias("_qid"),
+        F.col("vec_id").cast("string").alias("_cid"),
+        F.array(F.lit(1.0)).alias("_vec"),
+        F.col("cluster_id").alias("_g"),
+    )
+    # balanced: every cluster holds 10 rows, bound 10 → untouched
+    q2, c2, cols = _maybe_salt_hot_groups(q, c, counts_src, 10)
+    assert cols == ["_g"] and q2 is q and c2 is c
+    # hot: bound 4 → ceil(10/4)=3 salts per cluster
+    q3, c3, cols3 = _maybe_salt_hot_groups(q, c, counts_src, 4)
+    assert cols3 == ["_g", "_salt"]
+    assert q3.filter(F.col("_g") == 0).count() == 3  # replicated per salt
+    assert c3.count() == 40  # corpus rows take exactly one salt
+    assert c3.select(F.max("_salt")).first()[0] <= 2
+    # explicit opt-out
+    _, _, cols4 = _maybe_salt_hot_groups(q, c, counts_src, None)
+    assert cols4 == ["_g"]
+
+
+def test_search_batch_default_salting_is_on(index, queries_df):
+    """The signature default must be the derived bound, not None (r8
+    VERDICT #1): a caller that forgets the knob gets the skew guard."""
+    import inspect
+
+    from deployment_spark.operators.ivf import DEFAULT_SALT_BOUND
+    from deployment_spark.operators.ivfpq import IVFPQIndex
+    from deployment_spark.operators.ivfsq import IVFSQIndex
+    from deployment_spark.operators.similarity import (
+        DEFAULT_MAX_CLUSTER_ROWS_PER_TASK,
+    )
+
+    assert DEFAULT_SALT_BOUND == DEFAULT_MAX_CLUSTER_ROWS_PER_TASK == 8192
+    for fn in (
+        IVFIndex.search_batch,
+        IVFIndex.range_search_batch,
+        IVFPQIndex.search_batch,
+        IVFSQIndex.search_batch,
+    ):
+        sig = inspect.signature(fn)
+        assert (
+            sig.parameters["max_cluster_rows_per_task"].default
+            == DEFAULT_MAX_CLUSTER_ROWS_PER_TASK
+        ), fn.__qualname__
+    # and the defaulted call still matches the interactive contract
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in index.search_batch(queries_df, k=3, nprobe=16).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in index.search(queries_df, k=3, nprobe=16).collect()
+    }
+    assert got == exact
+
+
+def test_search_batch_prunes_unprobed_clusters(index, queries_df):
+    """r8 VERDICT #2: the batch route must not shuffle clusters no query
+    probes — the plan carries a broadcast LeftSemi of the nlist-bounded
+    probed-cluster set against the corpus scan."""
+    from deployment_spark.plans import audit
+
+    df = index.search_batch(queries_df, k=3, nprobe=2)
+    plan = audit.physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    dfr = index.range_search_batch(queries_df, radius=0.3, nprobe=2)
+    assert "LeftSemi" in audit.physical_plan(dfr)
+
+
+def test_search_batch_tolerates_null_corpus_vectors(
+    spark, tmp_path, embeddings, queries_df
+):
+    """r8 ADVICE: a corpus row with a valid cluster_id but NULL embedding
+    (possible via external store-maintained data) must not crash the
+    numpy stage — the batch routes exclude it codegen-side, matching the
+    interactive path's visible top-k (null cosine ranks last there)."""
+    idx = IVFIndex(spark, str(tmp_path / "nulltol")).build(embeddings, nlist=4)
+    before_topk = {
+        (r.query_id, r.rank): r.vec_id
+        for r in idx.search_batch(queries_df, k=5, nprobe=4).collect()
+    }
+    before_range = {
+        (r.query_id, r.vec_id)
+        for r in idx.range_search_batch(queries_df, radius=0.3, nprobe=4).collect()
+    }
+    null_row = spark.createDataFrame(
+        [(999_999, None, 0, 0)],
+        idx.data().schema,
+    )
+    null_row.write.mode("append").partitionBy("cluster_id").parquet(
+        str(tmp_path / "nulltol" / "data")
+    )
+    after_topk = {
+        (r.query_id, r.rank): r.vec_id
+        for r in idx.search_batch(queries_df, k=5, nprobe=4).collect()
+    }
+    after_range = {
+        (r.query_id, r.vec_id)
+        for r in idx.range_search_batch(queries_df, radius=0.3, nprobe=4).collect()
+    }
+    assert after_topk == before_topk
+    assert after_range == before_range

@@ -200,3 +200,28 @@ def test_search_batch_adc_only_and_empty(spark, index, queries):
     assert a == b
     empty = spark.createDataFrame([], "query_id LONG, query_vec ARRAY<DOUBLE>")
     assert index.search_batch(empty, k=5).count() == 0
+
+
+def test_search_batch_tolerates_null_codes(spark, norm_emb, tmp_path):
+    """r8 ADVICE: a code row with a valid cluster_id but NULL code (an
+    externally-maintained codes table can carry one) must not crash the
+    ADC task's b''.join — the batch route excludes it codegen-side."""
+    idx = IVFPQIndex(spark, str(tmp_path / "pqnull")).build(
+        norm_emb, nlist=4, m=16, ksub=64
+    )
+    q = norm_emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = {
+        (r.query_id, r.rank): r.vec_id
+        for r in idx.search_batch(q, k=3, nprobe=4).collect()
+    }
+    null_row = spark.createDataFrame([(999_999, None, 0)], idx.codes().schema)
+    null_row.write.mode("append").partitionBy("cluster_id").parquet(
+        str(tmp_path / "pqnull" / "codes")
+    )
+    after = {
+        (r.query_id, r.rank): r.vec_id
+        for r in idx.search_batch(q, k=3, nprobe=4).collect()
+    }
+    assert after == before

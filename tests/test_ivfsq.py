@@ -191,3 +191,27 @@ def test_search_batch_salting_is_invisible(index, queries):
         )
     )
     assert base == salted
+
+
+def test_search_batch_tolerates_null_codes(spark, norm_emb, tmp_path):
+    """r8 ADVICE: a NULL codes array must not crash the batch decode —
+    excluded codegen-side like the flat SQ8 batch path already does."""
+    from deployment_spark.operators.ivfsq import IVFSQIndex
+
+    idx = IVFSQIndex(spark, str(tmp_path / "sqnull")).build(norm_emb, nlist=4)
+    q = norm_emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = {
+        (r.query_id, r.rank): r.vec_id
+        for r in idx.search_batch(q, k=3, nprobe=4).collect()
+    }
+    null_row = spark.createDataFrame([(999_999, None, 0)], idx.codes().schema)
+    null_row.write.mode("append").partitionBy("cluster_id").parquet(
+        str(tmp_path / "sqnull" / "sq_codes")
+    )
+    after = {
+        (r.query_id, r.rank): r.vec_id
+        for r in idx.search_batch(q, k=3, nprobe=4).collect()
+    }
+    assert after == before

@@ -185,11 +185,38 @@ def salting_probe() -> None:
         .cache()
     )
     queries.count()
+    # "auto" passes NO knob (r9 default-on): _maybe_salt_hot_groups must
+    # detect the 135k-row hot cluster and pick the bounded plan itself —
+    # verified structurally below, then timed like the explicit arms
+    from deployment_spark.operators.similarity import (
+        DEFAULT_MAX_CLUSTER_ROWS_PER_TASK,
+    )
+
+    auto_plan = idx.search_batch(
+        queries, k=K, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    auto_salted = "_salt" in auto_plan
+    print(
+        json.dumps(
+            {
+                "auto_default_bound": DEFAULT_MAX_CLUSTER_ROWS_PER_TASK,
+                "auto_plan_salted": auto_salted,
+            }
+        ),
+        flush=True,
+    )
     results = {}
-    for mode, bound in (("unsalted", None), ("salted", BOUND)):
-        fn = lambda: idx.search_batch(  # noqa: E731
-            queries, k=K, nprobe=1, max_cluster_rows_per_task=bound
-        )
+    for mode, bound in (
+        ("unsalted", None),
+        ("salted", BOUND),
+        ("auto", "default"),
+    ):
+        if bound == "default":
+            fn = lambda: idx.search_batch(queries, k=K, nprobe=1)  # noqa: E731
+        else:
+            fn = lambda: idx.search_batch(  # noqa: E731
+                queries, k=K, nprobe=1, max_cluster_rows_per_task=bound
+            )
         fn().count()  # warm
         ts = []
         for _ in range(RUNS):
@@ -208,6 +235,8 @@ def salting_probe() -> None:
                 "bound": BOUND,
                 "unsalted_sec": results["unsalted"],
                 "salted_sec": results["salted"],
+                "auto_sec": results["auto"],
+                "auto_plan_salted": auto_salted,
                 "speedup": round(results["unsalted"] / results["salted"], 2),
             }
         ),
