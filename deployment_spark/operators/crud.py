@@ -1096,6 +1096,32 @@ class SnapshotStore:
         )
         return self._commit(final, meta=meta, base_version=base_v)
 
+    def replace(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Wholesale snapshot rewrite — the RELAYOUT commit (r9): publish
+        a new version whose content is exactly ``df``, e.g. the corpus
+        reassigned under a retrained quantizer (streaming drift
+        response) or repartitioned onto a new layout column. Same claim
+        protocol as every commit, so a concurrent writer makes this
+        raise instead of being silently overwritten. cow: one
+        full-snapshot write — the honest O(corpus) cost of a relayout;
+        mor: folds to ONE fresh base segment and zero tombstones (a
+        compact carrying new content)."""
+        if not self.exists():
+            return self.create(df, meta=meta)
+        base_v = self.current_version()
+        if self.mode == "mor":
+            v = base_v + 1
+            self._claim_version(v)
+            seg, mn, mx, st, cnt = self._write_files(df, f"s{v:06d}")
+            return self._commit_manifest(
+                [self._entry(seg, v, mn, mx, st, rows=cnt)],
+                [],
+                meta=meta,
+                version=v,
+                rows=cnt,
+            )
+        return self._commit(df, meta=meta, base_version=base_v)
+
     def compact(self) -> int:
         """Fold a mor table back to one segment and zero tombstones —
         reads return to plain scans. The Spark analog of lakehouse

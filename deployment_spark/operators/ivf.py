@@ -140,6 +140,43 @@ class IVFIndex:
         )
         return self
 
+    def retrain_centroids(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        nlist: int | None = None,
+        seed: int = 42,
+        train_fraction: float | None = None,
+    ) -> "IVFIndex":
+        """Quantizer-ONLY retrain — the drift response (SURVEY §4; the
+        reference never retrains, so every caller keeps this off by
+        default). Fits fresh k-means centroids on ``df`` (optionally a
+        sample) and swaps them in at this root; the index DATA is NOT
+        touched, because the store-maintained layout owns it — the
+        caller relayouts (``assign`` the existing rows, then
+        ``SnapshotStore.replace``) under the new quantizer. Both
+        ``assign`` and the routing paths re-read the centroid files per
+        call, so the swap takes effect for the next batch with no
+        object rebuild."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        k = nlist or self.nlist()
+        feat = df.withColumn(
+            "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        train = feat if train_fraction is None else feat.sample(train_fraction, seed=seed)
+        model = KMeans(
+            k=k, seed=seed, featuresCol="_features", predictionCol="cluster_id"
+        ).fit(train)
+        centroids = [c.tolist() for c in model.clusterCenters()]
+        with open(self._centroids_path, "w") as f:
+            json.dump(
+                {"nlist": k, "dim": len(centroids[0]), "centroids": centroids}, f
+            )
+        self._write_centroids_parquet(centroids)
+        return self
+
     def assign_distributed(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Nearest-centroid assignment for LARGE centroid sets: one numpy
         argmin per Arrow batch against the broadcast centroid matrix.

@@ -4945,10 +4945,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept set. Full probe makes the search SQL-expressible; the
     nprobe < nlist pruning of the same streamed-store path is pinned
     in tests/test_ivf.py (plan-asserted partition filters).
+    r9 fold (VERDICT r8 #5 — drift-triggered retrain, driver-gated):
+    a FOURTH vector batch carries a shifted distribution (every
+    component +3.0). ``ingest_to_store``'s ``drift_retrain`` monitor
+    (default-off everywhere — the reference never retrains) compares
+    each batch's mean squared assignment distance against the
+    build-corpus baseline; batches 1-2 are the build distribution and
+    stay quiet, batch 3 trips the 2× threshold, retrains the quantizer
+    on (corpus ∪ batch) and republishes the store relayouted under the
+    new centroids in one atomic ``replace`` commit. scope='vecdrift'
+    rows pin WHERE the retrain fired (flag per batch: 0,0,0,1), and
+    the post-ingest full-probe search — exact under any quantizer —
+    hash-matches the oracle over the final corpus including the
+    shifted rows, proving the relayout lost nothing.
+
     Column mapping: admission rows (k1=batch_id, k2=doc_id,
     flag=admitted as 0/1 — a BIGINT because nullable booleans
     stringify asymmetrically across the two compare sides); vecsearch
-    rows (k1=query_id, k2=result doc_id, k3=rank, val=similarity)."""
+    rows (k1=query_id, k2=result doc_id, k3=rank, val=similarity);
+    vecdrift rows (k1=batch index, flag=retrain fired)."""
     import shutil
     import tempfile
 
@@ -5037,7 +5052,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb.select(F.col("vec_id").alias("_orig"), "embedding"),
                 ((F.col("doc_id") % M) % 1_000_000) == F.col("_orig"),
             )
-            .select("doc_id", "embedding")
+            .select("doc_id", F.col("embedding").cast("array<double>").alias("embedding"))
         )
         # quantizer trained on batch 0's admitted vectors (seeded KMeans);
         # the stream then routes EVERY batch through assign() into the
@@ -5045,17 +5060,32 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = IVFIndex(spark, os.path.join(root, "ivfq")).build(
             kept_vec.filter(F.col("doc_id") < M), id_col="doc_id", nlist=8
         )
+        # r9 (VERDICT r8 #5): batch 3 carries a SHIFTED distribution —
+        # every component +3.0, far outside the build corpus — so the
+        # drift monitor must fire EXACTLY there: batches 1-2 are the
+        # build distribution (score ≈ baseline, stays quiet), batch 3
+        # retrains the quantizer and relayouts the store mid-stream.
+        # Full-probe search stays exact under ANY quantizer, so the
+        # oracle replays it without modeling the retrain.
+        shifted = emb.filter(F.col("vec_id") < 50).select(
+            (F.lit(3 * M) + F.col("vec_id")).alias("doc_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x + F.lit(3.0)
+            ).alias("embedding"),
+        )
         vec_landing = os.path.join(root, "vec_landing")
         for i in range(3):
             kept_vec.filter(F.floor(F.col("doc_id") / M) == i).coalesce(1).write.parquet(
                 os.path.join(vec_landing, f"b={i:03d}")
             )
+        shifted.coalesce(1).write.parquet(os.path.join(vec_landing, "b=003"))
         vec_store = SnapshotStore(
             spark,
             os.path.join(root, "vec_corpus"),
             key="doc_id",
             partition_by="cluster_id",
         )
+        fired: list[int] = []
         vq = ingest_to_store(
             (
                 spark.readStream.schema(kept_vec.schema)
@@ -5066,8 +5096,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_store,
             os.path.join(root, "vec_ckpt"),
             transform=idx.assign,
+            drift_retrain={
+                "index": idx,
+                "baseline": idx.drift_score(kept_vec.filter(F.col("doc_id") < M)),
+                "threshold": 2.0,
+                "on_retrain": lambda bid, score: fired.append(bid),
+            },
         )
         vq.awaitTermination(600)
+        vecdrift = spark.createDataFrame(
+            [(b, 1 if b in fired else 0) for b in range(4)],
+            "k1 long, flag long",
+        ).select(
+            F.lit("vecdrift").alias("scope"),
+            "k1",
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("long").alias("k3"),
+            "flag",
+            F.lit(None).cast("double").alias("val"),
+        )
         # the streamed store IS the index data: full-probe search over
         # its snapshot must equal exact cosine top-5 (SQL-expressible)
         searcher = IVFIndex(
@@ -5088,7 +5135,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("similarity", 4).alias("val"),
         )
         # materialize before the tmp store is removed
-        return admission.unionByName(vecsearch).localCheckpoint()
+        return admission.unionByName(vecsearch).unionByName(vecdrift).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -5192,16 +5239,25 @@ keptv AS MATERIALIZED (
   -- deterministic embedding remap (see q_incremental_dedup docstring)
   SELECT k.doc_id, e.embedding::DOUBLE[] AS v
   FROM kept3 k JOIN embeddings e ON (k.doc_id % {m}) % 1000000 = e.vec_id
+), vcorpus AS MATERIALIZED (
+  -- plus the r9 shifted-distribution batch (every component +3.0) that
+  -- fires the mid-stream quantizer retrain; full probe is exact under
+  -- any quantizer, so the replay needs only the final corpus content
+  SELECT doc_id, v FROM keptv
+  UNION ALL
+  SELECT 3 * {m} + vec_id AS doc_id,
+         list_transform(embedding::DOUBLE[], x -> x + 3.0) AS v
+  FROM embeddings WHERE vec_id < 50
 ), vq AS MATERIALIZED (
   SELECT doc_id AS query_id, v AS qv FROM keptv ORDER BY doc_id LIMIT 5
 ), vr AS (
   SELECT query_id, doc_id,
-         list_cosine_similarity(keptv.v, vq.qv) AS sim,
+         list_cosine_similarity(vcorpus.v, vq.qv) AS sim,
          row_number() OVER (
            PARTITION BY query_id
-           ORDER BY list_cosine_similarity(keptv.v, vq.qv) DESC, doc_id
+           ORDER BY list_cosine_similarity(vcorpus.v, vq.qv) DESC, doc_id
          ) AS rank
-  FROM keptv CROSS JOIN vq
+  FROM vcorpus CROSS JOIN vq
 )
 SELECT 'admission' AS scope, lb.batch_id::BIGINT AS k1,
        lb.doc_id::BIGINT AS k2, CAST(NULL AS BIGINT) AS k3,
@@ -5215,6 +5271,11 @@ UNION ALL
 SELECT 'vecsearch', query_id::BIGINT, doc_id::BIGINT, rank::BIGINT,
        CAST(NULL AS BIGINT), round(sim, 4)
 FROM vr WHERE rank <= 5
+UNION ALL
+-- vecdrift: the retrain fires on the shifted batch (3) and ONLY there
+SELECT 'vecdrift', b::BIGINT, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       (b = 3)::BIGINT, CAST(NULL AS DOUBLE)
+FROM (SELECT unnest([0, 1, 2, 3]) AS b)
 """
 
 

