@@ -721,19 +721,23 @@ class IVFIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        data = data.filter(F.col(vec_col).isNotNull()).join(
+        data = data.join(
             F.broadcast(probes.select("cluster_id").distinct()),
             "cluster_id",
             "left_semi",
         )
-        c = data.select(
+        c = data.filter(F.col(vec_col).isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
+        # counts come from the PRUNED-but-unfiltered frame: the salting
+        # decision needs only cluster_id, so column pruning turns its
+        # count scan into a partition-column read (footer-level) — the
+        # null filter would force the fat vector column into that scan
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, data, max_cluster_rows_per_task
+            q, c, data.select("cluster_id"), max_cluster_rows_per_task
         )
         hits = (
             _grouped_pair_hits(
@@ -855,19 +859,23 @@ class IVFIndex:
         # crash on them, and topk_similarity_join_blocked set the
         # contract (r8 ADVICE) — the interactive path instead ranks a
         # null cosine last, same visible top-k either way.
-        data = data.filter(F.col(vec_col).isNotNull()).join(
+        data = data.join(
             F.broadcast(probes.select("cluster_id").distinct()),
             "cluster_id",
             "left_semi",
         )
-        c = data.select(
+        c = data.filter(F.col(vec_col).isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
+        # counts come from the PRUNED-but-unfiltered frame: the salting
+        # decision needs only cluster_id, so column pruning turns its
+        # count scan into a partition-column read (footer-level) — the
+        # null filter would force the fat vector column into that scan
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, data, max_cluster_rows_per_task
+            q, c, data.select("cluster_id"), max_cluster_rows_per_task
         )
         candidates = (
             _grouped_pair_topk(

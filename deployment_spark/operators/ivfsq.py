@@ -266,12 +266,12 @@ class IVFSQIndex:
             F.lit(None).cast("array<tinyint>").alias("_code"),
             F.col("cluster_id").alias("_g"),
         )
-        codes = codes.filter(F.col("codes").isNotNull()).join(
+        codes = codes.join(
             F.broadcast(probes.select("cluster_id").distinct()),
             "cluster_id",
             "left_semi",
         )
-        c = codes.select(
+        c = codes.filter(F.col("codes").isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.lit(None).cast("array<double>").alias("_vec"),
@@ -280,8 +280,10 @@ class IVFSQIndex:
         )
         from deployment_spark.operators.similarity import _maybe_salt_hot_groups
 
+        # counts from the pruned-but-unfiltered frame (cluster_id-only
+        # scan; see IVFIndex.search_batch)
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, codes, max_cluster_rows_per_task
+            q, c, codes.select("cluster_id"), max_cluster_rows_per_task
         )
 
         lo, scale = codec.lo, codec.scale

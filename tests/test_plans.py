@@ -451,7 +451,10 @@ def test_expensive_entries_exchange_budget(spark, sf_dir):
         "embedding_neardup": 2,  # band join + pair dedup
         "doc_bm25_topk": 2,
         "doc_lm_score": 6,       # token stats + unigram join + rollup
-        "ivf_topk": 1,           # routing broadcast join + top-k window
+        # r9 two-arm widening: interactive arm (routing broadcast join +
+        # top-k window, 1 exchange) + batch arm (blocked centroid
+        # routing window, grouped scoring exchange, final window)
+        "ivf_topk": 4,
     }
     over = {}
     for name, ceiling in BUDGET.items():

@@ -129,6 +129,228 @@ def main() -> None:
     spark.stop()
 
 
+def corpus_growth_probe() -> None:
+    """r9 (VERDICT r8 #7): the 1x->8x CORPUS axis at fixed nq — the
+    complement of main()'s nq axis. nlist scales as sqrt(N) (the
+    reference's own rule), so per-cluster task size grows sqrt(N) and
+    the batch route's wall should track corpus bytes ~linearly while
+    the interactive path additionally pays its nq·nprobe·cluster_size
+    Catalyst scoring growth."""
+    from deployment_spark import get_spark
+    from deployment_spark.operators.ivf import IVFIndex
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="corpus-growth-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    DIM, K, NPROBE, NQ, RUNS = 64, 5, 10, 2_000, 2
+    BASE = 25_000
+    queries = (
+        spark.range(NQ)
+        .select(
+            F.col("id").alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.cos(F.col("id") * i * 0.3141),
+            ).cast("array<double>").alias("query_vec"),
+        )
+        .cache()
+    )
+    queries.count()
+    results = []
+    root = tempfile.mkdtemp(prefix="corpus_growth_probe_")
+    for mult in (1, 2, 4, 8):
+        n = BASE * mult
+        nlist = int(n ** 0.5 // 16) * 16 or 16  # ~sqrt(N), multiple of 16
+        corpus = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.sin(F.col("id") * i * 0.7213),
+            ).cast("array<double>").alias("embedding"),
+        )
+        idx = IVFIndex(spark, os.path.join(root, f"ivf_{mult}x")).build(
+            corpus, nlist=nlist, train_fraction=min(1.0, 50_000 / n)
+        )
+        for path, fn in (
+            ("batch", lambda: idx.search_batch(queries, k=K, nprobe=NPROBE)),
+            ("driver", lambda: idx.search(queries, k=K, nprobe=NPROBE, routing="driver")),
+        ):
+            fn().count()  # warm
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.time()
+                fn().count()
+                ts.append(time.time() - t0)
+            rec = {"path": path, "corpus": n, "nlist": nlist,
+                   "best_sec": round(min(ts), 3)}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    by = {(r["path"], r["corpus"]): r["best_sec"] for r in results}
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "probe": "corpus_growth",
+                "nq": NQ,
+                "corpus_ratio": 8,
+                "slope_batch": round(
+                    by[("batch", BASE * 8)] / by[("batch", BASE)], 2
+                ),
+                "slope_driver": round(
+                    by[("driver", BASE * 8)] / by[("driver", BASE)], 2
+                ),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def pruning_probe() -> None:
+    """r9 (VERDICT r8 #2): measure what the unprobed-cluster semi-join
+    saves when probes cover a FRACTION of nlist. Queries are clones of
+    two clusters' centroid directions (nprobe=1 -> ~2 of 16 clusters
+    probed, 12.5% coverage). Reports the structural reduction (corpus
+    rows entering the grouped exchange) and wall-to-wall timing vs an
+    UNPRUNED reference build of the identical union-frame plan (the
+    pre-r9 shape, reconstructed locally)."""
+    from deployment_spark import get_spark
+    from deployment_spark.operators.ivf import IVFIndex
+    from deployment_spark.operators.similarity import (
+        _cid_sort_kind,
+        _grouped_pair_topk,
+        topk_similarity_join_blocked,
+    )
+    from pyspark.sql import functions as F, Window
+
+    spark = get_spark(app_name="pruning-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import numpy as np
+
+    DIM, K, NLIST, RUNS, NQ = 64, 5, 16, 2, 2_000
+    PER = 8_000  # rows per cluster — below the salt bound, so the
+    # measurement isolates PRUNING (salting stays quiet on both arms)
+    N = PER * NLIST
+    # 16 EQUAL deterministic clusters (build_from_centroids, the
+    # salting-probe construction): blob c sits on pole dimension c, so
+    # L2 assignment is exact and every cluster holds the same row count
+    # — a KMeans fixture here puts 77% of rows in the two probed
+    # clusters and confounds the pruning measurement with skew
+    cents = np.zeros((NLIST, DIM))
+    for c in range(NLIST):
+        cents[c, c] = 10.0
+    blobs = None
+    for c in range(NLIST):
+        b = spark.range(PER).select(
+            (F.col("id") + c * PER).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.when(i == c + 1, F.lit(10.0)).otherwise(
+                    F.sin((F.col("id") + c * PER) * i * 0.7213) * 0.05
+                ),
+            ).cast("array<double>").alias("embedding"),
+        )
+        blobs = b if blobs is None else blobs.unionByName(b)
+    root = tempfile.mkdtemp(prefix="pruning_probe_")
+    idx = IVFIndex(spark, os.path.join(root, "ivf")).build_from_centroids(
+        blobs, cents
+    )
+    # queries = the centroid vectors of clusters 0 and 1 (replicated):
+    # cosine routing at nprobe=1 sends each query to exactly its own
+    # centroid, so probes cover 2 of 16 clusters (12.5%) BY CONSTRUCTION
+    # — member rows would not do (assignment is L2-nearest, routing is
+    # cosine-nearest; unnormalized vectors route everywhere)
+    cents = idx.centroids()
+    two = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i % 2]]) for i in range(NQ)],
+        "query_id long, query_vec array<double>",
+    ).cache()
+    two.count()
+
+    def pruned():
+        return idx.search_batch(two, k=K, nprobe=1)
+
+    def unpruned():
+        # the pre-r9 plan: every cluster's rows enter the union frame
+        data = idx.data()
+        cid_kind = _cid_sort_kind(data.schema["vec_id"].dataType, "probe")
+        probes = topk_similarity_join_blocked(
+            idx.centroids_df(), two, k=1,
+            corpus_id="cluster_id", corpus_vec="centroid",
+            query_id="query_id", query_vec="query_vec",
+        ).select("query_id", "cluster_id")
+        q = two.join(probes, "query_id").select(
+            F.col("query_id").cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col("query_vec").cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        c = data.select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col("vec_id").cast("string").alias("_cid"),
+            F.col("embedding").cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        cand = _grouped_pair_topk(
+            q.unionByName(c.select(*q.columns)), ["_g"], K, "cosine", cid_kind
+        )
+        w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+        )
+
+    # structural reduction: rows entering the grouped exchange
+    probes = topk_similarity_join_blocked(
+        idx.centroids_df(), two, k=1,
+        corpus_id="cluster_id", corpus_vec="centroid",
+        query_id="query_id", query_vec="query_vec",
+    ).select("cluster_id").distinct()
+    probed_ids = [r.cluster_id for r in probes.collect()]
+    rows_pruned = (
+        idx.data().filter(F.col("cluster_id").isin(probed_ids)).count()
+    )
+    results = {}
+    # sanity: identical results both plans
+    a = {(r._qid, r.rank): r._cid for r in unpruned().collect()}
+    b = {
+        (str(r.query_id), r.rank): str(r.vec_id)
+        for r in pruned().collect()
+    }
+    assert a == b, "pruned plan diverged from unpruned reference"
+    for mode, fn in (("unpruned_ref", unpruned), ("pruned", pruned)):
+        fn().count()
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn().count()
+            ts.append(time.time() - t0)
+        results[mode] = round(min(ts), 3)
+        print(json.dumps({"mode": mode, "best_sec": results[mode]}), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "probe": "pruning",
+                "nlist": NLIST,
+                "probed_clusters": len(probed_ids),
+                "corpus_rows": N,
+                "rows_shuffled_pruned": rows_pruned,
+                "shuffle_reduction": round(N / max(rows_pruned, 1), 2),
+                "unpruned_sec": results["unpruned_ref"],
+                "pruned_sec": results["pruned"],
+                "speedup": round(
+                    results["unpruned_ref"] / results["pruned"], 2
+                ),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
 def salting_probe() -> None:
     import numpy as np
 
@@ -248,5 +470,9 @@ def salting_probe() -> None:
 if __name__ == "__main__":
     if "--salting" in sys.argv:
         salting_probe()
+    elif "--corpus-growth" in sys.argv:
+        corpus_growth_probe()
+    elif "--pruning" in sys.argv:
+        pruning_probe()
     else:
         main()

@@ -159,6 +159,18 @@ def main() -> None:
     # structure, not just row count). Verified-pair output grows ~45x
     # per clique; see the BASELINE.md sf1 panel note on
     # doc_ngram_jaccard.
+    # copy c interleaves a per-copy salt token every 4 words (plus a
+    # doc-salted tail token). r8 used word ROTATION, which preserves
+    # every interior word-3-gram — so the 10 copies of each doc were
+    # all J≈0.9 near-dups of each other and the sf1 dup-PAIR count grew
+    # quadratically (~45 cross-copy pairs per doc): the output-driven
+    # exact-jaccard row alone was 26 s = 36% of the 10× panel, hiding
+    # regressions in the other 30 rows (VERDICT r8 #6). Salt-interleave
+    # caps cross-copy 3-gram Jaccard at ~0.25 (every 4-word run shares
+    # only its 2 interior grams), far under the 0.6 entry threshold, so
+    # dup pairs stay bounded by the natural copy-0 pairs + each entry's
+    # own planted pairs while the corpus still 10×es for scan/shuffle
+    # slope. Shingle sets stay distinct per copy (the original intent).
     write("documents", f"""
         WITH w AS (
           SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS ws
@@ -167,10 +179,12 @@ def main() -> None:
         SELECT doc_id + c * {dk} AS doc_id,
                CASE WHEN c = 0 THEN array_to_string(ws, ' ')
                     ELSE array_to_string(
-                           list_slice(ws, (c % greatest(len(ws),1)) + 1, len(ws)), ' ')
-                         || ' ' ||
-                         array_to_string(
-                           list_slice(ws, 1, c % greatest(len(ws),1)), ' ')
+                           flatten(list_transform(
+                             range(1, greatest(len(ws), 1) + 1, 4),
+                             i -> list_concat(
+                               list_slice(ws, i, least(i + 3, len(ws))),
+                               ['c' || c::VARCHAR || 's' || i::VARCHAR])
+                           )), ' ')
                          || ' c' || c::VARCHAR || 'x'
                          || ((doc_id * 31 + c) % 9973)::VARCHAR
                END AS text,
