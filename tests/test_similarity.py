@@ -543,3 +543,33 @@ def test_keyset_page_without_cursor_is_page_one(embeddings, queries_df):
     assert {(r.query_id, r.rank, r.vec_id) for r in got} == {
         (r.query_id, r.rank, r.vec_id) for r in exp
     }
+
+
+def test_auto_router_nq_hint_skips_count(spark, embeddings):
+    """r9 (VERDICT r8 finding #3): a caller-supplied nq must be trusted
+    for routing — no count aggregate over the query frame — and both
+    hint values route to exact results (the hint changes plan shape,
+    never the answer)."""
+    from unittest import mock
+
+    from deployment_spark.operators.similarity import (
+        topk_similarity_join,
+        topk_similarity_join_auto,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = {
+        (r.query_id, r.rank): r.vec_id
+        for r in topk_similarity_join(embeddings, q, k=3).collect()
+    }
+    for hint, label in ((6, "broadcast"), (10**7, "blocked")):
+        # instance patch: only the QUERY frame's count must be skipped —
+        # the blocked route's corpus-side sizing count is legitimate
+        with mock.patch.object(
+            q, "count", side_effect=AssertionError("router counted queries")
+        ):
+            df = topk_similarity_join_auto(embeddings, q, k=3, nq=hint)
+        got = {(r.query_id, r.rank): r.vec_id for r in df.collect()}
+        assert got == want, label
