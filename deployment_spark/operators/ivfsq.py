@@ -190,6 +190,102 @@ class IVFSQIndex:
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
 
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        nprobe: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        limit_per_query: int | None = None,
+    ) -> DataFrame:
+        """ERROR-BOUNDED range search over the COMPRESSED codes (r9) —
+        the radius sibling of :meth:`search`, completing the composed
+        index's {top-k, range} matrix. The hot scan reads 1 B/dim codes
+        (4× less IO than the float lists), yet the hit set is EXACT
+        within probed clusters, not approximately-ADC:
+
+        1. candidate filter (pure codegen, pruned codes scan): ADC dot
+           ≥ radius − margin(q) − ε, where margin(q) =
+           Σ|q_i|·scale_i/2 is the quantizer's tight dot-product error
+           bound (``SQCodec.margin_expr``) and ε=1e-9 absorbs float
+           rounding. No true hit can fail this: exact ≥ radius ⇒
+           ADC ≥ exact − margin ≥ radius − margin.
+        2. exact refine: ONLY the candidates' full vectors are fetched
+           (the search_rerank shape) and the final predicate is exact
+           cosine ≥ radius — quantization affects candidate COUNT,
+           never membership or reported similarity.
+
+        Contract: the encoded corpus is expected L2-normalized (same
+        as ``search``; the margin bounds DOT error, and dot ≡ cosine
+        only for unit corpus rows — queries are normalized internally,
+        cosine being scale-invariant in the query). At nprobe ≥ nlist
+        the result equals flat ``radius_search`` on the same rows —
+        the SQL-gateable operating point. ``limit_per_query`` caps
+        each query's hits tie-aware, Milvus-style. Output:
+        (query_id, vec_id, similarity[, rank])."""
+        from deployment_spark.functions.vector import (
+            cosine_similarity,
+            dot_product,
+            l2_normalize,
+        )
+
+        qrows_empty = queries.isEmpty()
+        lim = None if limit_per_query is None else int(limit_per_query)
+        if qrows_empty:
+            empty = self.ivf.search_empty(query_id, id_col)
+            cols = [query_id, id_col, "similarity"]
+            if lim is not None:
+                cols = [query_id, id_col, "rank", "similarity"]
+            return empty.select(*cols)
+        qn = queries.select(
+            query_id, l2_normalize(query_vec).alias(query_vec)
+        )
+        qrows = qn.collect()  # nq-scale (interactive contract)
+        pairs, probed = self.ivf.route(qrows, nprobe, query_id, query_vec)
+        routing_df = self.spark.createDataFrame(pairs, [query_id, "cluster_id"])
+        codec = self.codec()
+
+        qv = F.broadcast(
+            self.spark.createDataFrame(qrows, [query_id, "_qv"]).select(
+                query_id,
+                F.col("_qv").cast("array<double>").alias("_qv"),
+                codec.margin_expr("_qv").alias("_margin"),
+            )
+        )
+        cand = (
+            self.codes()
+            .filter(F.col("cluster_id").isin(probed))  # partition pruning
+            .join(F.broadcast(routing_df), "cluster_id")  # per-query routing
+            .join(qv, query_id)
+            .withColumn("_adc", dot_product(codec.decode_expr("codes"), "_qv"))
+            .filter(
+                F.col("_adc")
+                >= F.lit(float(radius)) - F.col("_margin") - F.lit(1e-9)
+            )
+            .select(query_id, id_col, "_qv")
+        )
+        full = self.ivf.data().filter(F.col("cluster_id").isin(probed)).select(
+            id_col, vec_col
+        )
+        hits = (
+            cand.join(full, id_col)
+            .withColumn("similarity", cosine_similarity(vec_col, "_qv"))
+            .filter(F.col("similarity") >= F.lit(float(radius)))
+        )
+        if lim is None:
+            return hits.select(query_id, id_col, "similarity")
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("similarity"), F.asc(id_col)
+        )
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= lim)
+            .select(query_id, id_col, "rank", "similarity")
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

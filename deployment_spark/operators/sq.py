@@ -135,6 +135,31 @@ class SQCodec:
         )
         return df.withColumn(codes_col, code).drop(vec_col)
 
+    def margin_expr(self, vec_col):
+        """Column: Σ_i |v_i| · scale_i / 2 — the TIGHT dot-product error
+        bound of this quantizer against ``vec_col`` (r9): encode rounds
+        each in-range component to the nearest of 256 levels, so the
+        per-dimension reconstruction error is at most scale_i/2 and the
+        dot-product against any vector v deviates by at most
+        Σ|v_i|·scale_i/2. This is what makes EXACT range search over
+        the compressed codes possible: filter ADC ≥ radius − margin(q),
+        then refine the survivors against full vectors — no true hit
+        can be excluded (``IVFSQIndex.range_search``). The bound holds
+        for corpus rows whose components were inside the trained
+        ranges at encode time (the build corpus by construction;
+        drift-inserted out-of-range rows clip with unbounded error —
+        retrain the codec, see ``ingest_to_store`` drift_retrain)."""
+        sc = _lit_array(self.scale)
+        c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return F.aggregate(
+            F.transform(
+                c,
+                lambda x, i: F.abs(x) * F.element_at(sc, i + F.lit(1)) * F.lit(0.5),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     def decode_expr(self, codes_col: str = "codes"):
         """Column expression reconstructing array<double> from codes —
         used inline in the ADC scan so the float corpus is never

@@ -3985,6 +3985,27 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFSQ_BUILT: set[str] = set()
 
 
+def _ivfsq_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process IVF×SQ8 index over the L2-NORMALIZED
+    embeddings (the codec's normalized-corpus contract) — shared by
+    the recall panel and the r9 ``ivfsq_range`` probe."""
+    import hashlib
+    import tempfile
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.ivfsq import IVFSQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    tag = hashlib.md5(f"ivfsq|{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfsq_{tag}")
+    index = IVFSQIndex(spark, root)
+    if sf_dir not in _IVFSQ_BUILT:
+        index.build(norm, nlist=8)
+        _IVFSQ_BUILT.add(sf_dir)
+    return index, norm
+
+
 def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×SQ8 composed index (operators/ivfsq.py; new r5) — the Milvus
     ``IVF_SQ8`` index type: partition pruning over 1 B/dim scalar codes
@@ -3994,22 +4015,10 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss), which is the measured argument for picking IVF_SQ8 over
     IVF_PQ when memory allows 4×. Rows-only (trained quantizers);
     independently re-derived by tools/check_oracle.py."""
-    import hashlib
-    import tempfile
-
-    from deployment_spark.functions.vector import l2_normalize
-    from deployment_spark.operators.ivfsq import IVFSQIndex
     from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     k = 10
-    emb = _t(spark, sf_dir, "embeddings")
-    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
-    tag = hashlib.md5(f"ivfsq|{sf_dir}".encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfsq_{tag}")
-    index = IVFSQIndex(spark, root)
-    if sf_dir not in _IVFSQ_BUILT:
-        index.build(norm, nlist=8)
-        _IVFSQ_BUILT.add(sf_dir)
+    index, norm = _ivfsq_index(spark, sf_dir)
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -4466,6 +4475,22 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_topk(ivf_rng_b, emb.select("vec_id", "label"), corpus_id="vec_id"),
         "ivf_range_batch",
     )
+    # r9 (11th probe): the same radius contract on the COMPRESSED
+    # composed index — IVFSQIndex.range_search at full probe: the hot
+    # scan reads 1 B/dim codes and the codegen candidate filter uses
+    # the quantizer's error bound (ADC ≥ radius − Σ|q_i|·scale_i/2),
+    # then the exact refine touches only candidates' full vectors, so
+    # hit set AND similarities equal the flat radius oracle (cosine is
+    # normalization-invariant, so the normalized-corpus index pins to
+    # the same raw-vector `rad` CTE as every other radius probe)
+    sq_idx, _ = _ivfsq_index(spark, sf_dir)
+    sq_rng = sq_idx.range_search(
+        queries, radius=0.3, nprobe=10**9, limit_per_query=20
+    )
+    ivfsq_range_rows = shape(
+        enrich_topk(sq_rng, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "ivfsq_range",
+    )
     grouped_rows = shape(grouped_topk(emb, queries, k=5, group_col="label"), "grouped")
     filt = sim_ops.topk_similarity_join_expr(
         emb.filter(F.col("label") % 3 == 0), queries, k=5
@@ -4499,6 +4524,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(radius_blocked_rows)
         .unionByName(ivf_range_rows)
         .unionByName(ivf_range_batch_rows)
+        .unionByName(ivfsq_range_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
@@ -4619,6 +4645,11 @@ SELECT 'ivf_range', query_id, vec_id, rank, label::BIGINT,
 FROM rad WHERE rank <= 20
 UNION ALL
 SELECT 'ivf_range_batch', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM rad WHERE rank <= 20
+UNION ALL
+SELECT 'ivfsq_range', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM rad WHERE rank <= 20

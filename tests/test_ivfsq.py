@@ -215,3 +215,90 @@ def test_search_batch_tolerates_null_codes(spark, norm_emb, tmp_path):
         for r in idx.search_batch(q, k=3, nprobe=4).collect()
     }
     assert after == before
+
+
+def test_range_search_full_probe_equals_flat_radius(norm_emb, index, queries):
+    """r9 error-bounded range search: at nprobe >= nlist the hit SET
+    over the compressed codes must equal flat radius_search on the same
+    rows — quantization may only inflate the candidate count, never
+    change membership (margin guarantee) or similarity (exact refine)."""
+    from deployment_spark.operators.similarity import radius_search
+
+    got = index.range_search(queries, radius=0.3, nprobe=8)
+    want = radius_search(norm_emb, queries, radius=0.3)
+    g = {(r.query_id, r.vec_id): round(r.similarity, 6) for r in got.collect()}
+    w = {(r.query_id, r.vec_id): round(r.similarity, 6) for r in want.collect()}
+    assert g == w
+    # limited variant: tie-aware per-query cap, same keys as flat
+    got_l = index.range_search(queries, radius=0.3, nprobe=8, limit_per_query=5)
+    want_l = radius_search(norm_emb, queries, radius=0.3, limit_per_query=5)
+    gl = {(r.query_id, r.rank): r.vec_id for r in got_l.collect()}
+    wl = {(r.query_id, r.rank): r.vec_id for r in want_l.collect()}
+    assert gl == wl
+
+
+def test_range_search_margin_prevents_adc_misses(spark, tmp_path):
+    """The margin is LOAD-BEARING: construct a corpus row whose
+    quantized (ADC) similarity falls BELOW the radius while its exact
+    similarity is at/above it — without the margin term the codegen
+    candidate filter would drop a true hit before the refine stage."""
+    import numpy as np
+
+    from deployment_spark.operators.sq import SQCodec
+
+    rng_rows = []
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    # unit vectors fanning away from q, plus range-setting poles so the
+    # trained scales are wide enough for visible quantization error
+    for i in range(40):
+        a = 0.02 + i * 0.004
+        v = np.array([np.cos(a), np.sin(a) * 0.8, np.sin(a) * 0.5, np.sin(a) * 0.33])
+        rng_rows.append(v / np.linalg.norm(v))
+    rng_rows.append(np.array([-1.0, 0.0, 0.0, 0.0]))
+    rng_rows.append(np.array([0.0, -1.0, 0.0, 0.0]))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IVFSQIndex(spark, str(tmp_path / "sqrange")).build(corpus, nlist=2)
+    codec = idx.codec()
+
+    # numpy replay of encode/decode to find a row whose ADC sim is
+    # measurably below its exact sim
+    lo, sc = codec.lo, codec.scale
+    best = None
+    for i, v in enumerate(rng_rows):
+        code = np.clip(np.round((v - lo) / sc), 0, 255)
+        dec = lo + code * sc
+        exact, adc = float(v @ q), float(dec @ q)
+        if adc < exact - 1e-5:
+            best = (i, exact, adc)
+            break
+    assert best is not None, "fixture produced no downward quantization"
+    vid, exact, adc = best
+    radius = (exact + adc) / 2.0  # adc < radius < exact
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q])], "query_id long, query_vec array<double>"
+    )
+    hits = {
+        r.vec_id
+        for r in idx.range_search(queries, radius=radius, nprobe=2).collect()
+    }
+    assert vid in hits  # the margin rescued the true hit ADC would drop
+
+
+def test_range_search_pruned_subset_and_empty(norm_emb, index, queries, spark):
+    full = {
+        (r.query_id, r.vec_id)
+        for r in index.range_search(queries, radius=0.3, nprobe=8).collect()
+    }
+    pruned = {
+        (r.query_id, r.vec_id)
+        for r in index.range_search(queries, radius=0.3, nprobe=2).collect()
+    }
+    assert pruned <= full
+    # self-hit survives pruning (own cluster probed first)
+    for qid in (0, 1):
+        assert (qid, qid) in pruned
+    assert index.range_search(queries.limit(0), radius=0.3).count() == 0
