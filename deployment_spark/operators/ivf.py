@@ -57,6 +57,24 @@ def reference_nlist(n: int) -> int:
 # corrected same-round by review.)
 AUTO_DISTRIBUTED_NLIST = 8192
 
+# Probed-cluster coverage above which the batch routes SKIP the
+# unprobed-cluster prune (VERDICT r9 #1): the prune's value is
+# proportional to the unprobed fraction (8.0× fewer exchange rows at
+# 12.5% coverage, r9 probe), but its machinery is pure fixed overhead
+# (~0.4 s measured) once probed clusters cover ~all non-empty lists —
+# the corpus-scale-nq regime, where every list is probed by someone.
+# At ≥80% coverage the best case saves ≤20% of scan rows, below the
+# measured overhead on every fixture probed.
+PRUNE_SKIP_COVERAGE = 0.8
+
+# Probed sets up to this size prune via a LITERAL isin — a STATIC
+# partition filter the scan applies at file-listing time (strictly
+# stronger than the r9 broadcast semi-join, which pruned at runtime via
+# DPP). Bigger sets (nlist 10⁴-10⁵ at low coverage) would bloat the
+# plan with 10⁵ literals, so they keep the broadcast-semi-join form
+# built from the already-collected id list.
+PRUNE_ISIN_MAX = 16384
+
 
 class IVFIndex:
     """Partitioned-parquet IVF index: ``root/data/cluster_id=*/...`` plus
@@ -74,6 +92,9 @@ class IVFIndex:
         self.spark = spark
         self.root = root
         self._data_override = data_path
+        # (data_path, {cluster_id: rows}) memo for cluster_counts — the
+        # file itself is keyed by the same token, see write_cluster_stats
+        self._stats_cache: tuple[str, dict] | None = None
 
     @property
     def _data_path(self) -> str:
@@ -82,6 +103,10 @@ class IVFIndex:
     @property
     def _centroids_path(self) -> str:
         return os.path.join(self.root, "centroids.json")
+
+    @property
+    def _cluster_stats_path(self) -> str:
+        return os.path.join(self.root, "cluster_stats.json")
 
     # -- build (V3 train + V4 add) ------------------------------------------
 
@@ -111,6 +136,11 @@ class IVFIndex:
         with open(self._centroids_path, "w") as f:
             json.dump({"nlist": k, "dim": len(centroids[0]), "centroids": centroids}, f)
         self._write_centroids_parquet(centroids)
+        # per-cluster row counts as index metadata (r10): one
+        # footer-level count over the just-written layout, so every
+        # later batch search makes its salting/prune decisions without
+        # a per-call job
+        self.write_cluster_stats()
         return self
 
     def build_from_centroids(
@@ -138,6 +168,7 @@ class IVFIndex:
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
             self._data_path
         )
+        self.write_cluster_stats()  # see build()
         return self
 
     def retrain_centroids(
@@ -264,6 +295,114 @@ class IVFIndex:
 
     def ntotal(self) -> int:
         return self.data().count()
+
+    # -- per-cluster row-count metadata (r10, VERDICT r9 #1) ------------------
+
+    def write_cluster_stats(self) -> dict:
+        """Compute and persist ``{cluster_id: rows}`` for the CURRENT
+        data path — one column-pruned count job (cluster_id is the
+        partition column, so the scan is footer-level), nlist-bounded
+        output. Keyed by the data path itself: an index-owned ``data/``
+        is only rewritten by a build (which re-calls this), and an
+        external ``data_path`` points at an immutable store snapshot —
+        a new store version is a NEW snapshot directory, so stale stats
+        are detected by token mismatch, not by mtime heuristics. The
+        stats are ADVISORY plan inputs (salting decision, prune-coverage
+        check): wrong counts mis-tune the plan, never the results."""
+        counts = {
+            int(r["cluster_id"]): int(r["_n"])
+            for r in self.data()
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        try:
+            os.makedirs(self.root, exist_ok=True)
+            tmp = self._cluster_stats_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "data_token": self._data_path,
+                        "counts": {str(k): v for k, v in counts.items()},
+                    },
+                    f,
+                )
+            os.replace(tmp, self._cluster_stats_path)
+        except OSError:
+            # read-only index root: keep the in-memory memo for this
+            # process; the next process recomputes (one footer-level job)
+            pass
+        self._stats_cache = (self._data_path, counts)
+        return counts
+
+    def cluster_counts(self, refresh_if_missing: bool = False) -> dict | None:
+        """``{cluster_id: rows}`` from metadata — an O(1) lookup, no
+        Spark job, when the persisted stats carry the current data
+        path's token (plus a per-object memo so repeated batch searches
+        don't even re-read the file). Returns None on a miss unless
+        ``refresh_if_missing``, which computes + persists once."""
+        cache = self._stats_cache
+        if cache is not None and cache[0] == self._data_path:
+            return cache[1]
+        try:
+            with open(self._cluster_stats_path) as f:
+                d = json.load(f)
+            if d.get("data_token") != self._data_path:
+                raise ValueError("stale cluster stats (data path changed)")
+            counts = {int(k): int(v) for k, v in d["counts"].items()}
+        except (OSError, ValueError, KeyError, TypeError):
+            if not refresh_if_missing:
+                return None
+            return self.write_cluster_stats()
+        self._stats_cache = (self._data_path, counts)
+        return counts
+
+    def batch_prune_plan(self, probes, nprobe: int):
+        """Shared prune + salt decision of the four batch routes (r10,
+        VERDICT r9 #1/#2). Returns ``(probed, counts)``:
+
+        - ``probed``: the collected distinct probed cluster-id list
+          (nlist-bounded by construction — the only query-derived state
+          that ever reaches the driver on a batch route), or None when
+          coverage makes pruning pure overhead: if ``nprobe`` already
+          covers ≥ PRUNE_SKIP_COVERAGE of the non-empty lists the skip
+          is decided with NO job at all; otherwise one bounded collect
+          materializes the routing checkpoint (which every later
+          consumer reuses) and the measured coverage decides.
+        - ``counts``: per-cluster row counts from metadata
+          (``cluster_counts``; computed + persisted once per index on a
+          miss), filtered to the probed set — feeds the salting decision
+          as a free lookup instead of the r9 per-call count job.
+        """
+        counts = self.cluster_counts(refresh_if_missing=True)
+        nlist = len(counts) if counts else self.nlist()
+        probed = None
+        if int(nprobe) < PRUNE_SKIP_COVERAGE * nlist:
+            probed = sorted(
+                r["cluster_id"]
+                for r in probes.select("cluster_id").distinct().collect()
+            )
+            if len(probed) >= PRUNE_SKIP_COVERAGE * nlist:
+                probed = None
+        if counts is not None and probed is not None:
+            pset = set(probed)
+            counts = {g: n for g, n in counts.items() if g in pset}
+        return probed, counts
+
+    def _apply_cluster_prune(self, table: DataFrame, probed) -> DataFrame:
+        """Restrict ``table`` to the probed clusters: a literal ``isin``
+        (static partition filter, pruned at file listing) for bounded
+        sets, a broadcast semi-join built from the SAME collected list
+        above PRUNE_ISIN_MAX (plan-size bound). ``probed=None`` means
+        the coverage gate decided pruning filters ~nothing — no-op."""
+        if probed is None:
+            return table
+        if len(probed) <= PRUNE_ISIN_MAX:
+            return table.filter(F.col("cluster_id").isin(probed))
+        pr = self.spark.createDataFrame(
+            [(c,) for c in probed], table.select("cluster_id").schema
+        )
+        return table.join(F.broadcast(pr), "cluster_id", "left_semi")
 
     def _sq_dists(self, vec_col: str):
         """Column expr: array of squared L2 distances from ``vec_col`` to
@@ -675,7 +814,9 @@ class IVFIndex:
         ``max_cluster_rows_per_task`` exactly as in ``search_batch``
         (every (query, salt) emits its local hits; radius membership is
         per-row, so salting cannot change the hit set — only the local
-        cap needs the global window to re-merge)."""
+        cap needs the global window to re-merge). Like ``search_batch``,
+        plan CONSTRUCTION may run bounded jobs (probed-set collect,
+        once-per-index stats count) — see the note there (r9 ADVICE)."""
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_hits,
@@ -698,8 +839,10 @@ class IVFIndex:
         else:
             cid_kind = "str"  # no limit ⇒ no ranking ⇒ id order never applies
 
-        # same consumer-sharing lazy checkpoint + unprobed-cluster
-        # semi-join pruning + null exclusion as search_batch — see there
+        # same consumer-sharing lazy checkpoint + coverage-gated
+        # unprobed-cluster pruning + metadata-fed salting + null
+        # exclusion + construction-time eagerness as search_batch —
+        # see there for the full rationale
         probes = (
             topk_similarity_join_blocked(
                 self.centroids_df(),
@@ -714,6 +857,8 @@ class IVFIndex:
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)
         )
+        probed, salt_counts = self.batch_prune_plan(probes, int(nprobe))
+        data = self._apply_cluster_prune(data, probed)
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -721,23 +866,15 @@ class IVFIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        data = data.join(
-            F.broadcast(probes.select("cluster_id").distinct()),
-            "cluster_id",
-            "left_semi",
-        )
         c = data.filter(F.col(vec_col).isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        # counts come from the PRUNED-but-unfiltered frame: the salting
-        # decision needs only cluster_id, so column pruning turns its
-        # count scan into a partition-column read (footer-level) — the
-        # null filter would force the fat vector column into that scan
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, data.select("cluster_id"), max_cluster_rows_per_task
+            q, c, data.select("cluster_id"), max_cluster_rows_per_task,
+            counts=salt_counts,
         )
         hits = (
             _grouped_pair_hits(
@@ -807,11 +944,20 @@ class IVFIndex:
         ceil(size/bound) salts (corpus rows hash-salted, probing
         queries replicated across the cluster's salts), so the
         per-task matrix stays bounded and the hot cluster's work
-        spreads across its salt count. Costs one nlist-bounded count
-        aggregate + a small routing join; local-global top-k stays
+        spreads across its salt count. The decision reads per-cluster
+        counts from index metadata (free); local-global top-k stays
         exact because every (query, salt) emits its tie-aware local
         top-k and the global window merges. Cosine only, like the
-        index itself."""
+        index itself.
+
+        NOTE (r9 ADVICE): unlike a plain DataFrame transformation,
+        CONSTRUCTING this plan may run bounded Spark jobs — the probed
+        cluster-id collect behind the coverage-gated prune (≤ nlist
+        ids; skipped when nprobe itself covers ≥80% of the lists) and,
+        once per index, the cluster-stats count backing the salting
+        decision. Callers composing plans lazily or looping over
+        searches should expect that; repeated calls on an unchanged
+        index re-run only the probed collect."""
         from deployment_spark.operators.similarity import (
             _cid_sort_kind,
             _grouped_pair_topk,
@@ -828,9 +974,10 @@ class IVFIndex:
         kk = int(k)
 
         # localCheckpoint (lazy): the routing table feeds the query join,
-        # the corpus semi-join AND the salting decision's count — without
-        # it the centroid blocked top-k would re-run per consumer. Rows
-        # are nq·nprobe (qid, cluster_id) pairs — never corpus-scale.
+        # the prune decision AND (on a stats miss) the salting count —
+        # without it the centroid blocked top-k would re-run per
+        # consumer. Rows are nq·nprobe (qid, cluster_id) pairs — never
+        # corpus-scale.
         probes = (
             topk_similarity_join_blocked(
                 self.centroids_df(),
@@ -845,6 +992,15 @@ class IVFIndex:
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)
         )
+        # prune unprobed clusters BEFORE the shuffle (r8 VERDICT #2, r10
+        # coverage gate): clusters no query touches never leave the scan
+        # (static partition filter / bounded semi-join), and when probed
+        # clusters cover ~all lists — where the prune filters nothing —
+        # its fixed overhead is skipped entirely (VERDICT r9 #1). The
+        # salting decision reads per-cluster counts from index METADATA
+        # (VERDICT r9 #2) instead of a per-call count job.
+        probed, salt_counts = self.batch_prune_plan(probes, int(nprobe))
+        data = self._apply_cluster_prune(data, probed)
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -852,30 +1008,24 @@ class IVFIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        # prune unprobed clusters BEFORE the shuffle (r8 VERDICT #2): the
-        # probed-cluster set is nlist-bounded, so the semi-join broadcast
-        # is tiny and clusters no query touches never leave the scan.
         # Null-vector rows are excluded up front: the numpy stage would
         # crash on them, and topk_similarity_join_blocked set the
         # contract (r8 ADVICE) — the interactive path instead ranks a
-        # null cosine last, same visible top-k either way.
-        data = data.join(
-            F.broadcast(probes.select("cluster_id").distinct()),
-            "cluster_id",
-            "left_semi",
-        )
+        # null cosine last. The visible top-k matches whenever each
+        # query's probed set holds ≥ k non-null rows; in a probed set
+        # with fewer, the interactive path pads its k with null-sim
+        # rows while this route returns only the scorable ones (r9
+        # ADVICE — documented divergence, not a defect: a null vector
+        # has no defined rank).
         c = data.filter(F.col(vec_col).isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
             F.col(id_col).cast("string").alias("_cid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             F.col("cluster_id").alias("_g"),
         )
-        # counts come from the PRUNED-but-unfiltered frame: the salting
-        # decision needs only cluster_id, so column pruning turns its
-        # count scan into a partition-column read (footer-level) — the
-        # null filter would force the fat vector column into that scan
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, data.select("cluster_id"), max_cluster_rows_per_task
+            q, c, data.select("cluster_id"), max_cluster_rows_per_task,
+            counts=salt_counts,
         )
         candidates = (
             _grouped_pair_topk(

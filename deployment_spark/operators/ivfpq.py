@@ -69,9 +69,11 @@ class IVFPQIndex:
     ) -> "IVFPQIndex":
         self.ivf.build(df, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
         codec = PQCodec.train(df, vec_col, m=m, ksub=ksub, seed=seed)
-        # encode the ASSIGNED table so codes carry the same cluster_id
+        # encode the ASSIGNED table so codes carry the same cluster_id;
+        # the per-row reconstruction-error norm rides along (r10) — it
+        # is what makes range_search's candidate filter error-bounded
         assigned = self.ivf.data().select(id_col, vec_col, "cluster_id")
-        codes = codec.encode(assigned, id_col, vec_col).join(
+        codes = codec.encode(assigned, id_col, vec_col, resid_col="resid").join(
             assigned.select(id_col, "cluster_id"), id_col
         )
         codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
@@ -214,6 +216,160 @@ class IVFPQIndex:
         return self._finalize(cand, k, shortlist, probed, query_id, id_col,
                               vec_col, queries, query_vec, broadcast_queries=True)
 
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        nprobe: int = 10,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        limit_per_query: int | None = None,
+    ) -> DataFrame:
+        """ERROR-BOUNDED range search over the PQ codes (r10, VERDICT r9
+        #6) — the radius sibling of :meth:`search`, completing the
+        composed index's {top-k, range} matrix next to
+        ``IVFSQIndex.range_search``. The hot scan reads m-byte codes
+        (16-48× less IO than the float lists), yet the hit set is EXACT
+        within probed clusters:
+
+        1. candidate filter: ADC DOT (per-query LUT of q_j·c partial
+           dot products, gathered per code row) ≥ radius − resid_i − ε,
+           where resid_i = ‖v_i − v̂_i‖ is the row's reconstruction
+           error STORED AT ENCODE TIME (``PQCodec.encode(resid_col)``).
+           By Cauchy–Schwarz |q·v − q·v̂| ≤ ‖q‖·resid_i = resid_i for
+           unit q, so no true hit can fail the filter. Unlike SQ8's
+           trained-range margin (``SQCodec.margin_expr`` — per-DIM, and
+           unbounded for rows encoded outside the trained ranges), this
+           bound is per ROW and measured, so it survives codebook
+           drift: a badly-fitting row gets a looser filter, never a
+           missed hit. Cost: one extra float per row next to the code.
+        2. exact refine: ONLY candidates' full vectors are fetched and
+           the final predicate is exact cosine ≥ radius — quantization
+           affects candidate COUNT, never membership or the reported
+           similarity.
+
+        Contract mirrors ``IVFSQIndex.range_search``: encoded corpus
+        L2-normalized (queries normalized internally); at nprobe ≥
+        nlist the result equals flat ``radius_search`` on the same rows
+        (the SQL-gateable operating point — the ``ivfpq_range`` probe);
+        pruning can only REMOVE hits. Output:
+        (query_id, vec_id, similarity[, rank])."""
+        import pandas as pd
+
+        from pyspark.sql import Window
+        from pyspark.sql.types import StructField, StructType
+
+        from deployment_spark.functions.vector import (
+            cosine_similarity,
+            l2_normalize,
+        )
+
+        lim = None if limit_per_query is None else int(limit_per_query)
+        if queries.isEmpty():
+            empty = self.ivf.search_empty(query_id, id_col)
+            cols = [query_id, id_col, "similarity"]
+            if lim is not None:
+                cols = [query_id, id_col, "rank", "similarity"]
+            return empty.select(*cols)
+        codes = self.codes()
+        if "resid" not in codes.columns:
+            raise ValueError(
+                "error-bounded range search needs the per-row "
+                "reconstruction-error column ('resid') next to the codes "
+                "— rebuild the index with IVFPQIndex.build (r10+), which "
+                "stores it via PQCodec.encode(resid_col='resid')"
+            )
+        qn = queries.select(query_id, l2_normalize(query_vec).alias(query_vec))
+        qrows = qn.collect()  # nq-scale (interactive contract)
+        pairs, probed = self.ivf.route(qrows, nprobe, query_id, query_vec)
+        routing_df = self.spark.createDataFrame(pairs, [query_id, "cluster_id"])
+        codec = self.codec()
+        m, dsub = codec.m, codec.dsub
+        books = codec.codebooks
+        qids, luts = [], []
+        for r in qrows:
+            qv = np.asarray(r[query_vec], dtype=np.float64)
+            qids.append(r[query_id])
+            # DOT LUT: lut[j, c] = q_j · books[j][c]; the per-row gather
+            # sum is exactly q·v̂ — the quantity the resid bound is on
+            luts.append(
+                np.stack(
+                    [books[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+                )
+            )
+        qindex = {qid: i for i, qid in enumerate(qids)}
+        bq = self.spark.sparkContext.broadcast((qindex, np.stack(luts)))
+        rad = float(radius)
+
+        pruned = (
+            codes.filter(F.col("cluster_id").isin(probed))  # partition pruning
+            .join(F.broadcast(routing_df), "cluster_id")  # per-query routing
+            .select(
+                F.col(query_id).alias("_qid"),
+                F.col(id_col).alias("_cid"),
+                "code",
+                "resid",
+            )
+        )
+        out_schema = StructType(
+            [
+                StructField("_qid", queries.schema[query_id].dataType),
+                StructField("_cid", codes.schema[id_col].dataType),
+            ]
+        )
+
+        def adc_candidates(batches):
+            qidx_map, lut_all = bq.value
+            gather = np.arange(m)[None, :]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes_arr = np.frombuffer(
+                    b"".join(pdf["code"].tolist()), dtype=np.uint8
+                ).reshape(-1, m)
+                qi = pdf["_qid"].map(qidx_map).to_numpy()
+                adc = lut_all[qi[:, None], gather, codes_arr].sum(axis=1)
+                resid = pdf["resid"].to_numpy(dtype=np.float64)
+                # no true hit can fail: exact ≥ rad ⇒ adc ≥ exact − resid
+                keep = adc >= rad - resid - 1e-9
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "_qid": pdf["_qid"].to_numpy()[keep],
+                        "_cid": pdf["_cid"].to_numpy()[keep],
+                    }
+                )
+
+        cand = pruned.mapInPandas(adc_candidates, schema=out_schema)
+        qv_b = F.broadcast(
+            self.spark.createDataFrame(qrows, [query_id, "_qv"]).select(
+                query_id, F.col("_qv").cast("array<double>").alias("_qv")
+            )
+        )
+        full = self.ivf.data().filter(F.col("cluster_id").isin(probed)).select(
+            id_col, vec_col
+        )
+        hits = (
+            cand.select(F.col("_qid").alias(query_id), F.col("_cid").alias(id_col))
+            .join(full, id_col)
+            .join(qv_b, query_id)
+            .withColumn("similarity", cosine_similarity(vec_col, "_qv"))
+            .filter(F.col("similarity") >= F.lit(rad))
+        )
+        if lim is None:
+            return hits.select(query_id, id_col, "similarity")
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("similarity"), F.asc(id_col)
+        )
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= lim)
+            .select(query_id, id_col, "rank", "similarity")
+        )
+
     def _finalize(
         self, cand, k, shortlist, probed, query_id, id_col, vec_col,
         queries, query_vec, broadcast_queries,
@@ -315,11 +471,14 @@ class IVFPQIndex:
         cid_kind = _cid_sort_kind(cid_type, "ivfpq batch search")
         take = int(k) if shortlist is None else max(int(shortlist), int(k))
 
-        # lazy checkpoint + unprobed-cluster semi-join pruning + null-code
-        # exclusion, same rationale as IVFIndex.search_batch (r9): the
-        # routing table feeds three consumers, clusters no query probes
-        # must not ride the code shuffle, and a null code would crash
-        # the b''.join inside _grouped_adc_topk (r8 ADVICE).
+        # lazy checkpoint + coverage-gated unprobed-cluster pruning (r10;
+        # counts are the IVF layout's metadata — codes carry the SAME
+        # per-cluster row counts, every row encodes) + null-code
+        # exclusion, same rationale as IVFIndex.search_batch: clusters
+        # no query probes must not ride the code shuffle, and a null
+        # code would crash the b''.join inside _grouped_adc_topk (r8
+        # ADVICE). Like there, plan CONSTRUCTION may run bounded jobs
+        # (probed collect; once-per-index stats count) — r9 ADVICE.
         probes = (
             topk_similarity_join_blocked(
                 self.ivf.centroids_df(),
@@ -334,6 +493,8 @@ class IVFPQIndex:
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)
         )
+        probed, salt_counts = self.ivf.batch_prune_plan(probes, int(nprobe))
+        codes = self.ivf._apply_cluster_prune(codes, probed)
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -341,11 +502,6 @@ class IVFPQIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.lit(None).cast("binary").alias("_code"),
             F.col("cluster_id").alias("_g"),
-        )
-        codes = codes.join(
-            F.broadcast(probes.select("cluster_id").distinct()),
-            "cluster_id",
-            "left_semi",
         )
         c = codes.filter(F.col("code").isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
@@ -356,10 +512,9 @@ class IVFPQIndex:
         )
         from deployment_spark.operators.similarity import _maybe_salt_hot_groups
 
-        # counts from the pruned-but-unfiltered frame (cluster_id-only
-        # scan; see IVFIndex.search_batch)
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, codes.select("cluster_id"), max_cluster_rows_per_task
+            q, c, codes.select("cluster_id"), max_cluster_rows_per_task,
+            counts=salt_counts,
         )
 
         books_bc = self.spark.sparkContext.broadcast(codec.codebooks)

@@ -336,10 +336,13 @@ class IVFSQIndex:
         cid_kind = _cid_sort_kind(cid_type, "ivfsq batch search")
         take = int(k) if shortlist is None else max(int(shortlist), int(k))
 
-        # lazy checkpoint + unprobed-cluster semi-join pruning + null-code
-        # exclusion, same rationale as IVFIndex.search_batch (r9): a null
-        # codes array would crash the np.array(...tolist()) decode inside
-        # the scoring task (r8 ADVICE).
+        # lazy checkpoint + coverage-gated unprobed-cluster pruning (r10;
+        # counts are the IVF layout's metadata — the codes table carries
+        # the same per-cluster rows) + null-code exclusion, same
+        # rationale as IVFIndex.search_batch: a null codes array would
+        # crash the np.array(...tolist()) decode inside the scoring task
+        # (r8 ADVICE). Like there, plan CONSTRUCTION may run bounded
+        # jobs (probed collect; once-per-index stats count) — r9 ADVICE.
         probes = (
             topk_similarity_join_blocked(
                 self.ivf.centroids_df(),
@@ -354,6 +357,8 @@ class IVFSQIndex:
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)
         )
+        probed, salt_counts = self.ivf.batch_prune_plan(probes, int(nprobe))
+        codes = self.ivf._apply_cluster_prune(codes, probed)
 
         q = queries.join(probes, query_id).select(
             F.col(query_id).cast("string").alias("_qid"),
@@ -361,11 +366,6 @@ class IVFSQIndex:
             F.col(query_vec).cast("array<double>").alias("_vec"),
             F.lit(None).cast("array<tinyint>").alias("_code"),
             F.col("cluster_id").alias("_g"),
-        )
-        codes = codes.join(
-            F.broadcast(probes.select("cluster_id").distinct()),
-            "cluster_id",
-            "left_semi",
         )
         c = codes.filter(F.col("codes").isNotNull()).select(
             F.lit(None).cast("string").alias("_qid"),
@@ -376,10 +376,9 @@ class IVFSQIndex:
         )
         from deployment_spark.operators.similarity import _maybe_salt_hot_groups
 
-        # counts from the pruned-but-unfiltered frame (cluster_id-only
-        # scan; see IVFIndex.search_batch)
         q, c, group_cols = _maybe_salt_hot_groups(
-            q, c, codes.select("cluster_id"), max_cluster_rows_per_task
+            q, c, codes.select("cluster_id"), max_cluster_rows_per_task,
+            counts=salt_counts,
         )
 
         lo, scale = codec.lo, codec.scale

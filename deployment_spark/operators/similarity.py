@@ -301,6 +301,36 @@ def topk_similarity_join(
 # curves; see BASELINE.md "blocked top-k crossover".
 BROADCAST_MAX_QUERIES = 65536
 
+# The BYTES budget behind that row ceiling (r10, VERDICT r9 #5): 65,536
+# queries was derived AT d=384 float64 (~200 MB/task). A fixed row count
+# is dim-blind — at d=768 the same nq doubles the per-task footprint
+# (OOM risk), at d=64 it routes to blocked 6× too early. The auto
+# routers therefore derive their ceiling as budget / (d × 8) from the
+# query frame's actual dimensionality, preserving the d=384 behavior
+# exactly (65536 × 384 × 8 = this value).
+BROADCAST_QUERY_BYTES_BUDGET = BROADCAST_MAX_QUERIES * 384 * 8
+
+
+def _broadcast_query_ceiling(
+    queries: DataFrame, query_vec: str, dim: int | None = None
+) -> int:
+    """Dim-aware broadcast row ceiling: BROADCAST_QUERY_BYTES_BUDGET /
+    (d × 8 bytes). ``dim`` skips the probe when the caller knows it;
+    otherwise one LIMIT-1 job reads a single vector's length (array
+    columns carry no length in the schema). An empty/all-null query
+    frame falls back to the d=384 constant — the route choice is
+    irrelevant at nq=0."""
+    if dim is None:
+        row = (
+            queries.select(F.size(F.col(query_vec)).alias("_d"))
+            .filter(F.col("_d").isNotNull())
+            .first()
+        )
+        if row is None or not row["_d"] or row["_d"] <= 0:
+            return BROADCAST_MAX_QUERIES
+        dim = int(row["_d"])
+    return max(1, BROADCAST_QUERY_BYTES_BUDGET // (int(dim) * 8))
+
 # default rows per hash block in the blocked path (8192×d float64 ≈
 # 4-50 MB per side at d 64-768 — two blocks per task, comfortably
 # in-executor); shared with the auto router's grid sizing
@@ -386,7 +416,8 @@ def _salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id"):
     return q, c, ["_g", "_salt"]
 
 
-def _maybe_salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id"):
+def _maybe_salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id",
+                           counts=None):
     """Default-on wrapper around :func:`_salt_hot_groups` (r9): run the
     group-count aggregate, and salt ONLY when some group actually
     exceeds ``bound`` rows. A balanced nlist ≈ √N layout pays one count
@@ -400,21 +431,32 @@ def _maybe_salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id"):
     table itself) so the decision and both salt-table broadcasts reuse
     one aggregate instead of recomputing it per join. ``bound=None``
     opts out entirely (the pre-r9 default plan, kept for the
-    measurement tooling); any int forces that bound."""
+    measurement tooling); any int forces that bound.
+
+    ``counts`` (r10, VERDICT r9 #2): a precomputed ``{group: rows}``
+    mapping — index/store METADATA (``IVFIndex.cluster_counts``), so
+    repeated batch searches over an unchanged index skip the count job
+    entirely; per-cluster sizes only change at commit time, not per
+    call. Stale metadata can only mis-TUNE the plan (salt a cold group
+    or serialize a hot one — the pre-r9 default), never change results:
+    salting is exactness-preserving in both directions."""
     if bound is None:
         return q, c, ["_g"]
     bound = int(bound)
-    counts = (
-        counts_src.groupBy(group_key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
-    if not any(r["_n"] > bound for r in counts):
+    if counts is None:
+        counts = {
+            r[group_key]: r["_n"]
+            for r in counts_src.groupBy(group_key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+    if not any(n > bound for n in counts.values()):
         return q, c, ["_g"]
     spark = q.sparkSession
-    g_type = counts_src.schema[group_key].dataType
+    # both call modes carry the group key as _g on the frames themselves
+    g_type = c.schema["_g"].dataType
     salts = spark.createDataFrame(
-        [(r[group_key], int(-(-r["_n"] // bound))) for r in counts],
+        [(g, int(-(-n // bound))) for g, n in counts.items()],
         StructType(
             [
                 StructField("_g", g_type),
@@ -660,23 +702,37 @@ def topk_similarity_join_auto(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     metric: str = "cosine",
-    broadcast_max_queries: int = BROADCAST_MAX_QUERIES,
+    broadcast_max_queries: int | None = None,
     nq: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale-safe exact top-k entry point (mirrors ``knn_graph_auto``):
     FAISS-contract query batches take the broadcast matmul path; above
-    ``broadcast_max_queries`` the query set routes to the block-pair
-    form that never collects or broadcasts it, so a 10⁶-query offline
-    scoring job cannot OOM the driver by accident. Both paths are exact
-    with identical deterministic tie-breaks.
+    the ceiling the query set routes to the block-pair form that never
+    collects or broadcasts it, so a 10⁶-query offline scoring job
+    cannot OOM the driver by accident. Both paths are exact with
+    identical deterministic tie-breaks.
+
+    The default ceiling is DIM-AWARE (r10, VERDICT r9 #5): derived as
+    BROADCAST_QUERY_BYTES_BUDGET / (d × 8) from the query vectors'
+    actual length (``dim`` hint skips the LIMIT-1 probe), so a
+    d=768 corpus halves the row ceiling instead of doubling the
+    per-task footprint, and a d=64 one doesn't route to blocked 6×
+    too early. An explicit ``broadcast_max_queries`` overrides.
 
     ``nq`` (r9, VERDICT r8 finding #3): caller-supplied query count.
     Without it the router runs one count aggregate over ``queries`` —
     a single extra pass that is pure waste when the query frame is an
     expensive uncached pipeline whose cardinality the caller already
-    knows. The hint is trusted as a ROUTING input only: both routes
-    stay exact whichever fires, so a stale hint costs plan shape, not
-    correctness."""
+    knows. The hint is trusted as a ROUTING input only, but NOT
+    harmless in both directions (r9 ADVICE): both routes stay exact,
+    and an OVERstated nq merely wastes block granularity — an
+    UNDERstated nq on a truly corpus-sized query frame routes it to
+    the broadcast path, which collects the query set driver-side and
+    can OOM the driver. Pass a hint you know to be an upper bound, or
+    none at all."""
+    if broadcast_max_queries is None:
+        broadcast_max_queries = _broadcast_query_ceiling(queries, query_vec, dim)
     if nq is None:
         nq = queries.count()  # single aggregate, no rows to the driver
     nq = int(nq)
@@ -835,12 +891,16 @@ def radius_search_auto(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     limit_per_query: int | None = None,
-    broadcast_max_queries: int = BROADCAST_MAX_QUERIES,
+    broadcast_max_queries: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale-safe range-search entry point, mirroring
     :func:`topk_similarity_join_auto`: FAISS/Milvus-contract query
-    batches take the broadcast Catalyst scan; above
-    ``broadcast_max_queries`` the block-pair form runs instead."""
+    batches take the broadcast Catalyst scan; above the (dim-aware,
+    r10 — see the top-k auto) ceiling the block-pair form runs
+    instead."""
+    if broadcast_max_queries is None:
+        broadcast_max_queries = _broadcast_query_ceiling(queries, query_vec, dim)
     nq = queries.count()  # single aggregate, no rows to the driver
     if nq <= int(broadcast_max_queries):
         return radius_search(

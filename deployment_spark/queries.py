@@ -3697,6 +3697,43 @@ def q_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 closure (r10, VERDICT r9 #8) — graph-assisted ANN: a
+    deliberately STARVED IVF seed (nprobe 2 of 16 — recall ≈ 0.5)
+    expanded one hop over the exact kNN graph
+    (``knn.graph_assisted_topk``), scored exactly, re-topped. This is
+    the HNSW recall-latency trade (the reference's Milvus index type,
+    ``Milvus/stream1.py:117-130``) recovered Spark-first: neighbor-of-
+    candidate expansion as one join per hop instead of a serving-side
+    in-RAM pointer chase. Two arms: ``seed`` (the starved baseline,
+    floor 0.3 documents "deliberately lossy") and ``graph`` (floor 0.9;
+    measured 0.98/1.00 at sf0.001/sf0.01 — the lift IS the result).
+    Rows-only by nature; independently re-derived by
+    tools/check_oracle.py."""
+    from deployment_spark.operators.knn import graph_assisted_topk, knn_graph
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    index, emb = _ivf_index(spark, sf_dir)
+    k = 10
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    seeds = index.search(queries, k=k, nprobe=2).select("query_id", "vec_id")
+    graph = knn_graph(emb, k=10)
+    expanded = graph_assisted_topk(
+        emb, queries, seeds, graph, k=k, hops=1
+    ).select("query_id", "vec_id")
+    exact = topk_similarity_join_expr(emb, queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    per_q = _recall_arms(queries, exact, k, seed=seeds, graph=expanded)
+    return per_q.withColumn(
+        "meets_floor",
+        (F.col("mean_recall_graph") >= IVF_GRAPH_FLOOR)
+        & (F.col("mean_recall_graph") >= F.col("mean_recall_seed")),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3-V5 + J1 — IVF index build (KMeans quantizer → cluster-partitioned
     parquet) and top-k search. Probing every list (nprobe = nlist) makes
@@ -3801,6 +3838,14 @@ PQ_BATCH_FLOOR = PQ_ADC_FLOOR
 SQ_BATCH_FLOOR = SQ_ADC_FLOOR
 IVFPQ_BATCH_FLOOR = IVFPQ_RERANK_FLOOR
 IVFSQ_BATCH_FLOOR = IVFSQ_FLOOR
+# r10 (VERDICT r9 #8 — V8 closure): graph-assisted re-ranking recovers
+# the recall a deliberately starved seed loses — seeds at nprobe 2/16
+# measure 0.475/0.505 (sf0.001/sf0.01) and ONE hop of kNN-graph
+# expansion lifts them to 0.98/1.00; the floor sits under the weaker
+# measurement. The ≥-seed monotonicity is pinned structurally in
+# tests/test_knn.py (candidates ⊇ seeds, exact scoring).
+IVF_GRAPH_FLOOR = 0.9
+IVF_GRAPH_SEED_FLOOR = 0.3  # the starved baseline's honest lower bound
 
 
 def _recall_arms(queries, exact, k, **arms):
@@ -3883,6 +3928,29 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process IVF×PQ index over the L2-NORMALIZED
+    embeddings — shared by the recall panel and the r10 ``ivfpq_range``
+    probe (same discipline as ``_ivfsq_index``: per-process rebuild
+    overwriting in place; an on-disk sentinel would silently reuse a
+    stale index after the testdata under sf_dir is regenerated)."""
+    import hashlib
+    import tempfile
+
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.ivfpq import IVFPQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    tag = hashlib.md5(f"ivfpq|{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
+    index = IVFPQIndex(spark, root)
+    if sf_dir not in _IVFPQ_BUILT:
+        index.build(norm, nlist=8, m=16, ksub=256)
+        _IVFPQ_BUILT.add(sf_dir)
+    return index, norm
+
+
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ composed index — recall@10 at the production shape (nprobe
     5 of 8 lists over 16-byte ksub=256 codes, shortlist-50 exact
@@ -3892,25 +3960,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor matches the IVF pruning floor (nprobe 5/8 = the same 62.5%
     probe ratio as IVF's 10/16; r3 measured 0.875). Rows-only (trained
     quantizers)."""
-    import hashlib
-    import tempfile
-
-    from deployment_spark.functions.vector import l2_normalize
-    from deployment_spark.operators.ivfpq import IVFPQIndex
     from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     k = 10
-    emb = _t(spark, sf_dir, "embeddings")
-    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
-    tag = hashlib.md5(f"ivfpq|{sf_dir}".encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
-    index = IVFPQIndex(spark, root)
-    # build once PER PROCESS, overwriting in place (same discipline as
-    # _ivf_index): an on-disk sentinel would silently reuse a stale index
-    # after the testdata under sf_dir is regenerated
-    if sf_dir not in _IVFPQ_BUILT:
-        index.build(norm, nlist=8, m=16, ksub=256)
-        _IVFPQ_BUILT.add(sf_dir)
+    index, norm = _ivfpq_index(spark, sf_dir)
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -4060,7 +4113,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     every family additionally carries its CORPUS-SCALE `batch` group
     (ivf/pq/sq8/ivfpq/ivfsq `search_batch` — blocked routing + grouped
     scoring, nothing query-scale on the driver) at the same operating
-    point as its interactive sibling, 14 groups total. Rows-only by nature (trained quantizers are not
+    point as its interactive sibling. r10 widening (V8 closure): the
+    ivf family adds `seed`/`graph` — a starved nprobe-2 seed and its
+    one-hop kNN-graph expansion (`knn.graph_assisted_topk`, the HNSW
+    recall trade) — 16 groups total. Rows-only by nature (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
     value-checked by tools/check_oracle.py against a numpy exact
     top-k.
@@ -4104,6 +4160,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_df = q_ivfpq_recall(spark, sf_dir)
     sq_df = q_sq_recall(spark, sf_dir)
     ivfsq_df = q_ivfsq_recall(spark, sf_dir)
+    graph_df = q_ivf_graph_recall(spark, sf_dir)
     parts = [
         one_variant(q_ivf_recall(spark, sf_dir), "ivf", "pruned"),
         one_variant(
@@ -4111,6 +4168,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # r8: the corpus-scale batch path on the same exact fixture
         one_variant(q_ivf_batch_recall(spark, sf_dir), "ivf", "batch"),
+        # r10 (V8 closure): the starved seed and its graph-expanded
+        # lift, published side by side — the HNSW recall trade
+        arm_variant(graph_df, "ivf", "seed", IVF_GRAPH_SEED_FLOOR),
+        arm_variant(graph_df, "ivf", "graph", IVF_GRAPH_FLOOR),
         arm_variant(pq_df, "pq", "adc", PQ_ADC_FLOOR),
         arm_variant(pq_df, "pq", "rerank", PQ_RERANK_FLOOR),
         # r8: every codec's corpus-scale batch route, gated at the same
@@ -4491,6 +4552,21 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_topk(sq_rng, emb.select("vec_id", "label"), corpus_id="vec_id"),
         "ivfsq_range",
     )
+    # r10 (12th probe, VERDICT r9 #6): the same radius contract on the
+    # PQ-compressed composed index — IVFPQIndex.range_search at full
+    # probe: the hot scan reads m-byte codes, the candidate filter is
+    # error-bounded by the PER-ROW stored reconstruction residual
+    # (ADC ≥ radius − resid_i, Cauchy–Schwarz — sound under codebook
+    # drift, unlike SQ8's trained-range margin), and the exact refine
+    # pins hit set AND similarities to the same flat radius oracle
+    pq_idx, _ = _ivfpq_index(spark, sf_dir)
+    pq_rng = pq_idx.range_search(
+        queries, radius=0.3, nprobe=10**9, limit_per_query=20
+    )
+    ivfpq_range_rows = shape(
+        enrich_topk(pq_rng, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "ivfpq_range",
+    )
     grouped_rows = shape(grouped_topk(emb, queries, k=5, group_col="label"), "grouped")
     filt = sim_ops.topk_similarity_join_expr(
         emb.filter(F.col("label") % 3 == 0), queries, k=5
@@ -4525,6 +4601,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf_range_rows)
         .unionByName(ivf_range_batch_rows)
         .unionByName(ivfsq_range_rows)
+        .unionByName(ivfpq_range_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
         .unionByName(sparse_rows)
@@ -4650,6 +4727,11 @@ SELECT 'ivf_range_batch', query_id, vec_id, rank, label::BIGINT,
 FROM rad WHERE rank <= 20
 UNION ALL
 SELECT 'ivfsq_range', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM rad WHERE rank <= 20
+UNION ALL
+SELECT 'ivfpq_range', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM rad WHERE rank <= 20

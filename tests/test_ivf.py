@@ -699,16 +699,93 @@ def test_search_batch_default_salting_is_on(index, queries_df):
 
 
 def test_search_batch_prunes_unprobed_clusters(index, queries_df):
-    """r8 VERDICT #2: the batch route must not shuffle clusters no query
-    probes — the plan carries a broadcast LeftSemi of the nlist-bounded
-    probed-cluster set against the corpus scan."""
+    """r8 VERDICT #2 (reshaped r10, VERDICT r9 #1): at LOW probe
+    coverage the batch routes must not shuffle clusters no query probes
+    — the probed set is collected (nlist-bounded) and pruned as a
+    STATIC partition filter (``cluster_id IN (...)`` at the scan,
+    strictly stronger than the r9 runtime semi-join); at coverage ≥
+    PRUNE_SKIP_COVERAGE the prune machinery is skipped outright (its
+    fixed overhead buys nothing when every list is probed)."""
+    import re
+
     from deployment_spark.plans import audit
 
     df = index.search_batch(queries_df, k=3, nprobe=2)
     plan = audit.physical_plan(df)
-    assert "LeftSemi" in plan, plan
+    pf = re.findall(r"PartitionFilters: \[[^\]]*cluster_id[^\]]*IN[^\]]*\]", plan)
+    assert pf, plan
+    assert "LeftSemi" not in plan, plan  # replaced by the static filter
     dfr = index.range_search_batch(queries_df, radius=0.3, nprobe=2)
-    assert "LeftSemi" in audit.physical_plan(dfr)
+    rplan = audit.physical_plan(dfr)
+    assert re.findall(
+        r"PartitionFilters: \[[^\]]*cluster_id[^\]]*IN[^\]]*\]", rplan
+    ), rplan
+    # full coverage: no prune machinery at all (coverage gate)
+    full = index.search_batch(queries_df, k=3, nprobe=10**9)
+    fplan = audit.physical_plan(full)
+    assert "LeftSemi" not in fplan
+    assert not re.findall(
+        r"PartitionFilters: \[[^\]]*cluster_id[^\]]*IN[^\]]*\]", fplan
+    ), fplan
+
+
+def test_cluster_stats_metadata(spark, tmp_path, embeddings, queries_df):
+    """r10 (VERDICT r9 #1/#2): per-cluster row counts are persisted as
+    index metadata at build time, keyed by the data path; the salting
+    decision and the prune-coverage check are metadata LOOKUPS — a
+    repeated search_batch on an unchanged index never re-runs the count
+    job, and a data-path change (new store snapshot) invalidates by
+    token, not by mtime."""
+    import json as _json
+    import os as _os
+    from unittest import mock
+
+    idx = IVFIndex(spark, str(tmp_path / "stats")).build(embeddings, nlist=4)
+    path = _os.path.join(idx.root, "cluster_stats.json")
+    assert _os.path.exists(path)
+    with open(path) as f:
+        d = _json.load(f)
+    assert d["data_token"] == idx._data_path
+    truth = {
+        int(r["cluster_id"]): r["n"]
+        for r in idx.data().groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert idx.cluster_counts() == truth
+    # a FRESH object (cold memo) must answer from the file, zero jobs:
+    # write_cluster_stats is the only code path that runs the count
+    fresh = IVFIndex(spark, idx.root)
+    with mock.patch.object(
+        IVFIndex, "write_cluster_stats", side_effect=AssertionError("count job ran")
+    ):
+        assert fresh.cluster_counts(refresh_if_missing=True) == truth
+        # and the batch routes' decisions run off that metadata
+        fresh.search_batch(queries_df, k=3, nprobe=2)
+        fresh.range_search_batch(queries_df, radius=0.3, nprobe=2)
+    # token invalidation: point the same root at EXTERNAL data — stale
+    # stats must NOT be served (path token mismatch), and a refresh
+    # recomputes + persists under the new token
+    ext = str(tmp_path / "extdata")
+    idx.data().write.mode("overwrite").partitionBy("cluster_id").parquet(ext)
+    ext_idx = IVFIndex(spark, idx.root, data_path=ext)
+    assert ext_idx.cluster_counts() is None
+    assert ext_idx.cluster_counts(refresh_if_missing=True) == truth
+    with open(path) as f:
+        assert _json.load(f)["data_token"] == ext
+
+    # the salting decision consumes the metadata (counts != None)
+    seen = {}
+    from deployment_spark.operators import similarity as sim
+
+    orig = sim._maybe_salt_hot_groups
+
+    def spy(q, c, counts_src, bound, group_key="cluster_id", counts=None):
+        seen["counts"] = counts
+        return orig(q, c, counts_src, bound, group_key, counts)
+
+    with mock.patch.object(sim, "_maybe_salt_hot_groups", spy):
+        idx.search_batch(queries_df, k=3, nprobe=2)
+    assert seen["counts"] is not None
+    assert set(seen["counts"]) <= set(truth)
 
 
 def test_search_batch_tolerates_null_corpus_vectors(
@@ -830,3 +907,103 @@ def test_drift_triggered_retrain_relayouts_store(spark, sf_dir, tmp_path):
         for r in topk_similarity_join_expr(corpus, queries, k=5).collect()
     }
     assert got == want
+
+
+def test_drift_retrain_mor_relayout_touches_only_moved_rows(
+    spark, sf_dir, tmp_path
+):
+    """r10 (VERDICT r9 #4): on a mor store the drift relayout must be
+    TOUCHED-ROWS-ONLY — after the retrain fires, (1) every segment file
+    that existed before is byte-identical (unmoved rows never
+    rewritten), (2) the store's visible assignment still matches the
+    new quantizer for EVERY row (last-wins shadows the stale copies),
+    and (3) the physical rows written by the relayout equal exactly the
+    moved-row count — O(moved), not O(corpus)."""
+    import glob
+    import hashlib
+    import os
+
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.streaming.ingest import ingest_to_store
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b0 = emb.filter(F.col("vec_id") < 100)
+    b_shift = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(5.0)).alias("embedding"),
+    )
+    idx = IVFIndex(spark, str(tmp_path / "mor_drift_ivf")).build(b0, nlist=4)
+    baseline = idx.drift_score(b0)
+    landing = str(tmp_path / "mor_landing")
+    b0.coalesce(1).write.parquet(f"{landing}/b=000")
+    store = SnapshotStore(
+        spark, str(tmp_path / "mor_drift_store"), key="vec_id", mode="mor"
+    )
+    fired = []
+    drift = {
+        "index": idx,
+        "baseline": baseline,
+        "threshold": 2.0,
+        "on_retrain": lambda bid, score: fired.append(bid),
+    }
+
+    def drain():
+        q = ingest_to_store(
+            (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(landing)
+            ),
+            store,
+            str(tmp_path / "mor_drift_ckpt"),
+            transform=idx.assign,
+            drift_retrain=drift,
+        )
+        q.awaitTermination(180)
+
+    drain()  # stage 1: build-distribution corpus lands, monitor quiet
+    assert fired == []
+    old_assign = {
+        r.vec_id: r.cluster_id
+        for r in store.read().select("vec_id", "cluster_id").collect()
+    }
+
+    def seg_files():
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(store.root, "s*", "**"), recursive=True)
+            if os.path.isfile(p)
+        }
+
+    before = seg_files()
+    b_shift.coalesce(1).write.parquet(f"{landing}/b=001")
+    drain()  # stage 2: shifted batch → retrain + touched-rows relayout
+    assert fired == [1]
+    after = seg_files()
+    for p, h in before.items():  # (1) unmoved rows' files byte-identical
+        assert after.get(p) == h, p
+    # (2) visible layout complete under the NEW quantizer
+    relabeled = idx.assign(store.read().drop("cluster_id")).withColumnRenamed(
+        "cluster_id", "want"
+    )
+    mismatch = (
+        store.read()
+        .select("vec_id", "cluster_id")
+        .join(relabeled.select("vec_id", "want"), "vec_id")
+        .filter(F.col("cluster_id") != F.col("want"))
+        .count()
+    )
+    assert mismatch == 0
+    # (3) relayout wrote exactly the moved rows: live physical rows =
+    # corpus + moved (shadow copies) + the new batch's own segment
+    new_assign = {
+        r.vec_id: r.cluster_id for r in idx.assign(b0).collect()
+    }
+    moved = sum(1 for v in old_assign if new_assign[v] != old_assign[v])
+    assert 0 < moved < len(old_assign), moved  # a real partial relayout
+    m = store._read_manifest(store.current_version())
+    phys = sum(e["rows"] for e in m["segments"])
+    assert phys == len(old_assign) + moved + b_shift.count()

@@ -401,17 +401,23 @@ def test_blocked_topk_plan_shape(spark, sf_dir, tmp_path):
 
 
 def test_batch_ann_plan_shape(spark, sf_dir, tmp_path):
-    """search_batch's MAIN-query plan budget (r9 shape): the routing
-    table is lazily localCheckpointed — its blocked-top-k lineage (2
-    exchanges + its own pandas stage, pinned by the blocked-plan test
-    above) runs once at materialization and shows in THIS plan as a
-    checkpoint scan. What remains: the broadcast LeftSemi pruning the
-    corpus to probed clusters, 1 exchange for the cluster groupBy, the
-    global window's partial/final pair — ≤ 3 exchanges, exactly ONE
-    pandas group stage (cluster scoring), and NEVER a cartesian
-    product. An extra exchange means the probed-pair replication got
-    re-shuffled; a second pandas stage means the checkpoint stopped
-    truncating the routing lineage (each consumer would re-run it)."""
+    """search_batch's MAIN-query plan budget (r9 shape, r10 prune): the
+    routing table is lazily localCheckpointed — its blocked-top-k
+    lineage (2 exchanges + its own pandas stage, pinned by the
+    blocked-plan test above) runs once at materialization and shows in
+    THIS plan as a checkpoint scan. What remains: the corpus scan
+    pruned to probed clusters by a STATIC partition filter (r10 —
+    the probed set is nlist-bounded and collected, so the filter is
+    ``cluster_id IN (...)`` applied at file listing; the r9 broadcast
+    semi-join and its exchange are gone), 1 exchange for the cluster
+    groupBy, the global window's partial/final pair — ≤ 3 exchanges,
+    exactly ONE pandas group stage (cluster scoring), and NEVER a
+    cartesian product. An extra exchange means the probed-pair
+    replication got re-shuffled; a second pandas stage means the
+    checkpoint stopped truncating the routing lineage (each consumer
+    would re-run it)."""
+    import re
+
     from deployment_spark.operators.ivf import IVFIndex
     from deployment_spark.plans import audit
     from pyspark.sql import functions as F
@@ -421,11 +427,16 @@ def test_batch_ann_plan_shape(spark, sf_dir, tmp_path):
     q = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    df = idx.search_batch(q, k=5, nprobe=4)
+    # nprobe=2: ≤ 12 of 16 clusters probed by construction (6 queries ×
+    # 2 probes), below the PRUNE_SKIP_COVERAGE gate — the prune is live
+    df = idx.search_batch(q, k=5, nprobe=2)
     plan = audit.physical_plan(df)
     assert audit.count_exchanges(df) <= 3, plan
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
-    assert "LeftSemi" in plan, plan  # unprobed clusters pruned pre-shuffle
+    assert re.findall(
+        r"PartitionFilters: \[[^\]]*cluster_id[^\]]*IN[^\]]*\]", plan
+    ), plan  # unprobed clusters pruned at the scan's file listing
+    assert "LeftSemi" not in plan, plan
     assert "CartesianProduct" not in plan
 
 

@@ -98,3 +98,16 @@ def test_ivf_batch_recall_meets_floor(spark):
     rows = _floor_rows(q_ivf_batch_recall, spark)
     assert all(r.meets_floor for r in rows), rows[0].mean_recall
     assert all(abs(r.mean_recall - 1.0) < 1e-9 for r in rows)
+
+
+def test_ivf_graph_recall_meets_floor(spark):
+    """r10 (V8 closure): the graph-assisted arm must clear its floor AND
+    strictly lift the deliberately starved seed — the monotone-superset
+    argument made measurable."""
+    from deployment_spark.queries import q_ivf_graph_recall
+
+    rows = _floor_rows(q_ivf_graph_recall, spark)
+    assert all(r.meets_floor for r in rows), (
+        rows[0].mean_recall_seed, rows[0].mean_recall_graph
+    )
+    assert rows[0].mean_recall_graph > rows[0].mean_recall_seed

@@ -573,3 +573,48 @@ def test_auto_router_nq_hint_skips_count(spark, embeddings):
             df = topk_similarity_join_auto(embeddings, q, k=3, nq=hint)
         got = {(r.query_id, r.rank): r.vec_id for r in df.collect()}
         assert got == want, label
+
+
+def test_broadcast_ceiling_is_dim_aware(spark):
+    """r10 (VERDICT r9 #5): the auto routers' broadcast ceiling is a
+    BYTES budget divided by the query dimensionality, not a fixed row
+    count — the switch point must move with d (halve at 2×d, grow at
+    d=64), preserve the d=384 derivation exactly, honor a caller dim
+    hint without probing, and fall back safely on an empty frame."""
+    from unittest import mock
+
+    from deployment_spark.operators import similarity as sim
+
+    def qdf(d):
+        return spark.createDataFrame(
+            [(1, [0.1] * d)], "query_id long, query_vec array<double>"
+        )
+
+    assert sim._broadcast_query_ceiling(qdf(384), "query_vec") == 65536
+    assert sim._broadcast_query_ceiling(qdf(768), "query_vec") == 32768
+    assert sim._broadcast_query_ceiling(qdf(64), "query_vec") == 393216
+    # dim hint wins over the frame (and must not probe it)
+    frame = qdf(64)
+    with mock.patch.object(
+        type(frame), "first", side_effect=AssertionError("probed despite hint")
+    ):
+        assert sim._broadcast_query_ceiling(frame, "query_vec", dim=768) == 32768
+    empty = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    assert sim._broadcast_query_ceiling(empty, "query_vec") == 65536
+    # and the routers consume it: at d=64, nq=70k stays broadcast (the
+    # old fixed 65536 ceiling would have routed it to blocked); above
+    # the derived ceiling the blocked path fires
+    routed = {}
+    with mock.patch.object(
+        sim, "topk_similarity_join",
+        side_effect=lambda *a, **k: routed.setdefault("route", "bcast"),
+    ), mock.patch.object(
+        sim, "topk_similarity_join_blocked",
+        side_effect=lambda *a, **k: routed.setdefault("route", "blocked"),
+    ):
+        sim.topk_similarity_join_auto(qdf(64), qdf(64), k=3, nq=70_000)
+        assert routed.pop("route") == "bcast"
+        sim.topk_similarity_join_auto(qdf(64), qdf(64), k=3, nq=400_000)
+        assert routed.pop("route") == "blocked"
+        sim.topk_similarity_join_auto(qdf(768), qdf(768), k=3, nq=70_000)
+        assert routed.pop("route") == "blocked"

@@ -125,6 +125,8 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
     from deployment_spark.queries import (
         IVF_BATCH_FLOOR,
         IVF_DISTRIBUTED_FLOOR,
+        IVF_GRAPH_FLOOR,
+        IVF_GRAPH_SEED_FLOOR,
         IVF_RECALL_FLOOR,
         IVFPQ_BATCH_FLOOR,
         IVFPQ_RERANK_FLOOR,
@@ -189,6 +191,25 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
             .select("query_id", "vec_id").collect()
         ),
         IVF_BATCH_FLOOR,
+    )
+
+    # r10 (V8 closure): the starved seed and its graph-assisted lift —
+    # approximate sets from the engine's graph_assisted_topk (the object
+    # under test), exact set + arithmetic independent as everywhere
+    from deployment_spark.operators.knn import graph_assisted_topk, knn_graph
+
+    seed_df = ivf_index.search(raw_queries, k=k, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    specs[("ivf", "seed")] = (_pairs_to_sets(seed_df.collect()), IVF_GRAPH_SEED_FLOOR)
+    specs[("ivf", "graph")] = (
+        _pairs_to_sets(
+            graph_assisted_topk(
+                emb, raw_queries, seed_df, knn_graph(emb, k=10), k=k, hops=1
+            )
+            .select("query_id", "vec_id").collect()
+        ),
+        IVF_GRAPH_FLOOR,
     )
 
     pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
