@@ -204,8 +204,15 @@ def main() -> None:
     # necessarily includes us). If the host stays busy past the wait
     # budget, run anyway but stamp the payload loaded_host=true so the
     # round record carries the annotation instead of silent noise.
+    # r10 (VERDICT r9 #5/#7): the r9 round artifact was captured at load
+    # 3.3 while the quiet close runs read ~17% faster — the committed
+    # JSON and the close record must be the same capture. Budget raised
+    # 300 → 900 s (a quiet window on this host reliably appears within
+    # that), and a run that STILL starts loaded announces itself with an
+    # unmissable banner in addition to the loaded_host payload stamp, so
+    # a loaded capture can never be committed silently.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "900"))
     external_load = os.getloadavg()[0]
     waited = 0.0
     while external_load > max_load and waited < wait_budget:
@@ -219,6 +226,16 @@ def main() -> None:
         waited += 20
         external_load = os.getloadavg()[0]
     loaded_host = external_load > max_load
+    if loaded_host:
+        print(
+            "=" * 72
+            + f"\nbench: RUNNING LOADED (external load {external_load:.1f} > "
+            f"{max_load} after {wait_budget:.0f}s wait) — this capture is "
+            "NOT a valid round-record artifact; rerun on a quiet host "
+            "before committing it\n" + "=" * 72,
+            file=sys.stderr,
+            flush=True,
+        )
     spark = get_spark(app_name="deployment-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

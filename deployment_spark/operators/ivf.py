@@ -853,6 +853,9 @@ class IVFIndex:
                 query_id=query_id,
                 query_vec=query_vec,
                 num_query_blocks=num_query_blocks,
+                # centroid-table size is free index metadata — skip the
+                # blocked router's corpus-side sizing count (r10)
+                num_corpus_blocks=max(1, -(-self.nlist() // 8192)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)
@@ -988,6 +991,9 @@ class IVFIndex:
                 query_id=query_id,
                 query_vec=query_vec,
                 num_query_blocks=num_query_blocks,
+                # centroid-table size is free index metadata — skip the
+                # blocked router's corpus-side sizing count (r10)
+                num_corpus_blocks=max(1, -(-self.nlist() // 8192)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)

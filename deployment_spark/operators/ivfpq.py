@@ -489,6 +489,9 @@ class IVFPQIndex:
                 query_id=query_id,
                 query_vec=query_vec,
                 num_query_blocks=num_query_blocks,
+                # centroid-table size is free index metadata — skip the
+                # blocked router's corpus-side sizing count (r10)
+                num_corpus_blocks=max(1, -(-self.ivf.nlist() // 8192)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)

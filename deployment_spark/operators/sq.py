@@ -114,11 +114,47 @@ class SQCodec:
         return cls(np.asarray(d["lo"]), np.asarray(d["hi"]))
 
     # --------------------------------------------------------------- encode
+    def clipped_dims_expr(self, vec_col):
+        """Column: number of components of ``vec_col`` OUTSIDE the
+        trained [lo, hi] ranges (r10, r9 ADVICE). Encode CLIPS such
+        components, so their reconstruction error is unbounded and
+        ``margin_expr``'s exactness claim silently degrades for the
+        row — this expression is the cheap (pure-codegen) detector:
+        sum it over a drifted ingest batch before encoding, or use
+        ``encode(assert_in_range=True)`` to fail loudly instead."""
+        lo, hi = _lit_array(self.lo), _lit_array(self.hi)
+        c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return F.aggregate(
+            F.transform(
+                c,
+                lambda x, i: F.when(
+                    (x < F.element_at(lo, i + F.lit(1)))
+                    | (x > F.element_at(hi, i + F.lit(1))),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
     def encode(
-        self, df: DataFrame, vec_col: str = "embedding", codes_col: str = "codes"
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        codes_col: str = "codes",
+        assert_in_range: bool = False,
     ) -> DataFrame:
         """Append ``codes_col`` (array<tinyint>, 1 B/dim) and drop the
-        float column — the on-disk index format. Pure codegen."""
+        float column — the on-disk index format. Pure codegen.
+
+        ``assert_in_range`` (r10, r9 ADVICE): components outside the
+        trained ranges CLIP — with unbounded reconstruction error, which
+        silently voids ``margin_expr``'s exact-range-search bound for
+        that row. With this flag the encode plan raises at the first
+        out-of-range row (codegen ``raise_error``, no extra scan) so a
+        drifted corpus fails loudly at ingest instead of missing range
+        hits at query time; the fix is retraining the codec
+        (``ingest_to_store`` drift_retrain is the streaming hook)."""
         lo, sc = _lit_array(self.lo), _lit_array(self.scale)
         code = F.transform(
             F.col(vec_col),
@@ -133,6 +169,24 @@ class SQCodec:
                 - F.lit(128.0)
             ).cast("tinyint"),
         )
+        if assert_in_range:
+            # the guard wraps the CODE expression itself (a detached
+            # guard column would be pruned away as dead code and never
+            # evaluated)
+            code = F.when(
+                self.clipped_dims_expr(vec_col) > 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "SQCodec.encode: vector outside trained "
+                            "ranges (margin bound would be void) — "
+                            "retrain the codec; offending row has "
+                        ),
+                        self.clipped_dims_expr(vec_col).cast("string"),
+                        F.lit(" clipped dim(s)"),
+                    )
+                ),
+            ).otherwise(code)
         return df.withColumn(codes_col, code).drop(vec_col)
 
     def margin_expr(self, vec_col):

@@ -4443,7 +4443,12 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r8, 9th/10th probes) drive range search ON THE IVF INDEX
     (IVFIndex.range_search and its corpus-scale batch twin
     range_search_batch) at full probe, hash-pinning both index-path
-    plumbings to the flat radius oracle."""
+    plumbings to the flat radius oracle; ``ivfsq_range`` (r9, 11th)
+    and ``ivfpq_range`` (r10, 12th) drive the error-bounded range
+    searches over the two COMPRESSED composed indexes — SQ8's per-dim
+    quantizer margin and PQ's per-row stored reconstruction residual
+    respectively — each exact-refined, so both pin to the same flat
+    radius oracle."""
     from deployment_spark.operators.similarity import (
         enrich_topk,
         grouped_topk,

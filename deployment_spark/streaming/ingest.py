@@ -119,19 +119,30 @@ def ingest_to_store(
                 reassigned = idx.assign(existing, vec_col=vec_col)
                 if store.mode == "mor" and "cluster_id" in stored.columns:
                     # touched-rows-only relayout (r10): rewrite ONLY the
-                    # rows whose list changed — O(moved), not O(corpus)
-                    moved = (
-                        reassigned.join(
-                            stored.select(
-                                store.key,
-                                F.col("cluster_id").alias("_old_cluster"),
-                            ),
-                            store.key,
-                        )
+                    # rows whose list changed — O(moved) write, not
+                    # O(corpus). The who-moved comparison shuffles just
+                    # (key, old, new) — never the vector payload — and
+                    # the moved rows are then fetched by a semi-join
+                    # against that key set (broadcastable at bounded
+                    # drift fractions; AQE picks the shape).
+                    # who-moved in ONE corpus pass: the OLD assignment is
+                    # a narrow (key, cluster) projection — broadcast it
+                    # when the store's O(1) row gauge says it fits, so
+                    # the full-width reassigned frame is never shuffled;
+                    # beyond the broadcast bound (or with the gauge
+                    # unknown after deletes) fall back to the shuffle
+                    # join any who-moved comparison fundamentally needs.
+                    old_narrow = stored.select(
+                        store.key, F.col("cluster_id").alias("_old_cluster")
+                    )
+                    n_rows = store.tracked_rows()
+                    if n_rows is not None and n_rows <= 10_000_000:
+                        old_narrow = F.broadcast(old_narrow)
+                    store.upsert(
+                        reassigned.join(old_narrow, store.key)
                         .filter(F.col("cluster_id") != F.col("_old_cluster"))
                         .drop("_old_cluster")
                     )
-                    store.upsert(moved)
                 else:
                     store.replace(reassigned)
                 # re-baseline under the new quantizer: the monitor keeps

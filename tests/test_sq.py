@@ -209,3 +209,37 @@ def test_search_batch_recall_on_fixture(norm_emb, codec):
         ).collect()
     }
     assert len(a & b) / len(a) >= 0.9
+
+
+def test_encode_clip_guard_fails_loudly_on_drifted_rows(spark, norm_emb):
+    """r10 (r9 ADVICE): components outside the trained ranges CLIP with
+    unbounded error, silently voiding margin_expr's exact-range bound —
+    clipped_dims_expr detects them and encode(assert_in_range=True)
+    raises instead of encoding garbage. In-range corpora are untouched
+    (guard is a no-op wrapper on the same codegen expression)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from deployment_spark.operators.sq import SQCodec
+
+    codec = SQCodec.train(norm_emb)
+    # in-range: guard passes, codes identical to the unguarded encode
+    a = codec.encode(norm_emb, assert_in_range=True).orderBy("vec_id").collect()
+    b = codec.encode(norm_emb).orderBy("vec_id").collect()
+    assert [r.codes for r in a] == [r.codes for r in b]
+    # counter: a shifted row reports its out-of-range dims
+    drifted = norm_emb.limit(1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(100.0)).alias("embedding"),
+    )
+    n_bad = drifted.select(
+        codec.clipped_dims_expr("embedding").alias("n")
+    ).first()["n"]
+    assert n_bad == codec.dim
+    assert norm_emb.select(
+        F.sum(codec.clipped_dims_expr("embedding")).alias("s")
+    ).first()["s"] == 0
+    # loud failure: encoding the drifted row raises
+    with _pytest.raises(Exception, match="outside trained ranges"):
+        codec.encode(drifted, assert_in_range=True).collect()

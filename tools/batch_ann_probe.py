@@ -467,6 +467,151 @@ def salting_probe() -> None:
     spark.stop()
 
 
+def coverage_probe() -> None:
+    """r10 (VERDICT r9 #1/#2): measure what the coverage gate + metadata
+    stats save at FULL probe coverage — the regime where the r9 prune
+    machinery (probed-distinct broadcast + semi-join) and the per-call
+    salting count job were pure fixed overhead. Same 16-equal-blob
+    fixture as the pruning probe; queries replicate ALL 16 centroid
+    directions so every cluster is probed by construction. Arms:
+
+    - ``r10``: ``search_batch`` as shipped — coverage gate skips the
+      prune with no job (nprobe ≥ 0.8·nlist), salting decision reads
+      persisted cluster stats. Construction-time Spark jobs are counted
+      via a job group (the 'zero count jobs' claim, measured).
+    - ``r9_ref``: the pre-r10 plan reconstructed locally — semi-join
+      against the distinct probed set + a per-call count collect for
+      the salting decision — on identical data.
+    """
+    from deployment_spark import get_spark
+    from deployment_spark.operators.ivf import IVFIndex
+    from deployment_spark.operators.similarity import (
+        _cid_sort_kind,
+        _grouped_pair_topk,
+        _maybe_salt_hot_groups,
+        topk_similarity_join_blocked,
+    )
+    from pyspark.sql import functions as F, Window
+
+    spark = get_spark(app_name="coverage-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import numpy as np
+
+    DIM, K, NLIST, RUNS, NQ = 64, 5, 16, 3, 2_000
+    PER = 8_000
+    cents = np.zeros((NLIST, DIM))
+    for c in range(NLIST):
+        cents[c, c] = 10.0
+    blobs = None
+    for c in range(NLIST):
+        b = spark.range(PER).select(
+            (F.col("id") + c * PER).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: F.when(i == c + 1, F.lit(10.0)).otherwise(
+                    F.sin((F.col("id") + c * PER) * i * 0.7213) * 0.05
+                ),
+            ).cast("array<double>").alias("embedding"),
+        )
+        blobs = b if blobs is None else blobs.unionByName(b)
+    root = tempfile.mkdtemp(prefix="coverage_probe_")
+    idx = IVFIndex(spark, os.path.join(root, "ivf")).build_from_centroids(
+        blobs, cents
+    )
+    cmat = idx.centroids()
+    allq = spark.createDataFrame(
+        [(i, [float(x) for x in cmat[i % NLIST]]) for i in range(NQ)],
+        "query_id long, query_vec array<double>",
+    ).cache()
+    allq.count()
+
+    def r10():
+        return idx.search_batch(allq, k=K, nprobe=NLIST)
+
+    def r9_ref():
+        # the pre-r10 plan at full coverage: semi-join prune that
+        # filters nothing + per-call count job for the salting decision
+        data = idx.data()
+        cid_kind = _cid_sort_kind(data.schema["vec_id"].dataType, "probe")
+        probes = topk_similarity_join_blocked(
+            idx.centroids_df(), allq, k=NLIST,
+            corpus_id="cluster_id", corpus_vec="centroid",
+            query_id="query_id", query_vec="query_vec",
+        ).select("query_id", "cluster_id").localCheckpoint(eager=False)
+        q = allq.join(probes, "query_id").select(
+            F.col("query_id").cast("string").alias("_qid"),
+            F.lit(None).cast("string").alias("_cid"),
+            F.col("query_vec").cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        data = data.join(
+            F.broadcast(probes.select("cluster_id").distinct()),
+            "cluster_id", "left_semi",
+        )
+        c = data.filter(F.col("embedding").isNotNull()).select(
+            F.lit(None).cast("string").alias("_qid"),
+            F.col("vec_id").cast("string").alias("_cid"),
+            F.col("embedding").cast("array<double>").alias("_vec"),
+            F.col("cluster_id").alias("_g"),
+        )
+        q, c, group_cols = _maybe_salt_hot_groups(
+            q, c, data.select("cluster_id"), 8192  # counts=None: r9 count job
+        )
+        cand = _grouped_pair_topk(
+            q.unionByName(c.select(*q.columns)), group_cols, K, "cosine",
+            cid_kind,
+        )
+        w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_cid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+        )
+
+    # parity first
+    a = {(str(r.query_id), r.rank): str(r.vec_id) for r in r10().collect()}
+    b = {(r._qid, r.rank): r._cid for r in r9_ref().collect()}
+    assert a == b, "coverage-gated plan diverged from the r9 reference"
+
+    # construction-time jobs of the shipped plan (the zero-count-job claim)
+    sc = spark.sparkContext
+    sc.setJobGroup("cov-construct", "r10 plan construction")
+    _ = idx.search_batch(allq, k=K, nprobe=NLIST)
+    construct_jobs = len(sc.statusTracker().getJobIdsForGroup("cov-construct"))
+    sc.setJobGroup("cov-rest", "timings")
+
+    results = {}
+    for mode, fn in (("r9_ref", r9_ref), ("r10", r10)):
+        fn().count()
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn().count()
+            ts.append(time.time() - t0)
+        results[mode] = round(min(ts), 3)
+        print(json.dumps({"mode": mode, "best_sec": results[mode]}), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "probe": "coverage_gate",
+                "nlist": NLIST,
+                "nq": NQ,
+                "corpus_rows": PER * NLIST,
+                "construction_jobs_r10": construct_jobs,
+                "r9_ref_sec": results["r9_ref"],
+                "r10_sec": results["r10"],
+                "overhead_removed_sec": round(
+                    results["r9_ref"] - results["r10"], 3
+                ),
+                "speedup": round(results["r9_ref"] / results["r10"], 2),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--salting" in sys.argv:
         salting_probe()
@@ -474,5 +619,7 @@ if __name__ == "__main__":
         corpus_growth_probe()
     elif "--pruning" in sys.argv:
         pruning_probe()
+    elif "--coverage" in sys.argv:
+        coverage_probe()
     else:
         main()
