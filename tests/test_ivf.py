@@ -1007,3 +1007,39 @@ def test_drift_retrain_mor_relayout_touches_only_moved_rows(
     m = store._read_manifest(store.current_version())
     phys = sum(e["rows"] for e in m["segments"])
     assert phys == len(old_assign) + moved + b_shift.count()
+
+
+def test_batch_prune_plan_decision_tiers(spark, tmp_path, embeddings, queries_df):
+    """r10: the prune decision's three tiers, unit-pinned. (1) nprobe ≥
+    0.8·non-empty-lists skips with NO probed collect; (2) low measured
+    coverage returns the collected probed list and counts filtered to
+    it; (3) a probed set above PRUNE_ISIN_MAX falls back to the
+    broadcast semi-join instead of a plan-bloating literal."""
+    from unittest import mock
+
+    from deployment_spark.operators import ivf as ivf_mod
+    from deployment_spark.plans import audit
+
+    idx = IVFIndex(spark, str(tmp_path / "tiers")).build(embeddings, nlist=8)
+    probes = spark.createDataFrame(
+        [(0, 1), (1, 2)], "query_id long, cluster_id int"
+    )
+    # tier 1: free skip — collecting the probed set would be a bug here
+    with mock.patch.object(
+        type(probes), "distinct", side_effect=AssertionError("collected")
+    ):
+        probed, counts = idx.batch_prune_plan(probes, nprobe=7)  # 7 ≥ .8·8
+    assert probed is None and counts is not None
+    # tier 2: measured low coverage → collected list + filtered counts
+    probed, counts = idx.batch_prune_plan(probes, nprobe=1)
+    assert probed == [1, 2]
+    assert set(counts) == {1, 2}
+    # tier 3: oversized probed set → semi-join, not a literal
+    with mock.patch.object(ivf_mod, "PRUNE_ISIN_MAX", 1):
+        pruned = idx._apply_cluster_prune(idx.data(), [1, 2])
+    plan = audit.physical_plan(pruned)
+    assert "LeftSemi" in plan, plan
+    small = idx._apply_cluster_prune(idx.data(), [1, 2])
+    assert "LeftSemi" not in audit.physical_plan(small)
+    # both prune shapes keep the same rows
+    assert pruned.count() == small.count() > 0
