@@ -324,6 +324,7 @@ def graph_assisted_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Graph-assisted ANN re-ranking (r10, VERDICT r9 #8 — the V8/HNSW
     closure): cheap per-query SEED candidates (an IVF pruned search, an
@@ -332,6 +333,13 @@ def graph_assisted_topk(
     ``hops`` rounds of neighbor-of-candidate growth), the union is
     scored EXACTLY against the full vectors, and one window takes the
     final top-k per query.
+
+    ``broadcast_queries`` is the usual interactive/batch duality: True
+    (default) broadcasts the nq-scale query batch into the scoring
+    join — the FAISS interactive contract; False shuffle-joins instead,
+    for CORPUS-SIZED query sets (seeds from ``search_batch``) where no
+    task may hold the query matrix. Results are identical — the knob
+    only picks the join strategy (parity-pinned in tests).
 
     This is HNSW's load-bearing idea — "a near neighbor's neighbors
     are near" — expressed Spark-first: instead of a serving-side
@@ -376,11 +384,11 @@ def graph_assisted_topk(
         )
         cand = cand.unionByName(frontier)
     cand = cand.distinct()
-    qv = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
-        )
+    qv = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     )
+    if broadcast_queries:
+        qv = F.broadcast(qv)
     scored = (
         cand.join(
             corpus.select(

@@ -201,3 +201,29 @@ def test_graph_assisted_topk_lifts_starved_seed(spark, embeddings):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         sims = [x[2] for x in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_graph_assisted_batch_join_parity(spark, embeddings):
+    """broadcast_queries=False (the corpus-scale-seed contract: shuffle
+    join, no task holds the query matrix) must return the identical
+    ranking — the knob picks a join strategy, never an answer."""
+    from deployment_spark.operators.knn import graph_assisted_topk
+    from deployment_spark.queries import _ivf_index
+
+    idx, emb = _ivf_index(spark, "/root/testdata/sf0.001")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    seeds = idx.search_batch(q, k=5, nprobe=2).select("query_id", "vec_id")
+    graph = knn_graph(emb, k=8)
+    a = {
+        (r.query_id, r.rank): r.vec_id
+        for r in graph_assisted_topk(emb, q, seeds, graph, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.rank): r.vec_id
+        for r in graph_assisted_topk(
+            emb, q, seeds, graph, k=5, broadcast_queries=False
+        ).collect()
+    }
+    assert a == b
