@@ -305,6 +305,10 @@ class IVFPQIndex:
 
         pruned = (
             codes.filter(F.col("cluster_id").isin(probed))  # partition pruning
+            # null-CODE rows are unscorable and excluded (the family's
+            # r8 null-tolerance contract — they would crash the b''.join
+            # gather); a null RESID is handled below as "bound unknown"
+            .filter(F.col("code").isNotNull())
             .join(F.broadcast(routing_df), "cluster_id")  # per-query routing
             .select(
                 F.col(query_id).alias("_qid"),
@@ -331,7 +335,14 @@ class IVFPQIndex:
                 ).reshape(-1, m)
                 qi = pdf["_qid"].map(qidx_map).to_numpy()
                 adc = lut_all[qi[:, None], gather, codes_arr].sum(axis=1)
-                resid = pdf["resid"].to_numpy(dtype=np.float64)
+                # a null resid (externally-maintained codes row) means
+                # "bound unknown": NaN would make the comparison False
+                # and SILENTLY drop a possible true hit — map it to +inf
+                # so the row always survives to the exact refine, which
+                # decides membership
+                resid = np.nan_to_num(
+                    pdf["resid"].to_numpy(dtype=np.float64), nan=np.inf
+                )
                 # no true hit can fail: exact ≥ rad ⇒ adc ≥ exact − resid
                 keep = adc >= rad - resid - 1e-9
                 if not keep.any():

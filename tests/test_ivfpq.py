@@ -317,3 +317,54 @@ def test_range_search_requires_resid_column(spark, norm_emb, tmp_path, queries):
     shutil.copytree(str(tmp_path / "legacy_codes"), os.path.join(idx.root, "codes"))
     with _pytest.raises(ValueError, match="resid"):
         idx.range_search(queries, radius=0.3, nprobe=10**9)
+
+
+def test_range_search_tolerates_null_code_and_null_resid(
+    spark, norm_emb, tmp_path, queries
+):
+    """External codes tables can carry null codes (unscorable — excluded,
+    the family's null-tolerance contract) and null residuals (bound
+    unknown — the row must go to the exact refine as a conservative
+    candidate, never be silently NaN-dropped)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    idx = IVFPQIndex(spark, str(tmp_path / "rsnull")).build(
+        norm_emb, nlist=4, m=16, ksub=64
+    )
+    before = {
+        (r.query_id, r.vec_id)
+        for r in idx.range_search(queries, radius=0.3, nprobe=10**9).collect()
+    }
+    codes_path = os.path.join(idx.root, "codes")
+    schema = idx.codes().schema
+    null_code = spark.createDataFrame(
+        [tuple(888_888 if f.name == "vec_id" else (0 if f.name == "cluster_id" else None) for f in schema.fields)],
+        schema,
+    )
+    null_code.write.mode("append").partitionBy("cluster_id").parquet(codes_path)
+    # a real row whose resid is nulled: pick one known hit, rewrite its
+    # codes row with resid=None — it must STILL be reported (exact
+    # refine rescues it through the +inf bound)
+    some_qid, some_vid = sorted(before)[0]
+    rewritten = (
+        idx.codes()
+        .filter(F.col("vec_id") == some_vid)
+        .withColumn("resid", F.lit(None).cast("double"))
+    )
+    rest = idx.codes().filter(
+        (F.col("vec_id") != some_vid) & (F.col("vec_id") != 888_888)
+    )
+    tmp_out = str(tmp_path / "rewritten_codes")
+    rest.unionByName(rewritten).write.partitionBy("cluster_id").parquet(tmp_out)
+    import shutil
+
+    shutil.rmtree(codes_path)
+    shutil.copytree(tmp_out, codes_path)
+    after = {
+        (r.query_id, r.vec_id)
+        for r in idx.range_search(queries, radius=0.3, nprobe=10**9).collect()
+    }
+    assert after == before
+    assert (some_qid, some_vid) in after
