@@ -377,12 +377,25 @@ class IVFIndex:
         counts = self.cluster_counts(refresh_if_missing=True)
         nlist = len(counts) if counts else self.nlist()
         probed = None
+        # tier-1 (no job): nprobe per query bounds the probed-set size,
+        # so nprobe ≥ coverage·non-empty means pruning CANNOT help. The
+        # shortcut is optimistic when centroids outnumber non-empty
+        # lists — many empty clusters make nprobe routings concentrate
+        # on the non-empty few — so it only ever SKIPS the prune early;
+        # tier-2 measures real coverage before committing to one
+        # (ADVICE r10).
         if int(nprobe) < PRUNE_SKIP_COVERAGE * nlist:
             probed = sorted(
                 r["cluster_id"]
                 for r in probes.select("cluster_id").distinct().collect()
             )
-            if len(probed) >= PRUNE_SKIP_COVERAGE * nlist:
+            # tier-2: coverage = |probed ∩ non-empty| / |non-empty| —
+            # probed ids routed to EMPTY lists filter nothing, so they
+            # must not count toward coverage (ADVICE r10).
+            covered = (
+                len(set(probed) & set(counts)) if counts else len(probed)
+            )
+            if covered >= PRUNE_SKIP_COVERAGE * nlist:
                 probed = None
         if counts is not None and probed is not None:
             pset = set(probed)
@@ -818,6 +831,7 @@ class IVFIndex:
         plan CONSTRUCTION may run bounded jobs (probed-set collect,
         once-per-index stats count) — see the note there (r9 ADVICE)."""
         from deployment_spark.operators.similarity import (
+            DEFAULT_BLOCK_ROWS,
             _cid_sort_kind,
             _grouped_pair_hits,
             _maybe_salt_hot_groups,
@@ -855,7 +869,7 @@ class IVFIndex:
                 num_query_blocks=num_query_blocks,
                 # centroid-table size is free index metadata — skip the
                 # blocked router's corpus-side sizing count (r10)
-                num_corpus_blocks=max(1, -(-self.nlist() // 8192)),
+                num_corpus_blocks=max(1, -(-self.nlist() // DEFAULT_BLOCK_ROWS)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)
@@ -962,6 +976,7 @@ class IVFIndex:
         searches should expect that; repeated calls on an unchanged
         index re-run only the probed collect."""
         from deployment_spark.operators.similarity import (
+            DEFAULT_BLOCK_ROWS,
             _cid_sort_kind,
             _grouped_pair_topk,
             _maybe_salt_hot_groups,
@@ -993,7 +1008,7 @@ class IVFIndex:
                 num_query_blocks=num_query_blocks,
                 # centroid-table size is free index metadata — skip the
                 # blocked router's corpus-side sizing count (r10)
-                num_corpus_blocks=max(1, -(-self.nlist() // 8192)),
+                num_corpus_blocks=max(1, -(-self.nlist() // DEFAULT_BLOCK_ROWS)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)

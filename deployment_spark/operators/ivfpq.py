@@ -469,6 +469,7 @@ class IVFPQIndex:
         exact). Output schema identical to :meth:`search`."""
         from deployment_spark.operators.pq import _grouped_adc_topk
         from deployment_spark.operators.similarity import (
+            DEFAULT_BLOCK_ROWS,
             _cid_sort_kind,
             topk_similarity_join_blocked,
         )
@@ -502,7 +503,7 @@ class IVFPQIndex:
                 num_query_blocks=num_query_blocks,
                 # centroid-table size is free index metadata — skip the
                 # blocked router's corpus-side sizing count (r10)
-                num_corpus_blocks=max(1, -(-self.ivf.nlist() // 8192)),
+                num_corpus_blocks=max(1, -(-self.ivf.nlist() // DEFAULT_BLOCK_ROWS)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)

@@ -322,6 +322,7 @@ class IVFSQIndex:
         and tie-breaks identical to :meth:`search` (ADC scores differ
         from the expression path only in summation-order ulps)."""
         from deployment_spark.operators.similarity import (
+            DEFAULT_BLOCK_ROWS,
             _cid_sort_kind,
             _grouped_pair_topk,
             topk_similarity_join_blocked,
@@ -355,7 +356,7 @@ class IVFSQIndex:
                 num_query_blocks=num_query_blocks,
                 # centroid-table size is free index metadata — skip the
                 # blocked router's corpus-side sizing count (r10)
-                num_corpus_blocks=max(1, -(-self.ivf.nlist() // 8192)),
+                num_corpus_blocks=max(1, -(-self.ivf.nlist() // DEFAULT_BLOCK_ROWS)),
             )
             .select(query_id, "cluster_id")
             .localCheckpoint(eager=False)

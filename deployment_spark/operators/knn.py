@@ -313,6 +313,26 @@ def knn_graph_clustered(
     return _final_topk(candidates.dropDuplicates(["src_id", "dst_id"]), kk)
 
 
+def _expand_frontier(cand: DataFrame, edges: DataFrame, hops: int) -> DataFrame:
+    """``hops`` rounds of neighbor-of-candidate growth over the edge
+    table, one distributed join per hop, with a PER-HOP ``distinct()``
+    (VERDICT r10 #2): without it duplicate (query, candidate) rows
+    multiply by graph_k EVERY hop — exponential row amplification on
+    dense graphs at hops≥2. Deduping inside the loop bounds each hop's
+    frontier (and therefore every join input) at nq × |reachable set|,
+    the structural maximum; the union is deduped once more at the end
+    so seeds rediscovered by the graph don't double-score."""
+    frontier = cand
+    for _ in range(hops):
+        frontier = (
+            frontier.join(edges, frontier["_cid"] == edges["_eid"])
+            .select("_qid", F.col("_dst").alias("_cid"))
+            .distinct()
+        )
+        cand = cand.unionByName(frontier)
+    return cand.distinct()
+
+
 def graph_assisted_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -374,16 +394,7 @@ def graph_assisted_topk(
     cand = seeds.select(
         F.col(query_id).alias("_qid"), F.col(corpus_id).alias("_cid")
     )
-    frontier = cand
-    for _ in range(int(hops)):
-        frontier = (
-            frontier.join(
-                edges, frontier["_cid"] == edges["_eid"]
-            )
-            .select("_qid", F.col("_dst").alias("_cid"))
-        )
-        cand = cand.unionByName(frontier)
-    cand = cand.distinct()
+    cand = _expand_frontier(cand, edges, int(hops))
     qv = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     )

@@ -464,16 +464,23 @@ def _maybe_salt_hot_groups(q, c, counts_src, bound, group_key="cluster_id",
             ]
         ),
     )
+    # LEFT join + coalesce(_ns, 1): the counts mapping is advisory
+    # metadata, so a group present in the DATA but absent from the
+    # counts (stale cluster_stats under a mutated-in-place external
+    # path) must default to one salt — an inner join would silently
+    # DROP its corpus rows and query replicas, turning a plan mis-tune
+    # into a wrong answer (ADVICE r10).
+    _ns1 = F.coalesce(F.col("_ns"), F.lit(1)).cast("long")
     c = (
-        c.join(F.broadcast(salts), "_g")
+        c.join(F.broadcast(salts), "_g", "left")
         .withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_ns")).cast("int")
+            "_salt", F.pmod(F.xxhash64(F.col("_cid")), _ns1).cast("int")
         )
         .drop("_ns")
     )
     q = (
-        q.join(F.broadcast(salts), "_g")
-        .withColumn("_salt", F.explode(F.sequence(F.lit(0), (F.col("_ns") - 1).cast("int"))))
+        q.join(F.broadcast(salts), "_g", "left")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), (_ns1 - 1).cast("int"))))
         .drop("_ns")
     )
     return q, c, ["_g", "_salt"]

@@ -136,7 +136,22 @@ def ingest_to_store(
                         store.key, F.col("cluster_id").alias("_old_cluster")
                     )
                     n_rows = store.tracked_rows()
-                    if n_rows is not None and n_rows <= 10_000_000:
+                    # bound the broadcast by estimated BYTES, not rows
+                    # (ADVICE r10): a row-count gauge ignores key width —
+                    # 10M string/uuid keys can be a ~1 GB hash relation
+                    # per executor. Numeric keys cost ~8 B; anything else
+                    # is budgeted at 64 B (uuid-ish). ~64 MB budget keeps
+                    # the relation well inside executor headroom; beyond
+                    # it, AQE picks the join strategy.
+                    _numeric = ("int", "long", "short", "byte",
+                                "float", "double", "date")
+                    key_dt = dict(
+                        (f.name, f.dataType.simpleString())
+                        for f in stored.schema.fields
+                    ).get(store.key, "string")
+                    key_bytes = 8 if key_dt in _numeric else 64
+                    est_bytes = None if n_rows is None else n_rows * (key_bytes + 8)
+                    if est_bytes is not None and est_bytes <= 64 * 1024 * 1024:
                         old_narrow = F.broadcast(old_narrow)
                     store.upsert(
                         reassigned.join(old_narrow, store.key)

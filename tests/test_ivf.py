@@ -662,6 +662,39 @@ def test_maybe_salt_skips_balanced_and_salts_hot(spark, embeddings):
     assert cols4 == ["_g"]
 
 
+def test_maybe_salt_unknown_group_survives(spark):
+    """ADVICE r10 (medium): a group present in the DATA but missing from
+    the precomputed counts mapping (stale cluster_stats.json under an
+    unchanged token) must survive the salt joins with one default salt —
+    stale metadata may mis-TUNE the plan, never drop rows. Pins the
+    left-join + coalesce(_ns, 1) shape on both sides."""
+    from deployment_spark.operators.similarity import _maybe_salt_hot_groups
+
+    q = spark.createDataFrame(
+        [("0", None, [1.0], 0), ("1", None, [1.0], 7)],
+        "_qid string, _cid string, _vec array<double>, _g int",
+    )
+    c = spark.createDataFrame(
+        [(None, str(i), [1.0], i % 2 * 7) for i in range(20)],
+        "_qid string, _cid string, _vec array<double>, _g int",
+    )
+    # counts claim only cluster 0 exists (hot: 10 rows > bound 4);
+    # cluster 7 holds 10 data rows the metadata does not know about
+    stale_counts = {0: 10}
+    q2, c2, cols = _maybe_salt_hot_groups(q, c, None, 4, counts=stale_counts)
+    assert cols == ["_g", "_salt"]
+    # unknown group keeps ALL its corpus rows, at exactly one salt (0)
+    c7 = c2.filter(F.col("_g") == 7)
+    assert c7.count() == 10
+    assert c7.select(F.collect_set("_salt")).first()[0] == [0]
+    # unknown group's query replicates once, not zero times
+    q7 = q2.filter(F.col("_g") == 7)
+    assert q7.count() == 1
+    assert q7.select("_salt").first()[0] == 0
+    # the known hot group still gets its full salt grid
+    assert q2.filter(F.col("_g") == 0).count() == 3
+
+
 def test_search_batch_default_salting_is_on(index, queries_df):
     """The signature default must be the derived bound, not None (r8
     VERDICT #1): a caller that forgets the knob gets the skew guard."""
@@ -1043,3 +1076,18 @@ def test_batch_prune_plan_decision_tiers(spark, tmp_path, embeddings, queries_df
     assert "LeftSemi" not in audit.physical_plan(small)
     # both prune shapes keep the same rows
     assert pruned.count() == small.count() > 0
+    # tier-2 coverage counts only NON-EMPTY probed clusters (ADVICE
+    # r10): 8 probed ids of which 5 route to empty lists cover 3/4
+    # non-empty = 75% < 80%, so the prune must be KEPT — the raw
+    # len(probed)=8 ≥ 0.8·4 comparison would wrongly skip it.
+    sparse_counts = {0: 10, 1: 10, 2: 10, 3: 10}
+    probes8 = spark.createDataFrame(
+        [(q, c) for q, c in enumerate([0, 1, 2, 10, 11, 12, 13, 14])],
+        "query_id long, cluster_id int",
+    )
+    with mock.patch.object(
+        idx, "cluster_counts", lambda refresh_if_missing=False: sparse_counts
+    ):
+        probed, counts = idx.batch_prune_plan(probes8, nprobe=3)
+    assert probed == [0, 1, 2, 10, 11, 12, 13, 14]
+    assert set(counts) == {0, 1, 2}
