@@ -282,6 +282,60 @@ def main() -> None:
         raw_runs[name] = times
         timings[name] = min(times)
 
+    # Automated outlier protocol (r11, VERDICT r10 #2): the r10 round
+    # artifact carried streaming_hourly_counts at 2.70× baseline purely
+    # from mid-panel host load — the start-of-run gate can't catch load
+    # that RISES during the panel. Any row reading > 1.5× its canonical
+    # baseline (BASELINE_rows.json — the machine-readable registry the
+    # prose re-baselines in BASELINE.md consolidate into) is re-timed
+    # IN ISOLATION after a quiet-wait, and the payload records both
+    # readings: the artifact can no longer carry a load-artifact row
+    # without its own in-payload isolated confirmation or refutation.
+    base_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINES") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_rows.json"
+    )
+    baselines: dict[str, float] = {}
+    try:
+        with open(base_path) as f:
+            baselines = {
+                k: float(v)
+                for k, v in json.load(f).get(f"{sf:g}", {}).items()
+                if not k.startswith("_")
+            }
+    except (OSError, ValueError):
+        pass
+    retime_factor = float(os.environ.get("SPARK_GRAFT_BENCH_RETIME_FACTOR", "1.5"))
+    retimed: dict[str, dict] = {}
+    for name, t in sorted(timings.items()):
+        b = baselines.get(name)
+        if not b or t <= retime_factor * b:
+            continue
+        waited = 0.0
+        while os.getloadavg()[0] > max_load and waited < 300:
+            time.sleep(10)
+            waited += 10
+        fn, _sql = LOOKUP[name]
+        iso = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            iso.append(round(time.perf_counter() - t0, 3))
+        retimed[name] = {
+            "panel": t,
+            "isolated": min(iso),
+            "isolated_runs": iso,
+            "baseline": b,
+            "isolated_vs_baseline": round(min(iso) / b, 2),
+            "isolated_load_1m": round(os.getloadavg()[0], 2),
+        }
+        print(
+            f"bench: outlier {name} panel {t:.2f}s = "
+            f"{t / b:.2f}x baseline {b}; isolated re-time "
+            f"{min(iso):.2f}s = {min(iso) / b:.2f}x",
+            file=sys.stderr,
+            flush=True,
+        )
+
     total = round(sum(timings.values()), 3)
     headline = {
         "metric": "headline_queries_total",
@@ -293,6 +347,7 @@ def main() -> None:
         "load_avg_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
         "load_avg_1m_external_start": round(external_load, 2),
         "loaded_host": loaded_host,
+        "retimed_outliers": retimed,
     }
     # Full payload (per-run raws, for separating plan regressions from
     # host scheduling noise) goes to a SIDE FILE; stdout carries only the

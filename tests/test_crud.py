@@ -1090,3 +1090,69 @@ def test_replace_rewrites_snapshot_both_modes(spark, tmp_path):
         # and mutations compose on top of the replaced content
         store.insert(spark.createDataFrame([(9, "z")], "k long, v string"))
         assert store.count() == 3
+
+
+def test_commit_embedded_cluster_counts_lifecycle(spark, tmp_path):
+    """r11 (VERDICT r10 #3): per-cluster counts travel in the commit
+    pointer. cow: every commit of a cluster-partitioned store re-stamps
+    exact counts. mor: create/insert/replace/compact keep them exact
+    (insert increments under its no-shadowing guarantee); a plain
+    upsert and a delete CANNOT know their shadow counts, so the token
+    goes stale and the accessor reads absent — never wrong."""
+    from deployment_spark.operators.crud import SnapshotStore
+
+    def mk(i, c):
+        return (i, c, f"p{i}")
+
+    schema = "vec_id long, cluster_id int, payload string"
+
+    def live_counts(store):
+        return {
+            r.cluster_id: r["count"]
+            for r in store.read().groupBy("cluster_id").count().collect()
+        }
+
+    # -- cow: exact at every commit -------------------------------------
+    cow = SnapshotStore(
+        spark, str(tmp_path / "cc_cow"), key="vec_id",
+        partition_by="cluster_id",
+    )
+    cow.create(spark.createDataFrame([mk(1, 0), mk(2, 0), mk(3, 1)], schema))
+    assert cow.cluster_counts() == {0: 2, 1: 1}
+    cow.insert(spark.createDataFrame([mk(4, 1)], schema))
+    assert cow.cluster_counts() == {0: 2, 1: 2}
+    cow.upsert(spark.createDataFrame([mk(2, 1, ), (5, 2, "p5")], schema))
+    assert cow.cluster_counts() == live_counts(cow) == {0: 1, 1: 3, 2: 1}
+    cow.delete_ids([1])
+    assert cow.cluster_counts() == live_counts(cow) == {1: 3, 2: 1}
+
+    # -- mor: exact where knowable, absent where not ----------------------
+    mor = SnapshotStore(
+        spark, str(tmp_path / "cc_mor"), key="vec_id",
+        partition_by="cluster_id", mode="mor",
+    )
+    mor.create(spark.createDataFrame([mk(1, 0), mk(2, 0), mk(3, 1)], schema))
+    assert mor.cluster_counts() == {0: 2, 1: 1}
+    mor.insert(spark.createDataFrame([mk(4, 1)], schema))
+    assert mor.cluster_counts() == {0: 2, 1: 2}
+    # plain upsert: shadow count unknowable -> absent, not wrong
+    mor.upsert(spark.createDataFrame([mk(2, 1)], schema))
+    assert mor.cluster_counts() is None
+    # caller-supplied counts (the relayout contract) re-stamp them
+    mor.upsert(
+        spark.createDataFrame([mk(5, 2)], schema),
+        cluster_counts={0: 1, 1: 3, 2: 1},
+    )
+    assert mor.cluster_counts() == live_counts(mor) == {0: 1, 1: 3, 2: 1}
+    # delete: unknowable again; compact restores exactness
+    mor.delete_ids([1])
+    assert mor.cluster_counts() is None
+    mor.compact()
+    assert mor.cluster_counts() == live_counts(mor) == {1: 3, 2: 1}
+    # replace folds to one fresh segment: exact by construction
+    mor.replace(spark.createDataFrame([mk(9, 4), mk(10, 4)], schema))
+    assert mor.cluster_counts() == {4: 2}
+    # a store without a cluster layout never embeds anything
+    plain = SnapshotStore(spark, str(tmp_path / "cc_plain"), key="k")
+    plain.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert plain.cluster_counts() is None

