@@ -313,6 +313,111 @@ def knn_graph_clustered(
     return _final_topk(candidates.dropDuplicates(["src_id", "dst_id"]), kk)
 
 
+def read_knn_graph(spark, root: str) -> DataFrame:
+    """Edges from a streaming-maintained graph store (r11 —
+    ``streaming.ingest._maintain_knn_graph`` keeps one mor SnapshotStore
+    of edges, pk src·k+rank−1, exact per its update's contract): the
+    (src_id, dst_id, rank, cosine) frame ``graph_assisted_topk``
+    consumes, latest committed snapshot."""
+    from deployment_spark.operators.crud import SnapshotStore
+
+    return (
+        SnapshotStore(spark, root, key="edge_id", mode="mor")
+        .read()
+        .select("src_id", "dst_id", "rank", "cosine")
+    )
+
+
+def knn_graph_update(
+    edges: DataFrame,
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact INCREMENTAL kNN-graph maintenance (r11, VERDICT r10 #1):
+    given ``edges`` = the exact k-NN graph over ``corpus`` and a fresh
+    ``batch`` of new rows (ids disjoint from the corpus — the curated
+    ingest watermark contract), return the REPLACEMENT edge rows for
+    every source whose neighborhood can have changed, such that
+    (unchanged edges ∪ replacements) is EXACTLY ``knn_graph(corpus ∪
+    batch, k)``.
+
+    Exactness argument: for an existing row c, its true top-k in C∪B is
+    a subset of (its top-k in C) ∪ (its top-k among B) — nothing
+    outside those two sets can rank above members of both — so merging
+    c's stored edges with the c×B candidates and re-ranking is exact;
+    a new row b's neighborhood is scored directly against C∪B. This is
+    the Milvus/HNSW "maintain the graph on every insert"
+    (``Milvus/stream1.py:282``) re-expressed for a data-parallel
+    engine: two blocked pair passes per batch — B×(C∪B) for the new
+    rows and C×B for the reverse direction — O(|C|·|B|) pair work and
+    O((|B| + touched)·k) output rows, never the O(|C|²) rebuild. The
+    reverse pass is the irreducible cost of asking "which existing rows
+    gained a batch neighbor"; the TOUCHED set it yields is bounded by
+    the rows that actually keep a batch edge.
+
+    Output (src_id, dst_id, rank, cosine), rank 1..k per returned src —
+    the callers upsert these per-src replacement sets over the stored
+    graph (edge pk = src·k + rank−1, so a replacement overwrites
+    exactly its source's slots)."""
+    from deployment_spark.operators.similarity import (
+        topk_similarity_join_blocked,
+    )
+
+    kk = int(k)
+    c_sl = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    b_sl = batch.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    full = c_sl.unionByName(b_sl)
+    # new rows: exact top-k over corpus ∪ batch; k+1 then self-filter
+    # (a batch row is its own best match at cosine 1)
+    b_q = b_sl.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    fwd = (
+        topk_similarity_join_blocked(full, b_q, k=kk + 1)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("vec_id").alias("dst_id"),
+            F.col("similarity").alias("cosine"),
+        )
+    )
+    # existing rows: candidates among the batch only (ids disjoint, so
+    # no self-pairs), merged with their stored edges and re-topped
+    c_q = c_sl.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rev = topk_similarity_join_blocked(b_sl, c_q, k=kk).select(
+        F.col("query_id").alias("src_id"),
+        F.col("vec_id").alias("dst_id"),
+        F.col("similarity").alias("cosine"),
+    )
+    merged = _final_topk(
+        edges.select("src_id", "dst_id", "cosine").unionByName(rev), kk
+    )
+    # only sources whose re-topped set actually KEEPS a batch edge
+    # changed — emitting the rest would rewrite the whole graph per
+    # batch (the O(corpus)-write failure mode the mor relayout closed)
+    batch_ids = b_sl.select(F.col("vec_id").alias("dst_id")).distinct()
+    touched = (
+        merged.join(F.broadcast(batch_ids), "dst_id", "left_semi")
+        .select("src_id")
+        .distinct()
+    )
+    # no broadcast hint on touched: usually O(batch·k) but unbounded
+    # when a batch is very central — let AQE pick the join strategy
+    changed = merged.join(touched, "src_id", "left_semi")
+    return _final_topk(
+        fwd, kk
+    ).unionByName(changed.select("src_id", "dst_id", "rank", "cosine"))
+
+
 def _expand_frontier(cand: DataFrame, edges: DataFrame, hops: int) -> DataFrame:
     """``hops`` rounds of neighbor-of-candidate growth over the edge
     table, one distributed join per hop, with a PER-HOP ``distinct()``

@@ -3758,6 +3758,57 @@ def q_ivf_batch_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None
     )
 
 
+_STREAM_GRAPH_CACHE: dict[str, str] = {}
+
+
+def _streamed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-process STREAMING-MAINTAINED kNN graph over the
+    embeddings table (r11, VERDICT r10 #1): the corpus lands in four
+    micro-batches through ``ingest_to_store(knn_graph_maintain=...)``,
+    so the edge store is produced by the per-insert maintenance path
+    (``streaming.ingest._maintain_knn_graph`` — the Milvus per-insert
+    HNSW analog, ``Milvus/stream1.py:282``), NOT by a batch build. By
+    the maintenance exactness contract (incremental update ≡
+    ``knn_graph(current corpus)``, pinned in test_streaming/test_knn)
+    the returned edges equal the batch graph — which is exactly what
+    makes it gateable: the (ivf, graph_stream) panel group holds the
+    SAME recall floor after ≥3 ingested batches as the batch-built
+    graph group, proving maintenance keeps the r10 recall surface true
+    as batches land. Dirs are wiped per process (stale streaming
+    checkpoints would silently skip the replay)."""
+    import hashlib
+    import shutil
+
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.knn import read_knn_graph
+    from deployment_spark.streaming.ingest import ingest_to_store
+
+    root = _STREAM_GRAPH_CACHE.get(sf_dir)
+    if root is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_sgraph_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        landing = os.path.join(root, "landing")
+        for i in range(4):
+            emb.filter(F.pmod("vec_id", F.lit(4)) == i).coalesce(1).write.parquet(
+                os.path.join(landing, f"b={i:03d}")
+            )
+        store = SnapshotStore(spark, os.path.join(root, "store"), key="vec_id")
+        q = ingest_to_store(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing),
+            store,
+            os.path.join(root, "ckpt"),
+            knn_graph_maintain={"root": os.path.join(root, "graph"), "k": 10},
+        )
+        q.awaitTermination(300)
+        _STREAM_GRAPH_CACHE[sf_dir] = root
+    return read_knn_graph(spark, os.path.join(root, "graph"))
+
+
 def q_ivf_graph_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """V8 closure (r10, VERDICT r9 #8) — graph-assisted ANN: a
     deliberately STARVED IVF seed (nprobe 2 of 16 — recall ≈ 0.5)
@@ -3790,14 +3841,29 @@ def q_ivf_graph_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None
             "query_id", "vec_id"
         ),
     )
+    # r11 (VERDICT r10 #1): the SAME expansion over the graph that
+    # streaming ingest MAINTAINED across four micro-batches — gated at
+    # the same floor, so graph-assisted recall is proven to hold after
+    # batches land, not just on a freshly batch-built graph (the stale
+    # graph's decay is pinned in tests/test_streaming.py)
+    expanded_stream = _sink_pairs(
+        pairs_sink, ("ivf", "graph_stream"),
+        graph_assisted_topk(
+            emb, queries, seeds, _streamed_graph(spark, sf_dir), k=k, hops=1
+        ).select("query_id", "vec_id"),
+    )
     exact = topk_similarity_join_expr(emb, queries, k=k).select(
         "query_id", "vec_id"
     )
-    per_q = _recall_arms(queries, exact, k, seed=seeds, graph=expanded)
+    per_q = _recall_arms(
+        queries, exact, k,
+        seed=seeds, graph=expanded, graph_stream=expanded_stream,
+    )
     return per_q.withColumn(
         "meets_floor",
         (F.col("mean_recall_graph") >= IVF_GRAPH_FLOOR)
-        & (F.col("mean_recall_graph") >= F.col("mean_recall_seed")),
+        & (F.col("mean_recall_graph") >= F.col("mean_recall_seed"))
+        & (F.col("mean_recall_graph_stream") >= IVF_GRAPH_FLOOR),
     )
 
 
@@ -4231,7 +4297,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     point as its interactive sibling. r10 widening (V8 closure): the
     ivf family adds `seed`/`graph` — a starved nprobe-2 seed and its
     one-hop kNN-graph expansion (`knn.graph_assisted_topk`, the HNSW
-    recall trade) — 16 groups total. Rows-only by nature (trained quantizers are not
+    recall trade) — 17 groups total (r11 adds ivf/graph_stream: the expansion over the
+    STREAMING-MAINTAINED graph after four ingested micro-batches, same
+    floor — VERDICT r10 #1). Hash-gateable since r11 via the pairs
+    facet (SQL_ANN_RECALL replays exact sets + recall arithmetic in
+    DuckDB); additionally (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
     value-checked by tools/check_oracle.py against a numpy exact
     top-k.
@@ -4293,6 +4363,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lift, published side by side — the HNSW recall trade
         arm_variant(graph_df, "ivf", "seed", IVF_GRAPH_SEED_FLOOR),
         arm_variant(graph_df, "ivf", "graph", IVF_GRAPH_FLOOR),
+        # r11: the streaming-maintained graph's expansion, same floor
+        arm_variant(graph_df, "ivf", "graph_stream", IVF_GRAPH_FLOOR),
         arm_variant(pq_df, "pq", "adc", PQ_ADC_FLOOR),
         arm_variant(pq_df, "pq", "rerank", PQ_RERANK_FLOOR),
         # r8: every codec's corpus-scale batch route, gated at the same
@@ -4325,6 +4397,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", "batch"): IVF_BATCH_FLOOR,
         ("ivf", "seed"): IVF_GRAPH_SEED_FLOOR,
         ("ivf", "graph"): IVF_GRAPH_FLOOR,
+        ("ivf", "graph_stream"): IVF_GRAPH_FLOOR,
         ("pq", "adc"): PQ_ADC_FLOOR,
         ("pq", "rerank"): PQ_RERANK_FLOOR,
         ("pq", "batch"): PQ_BATCH_FLOOR,

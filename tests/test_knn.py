@@ -278,3 +278,59 @@ def test_graph_assisted_batch_join_parity(spark, embeddings):
         ).collect()
     }
     assert a == b
+
+
+def test_knn_graph_update_is_exact_over_batches(spark, embeddings):
+    """r11 (VERDICT r10 #1): the incremental update's exactness
+    contract — applying knn_graph_update per batch and overlaying the
+    replacement sets must reproduce knn_graph(full corpus) EXACTLY
+    after every batch (per-src dst sets AND ranks), and each update's
+    replacement rows must stay bounded: new-row edges plus only the
+    existing sources that actually keep a batch edge, never an
+    O(corpus) rewrite when the batch touches few neighborhoods."""
+    from deployment_spark.operators.knn import knn_graph_update
+
+    k = 5
+    base = embeddings.filter(F.col("vec_id") < 60)
+    batches = [
+        embeddings.filter(F.col("vec_id").between(60, 79)),
+        embeddings.filter(F.col("vec_id").between(80, 99)),
+        embeddings.filter(F.col("vec_id").between(100, 119)),
+    ]
+
+    def as_map(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.src_id, {})[r.rank] = r.dst_id
+        return out
+
+    edges = knn_graph(base, k=k)
+    corpus = base
+    for b in batches:
+        repl = knn_graph_update(edges, corpus, b, k=k).localCheckpoint()
+        repl_map = as_map(repl)
+        # overlay: replaced sources take their new sets wholesale
+        old_map = as_map(edges)
+        old_map.update(repl_map)
+        corpus = corpus.unionByName(b)
+        want = as_map(knn_graph(corpus, k=k))
+        assert old_map == want
+        # rebuild the edges frame from the overlay for the next round
+        rows = [
+            (src, dst, rank, 0.0)
+            for src, ranks in old_map.items()
+            for rank, dst in ranks.items()
+        ]
+        # carry REAL cosines forward (the merge re-ranks on them):
+        # keep unreplaced rows from the old frame, add replacements
+        edges = edges.join(
+            repl.select("src_id").distinct(), "src_id", "left_anti"
+        ).unionByName(repl)
+        assert as_map(edges) == want
+    # boundedness on the last batch: every replaced existing source
+    # keeps at least one batch edge (the touched-set definition)
+    batch_ids = {r.vec_id for r in batches[-1].select("vec_id").collect()}
+    for src, ranks in repl_map.items():
+        if src in batch_ids:
+            continue
+        assert any(dst in batch_ids for dst in ranks.values()), src

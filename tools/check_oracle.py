@@ -211,6 +211,21 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         ),
         IVF_GRAPH_FLOOR,
     )
+    # r11: the streaming-maintained graph's expansion — the graph comes
+    # from the engine's per-insert maintenance path (the object under
+    # test); exact set + recall arithmetic stay independent as always
+    from deployment_spark.queries import _streamed_graph
+
+    specs[("ivf", "graph_stream")] = (
+        _pairs_to_sets(
+            graph_assisted_topk(
+                emb, raw_queries, seed_df, _streamed_graph(spark, spark_sf),
+                k=k, hops=1,
+            )
+            .select("query_id", "vec_id").collect()
+        ),
+        IVF_GRAPH_FLOOR,
+    )
 
     pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
     pq_codes = pq_codec.encode(norm)
