@@ -68,11 +68,21 @@ AUTO_DISTRIBUTED_NLIST = 8192
 PRUNE_SKIP_COVERAGE = 0.8
 
 # Probed sets up to this size prune via a LITERAL isin — a STATIC
-# partition filter the scan applies at file-listing time (strictly
-# stronger than the r9 broadcast semi-join, which pruned at runtime via
-# DPP). Bigger sets (nlist 10⁴-10⁵ at low coverage) would bloat the
-# plan with 10⁵ literals, so they keep the broadcast-semi-join form
-# built from the already-collected id list.
+# partition filter the scan applies at file-listing time. MEASURED r11
+# (tools/prune_probe.py, BASELINE.md "prune-form crossover" table): in
+# the regime where the prune FIRES (coverage < PRUNE_SKIP_COVERAGE),
+# the static filter beats the broadcast semi-join at every size probed
+# — 8× at 12.5% coverage (4.1 vs 32.3 s, nlist 4096), 2× at 50% —
+# because the semi-join form never prunes the file LISTING, only rows
+# at runtime. The literal's cost is plan-side, ≈0.4 ms per id
+# (serialization/analysis; evaluation is an InSet hash): ~7 s at this
+# bound, which the saved listing+scan repays whenever the prune fires
+# at all. The semi-join fallback above the bound is therefore a
+# PLAN-SIZE guard, not a performance win — at 10⁵ probed ids consider
+# a basePath+path-list scan instead (same static pruning, no
+# expression). The full-coverage sizes where isin loses to semi
+# (probed ≥ nlist: +1.2 s at 4k literals, +13 s at 32k) are exactly
+# the sizes the coverage gate already refuses to prune.
 PRUNE_ISIN_MAX = 16384
 
 
