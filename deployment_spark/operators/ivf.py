@@ -85,6 +85,24 @@ PRUNE_SKIP_COVERAGE = 0.8
 # the sizes the coverage gate already refuses to prune.
 PRUNE_ISIN_MAX = 16384
 
+# filtered_search auto-route rule (r11): both routes' dominant cost is
+# scoring vector rows per query — prefilter scores the filter's
+# matches (frac·N), postfilter scores the probed clusters
+# (nprobe/nlist·N) plus a predicate scan, a candidate join, and the
+# rescue risk. So the principled decision is the SCAN-FRACTION
+# comparison frac ≤ margin·(nprobe/nlist), scale-free by construction.
+# The margin absorbs postfilter's fixed extras and decides ties toward
+# the route that is also EXACT. Measured (tools/filtered_ann_probe.py,
+# sf0.1 ×16, nlist=178, nprobe=10): at local fixture scale prefilter
+# wins at EVERY selectivity up to 50% (1.1 s vs 2.4-4.0 s — the
+# postfilter machinery's 3-job fixed overhead dwarfs the 32k-row scan
+# work), i.e. the measured local margin exceeds 8. Asymptotically the
+# overhead amortizes and the margin tends to ~1 from above. 2 is the
+# scale-conservative choice: big corpora route near the true
+# scan-volume crossover, small ones mis-route only in the regime where
+# everything is cheap.
+POSTFILTER_MARGIN = 2.0
+
 
 class IVFIndex:
     """Partitioned-parquet IVF index: ``root/data/cluster_id=*/...`` plus
@@ -761,6 +779,146 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
             .select(query_id, id_col, "rank", F.col("_sim").alias("similarity"))
         )
+
+    def filtered_search(
+        self,
+        queries: DataFrame,
+        predicate,
+        k: int = 5,
+        nprobe: int = 10,
+        amp: int = 4,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        routing: str = "auto",
+        route: str = "auto",
+        n_match: int | None = None,
+    ) -> DataFrame:
+        """Scalar-filtered ANN with SELECTIVITY-AWARE routing — the
+        vector-db "search with filter" mode done the way Milvus/FAISS
+        deployments actually run it, because no single plan is right at
+        both ends of the selectivity axis:
+
+        - ``prefilter`` (selective predicates): exact brute-force cosine
+          over the matching rows only. When the filter keeps few rows,
+          scanning them exactly is cheaper than any index probe — and
+          the answer is exact by construction.
+        - ``postfilter`` (broad predicates): probe the index for
+          ``k·amp`` candidates per query, keep the ones passing the
+          predicate (one corpus scan of the predicate columns, the
+          k·amp-scale candidate set broadcast onto it), re-rank to k.
+          Queries left with fewer than k survivors are RESCUED with an
+          exact pass over the filtered corpus restricted to just those
+          queries, so no query ever under-returns because amplification
+          guessed low.
+
+        ``route='auto'`` compares SCAN FRACTIONS — the scale-free form
+        of the crossover: prefilter scores frac·N rows per query,
+        postfilter scores (nprobe/nlist)·N, so prefilter wins whenever
+        frac ≤ POSTFILTER_MARGIN · min(1, nprobe/nlist) (margin
+        rationale and the ×16 sweep behind it at the constant's note —
+        at full probe postfilter can never win and auto correctly
+        refuses it). The match count comes from ``n_match`` when the
+        caller already knows it (e.g. a maintained dimension-table
+        count); otherwise ONE narrow count job over the predicate
+        columns (column-pruned scan — at 100 TB you would estimate from
+        partition statistics instead; the count keeps the decision
+        exact and the operator dependency-free).
+
+        Exactness: prefilter is always exact. Postfilter is exact
+        whenever the index probe is exact (nprobe ≥ nlist — the
+        hash-gated entry's setting): with the engine's total order
+        (sim desc, id asc), any filtered row outside the global top-k·amp
+        ranks below every retained candidate, and under-returning
+        queries fall into the exact rescue — so the composed result IS
+        the exact filtered top-k. At partial nprobe it inherits the
+        probe's approximation (recall caveats as :meth:`search`).
+
+        ``predicate`` is a Column or SQL string over the index's data
+        columns. Output: (query_id, id_col, rank, similarity)."""
+        from deployment_spark.operators.similarity import (
+            topk_similarity_join_expr,
+        )
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if route not in ("auto", "prefilter", "postfilter"):
+            raise ValueError(
+                f"unknown route {route!r}: expected auto | prefilter | postfilter"
+            )
+        data = self.data()
+        if route == "auto":
+            if n_match is None:
+                # narrow count: Catalyst prunes the scan to the
+                # predicate's columns (no vector bytes move)
+                n_match = data.filter(pred).count()
+            total = self.ntotal()
+            probe_frac = min(1.0, nprobe / max(1, self.nlist()))
+            route = (
+                "prefilter"
+                if total == 0
+                or n_match <= POSTFILTER_MARGIN * probe_frac * total
+                else "postfilter"
+            )
+        if route == "prefilter":
+            return topk_similarity_join_expr(
+                data.filter(pred),
+                queries,
+                k=k,
+                corpus_id=id_col,
+                corpus_vec=vec_col,
+                query_id=query_id,
+                query_vec=query_vec,
+            ).select(query_id, id_col, "rank", "similarity")
+
+        cand = self.search(
+            queries,
+            k=k * amp,
+            nprobe=nprobe,
+            query_id=query_id,
+            query_vec=query_vec,
+            id_col=id_col,
+            vec_col=vec_col,
+            routing=routing,
+        )
+        # predicate evaluation on the candidates: broadcast the
+        # (nq·k·amp)-row candidate set onto ONE column-pruned corpus
+        # scan — never a corpus-sized shuffle
+        matched = data.filter(pred).select(id_col).join(
+            F.broadcast(cand), id_col
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("similarity"), F.asc(id_col)
+        )
+        kept = (
+            matched.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .localCheckpoint()  # consumed twice: result + starvation census
+        )
+        # starvation census: queries whose survivors < k get the exact
+        # rescue; nq-scale aggregate, collected under the interactive
+        # query-batch contract (same as the routing collects)
+        survivors = {r[0]: r[1] for r in kept.groupBy(query_id).count().collect()}
+        starved = [
+            r[0]
+            for r in queries.select(query_id).collect()
+            if survivors.get(r[0], 0) < k
+        ]
+        full = kept.select(
+            query_id, id_col, F.col("_rk").alias("rank"), "similarity"
+        )
+        if not starved:
+            return full
+        rescue = topk_similarity_join_expr(
+            data.filter(pred),
+            queries.filter(F.col(query_id).isin(starved)),
+            k=k,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            query_id=query_id,
+            query_vec=query_vec,
+        ).select(query_id, id_col, "rank", "similarity")
+        return full.filter(~F.col(query_id).isin(starved)).unionByName(rescue)
 
     def range_search(
         self,

@@ -812,31 +812,68 @@ GROUP BY doc_id
 BM25_TERMS = ["dup", "vector", "merge", "batch"]  # df 25/382/~390/402 at sf0.01 — idf spread
 
 
+_BM25_IDX_CACHE: dict[str, str] = {}
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process BM25 inverted index over the documents
+    table (deterministic root derived from sf_dir, overwrite-in-place —
+    the _ivf_index convention)."""
+    import hashlib
+    import tempfile
+
+    from deployment_spark.operators.retrieval import BM25Index
+
+    root = _BM25_IDX_CACHE.get(sf_dir)
+    if root is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_{tag}")
+        BM25Index(spark, root).build(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        _BM25_IDX_CACHE[sf_dir] = root
+    return BM25Index(spark, root)
+
+
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval (operators/retrieval.bm25_scores; new r5)
-    — the lexical half of the reference store family's hybrid search
-    (Milvus ships BM25 hybrid as a first-class query mode;
-    ``Milvus/stream1.py`` drives that store). Okapi BM25 with
+    """BM25 lexical retrieval, BOTH execution paths as tagged probes
+    (operators/retrieval; r5 direct, r11 indexed) — the lexical half of
+    the reference store family's hybrid search (Milvus ships BM25
+    hybrid as a first-class query mode backed by a persisted inverted
+    index; ``Milvus/stream1.py`` drives that store). Okapi BM25 with
     Lucene-style +1 idf over a literal 4-term query mixing one rare and
-    three common terms, so the idf spread is exercised. Scale shape:
-    per-term tfs come from conditional sums inside the SAME single
-    per-doc aggregate that computes document length — one explode, one
-    partially-aggregated shuffle, a 1-row stats broadcast; no
-    token-keyed join, so no hot-token skew. Ranking uses the
-    4dp-rounded score (ties broken by doc_id) so the rank column is
-    stable across engines; the oracle replays tokenization, the
-    conditional-sum aggregate, idf/tf math, and the ranking in SQL."""
+    three common terms, so the idf spread is exercised.
+
+    probe='direct': the one-shot shape — per-term tfs from conditional
+    sums inside the SAME single per-doc aggregate that computes
+    document length; one explode, one partially-aggregated shuffle, a
+    1-row stats broadcast; no token-keyed join, so no hot-token skew.
+    probe='indexed': the serving-cadence shape — the SAME ranking
+    answered from the persisted ``BM25Index`` (postings partitioned by
+    crc32 token bucket, pruned to the query's buckets; O(appends) stats
+    partials), maintained under curated streaming ingest elsewhere.
+    The two paths are bit-identical by construction (pinned in
+    test_retrieval), so ONE SQL ranking oracles both probes. Ranking
+    uses the 4dp-rounded score (ties broken by doc_id) so the rank
+    column is stable across engines; the oracle replays tokenization,
+    the conditional-sum aggregate, idf/tf math, and the ranking."""
     from deployment_spark.operators.retrieval import bm25_topk
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    top = bm25_topk(d, BM25_TERMS, k=20, round_to=4)
-    return top.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("dl").cast("long").alias("dl"),
-        F.col("matched_terms").cast("long").alias("matched_terms"),
-        "bm25",
-        F.col("rank").cast("long").alias("rank"),
-    )
+
+    def shape(top, probe):
+        return top.select(
+            F.lit(probe).alias("probe"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            "bm25",
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    direct = bm25_topk(d, BM25_TERMS, k=20, round_to=4)
+    indexed = _bm25_index(spark, sf_dir).topk(BM25_TERMS, k=20, round_to=4)
+    return shape(direct, "direct").unionByName(shape(indexed, "indexed"))
 
 
 def _sql_bm25_ctes() -> str:
@@ -881,13 +918,18 @@ toks AS (
 
 
 SQL_DOC_BM25_TOPK = f"""
-WITH {_sql_bm25_ctes()}
-SELECT doc_id::BIGINT AS doc_id, dl::BIGINT AS dl,
-       matched_terms::BIGINT AS matched_terms,
-       round(bm25, 4) AS bm25,
-       row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id)::BIGINT AS rank
-FROM bm_scored WHERE matched_terms > 0
-QUALIFY rank <= 20
+WITH {_sql_bm25_ctes()},
+ranked AS (
+  SELECT doc_id::BIGINT AS doc_id, dl::BIGINT AS dl,
+         matched_terms::BIGINT AS matched_terms,
+         round(bm25, 4) AS bm25,
+         row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id)::BIGINT AS rank
+  FROM bm_scored WHERE matched_terms > 0
+  QUALIFY rank <= 20
+)
+SELECT 'direct' AS probe, * FROM ranked
+UNION ALL
+SELECT 'indexed' AS probe, * FROM ranked
 """
 
 
@@ -4880,6 +4922,33 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary_rows = shape(
         enrich_topk(binary, emb.select("vec_id", "label"), corpus_id="vec_id"), "binary"
     )
+    # r11 (13th/14th probes): selectivity-aware filtered ANN on the IVF
+    # index (IVFIndex.filtered_search). ``filtered_pre`` runs the
+    # AUTO route on a selective predicate (vec_id % 37 = 0, ~2.7% of
+    # rows — under the scan-fraction threshold at every nprobe), so it
+    # gates the router + the exact prefilter scan. ``filtered_post``
+    # FORCES the postfilter machinery (probe-k·amp + candidate
+    # broadcast + starvation rescue) on the broad label % 3 = 0 at
+    # full probe, where the composed operator is EXACT by the
+    # docstring's total-order argument (auto itself correctly refuses
+    # postfilter at full probe — it can never win on scan volume
+    # there). One flat filtered ranking oracles each probe, pinning
+    # both routes to exact SQL semantics.
+    ivf_idx, _ = _ivf_index(spark, sf_dir)
+    f_pre = ivf_idx.filtered_search(
+        queries, F.col("vec_id") % 37 == 0, k=5, nprobe=10**9
+    )
+    filtered_pre_rows = shape(
+        enrich_topk(f_pre, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "filtered_pre",
+    )
+    f_post = ivf_idx.filtered_search(
+        queries, F.col("label") % 3 == 0, k=5, nprobe=10**9, route="postfilter"
+    )
+    filtered_post_rows = shape(
+        enrich_topk(f_post, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "filtered_post",
+    )
     return (
         topk_rows.unionByName(radius_rows)
         .unionByName(radius_blocked_rows)
@@ -4889,6 +4958,8 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivfpq_range_rows)
         .unionByName(grouped_rows)
         .unionByName(filtered_rows)
+        .unionByName(filtered_pre_rows)
+        .unionByName(filtered_post_rows)
         .unionByName(sparse_rows)
         .unionByName(binary_rows)
         .unionByName(iterator_rows)
@@ -4962,6 +5033,10 @@ q AS (
   SELECT query_id, vec_id, label, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s WHERE label % 3 = 0
+), filtered_pre AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s WHERE vec_id % 37 = 0
 ), spx AS (
   SELECT vec_id,
          unnest(list_transform(range(1, len(embedding) + 1),
@@ -5027,6 +5102,16 @@ SELECT 'grouped', query_id, vec_id, rank, label::BIGINT,
 FROM grouped WHERE rank <= 5
 UNION ALL
 SELECT 'filtered', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM filtered WHERE rank <= 5
+UNION ALL
+SELECT 'filtered_pre', query_id, vec_id, rank, label::BIGINT,
+       round(sim, 4),
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
+FROM filtered_pre WHERE rank <= 5
+UNION ALL
+SELECT 'filtered_post', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM filtered WHERE rank <= 5

@@ -324,6 +324,7 @@ def curated_ingest_to_store(
     compact_index_files: int | None = 64,
     admit_filter=None,
     available_now: bool = True,
+    bm25_maintain: dict | None = None,
 ):
     """Continuous CURATED ingestion — the streaming face of
     ``operators.dedup.incremental_dedup``: every micro-batch is admitted
@@ -496,6 +497,34 @@ def curated_ingest_to_store(
                     and len(idx_now.inputFiles()) > compact_index_files
                 ):
                     compact_signature_index(spark, index_dir)
+        if bm25_maintain is not None:
+            # BM25 inverted-index maintenance (r11): same discipline as
+            # the signature index — reconcile crash-lost appends against
+            # the PRE-batch kept corpus via the append-only id
+            # watermark, then append the admitted batch (O(batch):
+            # explode + one doc-keyed shuffle over the batch only).
+            # Runs AFTER the store commit, so a batch that crashes
+            # between insert and append is exactly the reconcile case.
+            from deployment_spark.operators.retrieval import BM25Index
+
+            bidx = BM25Index(
+                spark,
+                bm25_maintain["root"],
+                n_buckets=int(bm25_maintain.get("n_buckets", 16)),
+            )
+            if bidx.exists():
+                bidx.reconcile(kept, text_col=text_col, id_col=id_col)
+                if not admitted.isEmpty():
+                    bidx.append(admitted, text_col=text_col, id_col=id_col)
+            else:
+                # first batch, or maintenance enabled on a store with
+                # history: one-time full build over everything landed
+                bidx.build(store.read(), text_col=text_col, id_col=id_col)
+            max_files = bm25_maintain.get("compact_files", compact_index_files)
+            if max_files is not None and bidx._has_postings():
+                pf = spark.read.parquet(bidx.postings_dir)
+                if len(pf.inputFiles()) > int(max_files):
+                    bidx.compact()
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)

@@ -1157,3 +1157,126 @@ def test_readonly_root_store_snapshot_counts_are_free(spark, embeddings, tmp_pat
             assert stale.cluster_counts() is None
     finally:
         os.chmod(idx.root, ro | stat.S_IWUSR)
+
+
+# ---------------------------------------------------------------------------
+# filtered_search — selectivity-aware scalar-filtered ANN (r11)
+# ---------------------------------------------------------------------------
+
+
+def _fmap(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, round(r.similarity, 9))
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _exact_filtered(embeddings, queries_df, pred, k=5):
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    return _fmap(
+        topk_similarity_join_expr(embeddings.filter(pred), queries_df, k=k).select(
+            "query_id", "vec_id", "rank", "similarity"
+        )
+    )
+
+
+def test_filtered_search_both_routes_exact_at_full_probe(
+    index, embeddings, queries_df
+):
+    """At full probe BOTH routes must return the exact filtered top-k
+    (the docstring's total-order argument), on a selective and a broad
+    predicate."""
+    for pred in (F.col("vec_id") % 37 == 0, F.col("label") % 3 == 0):
+        want = _exact_filtered(embeddings, queries_df, pred)
+        for route in ("auto", "prefilter", "postfilter"):
+            got = _fmap(
+                index.filtered_search(
+                    queries_df, pred, k=5, nprobe=10**9, route=route
+                )
+            )
+            assert got == want, (str(pred), route)
+
+
+def test_filtered_search_auto_routes_by_scan_fraction(
+    index, queries_df, monkeypatch
+):
+    """auto compares match fraction against POSTFILTER_MARGIN ·
+    nprobe/nlist — spied via IVFIndex.search, which only the postfilter
+    path calls. At nprobe=1, nlist=16 the threshold is 12.5%: the 2.7%
+    predicate prefilters, the ~40% one postfilters. At FULL probe
+    postfilter can never win on scan volume, so even the broad
+    predicate prefilters."""
+    calls = []
+    orig = IVFIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append("search")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFIndex, "search", spy)
+    index.filtered_search(
+        queries_df, F.col("vec_id") % 37 == 0, k=5, nprobe=1
+    ).collect()
+    assert calls == []
+    index.filtered_search(
+        queries_df, F.col("label") % 3 == 0, k=5, nprobe=1
+    ).collect()
+    assert calls == ["search"]
+    calls.clear()
+    index.filtered_search(
+        queries_df, F.col("label") % 3 == 0, k=5, nprobe=10**9
+    ).collect()
+    assert calls == []
+
+
+def test_filtered_search_n_match_hint_skips_count(index, queries_df, monkeypatch):
+    """A caller-supplied n_match must be TRUSTED (no count job) and
+    steer the route: a tiny hint forces prefilter even for the broad
+    predicate, a corpus-sized hint forces postfilter for the selective
+    one (both at nprobe=1, threshold 12.5%)."""
+    calls = []
+    orig = IVFIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append("search")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFIndex, "search", spy)
+    index.filtered_search(
+        queries_df, F.col("label") % 3 == 0, k=5, nprobe=1, n_match=1
+    ).collect()
+    assert calls == []
+    index.filtered_search(
+        queries_df, F.col("vec_id") % 37 == 0, k=5, nprobe=1,
+        n_match=index.ntotal(),
+    ).collect()
+    assert calls == ["search"]
+
+
+def test_filtered_search_rescue_under_returns_never(index, embeddings, queries_df):
+    """amp=1 on a selective predicate starves every query (top-5
+    candidates rarely contain 5 matches of a 2.7% filter) — the exact
+    rescue must bring every query back to the exact filtered top-k."""
+    pred = F.col("vec_id") % 37 == 0
+    want = _exact_filtered(embeddings, queries_df, pred)
+    got = _fmap(
+        index.filtered_search(
+            queries_df, pred, k=5, nprobe=10**9, route="postfilter", amp=1
+        )
+    )
+    assert got == want
+
+
+def test_filtered_search_accepts_sql_string_and_rejects_bad_route(
+    index, embeddings, queries_df
+):
+    want = _exact_filtered(embeddings, queries_df, F.col("label") % 3 == 0)
+    got = _fmap(
+        index.filtered_search(queries_df, "label % 3 = 0", k=5, nprobe=10**9)
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="unknown route"):
+        index.filtered_search(queries_df, "label % 3 = 0", route="sideways")

@@ -128,7 +128,15 @@ def test_entry_functions_run(spark, sf_dir):
 
     sf = sf_dir
     bm = q_doc_bm25_topk(spark, sf).collect()
-    assert len(bm) == 20 and [r.rank for r in bm] == list(range(1, 21))
+    assert len(bm) == 40
+    by_probe = {}
+    for r in bm:
+        by_probe.setdefault(r.probe, []).append(r)
+    assert set(by_probe) == {"direct", "indexed"}
+    key = lambda rows: sorted((r.rank, r.doc_id, r.bm25) for r in rows)
+    # the two execution paths answer identically
+    assert key(by_probe["direct"]) == key(by_probe["indexed"])
+    assert sorted(r.rank for r in by_probe["direct"]) == list(range(1, 21))
     hy = q_hybrid_search(spark, sf).collect()
     assert len(hy) == 40
     by_probe = {}
@@ -140,3 +148,185 @@ def test_entry_functions_run(spark, sf_dir):
         assert all(r.n_lists in (1, 2) for r in rows)
         # fused list must actually draw from both modalities
         assert any(r.n_lists == 2 for r in rows), probe
+
+
+# ---------------------------------------------------------------------------
+# BM25Index — persisted inverted index (r11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(spark):
+    """120 docs with skewed token frequencies: common tokens everywhere,
+    mid tokens cyclic, a handful of rare tokens — exercises idf spread,
+    multi-bucket pruning, and bucket skew."""
+    rows = [
+        (
+            i,
+            f"common filler tok{i % 11} mid{i % 5} "
+            + ("rareterm " if i % 37 == 0 else "")
+            + f"tail{i % 3}",
+        )
+        for i in range(120)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _built(spark, docs, tmp, n_buckets=8):
+    from deployment_spark.operators.retrieval import BM25Index
+
+    return BM25Index(spark, str(tmp), n_buckets=n_buckets).build(docs)
+
+
+def _score_map(df):
+    return {r.doc_id: (r.dl, r.matched_terms, r.bm25) for r in df.collect()}
+
+
+def test_bm25_index_bitexact_vs_direct(spark, corpus_docs, tmp_path):
+    """The index path must return BIT-identical rows to the from-scratch
+    bm25_scores — same pivot, same term order, same avgdl arithmetic —
+    so the two can share one oracle ranking."""
+    idx = _built(spark, corpus_docs, tmp_path / "idx")
+    terms = ["rareterm", "common", "mid2"]
+    direct = _score_map(bm25_scores(corpus_docs, terms))
+    indexed = _score_map(idx.search_scores(terms))
+    assert direct == indexed  # exact equality, doubles included
+
+
+def test_bm25_index_append_equals_build(spark, corpus_docs, tmp_path):
+    """build(b1) + append(b2) + append(b3) ≡ build(full): postings
+    content, stats sums, and search results all agree."""
+    from deployment_spark.operators.retrieval import BM25Index
+
+    full = _built(spark, corpus_docs, tmp_path / "full")
+    inc = BM25Index(spark, str(tmp_path / "inc"), n_buckets=8).build(
+        corpus_docs.filter("doc_id < 40")
+    )
+    inc.append(corpus_docs.filter("doc_id >= 40 and doc_id < 80"))
+    inc.append(corpus_docs.filter("doc_id >= 80"))
+    terms = ["rareterm", "tok3", "tail1"]
+    assert _score_map(full.search_scores(terms)) == _score_map(
+        inc.search_scores(terms)
+    )
+    rows = lambda ix: {
+        (r.doc_id, r.tok, r.tf, r.dl)
+        for r in spark.read.parquet(ix.postings_dir).collect()
+    }
+    assert rows(full) == rows(inc)
+    stat = (
+        spark.read.parquet(inc.stats_dir)
+        .groupBy()
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.max("max_doc_id").alias("m"),
+        )
+        .collect()[0]
+    )
+    assert (stat.n, stat.m) == (120, 119)
+
+
+def test_bm25_index_partition_pruning(spark, corpus_docs, tmp_path):
+    """A query's scan must read ONLY its terms' buckets — the executed
+    FileSourceScan's numFiles metric is the proof (relation has one
+    file per non-empty bucket after build)."""
+    from deployment_spark.operators.retrieval import bm25_bucket
+
+    idx = _built(spark, corpus_docs, tmp_path / "prune", n_buckets=8)
+    term = "rareterm"
+    hits = idx.search_scores([term])
+    hits.collect()
+    ep = hits._jdf.queryExecution().executedPlan()
+
+    def find_scans(node, acc):
+        name = node.getClass().getName()
+        if "FileSourceScan" in name:
+            acc.append(node)
+        # AQE wraps the plan: AdaptiveSparkPlanExec and QueryStageExec
+        # have no children() — descend through their current plan
+        if "AdaptiveSparkPlanExec" in name:
+            return find_scans(node.executedPlan(), acc)
+        if "QueryStageExec" in name:
+            return find_scans(node.plan(), acc)
+        for i in range(node.children().size()):
+            find_scans(node.children().apply(i), acc)
+        return acc
+
+    scans = find_scans(ep, [])
+    # identify the postings scans by schema (tok_bucket is the partition
+    # column) — the Location path in toString() truncates under long
+    # pytest tmp dirs
+    post_scans = [s for s in scans if "tok_bucket" in s.toString()[:300]]
+    assert post_scans, "no postings scan found"
+    total = len(spark.read.parquet(idx.postings_dir).inputFiles())
+    for s in post_scans:
+        read = s.metrics().apply("numFiles").value()
+        assert read < total, (read, total)
+        assert read <= 2  # one bucket's file(s)
+
+
+def test_bm25_bucket_twin_matches_spark(spark):
+    """zlib.crc32 (driver-side pruning) ≡ F.crc32 (partition layout) over
+    ascii, unicode, and punctuation tokens — the correctness hinge of
+    bucket pruning."""
+    from deployment_spark.operators.retrieval import bm25_bucket
+
+    toks = [
+        "alpha", "Alpha", "ALPHA!", "naïve", "日本語", "emoji🙂", "x",
+        "0123456789", "with-dash", "under_score", "ünïcödé", "θΘπ",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in toks], "tok string").withColumn(
+        "b", (F.crc32(F.encode(F.col("tok"), "utf-8")) % 16).cast("int")
+    )
+    got = {r.tok: r.b for r in sdf.collect()}
+    assert got == {t: bm25_bucket(t, 16) for t in toks}
+
+
+def test_bm25_index_reconcile_heals_lost_append(spark, corpus_docs, tmp_path):
+    """Crash window: store committed a batch but the index append was
+    lost → reconcile(kept) re-indexes exactly the tail above the stats
+    watermark. Orphan postings (postings landed, stats row lost) are
+    dropped first so nothing double-counts."""
+    from deployment_spark.operators.retrieval import BM25Index
+
+    d1 = corpus_docs.filter("doc_id < 60")
+    d2 = corpus_docs.filter("doc_id >= 60")
+    idx = BM25Index(spark, str(tmp_path / "rec"), n_buckets=8).build(d1)
+    # lost append: kept corpus advanced, index didn't
+    assert idx.reconcile(corpus_docs) == 60
+    terms = ["rareterm", "tok7"]
+    want = _score_map(bm25_scores(corpus_docs, terms))
+    assert _score_map(idx.search_scores(terms)) == want
+    # orphan postings — the OTHER crash window (postings landed, stats
+    # row lost): fresh index over d1, then d2's postings WITHOUT their
+    # stats row; reconcile must drop the orphans (ids above the
+    # watermark) before re-landing one copy, else d2 double-counts
+    idx2 = BM25Index(spark, str(tmp_path / "rec2"), n_buckets=8).build(d1)
+    (
+        idx2._postings(d2, "text", "doc_id")
+        .repartition("tok_bucket")
+        .write.mode("append")
+        .partitionBy("tok_bucket")
+        .parquet(idx2.postings_dir)
+    )
+    assert idx2.reconcile(corpus_docs) == 60
+    assert _score_map(idx2.search_scores(terms)) == want
+
+
+def test_bm25_index_compact_preserves_content(spark, corpus_docs, tmp_path):
+    from deployment_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "cmp"), n_buckets=4).build(
+        corpus_docs.filter("doc_id < 30")
+    )
+    for lo in (30, 60, 90):
+        idx.append(corpus_docs.filter(f"doc_id >= {lo} and doc_id < {lo + 30}"))
+    before = len(spark.read.parquet(idx.postings_dir).inputFiles())
+    terms = ["common", "rareterm"]
+    want = _score_map(idx.search_scores(terms))
+    idx.compact()
+    after = len(spark.read.parquet(idx.postings_dir).inputFiles())
+    assert after < before
+    assert spark.read.parquet(idx.stats_dir).count() == 1
+    assert _score_map(idx.search_scores(terms)) == want
+    assert idx.max_indexed_id() == 119

@@ -1142,3 +1142,85 @@ def test_ingest_maintains_knn_graph_across_batches(spark, tmp_path):
     assert r_maint > r_stale, (r_stale, r_maint)
     assert r_maint == 1.0, r_maint  # self + maintained 1-hop = exact top-k
     assert r_stale <= 1 / k + 1e-9, r_stale  # stale graph: self only
+
+
+def test_curated_ingest_maintains_bm25_index(spark, tmp_path):
+    """r11: with ``bm25_maintain`` on, curated ingest keeps the BM25
+    inverted index EXACTLY equal to a from-scratch build over the kept
+    corpus after 3 micro-batches (scores bit-identical to bm25_scores),
+    at O(batch) appends — pinned by the stats-partial count (one per
+    non-empty append, never a rebuild). Replay with a fresh checkpoint
+    lands nothing: postings files, stats rows, and scores unchanged.
+    Deleting the index and landing one more batch exercises the
+    build-from-store backfill (maintenance enabled on a store with
+    history)."""
+    from deployment_spark.operators.retrieval import BM25Index, bm25_scores
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    landing = str(tmp_path / "bm_landing")
+    bounds = [(0, 59), (60, 119), (120, 179)]
+    for i, (lo, hi) in enumerate(bounds):
+        docs.filter(F.col("doc_id").between(lo, hi)).coalesce(1).write.parquet(
+            f"{landing}/b={i:03d}"
+        )
+    store = SnapshotStore(spark, str(tmp_path / "bm_store"), key="doc_id")
+    broot = str(tmp_path / "bm_idx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    q = curated_ingest_to_store(
+        stream,
+        store,
+        str(tmp_path / "bm_ckpt"),
+        bm25_maintain={"root": broot},
+    )
+    q.awaitTermination(240)
+
+    kept = store.read().select("doc_id", "text")
+    idx = BM25Index(spark, broot)
+    terms = ["dup", "vector", "batch"]
+
+    def smap(df):
+        return {r.doc_id: (r.dl, r.matched_terms, r.bm25) for r in df.collect()}
+
+    want = smap(bm25_scores(kept, terms))
+    assert smap(idx.search_scores(terms)) == want
+    stats = spark.read.parquet(idx.stats_dir)
+    # batch 1 lands via build (1 partial) + 2 appends = 3 partials; a
+    # per-batch rebuild would collapse to 1 and an O(corpus) recompute
+    n_stats = stats.count()
+    assert n_stats == 3, n_stats
+    assert idx.max_indexed_id() == kept.agg(F.max("doc_id")).collect()[0][0]
+
+    # replay: fresh checkpoint, same files — watermark rejects every
+    # batch before maintenance sees admitted rows; nothing moves
+    files_before = set(spark.read.parquet(idx.postings_dir).inputFiles())
+    q2 = curated_ingest_to_store(
+        stream, store, str(tmp_path / "bm_ckpt2"), bm25_maintain={"root": broot}
+    )
+    q2.awaitTermination(240)
+    assert set(spark.read.parquet(idx.postings_dir).inputFiles()) == files_before
+    assert spark.read.parquet(idx.stats_dir).count() == n_stats
+    assert smap(idx.search_scores(terms)) == want
+
+    # index lost entirely (compaction-crash contract: absence is safe):
+    # next batch triggers the one-time build over everything landed
+    import shutil
+
+    shutil.rmtree(broot)
+    docs.filter(F.col("doc_id").between(180, 239)).coalesce(1).write.parquet(
+        f"{landing}/b=003"
+    )
+    q3 = curated_ingest_to_store(
+        stream, store, str(tmp_path / "bm_ckpt3"), bm25_maintain={"root": broot}
+    )
+    q3.awaitTermination(240)
+    kept2 = store.read().select("doc_id", "text")
+    assert kept2.count() > kept.count()
+    assert smap(idx.search_scores(terms)) == smap(bm25_scores(kept2, terms))

@@ -1,0 +1,129 @@
+"""Measure the BM25 serving-cadence claim (r11): a persisted inverted
+index answers a literal-term query at O(query-term postings) cost while
+the from-scratch path pays O(corpus) per query.
+
+Arms, on content-distinct 1x/4x/8x replicas of sf0.1 documents
+(the scale_probe replication recipe — ids offset, text salted so token
+statistics stay comparable without being byte-identical):
+
+  direct   — bm25_topk(corpus, terms): re-tokenizes the corpus per query
+  indexed  — BM25Index.topk(terms): bucket-pruned postings scan
+  build    — one-time index build cost at each scale (the amortized term)
+
+Prints one JSON line per (scale, arm) with best-of-N wall seconds, plus
+the postings files read vs total for the indexed arm (partition-pruning
+evidence). Usage:  python tools/bm25_probe.py [--sf DIR] [--runs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--scales", default="1,4,8")
+    ap.add_argument("--buckets", type=int, default=16)
+    args = ap.parse_args()
+
+    from deployment_spark import get_spark
+    from deployment_spark.operators.retrieval import BM25Index, bm25_topk
+    from deployment_spark.queries import BM25_TERMS
+
+    spark = get_spark(app_name="bm25-probe")
+    base = spark.read.parquet(f"{args.sf}/documents.parquet").select("doc_id", "text")
+    n_base = base.count()
+
+    def replicate(k: int):
+        if k == 1:
+            return base
+        parts = [base]
+        for i in range(1, k):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" rep{i}tail")).alias("text"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    def best(fn):
+        ts = []
+        for _ in range(args.runs):
+            t0 = time.monotonic()
+            fn()
+            ts.append(time.monotonic() - t0)
+        return min(ts), ts
+
+    for k in (int(s) for s in args.scales.split(",")):
+        corpus = replicate(k).localCheckpoint()
+        n = n_base * k
+        root = os.path.join(tempfile.gettempdir(), f"bm25_probe_{k}x_{args.buckets}b")
+        idx = BM25Index(spark, root, n_buckets=args.buckets)
+        t0 = time.monotonic()
+        idx.build(corpus)
+        t_build = time.monotonic() - t0
+        b_direct, raw_d = best(lambda: bm25_topk(corpus, BM25_TERMS, k=20).collect())
+        b_indexed, raw_i = best(lambda: idx.topk(BM25_TERMS, k=20).collect())
+        total_files = len(spark.read.parquet(idx.postings_dir).inputFiles())
+        from deployment_spark.operators.retrieval import bm25_bucket
+
+        buckets = {bm25_bucket(t.lower(), idx.n_buckets) for t in BM25_TERMS}
+        # deterministic scan-volume evidence (load-independent): bytes
+        # the indexed query's pruned postings scan can touch vs the
+        # corpus bytes the direct path must re-tokenize per query
+        from urllib.parse import urlparse
+
+        def fsize(files):
+            return sum(os.path.getsize(urlparse(f).path) for f in files)
+
+        all_posting_files = spark.read.parquet(idx.postings_dir).inputFiles()
+        pruned_bytes = fsize(
+            f
+            for f in all_posting_files
+            if any(f"tok_bucket={b}/" in f for b in buckets)
+        )
+        postings_bytes = fsize(all_posting_files)
+        # the direct path re-tokenizes every replica of the base table;
+        # its parquet footprint ×k is the per-query scan volume proxy
+        corpus_bytes = fsize(base.inputFiles()) * k
+        print(
+            json.dumps(
+                {
+                    "scale": k,
+                    "docs": n,
+                    "build_s": round(t_build, 3),
+                    "direct_s": round(b_direct, 3),
+                    "indexed_s": round(b_indexed, 3),
+                    "speedup": round(b_direct / b_indexed, 2),
+                    "direct_raw": [round(t, 3) for t in raw_d],
+                    "indexed_raw": [round(t, 3) for t in raw_i],
+                    "postings_buckets_read": len(buckets),
+                    "postings_buckets_total": idx.n_buckets,
+                    "postings_files_total": total_files,
+                    "pruned_scan_bytes": pruned_bytes,
+                    "postings_bytes": postings_bytes,
+                    "corpus_parquet_bytes": corpus_bytes,
+                    "load_1m": round(os.getloadavg()[0], 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
