@@ -5484,11 +5484,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the oracle over the final corpus including the
     shifted rows, proving the relayout lost nothing.
 
+    r11 fold: scope='standingq' rows pin STANDING-QUERY maintenance
+    (``ingest_to_store(standing_topk_maintain=...)`` →
+    ``streaming/ingest._maintain_standing_topk``): the same five
+    queries the post-hoc vecsearch probe uses are maintained as a live
+    top-5 result set WHILE the four vector batches (including the
+    retrain batch, which the quantizer-independent merge must ignore)
+    land — exact because top-k(C∪B) = top-k(top-k(C) ∪ top-k(B))
+    under the engine's total order, O(nq·k) state, O(batch·nq) work
+    per batch. The final state must hash-match the identical exact
+    ranking vecsearch computes from scratch.
+
     Column mapping: admission rows (k1=batch_id, k2=doc_id,
     flag=admitted as 0/1 — a BIGINT because nullable booleans
     stringify asymmetrically across the two compare sides); vecsearch
-    rows (k1=query_id, k2=result doc_id, k3=rank, val=similarity);
-    vecdrift rows (k1=batch index, flag=retrain fired)."""
+    and standingq rows (k1=query_id, k2=result doc_id, k3=rank,
+    val=similarity); vecdrift rows (k1=batch index, flag=retrain
+    fired)."""
     import shutil
     import tempfile
 
@@ -5611,6 +5623,17 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by="cluster_id",
         )
         fired: list[int] = []
+        # r11: the SAME five queries the post-hoc vecsearch probe uses,
+        # maintained as a STANDING result set while the batches (and
+        # the mid-stream retrain) land — scope='standingq' hash-matches
+        # the identical exact ranking, pinning the per-batch merge
+        # machinery (streaming/ingest._maintain_standing_topk) to
+        # exact semantics through a quantizer retrain it must ignore
+        queries = kept_vec.orderBy("doc_id").limit(5).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        standing_root = os.path.join(root, "standing")
         vq = ingest_to_store(
             (
                 spark.readStream.schema(kept_vec.schema)
@@ -5627,8 +5650,21 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "threshold": 2.0,
                 "on_retrain": lambda bid, score: fired.append(bid),
             },
+            standing_topk_maintain={
+                "root": standing_root, "queries": queries, "k": 5,
+            },
         )
         vq.awaitTermination(600)
+        from deployment_spark.streaming.ingest import read_standing_topk
+
+        standingq = read_standing_topk(spark, standing_root).select(
+            F.lit("standingq").alias("scope"),
+            F.col("query_id").cast("long").alias("k1"),
+            F.col("doc_id").cast("long").alias("k2"),
+            F.col("rank").cast("long").alias("k3"),
+            F.lit(None).cast("long").alias("flag"),
+            F.round("similarity", 4).alias("val"),
+        )
         vecdrift = spark.createDataFrame(
             [(b, 1 if b in fired else 0) for b in range(4)],
             "k1 long, flag long",
@@ -5660,7 +5696,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("similarity", 4).alias("val"),
         )
         # materialize before the tmp store is removed
-        return admission.unionByName(vecsearch).unionByName(vecdrift).localCheckpoint()
+        return (
+            admission.unionByName(vecsearch)
+            .unionByName(vecdrift)
+            .unionByName(standingq)
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -5794,6 +5835,13 @@ FROM (
 ) lb LEFT JOIN kept3 k ON k.doc_id = lb.doc_id
 UNION ALL
 SELECT 'vecsearch', query_id::BIGINT, doc_id::BIGINT, rank::BIGINT,
+       CAST(NULL AS BIGINT), round(sim, 4)
+FROM vr WHERE rank <= 5
+UNION ALL
+-- standingq (r11): the per-batch-maintained standing result set must
+-- equal the same exact ranking the post-hoc vecsearch computes — the
+-- merge across 4 batches (including the retrain batch) is exact
+SELECT 'standingq', query_id::BIGINT, doc_id::BIGINT, rank::BIGINT,
        CAST(NULL AS BIGINT), round(sim, 4)
 FROM vr WHERE rank <= 5
 UNION ALL

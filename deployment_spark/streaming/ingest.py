@@ -19,7 +19,7 @@ stop), which is also the production backfill mode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deployment_spark.schemas import PACKET_SCHEMA
@@ -46,6 +46,7 @@ def ingest_to_store(
     available_now: bool = True,
     drift_retrain: dict | None = None,
     knn_graph_maintain: dict | None = None,
+    standing_topk_maintain: dict | None = None,
 ):
     """ST5 — micro-batch maintenance: each batch is cleaned/transformed
     then inserted into the snapshot store inside ``foreachBatch``; the
@@ -199,6 +200,8 @@ def ingest_to_store(
         store.insert(out)
         if knn_graph_maintain is not None:
             _maintain_knn_graph(store, out, prev_v, knn_graph_maintain)
+        if standing_topk_maintain is not None:
+            _maintain_standing_topk(store, out, prev_v, standing_topk_maintain)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)
@@ -270,6 +273,83 @@ def _maintain_knn_graph(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
         vec_col=vec_col,
     )
     gstore.upsert(with_pk(repl))
+
+
+def _maintain_standing_topk(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
+    """Per-batch STANDING-QUERY maintenance (r11): keep the exact top-k
+    of a fixed query set current while the corpus streams in — the
+    continuous-query face of the serving stack (the reference's Milvus
+    clients poll-search after every insert wave, ``stream1.py:300``;
+    a standing result set answers those reads from O(1) state instead
+    of a fresh corpus scan per poll).
+
+    State is one row per (query, rank) in a SnapshotStore under
+    ``cfg["root"]``. Per batch: score ONLY the batch against the
+    queries (O(batch·nq) work), union with the stored nq·k state,
+    dedupe on (query, id) and re-top — exact because top-k(C ∪ B) =
+    top-k(top-k(C) ∪ top-k(B)) under the engine's total order
+    (sim desc, id asc). The state is query-scale (nq·k rows), so the
+    commit is a whole-state ``replace`` — O(nq·k), no delta machinery
+    to earn its complexity. Replay/duplicate batches are no-ops by the
+    same dedupe+merge algebra (re-offered candidates collapse before
+    the window). Deletes are out of scope by contract: state only ever
+    absorbs inserts — a store that deletes corpus rows must rebuild
+    the standing set (documented, like the reference's poll-search
+    which would equally serve deleted rows until its next full scan).
+
+    cfg keys: ``root`` (state-store path, required), ``queries``
+    (static DataFrame with query_id/query_vec, required), ``k``
+    (default 5), ``vec_col`` (default 'embedding'). Enabling
+    maintenance on a store with history triggers a one-time full
+    build over everything landed (absence-is-safe, as elsewhere)."""
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    spark = out.sparkSession
+    k = int(cfg.get("k", 5))
+    vec_col = cfg.get("vec_col", "embedding")
+    queries = cfg["queries"]
+    sstore = SnapshotStore(spark, cfg["root"], key="slot_id")
+
+    def with_pk(state: DataFrame) -> DataFrame:
+        return state.withColumn(
+            "slot_id", F.col("query_id") * k + F.col("rank") - 1
+        )
+
+    def topped(cands: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("similarity"), F.asc(store.key)
+        )
+        return (
+            cands.dropDuplicates(["query_id", store.key])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", store.key, "rank", "similarity")
+        )
+
+    fresh = out.dropDuplicates([store.key])
+    if prev_v == 0 or not sstore.exists():
+        # first batch, or maintenance enabled on an existing store:
+        # one-time full pass over everything landed so far
+        scored = topk_similarity_join_expr(
+            store.read(), queries, k=k, corpus_id=store.key, corpus_vec=vec_col
+        ).select("query_id", store.key, "rank", "similarity")
+        sstore.replace(with_pk(topped(scored)))
+        return
+    batch_top = topk_similarity_join_expr(
+        fresh, queries, k=k, corpus_id=store.key, corpus_vec=vec_col
+    ).select("query_id", store.key, "rank", "similarity")
+    prior = sstore.read().select("query_id", store.key, "rank", "similarity")
+    sstore.replace(with_pk(topped(prior.unionByName(batch_top))))
+
+
+def read_standing_topk(spark, root: str) -> DataFrame:
+    """Consumer handle for the standing-query state maintained by
+    ``ingest_to_store(standing_topk_maintain=...)``: the current exact
+    (query_id, <key>, rank, similarity) top-k per standing query."""
+    from deployment_spark.operators.crud import SnapshotStore
+
+    return SnapshotStore(spark, root, key="slot_id").read().drop("slot_id")
 
 
 def streaming_dedup(

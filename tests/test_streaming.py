@@ -1224,3 +1224,73 @@ def test_curated_ingest_maintains_bm25_index(spark, tmp_path):
     kept2 = store.read().select("doc_id", "text")
     assert kept2.count() > kept.count()
     assert smap(idx.search_scores(terms)) == smap(bm25_scores(kept2, terms))
+
+
+def test_ingest_maintains_standing_topk(spark, tmp_path):
+    """r11: with ``standing_topk_maintain`` on, ingest_to_store keeps a
+    fixed query set's EXACT top-k current across 4 streamed batches
+    (top-k(C∪B) = top-k(top-k(C) ∪ top-k(B)) under the engine's total
+    order) in O(nq·k) state with one state commit per batch. A full
+    replay through a fresh checkpoint moves nothing (the dedupe+merge
+    algebra makes re-offered candidates no-ops). Enabling maintenance
+    late on a store with history triggers the one-time backfill."""
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+    from deployment_spark.streaming.ingest import (
+        ingest_to_store,
+        read_standing_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    landing = str(tmp_path / "sq_landing")
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199), (200, 299), (300, 399)]):
+        emb.filter(F.col("vec_id").between(lo, hi)).coalesce(1).write.parquet(
+            f"{landing}/b={i:03d}"
+        )
+    store = SnapshotStore(spark, str(tmp_path / "sq_store"), key="vec_id")
+    sroot = str(tmp_path / "sq_state")
+
+    def run(ck, root):
+        q = ingest_to_store(
+            (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(landing)
+            ),
+            store,
+            str(tmp_path / ck),
+            standing_topk_maintain={"root": root, "queries": queries, "k": 5},
+        )
+        q.awaitTermination(240)
+
+    def smap(root):
+        return {
+            (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+            for r in read_standing_topk(spark, root).collect()
+        }
+
+    run("sq_ckpt", sroot)
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in topk_similarity_join_expr(store.read(), queries, k=5).collect()
+    }
+    got = smap(sroot)
+    assert got == want
+    assert len(got) == 5 * 5  # state stays nq·k — never corpus-scale
+    sstore = SnapshotStore(spark, sroot, key="slot_id")
+    assert sstore.current_version() == 4  # one state commit per batch
+
+    # replay: fresh checkpoint, same files, same state root — no-op
+    run("sq_ckpt2", sroot)
+    assert smap(sroot) == want
+
+    # late enable: a DIFFERENT state root sees the store with history on
+    # its first batch → one-time backfill over everything landed
+    sroot2 = str(tmp_path / "sq_state2")
+    run("sq_ckpt3", sroot2)
+    assert smap(sroot2) == want
