@@ -4000,6 +4000,13 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = Non
 IVF_RECALL_FLOOR = 0.85     # nprobe 10/16, r2-r3 measured 0.89
 PQ_ADC_FLOOR = 0.80         # m=16 ksub=256 (16 B/code), r3 measured 0.835
 PQ_RERANK_FLOOR = 0.95      # shortlist-50 re-rank, r3 measured 1.00
+# OPQ (r11): on the engine's near-isotropic fixture the rotation is
+# recall-NEUTRAL by theory (measured: rerank 1.00/1.00/0.975 at
+# sf0.001/0.01/0.1 vs PQ's 1.00/1.00/0.97) — the gated floor is
+# therefore PARITY with PQ rerank; the anisotropic LIFT (adc 0.535 →
+# 0.775 at identical bytes on a variance-ramped low-rank synthetic) is
+# pinned in tests/test_opq.py, where the data can be shaped to exhibit it
+OPQ_RERANK_FLOOR = PQ_RERANK_FLOOR
 IVFPQ_RERANK_FLOOR = 0.85   # nprobe 5/8 pruning dominates, r3 measured 0.875
 SQ_ADC_FLOOR = 0.95         # 8 bits per DIMENSION (4x), r5 measured 1.00
 SQ_RERANK_FLOOR = 0.98      # shortlist-50 re-rank, r5 measured 1.00
@@ -4115,15 +4122,33 @@ def q_pq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
             codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
         ).select("query_id", "vec_id"),
     )
+    # r11: OPQ — the same production shape (ADC shortlist-50 → exact
+    # re-rank) over ROTATION-optimized codes at identical bytes
+    # (operators/opq.py, Ge et al. OPQ_NP). Rotation preserves every
+    # dot product, so exact re-rank runs on the rotated frames
+    # directly; deterministic (seeded alternation), so the checker's
+    # independent re-run re-derives the identical sets.
+    from deployment_spark.operators.opq import rotate_vectors, train_opq
+
+    r_mat, ocodec = train_opq(norm, m=16, ksub=256, seed=42, opq_iters=6)
+    rot = rotate_vectors(norm, r_mat)
+    rot_q = rotate_vectors(queries, r_mat, vec_col="query_vec")
+    opq = _sink_pairs(
+        pairs_sink, ("pq", "opq"),
+        ocodec.search_rerank(
+            ocodec.encode(rot), rot_q, rot, k=k, shortlist=50
+        ).select("query_id", "vec_id"),
+    )
 
     per_q = _recall_arms(
-        queries, exact, k, adc=adc, rerank=rr, batch=batch
+        queries, exact, k, adc=adc, rerank=rr, batch=batch, opq=opq
     )
     return per_q.withColumn(
         "meets_floor",
         (F.col("mean_recall_rerank") >= PQ_RERANK_FLOOR)
         & (F.col("mean_recall_adc") >= PQ_ADC_FLOOR)
-        & (F.col("mean_recall_batch") >= PQ_BATCH_FLOOR),
+        & (F.col("mean_recall_batch") >= PQ_BATCH_FLOOR)
+        & (F.col("mean_recall_opq") >= OPQ_RERANK_FLOOR),
     )
 
 
@@ -4339,9 +4364,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     point as its interactive sibling. r10 widening (V8 closure): the
     ivf family adds `seed`/`graph` — a starved nprobe-2 seed and its
     one-hop kNN-graph expansion (`knn.graph_assisted_topk`, the HNSW
-    recall trade) — 17 groups total (r11 adds ivf/graph_stream: the expansion over the
+    recall trade) — 18 groups total (r11 adds ivf/graph_stream: the expansion over the
     STREAMING-MAINTAINED graph after four ingested micro-batches, same
-    floor — VERDICT r10 #1). Hash-gateable since r11 via the pairs
+    floor — VERDICT r10 #1; and pq/opq: the rotation-optimized codec at
+    identical bytes, parity floor on this near-isotropic fixture, the
+    anisotropic lift pinned in tests/test_opq.py). Hash-gateable since r11 via the pairs
     facet (SQL_ANN_RECALL replays exact sets + recall arithmetic in
     DuckDB); additionally (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
@@ -4412,6 +4439,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r8: every codec's corpus-scale batch route, gated at the same
         # operating point as its interactive sibling
         arm_variant(pq_df, "pq", "batch", PQ_BATCH_FLOOR),
+        # r11: OPQ rotation at identical bytes — parity floor on the
+        # near-isotropic fixture (lift pinned on the anisotropic
+        # synthetic in tests/test_opq.py)
+        arm_variant(pq_df, "pq", "opq", OPQ_RERANK_FLOOR),
         arm_variant(ivfpq_df, "ivfpq", "rerank", IVFPQ_RERANK_FLOOR),
         arm_variant(ivfpq_df, "ivfpq", "batch", IVFPQ_BATCH_FLOOR),
         arm_variant(sq_df, "sq8", "adc", SQ_ADC_FLOOR),
@@ -4443,6 +4474,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq", "adc"): PQ_ADC_FLOOR,
         ("pq", "rerank"): PQ_RERANK_FLOOR,
         ("pq", "batch"): PQ_BATCH_FLOOR,
+        ("pq", "opq"): OPQ_RERANK_FLOOR,
         ("ivfpq", "rerank"): IVFPQ_RERANK_FLOOR,
         ("ivfpq", "batch"): IVFPQ_BATCH_FLOOR,
         ("sq8", "adc"): SQ_ADC_FLOOR,

@@ -251,6 +251,22 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         ),
         PQ_BATCH_FLOOR,
     )
+    # r11: OPQ — deterministic seeded training, so this independent
+    # re-run re-derives the entry's exact approximate sets
+    from deployment_spark.operators.opq import rotate_vectors, train_opq
+    from deployment_spark.queries import OPQ_RERANK_FLOOR
+
+    r_mat, opq_codec = train_opq(norm, m=16, ksub=256, seed=42, opq_iters=6)
+    opq_rot = rotate_vectors(norm, r_mat)
+    opq_q = rotate_vectors(queries, r_mat, vec_col="query_vec")
+    specs[("pq", "opq")] = (
+        _pairs_to_sets(
+            opq_codec.search_rerank(
+                opq_codec.encode(opq_rot), opq_q, opq_rot, k=k, shortlist=50
+            ).select("query_id", "vec_id").collect()
+        ),
+        OPQ_RERANK_FLOOR,
+    )
 
     with tempfile.TemporaryDirectory(prefix="oracle_ivfpq_") as root:
         ivfpq = IVFPQIndex(spark, root).build(norm, nlist=8, m=16, ksub=256)
