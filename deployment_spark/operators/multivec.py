@@ -1,0 +1,177 @@
+"""Multi-vector late-interaction retrieval (ColBERT-style maxsim) —
+each document and each query is a BAG of token vectors; relevance is
+
+    maxsim(q, d) = Σ_{t ∈ q} max_{u ∈ d} (t · u)
+
+(Khattab & Zaharia, SIGIR 2020). Milvus 2.5 ships this as the
+multi-vector / late-interaction query mode; the engine's other
+searchers all assume one vector per entity.
+
+Spark-first layout: token vectors live LONG-FORMAT — one row per
+(entity, position, vector) — not nested array<array<double>>. Long
+format is what scales: the scan prunes by entity/position predicates,
+the per-token work is a plain join + two-stage aggregate with map-side
+partial max, and skew stays bounded by tokens-per-doc (never by corpus
+size).
+
+Exact plan (``maxsim_topk``): broadcast the query bag (nq·tq rows —
+query-scale by contract) onto ONE corpus token scan; dot products in
+whole-stage codegen; groupBy (query, entity, q_pos) MAX then
+(query, entity) SUM — both aggregates partial (map-side combine), so
+the exchange carries one row per (query, entity, q_pos) that matched,
+never per token pair. This is the exact reference at any scale where a
+full token scan is acceptable (the gated path).
+
+Scale path (``maxsim_rerank``): ColBERT deployments never maxsim-scan
+the corpus — a first-stage single-vector search (pooled/mean vector
+through ANY of the engine's indexes: IVF, PQ, …) proposes candidates,
+and maxsim re-scores ONLY the candidate bags (O(nq·cand·tq·td) work,
+corpus-independent). The composition is exact whenever the candidate
+set contains the true top-k (recall governed by the first stage, the
+standard two-stage contract — same shape as PQ's shortlist re-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deployment_spark.functions.vector import dot_product
+
+
+def maxsim_scores(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_pos: str | None = None,
+) -> DataFrame:
+    """Per-(query, entity) maxsim score over long-format token bags.
+
+    ``doc_vecs``: (id_col, vec_col) one row per document token.
+    ``query_vecs``: (query_id, query_vec) one row per query token,
+    optionally with an explicit ``query_pos`` token-position column
+    (without one, positions are synthesized — maxsim is
+    permutation-invariant over query tokens, each row just needs a
+    distinct slot). Output: (query_id, id_col, maxsim). Entities
+    appear iff they have at least one token row."""
+    pos = (
+        F.col(query_pos)
+        if query_pos is not None
+        else F.monotonically_increasing_id()
+    )
+    q = F.broadcast(
+        query_vecs.select(
+            F.col(query_id).alias("_qid"),
+            pos.alias("_qpos"),
+            F.col(query_vec).cast("array<double>").alias("_qvec"),
+        )
+    )
+    scored = (
+        doc_vecs.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_cvec"),
+        )
+        .crossJoin(q)
+        .withColumn("_dot", dot_product("_cvec", "_qvec"))
+    )
+    per_qtok = scored.groupBy("_qid", "_cid", "_qpos").agg(
+        F.max("_dot").alias("_m")
+    )
+    return per_qtok.groupBy("_qid", "_cid").agg(
+        F.sum("_m").alias("maxsim")
+    ).select(
+        F.col("_qid").alias(query_id), F.col("_cid").alias(id_col), "maxsim"
+    )
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_pos: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact maxsim top-k: (query_id, id_col, rank, maxsim), ties by id
+    ascending (the engine's total order). ``round_to`` ranks on the
+    rounded score for cross-engine-stable ordering (the oracle-gated
+    entries' convention)."""
+    scored = maxsim_scores(
+        doc_vecs, query_vecs, id_col, vec_col, query_id, query_vec, query_pos
+    )
+    if round_to is not None:
+        scored = scored.withColumn("maxsim", F.round("maxsim", round_to))
+    w = Window.partitionBy(query_id).orderBy(F.desc("maxsim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "maxsim")
+    )
+
+
+def pool_vectors(
+    doc_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool each entity's token bag into ONE vector — the
+    first-stage representation (feed it to any single-vector index:
+    exact, IVF, PQ, …). Pure Catalyst: posexplode + per-dimension mean
+    + re-assemble; one shuffle keyed by (entity, dim), one by entity."""
+    exploded = doc_vecs.select(
+        F.col(id_col).alias("_cid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"),
+    )
+    per_dim = exploded.groupBy("_cid", "_d").agg(F.avg("_x").alias("_m"))
+    return (
+        per_dim.groupBy("_cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_d"), F.col("_m")))
+            ).alias("_pairs")
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            F.transform(F.col("_pairs"), lambda p: p._m).alias(vec_col),
+        )
+    )
+
+
+def maxsim_rerank(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_pos: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Two-stage maxsim: re-score ONLY the candidate (query, entity)
+    pairs a first-stage searcher proposed (any (query_id, id_col)
+    frame, e.g. IVF over ``pool_vectors`` output). The token scan is
+    semi-joined down to candidate entities BEFORE any scoring, so the
+    maxsim work is O(candidate bags), corpus-independent."""
+    cand = candidates.select(query_id, id_col).dropDuplicates()
+    cand_docs = doc_vecs.join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    )
+    scored = maxsim_scores(
+        cand_docs, query_vecs, id_col, vec_col, query_id, query_vec, query_pos
+    ).join(F.broadcast(cand), [query_id, id_col], "left_semi")
+    if round_to is not None:
+        scored = scored.withColumn("maxsim", F.round("maxsim", round_to))
+    w = Window.partitionBy(query_id).orderBy(F.desc("maxsim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "maxsim")
+    )

@@ -4981,6 +4981,41 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich_topk(f_post, emb.select("vec_id", "label"), corpus_id="vec_id"),
         "filtered_post",
     )
+    # r11 (15th probe): multi-vector LATE-INTERACTION retrieval
+    # (operators/multivec.maxsim_topk — ColBERT maxsim, the Milvus 2.5
+    # multi-vector query mode). Token bags are derived deterministically
+    # from the embeddings table itself (entity v's 3 doc tokens =
+    # rows (v + 211·j) mod N, query q's 2 tokens = rows (q + 97·j)
+    # mod N — both engines replay the mapping), scored with
+    # Σ_t max_u (t·u), ranked on the 4dp-rounded sum. The plan is the
+    # scale shape: broadcast query bag onto ONE corpus token scan, MAX
+    # and SUM both map-side-partial aggregates.
+    from deployment_spark.operators.multivec import maxsim_topk
+
+    n_emb = emb.count()
+    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
+    doc_tokens = (
+        emb.select("vec_id")
+        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select("vec_id", "embedding")
+    )
+    q_tokens = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select("query_id", F.col("_j").alias("q_pos"), F.col("embedding").alias("query_vec"))
+    )
+    mv = maxsim_topk(
+        doc_tokens, q_tokens, k=5, round_to=4, query_pos="q_pos"
+    ).select("query_id", "vec_id", "rank", F.col("maxsim").alias("similarity"))
+    maxsim_rows = shape(
+        enrich_topk(mv, emb.select("vec_id", "label"), corpus_id="vec_id"),
+        "maxsim",
+    )
     return (
         topk_rows.unionByName(radius_rows)
         .unionByName(radius_blocked_rows)
@@ -4992,6 +5027,7 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(filtered_rows)
         .unionByName(filtered_pre_rows)
         .unionByName(filtered_post_rows)
+        .unionByName(maxsim_rows)
         .unionByName(sparse_rows)
         .unionByName(binary_rows)
         .unionByName(iterator_rows)
@@ -5069,6 +5105,37 @@ q AS (
   SELECT query_id, vec_id, label, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s WHERE vec_id % 37 = 0
+), mv_n AS (
+  SELECT count(*) AS n FROM embeddings
+), mv_doc AS (
+  -- multi-vector token bags, derived from the embeddings view by the
+  -- same deterministic mapping the Spark side uses: entity v's 3 doc
+  -- tokens are rows (v + 211*j) mod N
+  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  CROSS JOIN mv_n
+  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % mv_n.n
+), mv_q AS (
+  SELECT q.vec_id AS query_id, j AS q_pos, t.embedding::DOUBLE[] AS qv
+  FROM embeddings q
+  CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  CROSS JOIN mv_n
+  JOIN embeddings t ON t.vec_id = (q.vec_id + 97 * j) % mv_n.n
+  WHERE q.vec_id < 5
+), mv_m AS (
+  SELECT mv_q.query_id, mv_doc.vec_id, mv_q.q_pos,
+         max(list_dot_product(mv_doc.v, mv_q.qv)) AS mx
+  FROM mv_doc CROSS JOIN mv_q
+  GROUP BY 1, 2, 3
+), mv_s AS (
+  -- rank on the 4dp-ROUNDED maxsim (the Spark side's round_to=4), ties
+  -- by vec_id; legacy_score derives from the rounded value too
+  SELECT query_id, vec_id, round(sum(mx), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(sum(mx), 4) DESC, vec_id
+         ) AS rank
+  FROM mv_m GROUP BY query_id, vec_id
 ), spx AS (
   SELECT vec_id,
          unnest(list_transform(range(1, len(embedding) + 1),
@@ -5147,6 +5214,12 @@ SELECT 'filtered_post', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
        round(1.0 - sqrt(greatest(2.0 - 2.0 * sim, 0.0)), 4)
 FROM filtered WHERE rank <= 5
+UNION ALL
+SELECT 'maxsim', mv_s.query_id, mv_s.vec_id, mv_s.rank, e.label::BIGINT,
+       mv_s.sim,
+       round(1.0 - sqrt(greatest(2.0 - 2.0 * mv_s.sim, 0.0)), 4)
+FROM mv_s JOIN embeddings e ON e.vec_id = mv_s.vec_id
+WHERE mv_s.rank <= 5
 UNION ALL
 SELECT 'sparse', query_id, vec_id, rank, label::BIGINT,
        round(sim, 4),
