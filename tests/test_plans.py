@@ -464,7 +464,11 @@ def test_expensive_entries_exchange_budget(spark, sf_dir):
         "hybrid_search": 11,     # BM25 ⊕ cosine ⊕ RRF composition
         "doc_exact_dedup": 2,    # docs md5 window + lineitem keep-first fold
         "embedding_neardup": 2,  # band join + pair dedup
-        "doc_bm25_topk": 2,
+        # r11 two-arm widening: the direct arm keeps its per-doc agg +
+        # rank window; the indexed arm adds its own pruned-postings
+        # per-doc agg + rank window (the df/stats attachments ride
+        # broadcasts) — 2 exchanges per arm
+        "doc_bm25_topk": 4,
         "doc_lm_score": 6,       # token stats + unigram join + rollup
         # r9 two-arm widening: interactive arm (routing broadcast join +
         # top-k window, 1 exchange) + batch arm (blocked centroid
