@@ -175,3 +175,47 @@ def maxsim_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", "maxsim")
     )
+
+
+def token_candidates(
+    search_fn,
+    query_vecs: DataFrame,
+    token_doc: DataFrame,
+    k_per_token: int = 32,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_pos: str | None = None,
+    token_id: str = "tok_id",
+    doc_id: str = "vec_id",
+) -> DataFrame:
+    """First-stage candidate generation the ColBERT/PLAID way: ANN over
+    the TOKEN vectors, one search per query token; a document is a
+    candidate iff at least one of its tokens hits. This preserves
+    maxsim's signal — a doc ranks high because SOME token matches SOME
+    query token — where a mean-pooled single-vector stage washes
+    multi-topic bags out (measured: pooled-stage recall ≤ 0.36 on a
+    multi-topic fixture where the token stage holds ≥ 0.9 —
+    tools/maxsim_probe.py and the pinned test).
+
+    ``search_fn(queries_df, k) -> (query_id, token_id, ...)`` is any of
+    the engine's searchers closed over its token index (IVF/PQ/exact);
+    ``token_doc`` maps (token_id, doc_id). Query tokens ride a
+    composite id (query·10⁶ + position — positions bounded < 10⁶ by
+    contract) so one search call covers every token. Output:
+    (query_id, doc_id) distinct candidate pairs."""
+    pos = (
+        F.col(query_pos)
+        if query_pos is not None
+        else F.monotonically_increasing_id() % 1_000_000
+    )
+    q = query_vecs.select(
+        (F.col(query_id) * 1_000_000 + pos).alias(query_id),
+        F.col(query_vec).alias(query_vec),
+    )
+    hits = search_fn(q, k_per_token).select(query_id, token_id)
+    return (
+        hits.withColumn(query_id, F.floor(F.col(query_id) / 1_000_000).cast("long"))
+        .join(token_doc, token_id)
+        .select(query_id, doc_id)
+        .distinct()
+    )

@@ -116,3 +116,72 @@ def test_maxsim_aggregates_are_partial(spark, bags):
     assert plan.count("HashAggregate") >= 4  # 2 aggs × (partial + final)
     assert "partial_max" in plan
     assert "partial_sum" in plan
+
+
+def test_token_candidates_beat_pooled_on_multitopic_bags(spark):
+    """The first-stage representation gap that motivates
+    ``token_candidates``: docs whose tokens cover SEVERAL topics defeat
+    a mean-pooled single-vector stage (the mean points between topics)
+    while the token-level stage keeps maxsim's signal. Both stages use
+    EXACT single-vector search here, so the pinned gap is purely the
+    representation, not index approximation."""
+    from deployment_spark.operators.multivec import token_candidates
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    rng = np.random.default_rng(5)
+    nq, tq, td, n, d, k = 8, 3, 4, 1500, 32, 10
+    qv = rng.normal(size=(nq, tq, d))
+    qv /= np.linalg.norm(qv, axis=-1, keepdims=True)
+    centers = qv.reshape(-1, d)
+    asgn = rng.integers(0, len(centers), size=(n, td))
+    dv = centers[asgn] + 0.3 * rng.normal(size=(n, td, d))
+    dv /= np.linalg.norm(dv, axis=-1, keepdims=True)
+    doc_df = spark.createDataFrame(
+        [(i, dv[i, j].tolist()) for i in range(n) for j in range(td)],
+        "vec_id long, embedding array<double>",
+    )
+    q_df = spark.createDataFrame(
+        [(i, j, qv[i, j].tolist()) for i in range(nq) for j in range(tq)],
+        "query_id long, q_pos long, query_vec array<double>",
+    )
+    exact = {}
+    for r in maxsim_topk(doc_df, q_df, k=k, query_pos="q_pos").collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(cand):
+        got = {}
+        rows = maxsim_rerank(doc_df, q_df, cand, k=k, query_pos="q_pos").collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(exact[q] & got.get(q, set())) / k for q in exact) / nq
+
+    # pooled stage: exact cosine over mean-pooled docs/queries
+    pooled_docs = pool_vectors(doc_df)
+    pooled_q = pool_vectors(
+        q_df.select(F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding"))
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    pooled_cand = topk_similarity_join_expr(pooled_docs, pooled_q, k=50).select(
+        "query_id", "vec_id"
+    )
+    # token stage: exact cosine over token vectors, docs of hit tokens
+    from pyspark.sql import Window as W
+
+    tok_tbl = doc_df.withColumn(
+        "tok_id",
+        F.row_number().over(
+            W.orderBy("vec_id", F.md5(F.col("embedding").cast("string")))
+        ).cast("long"),
+    )
+    tok_corpus = tok_tbl.select(F.col("tok_id").alias("vec_id"), "embedding")
+    tok_cand = token_candidates(
+        lambda qd, kk: topk_similarity_join_expr(tok_corpus, qd, k=kk).select(
+            "query_id", F.col("vec_id").alias("tok_id")
+        ),
+        q_df,
+        tok_tbl.select("tok_id", "vec_id"),
+        k_per_token=100,
+        query_pos="q_pos",
+    )
+    r_pooled, r_token = recall(pooled_cand), recall(tok_cand)
+    assert r_token >= r_pooled + 0.2, (r_pooled, r_token)
+    assert r_token >= 0.85, r_token

@@ -109,3 +109,28 @@ def test_train_opq_validates_geometry(spark, aniso):
         train_opq(df, m=7, ksub=64)
     with pytest.raises(ValueError, match="uint8"):
         train_opq(df, m=8, ksub=512)
+
+
+def test_opq_composes_with_ivfpq(spark, aniso, tmp_path):
+    """The rotation wrapper composes with the COMPOSED index unchanged:
+    IVF×PQ built on rotated frames, searched with rotated queries at
+    full probe + exact re-rank, returns each query's own row at rank 1
+    (rotation preserves cosine, so self-similarity stays maximal)."""
+    from deployment_spark.operators.ivfpq import IVFPQIndex
+
+    df, _ = aniso
+    r_mat, _ = train_opq(df, m=8, ksub=64, seed=42, opq_iters=2)
+    rot = rotate_vectors(df, r_mat)
+    idx = IVFPQIndex(spark, str(tmp_path / "ivfpq_opq")).build(
+        rot, nlist=4, m=8, ksub=64
+    )
+    queries = rotate_vectors(
+        df.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        r_mat,
+        vec_col="query_vec",
+    )
+    res = idx.search(queries, k=3, nprobe=10**9, shortlist=30).collect()
+    tops = {r.query_id: r.vec_id for r in res if r.rank == 1}
+    assert tops == {i: i for i in range(6)}
