@@ -257,6 +257,7 @@ def _maintain_knn_graph(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
             store.read(), k=gk, id_col=store.key, vec_col=vec_col
         )
         gstore.replace(with_pk(full))
+        gstore.vacuum(keep_last=int(cfg.get("keep_versions", 2)))
         return
     prev_corpus = store.read(prev_v)
     new_rows = out.dropDuplicates([store.key]).join(
@@ -273,6 +274,12 @@ def _maintain_knn_graph(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
         vec_col=vec_col,
     )
     gstore.upsert(with_pk(repl))
+    # the edge store is derived state (rebuildable from the corpus), so
+    # old versions carry no time-travel value — bound retention; mor
+    # auto-compaction already bounds LIVE file count, this bounds DEAD
+    # manifests/segments. keep_versions=2 leaves the previous snapshot
+    # for in-flight readers.
+    gstore.vacuum(keep_last=int(cfg.get("keep_versions", 2)))
 
 
 def _maintain_standing_topk(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
@@ -335,12 +342,18 @@ def _maintain_standing_topk(store, out: DataFrame, prev_v: int, cfg: dict) -> No
             store.read(), queries, k=k, corpus_id=store.key, corpus_vec=vec_col
         ).select("query_id", store.key, "rank", "similarity")
         sstore.replace(with_pk(topped(scored)))
+        sstore.vacuum(keep_last=int(cfg.get("keep_versions", 2)))
         return
     batch_top = topk_similarity_join_expr(
         fresh, queries, k=k, corpus_id=store.key, corpus_vec=vec_col
     ).select("query_id", store.key, "rank", "similarity")
     prior = sstore.read().select("query_id", store.key, "rank", "similarity")
     sstore.replace(with_pk(topped(prior.unionByName(batch_top))))
+    # derived state: old versions are pure garbage (the corpus store is
+    # the source of truth; a lost state rebuilds via the absence-is-safe
+    # path above), so retention is bounded — keep_versions=2 leaves the
+    # previous snapshot for in-flight readers
+    sstore.vacuum(keep_last=int(cfg.get("keep_versions", 2)))
 
 
 def read_standing_topk(spark, root: str) -> DataFrame:

@@ -1110,6 +1110,14 @@ def test_ingest_maintains_knn_graph_across_batches(spark, tmp_path):
     phys = sum(e["rows"] for e in m["segments"])
     assert phys < 4 * 240 * k, phys
     assert gstore.current_version() == 4  # one graph commit per batch
+    # derived-state retention bounded (auto-vacuum keep_versions=2):
+    # dead manifests swept with the versions they described
+    manifests = [
+        f
+        for f in os.listdir(groot)
+        if f.startswith("m") and f.endswith(".json")
+    ]
+    assert len(manifests) <= 2, manifests
 
     # decay pin: late-arriving queries against the STALE batch-1 graph
     # lose recall that the maintained graph preserves
@@ -1284,6 +1292,10 @@ def test_ingest_maintains_standing_topk(spark, tmp_path):
     assert len(got) == 5 * 5  # state stays nq·k — never corpus-scale
     sstore = SnapshotStore(spark, sroot, key="slot_id")
     assert sstore.current_version() == 4  # one state commit per batch
+    # derived-state retention is BOUNDED (auto-vacuum keep_versions=2):
+    # old snapshots are garbage, not time travel
+    vdirs = [d for d in os.listdir(sroot) if d.startswith("v") and d[1:].isdigit()]
+    assert len(vdirs) <= 2, vdirs
 
     # replay: fresh checkpoint, same files, same state root — no-op
     run("sq_ckpt2", sroot)
