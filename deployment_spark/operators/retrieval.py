@@ -485,6 +485,14 @@ class BM25Index:
         partials."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
+        if not self.exists():
+            # fail with the library's contract, not a raw path error —
+            # callers distinguish "no index here" from a corrupt one
+            raise FileNotFoundError(
+                f"no BM25 index at {self.root}: build() or append() first "
+                "(curated ingest with bm25_maintain creates one on the "
+                "first admitted batch)"
+            )
         terms = list(dict.fromkeys(t.lower() for t in query_terms))
         buckets = sorted({bm25_bucket(t, self.n_buckets) for t in terms})
         hits = (

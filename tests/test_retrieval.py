@@ -330,3 +330,13 @@ def test_bm25_index_compact_preserves_content(spark, corpus_docs, tmp_path):
     assert spark.read.parquet(idx.stats_dir).count() == 1
     assert _score_map(idx.search_scores(terms)) == want
     assert idx.max_indexed_id() == 119
+
+
+def test_bm25_index_absent_raises_contract_error(spark, tmp_path):
+    from deployment_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "nothere"))
+    with pytest.raises(FileNotFoundError, match="no BM25 index"):
+        idx.search_scores(["x"])
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.search_scores([])
