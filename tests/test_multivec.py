@@ -185,3 +185,28 @@ def test_token_candidates_beat_pooled_on_multitopic_bags(spark):
     r_pooled, r_token = recall(pooled_cand), recall(tok_cand)
     assert r_token >= r_pooled + 0.2, (r_pooled, r_token)
     assert r_token >= 0.85, r_token
+
+
+def test_maxsim_fuses_with_bm25_via_rrf(spark, bags):
+    """API interop across the r11 retrieval surfaces: a maxsim ranking
+    and a BM25 ranking fuse through the existing rrf_fuse unchanged
+    (both emit the (id, rank) contract), and a doc ranked by both
+    modalities outranks single-modality docs at comparable ranks."""
+    from deployment_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    doc_df, q_df, _ = bags
+    mv = maxsim_topk(doc_df, q_df.filter("query_id = 0"), k=5, query_pos="q_pos")
+    mv_ranked = mv.select(F.col("vec_id").alias("doc_id"), "rank")
+    top_mv = mv_ranked.orderBy("rank").first().doc_id
+    texts = spark.createDataFrame(
+        [
+            (i, "shared common " + ("hit term " if i == top_mv else "miss "))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    bm_ranked = bm25_topk(texts, ["hit", "term"], k=5).select("doc_id", "rank")
+    fused = {r.doc_id: (r.n_lists, r.rrf_score) for r in rrf_fuse([mv_ranked, bm_ranked]).collect()}
+    assert fused[top_mv][0] == 2  # present in both lists
+    best = max(fused.values(), key=lambda t: t[1])
+    assert fused[top_mv] == best  # both-modality doc wins the fusion
