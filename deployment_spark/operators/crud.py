@@ -48,6 +48,15 @@ class ConcurrentCommitError(RuntimeError):
     re-read the store and retry (optimistic concurrency)."""
 
 
+class StaleServingStateError(RuntimeError):
+    """A maintained serving structure (BM25 inverted index, kNN-graph
+    store, standing top-k state) detected that its source store took a
+    content-destructive mutation (delete/update/upsert/replace) it never
+    incorporated — serving from it would silently return vanished or
+    stale rows. Re-run maintenance with ``on_mutation='repair'`` (exact
+    delete repair, rebuild on content changes) or ``'rebuild'``."""
+
+
 class SnapshotStore:
     """Versioned parquet table with last-wins upsert semantics.
 
@@ -246,6 +255,43 @@ class SnapshotStore:
         see :meth:`commit_meta` for why carry-forward is load-bearing.
         Must be read BEFORE the pointer swap of the commit using it."""
         return {**self.commit_meta(), **(meta or {})}
+
+    # -- mutation clock (r12, VERDICT r11 #1) --------------------------------
+
+    _MUTATION_OPS = ("deletes", "updates", "upserts", "replaces")
+
+    def mutation_clock(self) -> dict:
+        """Durable counter of CONTENT-DESTRUCTIVE mutations, O(1) from
+        the pointer meta: ``{"seq": total, "deletes": n, "updates": n,
+        "upserts": n, "replaces": n}``. Inserts/creates never bump it —
+        they only ADD rows, which every maintained serving structure
+        (BM25 index, kNN graph, standing top-k) absorbs through its
+        normal incremental path. Deletes/updates/upserts/replaces DO
+        bump it (unless the caller certifies ``content_preserving`` —
+        the drift relayout, which rewrites layout columns only), so a
+        maintainer comparing the clock against the value it pinned at
+        its last maintenance detects exactly the mutations that can
+        leave it serving vanished or stale rows. The per-op counters
+        let a repair path distinguish deletes-only histories (exact
+        O(affected) repair) from content changes (rebuild). Advisory
+        for PLANS, load-bearing for the maintainers' staleness
+        contract; carried forward by commit-meta merge like every
+        other durable key."""
+        clock = self.commit_meta().get("mutation_clock") or {}
+        out = {"seq": int(clock.get("seq", 0))}
+        for op in self._MUTATION_OPS:
+            out[op] = int(clock.get(op, 0))
+        return out
+
+    def _bump_mutation(self, op: str, meta: dict | None = None) -> dict:
+        """Meta dict for a commit performing destructive op ``op``.
+        Read-before-claim is safe: every caller claims base+1 right
+        after, so a concurrent commit between this read and the claim
+        fails the claim instead of losing a bump."""
+        clock = self.mutation_clock()
+        clock["seq"] += 1
+        clock[op] += 1
+        return {**(meta or {}), "mutation_clock": clock}
 
     # -- commit-embedded per-cluster counts (r11, VERDICT r10 #3) ------------
 
@@ -1097,10 +1143,13 @@ class SnapshotStore:
     def delete_ids(self, ids: DataFrame | list) -> int:
         """C2/J3 — delete by id-set (``index.remove_ids``,
         ``FAISS/PlainDemo/pipeline.py:110-112``). cow: broadcast
-        left_anti rewrite; mor: one O(ids) tombstone file."""
+        left_anti rewrite; mor: one O(ids) tombstone file. Bumps the
+        mutation clock — maintained serving structures must repair or
+        rebuild before serving this store again (r12)."""
         base_v = self.current_version()
         base = self.read(base_v)
         ids_df = self._keys_df(ids, base)
+        meta = self._bump_mutation("deletes")
         if self.mode == "mor":
             v = base_v + 1
             self._claim_version(v)
@@ -1114,6 +1163,7 @@ class SnapshotStore:
             return self._commit_manifest(
                 m["segments"],
                 m["tombstones"] + [self._entry(tomb, v, tmn, tmx, rows=tcnt)],
+                meta=meta,
                 version=v,
             )
         # no broadcast hint: id-list deletes are tiny and AQE broadcasts
@@ -1121,7 +1171,9 @@ class SnapshotStore:
         # scale can exceed broadcastable size — let AQE decide (matches
         # the mor tombstone read path)
         return self._commit(
-            base.join(ids_df, on=self.key, how="left_anti"), base_version=base_v
+            base.join(ids_df, on=self.key, how="left_anti"),
+            meta=meta,
+            base_version=base_v,
         )
 
     def delete_last_n(self, n: int) -> int:
@@ -1149,6 +1201,7 @@ class SnapshotStore:
         new = new_rows.dropDuplicates([self.key]).join(
             remaining.select(self.key), on=self.key, how="left_anti"
         )
+        meta = self._bump_mutation("updates")
         if self.mode == "mor":
             v = base_v + 1
             self._claim_version(v)
@@ -1164,12 +1217,16 @@ class SnapshotStore:
             return self._commit_manifest(
                 m["segments"] + [self._entry(seg, v, smn, smx, sst, rows=scnt)],
                 m["tombstones"] + [self._entry(tomb, v, tmn, tmx, rows=tcnt)],
+                meta=meta,
                 version=v,
             )
-        return self._commit(self._union(remaining, new), base_version=base_v)
+        return self._commit(
+            self._union(remaining, new), meta=meta, base_version=base_v
+        )
 
     def upsert(self, rows: DataFrame, meta: dict | None = None,
-               cluster_counts: dict | None = None) -> int:
+               cluster_counts: dict | None = None,
+               content_preserving: bool = False) -> int:
         """C4/J4 — last-wins merge by pk (``collection.upsert``,
         ``Milvus/stream1.py:370``). mor: just append the batch as the
         newest segment — the last-wins read resolves replacements, so
@@ -1180,8 +1237,18 @@ class SnapshotStore:
         deltas) pass them here to keep the commit-embedded stats fresh;
         a plain upsert can't know how many keys it shadowed, so by
         default the embedded counts go stale (token mismatch) rather
-        than wrong."""
+        than wrong.
+
+        ``content_preserving`` (r12): the caller CERTIFIES the upsert
+        changes no key set and no payload a derived serving structure
+        reads — only layout columns (the drift relayout: same keys,
+        same vectors, new ``cluster_id``) — so the mutation clock is
+        not bumped and maintainers keep serving. A false certification
+        silently re-creates the stale-serving bug the clock exists to
+        catch; default False."""
         self._check_schema(rows)
+        if not content_preserving:
+            meta = self._bump_mutation("upserts", meta)
         if self.mode == "mor":
             new = rows.dropDuplicates([self.key])
             if not self.exists():
@@ -1212,7 +1279,8 @@ class SnapshotStore:
         )
         return self._commit(final, meta=meta, base_version=base_v)
 
-    def replace(self, df: DataFrame, meta: dict | None = None) -> int:
+    def replace(self, df: DataFrame, meta: dict | None = None,
+                content_preserving: bool = False) -> int:
         """Wholesale snapshot rewrite — the RELAYOUT commit (r9): publish
         a new version whose content is exactly ``df``, e.g. the corpus
         reassigned under a retrained quantizer (streaming drift
@@ -1221,9 +1289,15 @@ class SnapshotStore:
         raise instead of being silently overwritten. cow: one
         full-snapshot write — the honest O(corpus) cost of a relayout;
         mor: folds to ONE fresh base segment and zero tombstones (a
-        compact carrying new content)."""
+        compact carrying new content).
+
+        ``content_preserving`` (r12): as in :meth:`upsert` — the caller
+        certifies keys and serving-visible payload are unchanged (pure
+        relayout), skipping the mutation-clock bump."""
         if not self.exists():
             return self.create(df, meta=meta)
+        if not content_preserving:
+            meta = self._bump_mutation("replaces", meta)
         base_v = self.current_version()
         if self.mode == "mor":
             v = base_v + 1

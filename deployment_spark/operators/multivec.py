@@ -201,15 +201,39 @@ def token_candidates(
     the engine's searchers closed over its token index (IVF/PQ/exact);
     ``token_doc`` maps (token_id, doc_id). Query tokens ride a
     composite id (query·10⁶ + position — positions bounded < 10⁶ by
-    contract) so one search call covers every token. Output:
-    (query_id, doc_id) distinct candidate pairs."""
-    pos = (
-        F.col(query_pos)
-        if query_pos is not None
-        else F.monotonically_increasing_id() % 1_000_000
-    )
+    contract, i.e. < 10⁶ tokens per query) so one search call covers
+    every token; floor-division recovers the query id, correctly for
+    negative ids too. The query-id column must be INTEGRAL (checked —
+    a fractional id breaks the composite arithmetic silently).
+    Synthesized positions (no ``query_pos``) are a per-query
+    ``row_number`` — maxsim is permutation-invariant over query
+    tokens, each row just needs a DISTINCT in-range slot; the r11
+    ``monotonically_increasing_id() % 10⁶`` synthesis could collide
+    across partitions (mono ids jump by 2³³ ≡ 934592 mod 10⁶ at
+    partition boundaries), silently merging two tokens' searches
+    under one slot and dropping one token's candidates (r11 ADVICE).
+    Output: (query_id, doc_id) distinct candidate pairs."""
+    qid_type = dict(
+        (f.name, f.dataType.simpleString()) for f in query_vecs.schema.fields
+    ).get(query_id)
+    if qid_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"token_candidates requires an integral {query_id} column "
+            f"(composite id = query·10⁶ + position); got {qid_type!r}"
+        )
+    if query_pos is not None:
+        pos = F.col(query_pos)
+    else:
+        pos = (
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.monotonically_increasing_id()
+                )
+            )
+            - 1
+        )
     q = query_vecs.select(
-        (F.col(query_id) * 1_000_000 + pos).alias(query_id),
+        (F.col(query_id).cast("long") * 1_000_000 + pos).alias(query_id),
         F.col(query_vec).alias(query_vec),
     )
     hits = search_fn(q, k_per_token).select(query_id, token_id)

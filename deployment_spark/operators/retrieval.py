@@ -36,6 +36,7 @@ so the whole fusion is driver-light and shuffle-trivial.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -217,7 +218,8 @@ def rrf_fuse(
 
 
 # ---------------------------------------------------------------------------
-# Persisted BM25 inverted index (r11)
+# Persisted BM25 inverted index (r11; delete/upsert + scale-derived
+# bucketing r12)
 # ---------------------------------------------------------------------------
 
 def bm25_bucket(tok: str, n_buckets: int) -> int:
@@ -228,6 +230,22 @@ def bm25_bucket(tok: str, n_buckets: int) -> int:
     Python-computed bucket set; a divergence would silently drop a
     term's entire postings list."""
     return zlib.crc32(tok.encode("utf-8")) % n_buckets
+
+
+def reference_n_buckets(n_docs: int) -> int:
+    """Scale-derived default for the postings partition count (r12,
+    VERDICT r11 #5): ≈ √docs rounded to a power of two, clamped to
+    [16, 4096]. Rationale: query cost is O(postings of the query's
+    buckets) ≈ O(total_postings · terms / n_buckets), so buckets should
+    grow with the corpus; but each bucket is a parquet partition whose
+    per-batch append lands ≥1 file, so per-batch small-file count grows
+    WITH n_buckets — √docs balances the two (the same argument as IVF's
+    ``reference_nlist``). The bm25_probe's 16/64/256 sweep on the ×32
+    corpus records the measured bytes-touched trade behind the clamp."""
+    if n_docs <= 0:
+        return 16
+    p = 2 ** round(math.log2(max(math.sqrt(n_docs), 1.0)))
+    return int(min(4096, max(16, p)))
 
 
 class BM25Index:
@@ -245,53 +263,125 @@ class BM25Index:
     - ``postings/`` — parquet partitioned by ``tok_bucket =
       crc32(tok) % n_buckets``: one row per (doc, token) with the term
       frequency AND the document length denormalized in (``tok,
-      doc_id, tf, dl``). A query reads ONLY its terms' buckets
-      (partition pruning on a literal bucket list computed driver-side)
-      and never joins back to a corpus-sized doc-length table — query
-      cost is O(postings of the query's terms), independent of corpus
-      size. Hot tokens make big buckets but the scoring aggregate keys
-      by DOC, never by token, so no reducer ever sees one token's whole
-      postings list.
+      doc_id, tf, dl``), plus the write GENERATION (see deletes). A
+      query reads ONLY its terms' buckets (partition pruning on a
+      literal bucket list computed driver-side) and never joins back
+      to a corpus-sized doc-length table — query cost is O(postings of
+      the query's terms), independent of corpus size. Hot tokens make
+      big buckets but the scoring aggregate keys by DOC, never by
+      token, so no reducer ever sees one token's whole postings list.
+      ``n_buckets`` defaults to ``reference_n_buckets(corpus docs)``
+      (√docs to a power of two, 16-4096 — r12) and is PINNED in every
+      stats partial; a constructor arg that contradicts the pinned
+      value raises instead of silently pruning the wrong buckets.
     - ``stats/`` — O(appends) tiny partial rows (``n_docs, sum_dl,
-      max_doc_id``); corpus N and avgdl are their sums, so query-time
-      stats cost is a few-row scan, and appends never rewrite history.
-      ``max_doc_id`` is the max SEEN id of each appended batch (advanced
-      even by zero-token docs), giving the same append-only-id
-      reconcile contract as the curated signature index: ids above the
-      stats max are exactly the unindexed rows.
+      max_doc_id, n_buckets, src_seq``); corpus N and avgdl are their
+      sums, so query-time stats cost is a few-row scan, and appends
+      never rewrite history. ``max_doc_id`` is the max SEEN id of each
+      appended batch (advanced even by zero-token docs), giving the
+      same append-only-id reconcile contract as the curated signature
+      index: ids above the stats max are exactly the unindexed rows.
+      ``src_seq`` carries the source store's mutation-clock seq the
+      maintainer had incorporated when it wrote the partial (r12 —
+      the staleness contract; see ``pinned_src_seq``).
+    - ``tombstones/`` (r12) — EXACT delete support, the face the r11
+      index lacked (VERDICT r11 #1: the reference's Milvus path
+      deletes entities and its inverted index reflects it on the next
+      search, ``Milvus/stream1.py:313-315``). One row per killed live
+      doc: (``doc_id, gen, dl``). A posting is dead iff a tombstone
+      with the same doc_id and ``tombstone.gen >= posting.gen``
+      exists; generations are derived from the tombstone set itself
+      (current write gen = max(tombstone gen)+1, no separate counter
+      to desync), so a doc re-landed by ``reindex`` — new postings at
+      a HIGHER gen — survives the old tombstone. Each tombstone row
+      embeds the killed doc's dl, so the stats corrections (N−=1,
+      sum_dl−=dl) travel IN the same atomic parquet append as the
+      kill itself — no two-write crash window between "rows vanish"
+      and "stats notice". Search stays EXACT on the surviving corpus:
+      df(t) is computed from the matched (live) frame, N/avgdl from
+      stats-minus-corrections; pinned bit-identical to
+      ``bm25_scores(surviving corpus)``. Cost: delete pays one
+      postings scan (doc-keyed semi-join — bucket pruning can't help,
+      buckets key by token); queries pay an O(deleted) broadcast
+      anti-join until ``compact()`` folds the tombstones away.
 
     df(t) needs no table of its own: postings hold one row per (doc,
     tok), so df is a conditional count over the docs that matched —
-    identical to the from-scratch aggregate's df, because every doc
-    containing t is in the matched frame by construction.
+    identical to the from-scratch aggregate's df, because every live
+    doc containing t is in the matched frame by construction.
 
     Search returns bit-identical scores to ``bm25_scores`` on the same
-    corpus (same conditional-sum pivot, same term order in the score
-    sum, avgdl = sum/count in both — pinned by an equality test), so
-    the oracle-gated entry can replay ONE SQL ranking for both paths.
+    (surviving) corpus — same conditional-sum pivot, same term order in
+    the score sum, avgdl = sum/count in both, pinned by equality tests
+    — so the oracle-gated entry can replay ONE SQL ranking per path.
 
     Maintenance: ``curated_ingest_to_store(bm25_maintain=...)`` appends
     each admitted batch's postings + stats partial (O(batch) work) and
-    heals crash-lost appends through the id watermark; ``compact()``
-    folds the per-batch small files (write-new → Hadoop-FS swap, same
-    absence-is-safe recovery argument as the signature index).
-    """
+    heals crash-lost appends through the id watermark; out-of-band
+    store deletes/upserts are detected through the store's mutation
+    clock vs ``pinned_src_seq`` and repaired (exact ``delete`` for
+    deletes-only histories, ``build`` on content changes) per the
+    maintainer's ``on_mutation`` policy. ``compact()``/``rebucket()``
+    run their multi-swap sequences under a maintenance MARKER: any
+    crash inside leaves the marker and the index reads as absent,
+    which the rebuild contract makes safe — closing the r11 ADVICE
+    partial-loss hole where surviving ``stats/`` masked vanished
+    postings."""
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int | None = None):
         if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", root):
             root = "file://" + os.path.abspath(root)
         self.spark = spark
         self.root = root.rstrip("/")
         self.postings_dir = self.root + "/postings"
         self.stats_dir = self.root + "/stats"
-        self.n_buckets = int(n_buckets)
+        self.tombstones_dir = self.root + "/tombstones"
+        self._n_buckets_arg = None if n_buckets is None else int(n_buckets)
+        self._n_buckets_pinned: int | None = None  # lazy read from stats
+
+    # -- layout metadata ----------------------------------------------------
+
+    @property
+    def n_buckets(self) -> int:
+        """The index's bucket count: the value PINNED in the stats
+        partials when the index exists (authoritative — it describes
+        the postings actually on disk), else the constructor arg, else
+        the legacy default 16 (only reachable before the first build,
+        where build() derives a real value anyway). A constructor arg
+        contradicting the pinned value is a contract error: pruning
+        with the wrong modulus silently drops whole postings lists."""
+        if self._n_buckets_pinned is None and self._has_stats():
+            row = self.spark.read.parquet(self.stats_dir).select("n_buckets").first()
+            if row is not None and row[0] is not None:
+                self._n_buckets_pinned = int(row[0])
+        if self._n_buckets_pinned is not None:
+            if (
+                self._n_buckets_arg is not None
+                and self._n_buckets_arg != self._n_buckets_pinned
+            ):
+                raise ValueError(
+                    f"BM25Index at {self.root} was built with n_buckets="
+                    f"{self._n_buckets_pinned} but was opened with n_buckets="
+                    f"{self._n_buckets_arg}; searches would prune the wrong "
+                    f"partitions. Open without n_buckets, or rebucket()/"
+                    f"rebuild to change the layout."
+                )
+            return self._n_buckets_pinned
+        return self._n_buckets_arg if self._n_buckets_arg is not None else 16
+
+    def _resolve_build_buckets(self, df: DataFrame) -> int:
+        if self._n_buckets_arg is not None:
+            return self._n_buckets_arg
+        return reference_n_buckets(df.count())
 
     # -- build / maintain ---------------------------------------------------
 
-    def _postings(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        """(tok, doc_id, tf, dl, tok_bucket) for one batch of docs — one
-        explode + one doc-keyed shuffle (the window shares the groupBy's
-        partitioning, so dl costs no second exchange)."""
+    def _postings(
+        self, df: DataFrame, text_col: str, id_col: str, gen: int, n_buckets: int
+    ) -> DataFrame:
+        """(tok, doc_id, tf, dl, gen, tok_bucket) for one batch of docs
+        — one explode + one doc-keyed shuffle (the window shares the
+        groupBy's partitioning, so dl costs no second exchange)."""
         from deployment_spark.operators.dedup import spread_for_cpu
 
         toks = (
@@ -306,16 +396,30 @@ class BM25Index:
         )
         per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
         w = Window.partitionBy("doc_id")
-        return per.withColumn("dl", F.sum("tf").over(w)).withColumn(
-            "tok_bucket",
-            (F.crc32(F.encode(F.col("tok"), "utf-8")) % self.n_buckets).cast("int"),
+        return (
+            per.withColumn("dl", F.sum("tf").over(w))
+            .withColumn("gen", F.lit(int(gen)).cast("int"))
+            .withColumn(
+                "tok_bucket",
+                (F.crc32(F.encode(F.col("tok"), "utf-8")) % n_buckets).cast("int"),
+            )
         )
 
-    def _append_stats(self, df: DataFrame, postings: DataFrame, id_col: str) -> None:
+    def _append_stats(
+        self,
+        df: DataFrame | None,
+        postings: DataFrame,
+        id_col: str,
+        n_buckets: int,
+        src_clock: dict | None,
+    ) -> None:
         # max SEEN id comes from the INPUT batch (zero-token docs must
         # advance the reconcile watermark); n/sum_dl from the postings'
         # per-doc lengths (zero-token docs are not documents to BM25,
-        # matching bm25_scores' stats row exactly)
+        # matching bm25_scores' stats row exactly). df=None (reindex):
+        # the batch's ids are OLD ids below the watermark by contract —
+        # max_doc_id rides as NULL so the append-only watermark is
+        # unmoved (F.max ignores nulls on the read side).
         row = (
             postings.select("doc_id", "dl")
             .dropDuplicates(["doc_id"])
@@ -323,33 +427,56 @@ class BM25Index:
                 F.count(F.lit(1)).alias("n_docs"),
                 F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
             )
-            .crossJoin(df.agg(F.max(F.col(id_col)).cast("long").alias("max_doc_id")))
+        )
+        if df is not None:
+            row = row.crossJoin(
+                df.agg(F.max(F.col(id_col)).cast("long").alias("max_doc_id"))
+            )
+        else:
+            row = row.withColumn("max_doc_id", F.lit(None).cast("long"))
+        seq = None if src_clock is None else int(src_clock.get("seq", 0))
+        row = (
+            row.withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
+            .withColumn("src_seq", F.lit(seq).cast("long"))
+            .withColumn(
+                "src_clock",
+                F.lit(None if src_clock is None else json.dumps(src_clock)).cast(
+                    "string"
+                ),
+            )
         )
         row.coalesce(1).write.mode("append").parquet(self.stats_dir)
 
     def build(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        src_clock: dict | None = None,
     ) -> "BM25Index":
-        """One-shot index build (overwrite). O(corpus) once — every
-        search afterwards is O(query-term postings)."""
-        postings = self._postings(df, text_col, id_col)
+        """One-shot index build (overwrite; clears tombstones). O(corpus)
+        once — every search afterwards is O(query-term postings)."""
+        nb = self._resolve_build_buckets(df)
+        postings = self._postings(df, text_col, id_col, gen=0, n_buckets=nb)
         (
             postings.repartition("tok_bucket")
             .write.mode("overwrite")
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
-        jvm = self.spark.sparkContext._jvm
-        hp = jvm.org.apache.hadoop.fs.Path
-        fs = hp(self.stats_dir).getFileSystem(
-            self.spark.sparkContext._jsc.hadoopConfiguration()
-        )
+        fs, hp = self._fs()
         fs.delete(hp(self.stats_dir), True)
-        self._append_stats(df, postings, id_col)
+        fs.delete(hp(self.tombstones_dir), True)
+        self._append_stats(df, postings, id_col, nb, src_clock)
+        self._n_buckets_pinned = nb
         return self
 
     def append(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        src_clock: dict | None = None,
     ) -> None:
         """O(batch) incremental append under the append-only id contract
         (new ids strictly above every indexed id — the curated-ingest
@@ -360,21 +487,190 @@ class BM25Index:
         the reconcile re-lands them — and the RE-APPENDED rows would
         double-count, so reconcile deletes orphans first (see
         ``reconcile``)."""
-        postings = self._postings(df, text_col, id_col).localCheckpoint()
+        nb = self.n_buckets
+        postings = self._postings(
+            df, text_col, id_col, gen=self._current_write_gen(), n_buckets=nb
+        ).localCheckpoint()
         (
             postings.repartition("tok_bucket")
             .write.mode("append")
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
-        self._append_stats(df, postings, id_col)
+        self._append_stats(df, postings, id_col, nb, src_clock)
 
-    def exists(self) -> bool:
+    # -- deletes / upserts (r12) --------------------------------------------
+
+    def _tombstones(self) -> DataFrame | None:
+        try:
+            t = self.spark.read.parquet(self.tombstones_dir)
+            return t if t.limit(1).count() else None
+        except Exception:  # path missing / empty
+            return None
+
+    def _current_write_gen(self) -> int:
+        """Generation to stamp on postings written NOW: one above the
+        highest tombstone generation (0 when no deletes have happened).
+        Derived from the tombstone set itself so there is no separate
+        counter that can desync and un-kill rows."""
+        t = self._tombstones()
+        if t is None:
+            return 0
+        return int(t.agg(F.max("gen")).collect()[0][0]) + 1
+
+    def _live_postings(self, postings: DataFrame) -> DataFrame:
+        """Apply the tombstone kill rule: a posting is dead iff a
+        tombstone for its doc has gen >= the posting's gen. Tombstones
+        are O(deleted-docs) — broadcast; absent → no-op."""
+        t = self._tombstones()
+        if t is None:
+            return postings
+        kill = t.groupBy("doc_id").agg(F.max("gen").alias("_kgen"))
+        return (
+            postings.join(F.broadcast(kill), "doc_id", "left")
+            .filter(F.col("_kgen").isNull() | (F.col("gen") > F.col("_kgen")))
+            .drop("_kgen")
+        )
+
+    def delete(self, ids: DataFrame | list, id_col: str = "doc_id") -> int:
+        """EXACT delete (r12): kill every live posting of ``ids`` and
+        fold the stats corrections into the same atomic tombstone
+        append. One row per doc that was actually live (its dl rides
+        along); docs absent from the index — never indexed, or already
+        deleted — write nothing, so corrections can never
+        double-subtract. Cost: one postings scan (doc-keyed semi-join;
+        token-keyed partition pruning cannot help a doc-keyed delete)
+        + one O(killed) write. Searches afterwards are exact on the
+        surviving corpus; ``compact()`` materializes the kills.
+        Returns the number of docs killed."""
+        if not self.exists():
+            return 0
+        spark = self.spark
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+        else:
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long"
+            )
+        gen = self._current_write_gen()
+        live = self._live_postings(self.spark.read.parquet(self.postings_dir))
+        killed = (
+            live.join(ids_df.distinct(), "doc_id", "left_semi")
+            .select("doc_id", "dl")
+            .dropDuplicates(["doc_id"])
+            .withColumn("gen", F.lit(gen).cast("int"))
+            .select("doc_id", "gen", F.col("dl").cast("long").alias("dl"))
+            .localCheckpoint()
+        )
+        n = killed.count()
+        if n:
+            killed.coalesce(1).write.mode("append").parquet(self.tombstones_dir)
+        return n
+
+    def reindex(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """UPSERT a batch of docs that may already be indexed: kill the
+        old instances (tombstones at the current gen), then land the
+        new postings one generation HIGHER so they survive the kill.
+        The stats partial carries max_doc_id NULL — re-landed ids are
+        at-or-below the reconcile watermark by nature, and the
+        watermark must not regress or advance for them. A crash
+        between the kill and the re-land leaves the docs absent from
+        the index (absent, never stale) until the next repair or
+        rebuild — documented, same class as a crash-lost append."""
+        nb = self.n_buckets
+        self.delete(df.select(id_col), id_col=id_col)
+        postings = self._postings(
+            df, text_col, id_col, gen=self._current_write_gen(), n_buckets=nb
+        ).localCheckpoint()
+        (
+            postings.repartition("tok_bucket")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(self.postings_dir)
+        )
+        self._append_stats(None, postings, id_col, nb, src_clock=None)
+
+    def live_doc_ids(self) -> DataFrame:
+        """Distinct doc ids with at least one live posting — the frame
+        a repair diffs against the source store's current keys.
+        O(postings) column-pruned scan."""
+        return self._live_postings(
+            self.spark.read.parquet(self.postings_dir).select("doc_id", "gen")
+        ).select("doc_id").distinct()
+
+    # -- staleness contract (r12) -------------------------------------------
+
+    def pinned_src_clock(self) -> dict | None:
+        """The source store's FULL mutation clock this index has
+        incorporated: the stats partial with the highest src_seq wins
+        (the clock is monotone, so max src_seq IS the latest pin).
+        Carrying the whole clock — not just seq — lets a repair decide
+        whether the history since the pin was deletes-only (exact
+        tombstone repair) or contains content changes (rebuild).
+        None = never pinned (standalone build)."""
+        if not self._has_stats():
+            return None
+        row = (
+            self.spark.read.parquet(self.stats_dir)
+            .agg(
+                F.max("src_seq").alias("_s"),
+                F.max_by("src_clock", "src_seq").alias("_c"),
+            )
+            .collect()[0]
+        )
+        if row["_s"] is None:
+            return None
+        if row["_c"] is not None:
+            return json.loads(row["_c"])
+        return {"seq": int(row["_s"])}
+
+    def pin_src_clock(self, src_clock: dict) -> None:
+        """Record that the index now reflects the source store at
+        ``src_clock`` without changing any content — a zero partial
+        (repair paths that only wrote tombstones have no stats append
+        to ride on)."""
+        self.spark.createDataFrame(
+            [
+                (
+                    0,
+                    0,
+                    None,
+                    int(self.n_buckets),
+                    int(src_clock.get("seq", 0)),
+                    json.dumps(src_clock),
+                )
+            ],
+            "n_docs long, sum_dl long, max_doc_id long, n_buckets int, "
+            "src_seq long, src_clock string",
+        ).coalesce(1).write.mode("append").parquet(self.stats_dir)
+
+    # -- existence / reconcile ----------------------------------------------
+
+    def _has_stats(self) -> bool:
         try:
             self.spark.read.parquet(self.stats_dir).limit(1).collect()
             return True
         except Exception:
             return False
+
+    def exists(self) -> bool:
+        """True only when BOTH halves are present AND no maintenance
+        marker is (r12, the r11 ADVICE medium): previously a crash
+        between the compaction's postings renames left stats/ alive,
+        exists() read True, and the maintainer's reconcile — watermark
+        intact — silently no-opped while append rebuilt postings from
+        one batch only. Requiring postings closes that window;
+        requiring marker absence closes every other torn-maintenance
+        state (compact/rebucket are multi-swap). Absent-is-safe is the
+        documented recovery for all of them: the maintainer's next
+        batch takes the full-build path."""
+        return (
+            self._has_stats()
+            and self._has_postings()
+            and not self._marker_present()
+        )
 
     def max_indexed_id(self) -> int | None:
         if not self.exists():
@@ -418,12 +714,16 @@ class BM25Index:
         except Exception:
             return False
 
-    def _swap_postings(self, df: DataFrame) -> None:
+    def _fs(self):
         jvm = self.spark.sparkContext._jvm
         hp = jvm.org.apache.hadoop.fs.Path
-        fs = hp(self.postings_dir).getFileSystem(
+        fs = hp(self.root).getFileSystem(
             self.spark.sparkContext._jsc.hadoopConfiguration()
         )
+        return fs, hp
+
+    def _swap_postings(self, df: DataFrame) -> None:
+        fs, hp = self._fs()
         tmp = self.postings_dir + ".compacting"
         old = self.postings_dir + ".old"
         fs.delete(hp(tmp), True)
@@ -438,28 +738,72 @@ class BM25Index:
         fs.rename(hp(tmp), hp(self.postings_dir))
         fs.delete(hp(old), True)
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> None:
-        """Fold per-batch small files: postings rewritten right-sized per
-        bucket (write-new → FS swap; a crash in the window loses the
-        index entirely, which reconcile rebuilds — absence is safe),
-        stats partials merged to one row."""
-        df = self.spark.read.parquet(self.postings_dir)
-        n = df.count()
-        files = max(1, math.ceil(n / target_rows_per_file))
-        self._swap_postings(df.repartition(files, "tok_bucket"))
+    # -- maintenance commit marker (r12) ------------------------------------
+
+    @property
+    def _marker_path(self) -> str:
+        return self.root + "/_maintenance.inprogress"
+
+    def _marker_present(self) -> bool:
+        fs, hp = self._fs()
+        return bool(fs.exists(hp(self._marker_path)))
+
+    def _set_marker(self, on: bool) -> None:
+        fs, hp = self._fs()
+        if on:
+            fs.create(hp(self._marker_path), True).close()
+        else:
+            fs.delete(hp(self._marker_path), False)
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Re-partition the postings onto a new bucket count (r12,
+        VERDICT r11 #5): the build-time choice is no longer terminal —
+        a corpus that outgrew its bucket granularity re-buckets in one
+        O(postings) pass instead of re-tokenizing the corpus. Postings
+        are rewritten through the swap machinery with the recomputed
+        ``tok_bucket``; the stats fold re-pins the new count. The
+        whole multi-swap sequence runs under the maintenance marker
+        (see ``compact``): a crash anywhere inside leaves the marker,
+        the index reads as absent, and the rebuild contract takes
+        over — never a torn layout silently mis-pruning. Offline
+        maintenance: quiesce writers, like compact()."""
+        nb = int(n_buckets)
+        df = (
+            self.spark.read.parquet(self.postings_dir)
+            .drop("tok_bucket")
+            .withColumn(
+                "tok_bucket",
+                (F.crc32(F.encode(F.col("tok"), "utf-8")) % nb).cast("int"),
+            )
+        )
+        self._set_marker(True)
+        self._swap_postings(df)
+        self._fold_stats(n_buckets_override=nb)
+        self._set_marker(False)
+        self._n_buckets_pinned = nb
+        self._n_buckets_arg = None
+
+    def _fold_stats(self, n_buckets_override: int | None = None) -> None:
+        """Merge the stats partials to one row (swap-committed),
+        preserving the pinned bucket count (or adopting a new one) and
+        the max src_seq."""
+        nb = n_buckets_override if n_buckets_override is not None else self.n_buckets
         stats = (
             self.spark.read.parquet(self.stats_dir)
             .agg(
                 F.sum("n_docs").cast("long").alias("n_docs"),
                 F.sum("sum_dl").cast("long").alias("sum_dl"),
                 F.max("max_doc_id").cast("long").alias("max_doc_id"),
+                F.max("src_seq").cast("long").alias("src_seq"),
+                F.max_by("src_clock", "src_seq").alias("src_clock"),
+            )
+            .withColumn("n_buckets", F.lit(int(nb)).cast("int"))
+            .select(
+                "n_docs", "sum_dl", "max_doc_id", "n_buckets",
+                "src_seq", "src_clock",
             )
         )
-        jvm = self.spark.sparkContext._jvm
-        hp = jvm.org.apache.hadoop.fs.Path
-        fs = hp(self.stats_dir).getFileSystem(
-            self.spark.sparkContext._jsc.hadoopConfiguration()
-        )
+        fs, hp = self._fs()
         tmp = self.stats_dir + ".compacting"
         old = self.stats_dir + ".old"
         fs.delete(hp(tmp), True)
@@ -469,20 +813,75 @@ class BM25Index:
         fs.rename(hp(tmp), hp(self.stats_dir))
         fs.delete(hp(old), True)
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> None:
+        """Fold per-batch small files AND materialize deletes: postings
+        rewritten right-sized per bucket with tombstoned rows dropped,
+        tombstone-embedded stats corrections folded into the single
+        merged stats row, tombstones cleared. The sequence is three
+        non-atomic steps over two swap dirs and a delete, so the whole
+        thing runs under the MAINTENANCE MARKER: ``exists()`` is False
+        while the marker is present, and a crash anywhere inside
+        leaves it — the index reads as absent and the maintainer's
+        rebuild contract takes over. That is the r12 closure of the
+        r11 ADVICE medium (a crash between the postings renames left
+        stats/ alive, exists() read True, and searches silently served
+        a one-batch corpus); with the marker there is no state where a
+        torn maintenance half-publishes."""
+        t = self._tombstones()
+        corr_n, corr_dl = 0, 0
+        if t is not None:
+            r = t.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+            ).collect()[0]
+            corr_n, corr_dl = int(r["n"]), int(r["dl"] or 0)
+        df = self._live_postings(self.spark.read.parquet(self.postings_dir))
+        n = df.count()
+        files = max(1, math.ceil(n / target_rows_per_file))
+        nb = self.n_buckets  # resolve BEFORE the marker hides the index
+        self._set_marker(True)
+        self._swap_postings(df.repartition(files, "tok_bucket"))
+        stats = (
+            self.spark.read.parquet(self.stats_dir)
+            .agg(
+                (F.sum("n_docs").cast("long") - F.lit(corr_n)).alias("n_docs"),
+                (F.sum("sum_dl").cast("long") - F.lit(corr_dl)).alias("sum_dl"),
+                F.max("max_doc_id").cast("long").alias("max_doc_id"),
+                F.max("src_seq").cast("long").alias("src_seq"),
+                F.max_by("src_clock", "src_seq").alias("src_clock"),
+            )
+            .withColumn("n_buckets", F.lit(int(nb)).cast("int"))
+            .select(
+                "n_docs", "sum_dl", "max_doc_id", "n_buckets",
+                "src_seq", "src_clock",
+            )
+        )
+        fs, hp = self._fs()
+        tmp = self.stats_dir + ".compacting"
+        old = self.stats_dir + ".old"
+        fs.delete(hp(tmp), True)
+        stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(hp(old), True)
+        fs.rename(hp(self.stats_dir), hp(old))
+        fs.rename(hp(tmp), hp(self.stats_dir))
+        fs.delete(hp(old), True)
+        fs.delete(hp(self.tombstones_dir), True)
+        self._set_marker(False)
+
     # -- search ---------------------------------------------------------
 
     def search_scores(
         self, query_terms: list[str], k1: float = 1.2, b: float = 0.75
     ) -> DataFrame:
         """Per-document BM25 for a literal term list, from the index:
-        bit-identical output contract to ``bm25_scores`` ((doc_id, dl,
-        matched_terms, bm25), matched docs only) at O(query-term
-        postings) cost. The scan carries BOTH the partition filter
-        (tok_bucket IN literal buckets — driver-computed via the pinned
-        crc32 twin) and the pushed tok IN filter; the aggregate pivots
-        per-term tfs by doc exactly like the from-scratch path, df comes
-        from the same matched frame, N/avgdl from the O(appends) stats
-        partials."""
+        bit-identical output contract to ``bm25_scores`` on the LIVE
+        corpus ((doc_id, dl, matched_terms, bm25), matched docs only)
+        at O(query-term postings) cost. The scan carries BOTH the
+        partition filter (tok_bucket IN literal buckets —
+        driver-computed via the pinned crc32 twin) and the pushed tok
+        IN filter; tombstoned docs are anti-joined out (O(deleted)
+        broadcast) BEFORE the aggregate, so df comes from the live
+        matched frame exactly; N/avgdl come from the O(appends) stats
+        partials minus the tombstone-embedded corrections."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
         if not self.exists():
@@ -494,12 +893,14 @@ class BM25Index:
                 "first admitted batch)"
             )
         terms = list(dict.fromkeys(t.lower() for t in query_terms))
-        buckets = sorted({bm25_bucket(t, self.n_buckets) for t in terms})
+        nb = self.n_buckets
+        buckets = sorted({bm25_bucket(t, nb) for t in terms})
         hits = (
             self.spark.read.parquet(self.postings_dir)
             .filter(F.col("tok_bucket").isin(buckets))
             .filter(F.col("tok").isin(terms))
         )
+        hits = self._live_postings(hits)
         per_doc = hits.groupBy("doc_id").agg(
             F.max("dl").alias("dl"),
             *[
@@ -509,13 +910,26 @@ class BM25Index:
                 for i, t in enumerate(terms)
             ],
         )
+        base = self.spark.read.parquet(self.stats_dir).agg(
+            F.sum("n_docs").cast("long").alias("_bn"),
+            F.sum("sum_dl").cast("long").alias("_bdl"),
+        )
+        t = self._tombstones()
+        if t is not None:
+            corr = t.agg(
+                F.count(F.lit(1)).cast("long").alias("_cn"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("_cdl"),
+            )
+            base = base.crossJoin(F.broadcast(corr)).select(
+                (F.col("_bn") - F.col("_cn")).alias("_bn"),
+                (F.col("_bdl") - F.col("_cdl")).alias("_bdl"),
+            )
         stats = (
-            self.spark.read.parquet(self.stats_dir)
-            .agg(
-                F.sum("n_docs").cast("long").alias("_n"),
-                (
-                    F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")
-                ).alias("_avgdl"),
+            base.select(
+                F.col("_bn").alias("_n"),
+                (F.col("_bdl").cast("double") / F.col("_bn").cast("double")).alias(
+                    "_avgdl"
+                ),
             )
             .crossJoin(
                 per_doc.agg(

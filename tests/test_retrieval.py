@@ -303,7 +303,7 @@ def test_bm25_index_reconcile_heals_lost_append(spark, corpus_docs, tmp_path):
     # watermark) before re-landing one copy, else d2 double-counts
     idx2 = BM25Index(spark, str(tmp_path / "rec2"), n_buckets=8).build(d1)
     (
-        idx2._postings(d2, "text", "doc_id")
+        idx2._postings(d2, "text", "doc_id", gen=0, n_buckets=8)
         .repartition("tok_bucket")
         .write.mode("append")
         .partitionBy("tok_bucket")
