@@ -33,10 +33,31 @@ standard two-stage contract — same shape as PQ's shortlist re-rank).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deployment_spark.functions.vector import dot_product
+
+
+def reference_k_per_token(n_tokens: int, floor: int = 32, scale: float = 2.0) -> int:
+    """Scale-derived candidate width for the PLAID-style token stage
+    (r12, VERDICT r11 #3): hits per query token ≈ 2·√(corpus tokens),
+    floored at 32. Rationale: a FIXED k_per_token decays — the density
+    of corpus tokens inside any cosine radius of a query token grows
+    linearly with the corpus, so a fixed-width hit list covers a
+    shrinking radius and candidate recall collapses (measured 0.91 →
+    0.42 over a 16× corpus at the r11 fixed point, maxsim_probe). What
+    PLAID actually harvests is "everything in the probed IVF cells":
+    with the token index at ``reference_nlist ≈ √n_tokens``, one
+    cell's population is ≈ √n_tokens — so √-scaling the hit width
+    tracks the cell population, holding the covered radius roughly
+    fixed while first-stage cost grows only as √corpus (the same
+    argument that sizes nlist itself). The derived point is floor-
+    gated end-to-end in the ann_recall maxsim/two_stage group and
+    re-swept by tools/maxsim_probe.py --auto."""
+    return max(int(floor), int(math.ceil(scale * math.sqrt(max(int(n_tokens), 1)))))
 
 
 def maxsim_scores(
@@ -181,7 +202,7 @@ def token_candidates(
     search_fn,
     query_vecs: DataFrame,
     token_doc: DataFrame,
-    k_per_token: int = 32,
+    k_per_token: int | None = None,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     query_pos: str | None = None,
@@ -212,7 +233,13 @@ def token_candidates(
     across partitions (mono ids jump by 2³³ ≡ 934592 mod 10⁶ at
     partition boundaries), silently merging two tokens' searches
     under one slot and dropping one token's candidates (r11 ADVICE).
+    ``k_per_token=None`` (the r12 default) derives the width from the
+    corpus token count via ``reference_k_per_token`` — a fixed width
+    decays as the corpus grows (see its docstring); the count is one
+    O(1) aggregate over ``token_doc``.
     Output: (query_id, doc_id) distinct candidate pairs."""
+    if k_per_token is None:
+        k_per_token = reference_k_per_token(token_doc.count())
     qid_type = dict(
         (f.name, f.dataType.simpleString()) for f in query_vecs.schema.fields
     ).get(query_id)

@@ -835,14 +835,108 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
     return BM25Index(spark, root)
 
 
+_BM25_DEL_CACHE: dict[str, str] = {}
+
+
+def _bm25_deleted_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process index over the doc_id%4==1 slice with the
+    %5==2 sub-slice EXACTLY deleted (r12): generation tombstones whose
+    rows embed their own stats corrections, so searches stay
+    bit-identical to a from-scratch build over the survivors — the
+    driver-gated face of ``BM25Index.delete``. Idempotent across calls:
+    the delete is applied once at build time."""
+    import hashlib
+    import tempfile
+
+    from deployment_spark.operators.retrieval import BM25Index
+
+    root = _BM25_DEL_CACHE.get(sf_dir)
+    if root is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25del_{tag}")
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sl = d.filter(F.col("doc_id") % 4 == 1)
+        idx = BM25Index(spark, root).build(sl)
+        idx.delete(sl.filter(F.col("doc_id") % 5 == 2).select("doc_id"))
+        _BM25_DEL_CACHE[sf_dir] = root
+    return BM25Index(spark, root)
+
+
+def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MID-STREAM mutation arm (r12, VERDICT r11 #1 'done'
+    criterion): the doc_id%4==2 slice lands as two streamed batches
+    through ``ingest_to_store(bm25_maintain=...)``; BETWEEN the runs an
+    out-of-band store DELETE (batch-1 ids ≡5 mod 9) and UPSERT
+    (batch-1 ids ≡1 mod 9 get new text) land. The second run's
+    maintainer detects the mutation clock advance, and — upserts being
+    content changes — ``on_mutation='repair'`` falls back to the
+    rebuild over the surviving corpus before appending batch 2. The
+    returned index-backed ranking must therefore hash-match the oracle
+    ranking over (batch1 − deleted, upserted texts) ∪ batch2. The
+    deletes-only EXACT repair (tombstones, no rebuild) is pinned in
+    tests/test_serving_state.py and driver-gated by probe='deleted'."""
+    import shutil
+    import tempfile
+
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.retrieval import BM25Index
+    from deployment_spark.streaming.ingest import ingest_to_store
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = d.agg(F.floor(F.max("doc_id") / 2).cast("long")).collect()[0][0]
+    sl = d.filter(F.col("doc_id") % 4 == 2)
+    b1 = sl.filter(F.col("doc_id") <= split)
+    b2 = sl.filter(F.col("doc_id") > split)
+    root = tempfile.mkdtemp(prefix="bm25_served_")
+    try:
+        landing = os.path.join(root, "landing")
+        store = SnapshotStore(spark, os.path.join(root, "store"), key="doc_id")
+        idx_root = os.path.join(root, "idx")
+        cfg = {"root": idx_root, "on_mutation": "repair"}
+
+        def run():
+            q = ingest_to_store(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(landing),
+                store,
+                os.path.join(root, "ckpt"),
+                bm25_maintain=cfg,
+            )
+            q.awaitTermination(300)
+
+        b1.coalesce(1).write.parquet(os.path.join(landing, "b=000"))
+        run()
+        # out-of-band mutations between micro-batch runs
+        store.delete_ids(b1.filter(F.col("doc_id") % 9 == 5).select("doc_id"))
+        store.upsert(
+            store.read()
+            .filter((F.col("doc_id") % 9 == 1) & (F.col("doc_id") <= split))
+            .select(
+                "doc_id", F.concat(F.lit("upserted "), F.col("text")).alias("text")
+            )
+        )
+        b2.coalesce(1).write.parquet(os.path.join(landing, "b=001"))
+        run()
+        return (
+            BM25Index(spark, idx_root)
+            .topk(BM25_TERMS, k=20, round_to=4)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval, BOTH execution paths as tagged probes
-    (operators/retrieval; r5 direct, r11 indexed) — the lexical half of
-    the reference store family's hybrid search (Milvus ships BM25
-    hybrid as a first-class query mode backed by a persisted inverted
-    index; ``Milvus/stream1.py`` drives that store). Okapi BM25 with
-    Lucene-style +1 idf over a literal 4-term query mixing one rare and
-    three common terms, so the idf spread is exercised.
+    """BM25 lexical retrieval, every execution path as tagged probes
+    (operators/retrieval; r5 direct, r11 indexed, r12 deleted/served) —
+    the lexical half of the reference store family's hybrid search
+    (Milvus ships BM25 hybrid as a first-class query mode backed by a
+    persisted inverted index; ``Milvus/stream1.py`` drives that store).
+    Okapi BM25 with Lucene-style +1 idf over a literal 4-term query
+    mixing one rare and three common terms, so the idf spread is
+    exercised.
 
     probe='direct': the one-shot shape — per-term tfs from conditional
     sums inside the SAME single per-doc aggregate that computes
@@ -852,11 +946,21 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     answered from the persisted ``BM25Index`` (postings partitioned by
     crc32 token bucket, pruned to the query's buckets; O(appends) stats
     partials), maintained under curated streaming ingest elsewhere.
-    The two paths are bit-identical by construction (pinned in
-    test_retrieval), so ONE SQL ranking oracles both probes. Ranking
-    uses the 4dp-rounded score (ties broken by doc_id) so the rank
-    column is stable across engines; the oracle replays tokenization,
-    the conditional-sum aggregate, idf/tf math, and the ranking."""
+    probe='deleted' (r12): the index over the %4==1 slice AFTER an
+    exact tombstone delete of its %5==2 rows — the reference deletes
+    entities and its index reflects it (``Milvus/stream1.py:313``);
+    here the ranking must hash-match a from-scratch ranking over the
+    survivors (tombstone-embedded stats corrections, live-frame df).
+    probe='served' (r12): a store delete + upsert land MID-STREAM
+    between two maintained ingest runs; the maintainer detects them
+    through the mutation clock and heals before serving — the ranking
+    must hash-match the oracle over the post-mutation corpus.
+    Each probe is bit-identical to its from-scratch twin by
+    construction (pinned in test_retrieval/test_serving_state), so the
+    oracle replays one SQL ranking per corpus. Ranking uses the
+    4dp-rounded score (ties broken by doc_id) so the rank column is
+    stable across engines; the oracle replays tokenization, the
+    conditional-sum aggregate, idf/tf math, and the rankings."""
     from deployment_spark.operators.retrieval import bm25_topk
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -873,12 +977,23 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     direct = bm25_topk(d, BM25_TERMS, k=20, round_to=4)
     indexed = _bm25_index(spark, sf_dir).topk(BM25_TERMS, k=20, round_to=4)
-    return shape(direct, "direct").unionByName(shape(indexed, "indexed"))
+    deleted = _bm25_deleted_index(spark, sf_dir).topk(BM25_TERMS, k=20, round_to=4)
+    served = _bm25_served_topk(spark, sf_dir)
+    return (
+        shape(direct, "direct")
+        .unionByName(shape(indexed, "indexed"))
+        .unionByName(shape(deleted, "deleted"))
+        .unionByName(shape(served, "served"))
+    )
 
 
-def _sql_bm25_ctes() -> str:
+def _sql_bm25_ctes(corpus_sql: str = "documents", prefix: str = "") -> str:
     """Shared BM25 CTE block for the bm25 and hybrid oracles, generated
-    from BM25_TERMS so Spark and SQL can never drift on the term list."""
+    from BM25_TERMS so Spark and SQL can never drift on the term list.
+    ``corpus_sql`` swaps the corpus (the r12 deleted/served probes rank
+    over mutated corpora); ``prefix`` namespaces the CTEs so several
+    corpora coexist in one WITH."""
+    p = prefix
     tf_cols = ",\n         ".join(
         f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
         for i, t in enumerate(BM25_TERMS)
@@ -896,40 +1011,75 @@ def _sql_bm25_ctes() -> str:
         f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(BM25_TERMS))
     )
     return f"""
-toks AS (
+{p}toks AS (
   SELECT doc_id, tok FROM (
     SELECT doc_id,
            unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-    FROM documents
+    FROM {corpus_sql} _corpus
   ) WHERE tok <> ''
-), per_doc AS (
+), {p}per_doc AS (
   SELECT doc_id, count(*) AS dl,
          {tf_cols}
-  FROM toks GROUP BY doc_id
-), stats AS (
+  FROM {p}toks GROUP BY doc_id
+), {p}stats AS (
   SELECT count(*) AS n, avg(dl) AS avgdl,
          {df_cols}
-  FROM per_doc
-), bm_scored AS (
+  FROM {p}per_doc
+), {p}bm_scored AS (
   SELECT doc_id, dl, {matched} AS matched_terms,
     {weights} AS bm25
-  FROM per_doc CROSS JOIN stats
+  FROM {p}per_doc CROSS JOIN {p}stats
 )"""
 
 
-SQL_DOC_BM25_TOPK = f"""
-WITH {_sql_bm25_ctes()},
-ranked AS (
+# the r12 mutated-corpus probes' surviving corpora, replayed in SQL:
+# deleted = the %4==1 slice minus its %5==2 rows; served = the %4==2
+# slice streamed in two halves with ids ≡5 (mod 9) of the first half
+# deleted and ids ≡1 (mod 9) re-landed with 'upserted '-prefixed text
+_SQL_BM25_DELETED_CORPUS = """(
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 4 = 1 AND doc_id % 5 <> 2
+)"""
+
+_SQL_BM25_SERVED_CORPUS = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 1 THEN 'upserted ' || text ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 4 = 2
+    AND doc_id <= (SELECT CAST(FLOOR(max(doc_id) / 2) AS BIGINT) FROM documents)
+    AND doc_id % 9 <> 5
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 4 = 2
+    AND doc_id > (SELECT CAST(FLOOR(max(doc_id) / 2) AS BIGINT) FROM documents)
+)"""
+
+
+def _sql_bm25_ranked(prefix: str) -> str:
+    return f"""
   SELECT doc_id::BIGINT AS doc_id, dl::BIGINT AS dl,
          matched_terms::BIGINT AS matched_terms,
          round(bm25, 4) AS bm25,
          row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id)::BIGINT AS rank
-  FROM bm_scored WHERE matched_terms > 0
+  FROM {prefix}bm_scored WHERE matched_terms > 0
   QUALIFY rank <= 20
-)
+"""
+
+
+SQL_DOC_BM25_TOPK = f"""
+WITH {_sql_bm25_ctes()},
+{_sql_bm25_ctes(_SQL_BM25_DELETED_CORPUS, "del_")},
+{_sql_bm25_ctes(_SQL_BM25_SERVED_CORPUS, "srv_")},
+ranked AS ({_sql_bm25_ranked("")}),
+ranked_del AS ({_sql_bm25_ranked("del_")}),
+ranked_srv AS ({_sql_bm25_ranked("srv_")})
 SELECT 'direct' AS probe, * FROM ranked
 UNION ALL
 SELECT 'indexed' AS probe, * FROM ranked
+UNION ALL
+SELECT 'deleted' AS probe, * FROM ranked_del
+UNION ALL
+SELECT 'served' AS probe, * FROM ranked_srv
 """
 
 
@@ -945,7 +1095,18 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted arithmetic runs on identical doubles in both engines, and
     ≤2 addends per sum keeps float addition order-free (commutativity)
     — the fused scores are engine-exact before the 6dp round. The
-    oracle replays both rankings and both fusions in SQL."""
+    oracle replays both rankings and both fusions in SQL.
+
+    probe='rrf3' (r12, VERDICT r11 #7): the FULL modern retrieval
+    stack fused — lexical (BM25) + single-vector (cosine) +
+    late-interaction (ColBERT maxsim over the deterministic token
+    bags, entity 7's 2 query tokens via the 97-mapping) through the
+    same RRF API. Three addends per sum stay order-stable because RRF
+    contributions are sums of 1/(60+rank) terms ranked on the 6dp
+    round — and the oracle replays the identical three-way union, so
+    any float-order divergence would hash-fail loudly rather than
+    drift silently."""
+    from deployment_spark.operators.multivec import maxsim_topk
     from deployment_spark.operators.retrieval import (
         bm25_topk,
         rrf_fuse,
@@ -966,6 +1127,36 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "rank", F.round("similarity", 4).alias("score")
     )
 
+    # the late-interaction ranker: same deterministic token bags as the
+    # topk_enriched maxsim probe / ann_recall maxsim group, one query
+    # (entity 7), exact Σ-max ranking to top-50
+    n_emb = emb.count()
+    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
+    doc_tokens = (
+        emb.select("vec_id")
+        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    q_tokens = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select(
+            "query_id",
+            F.col("_j").alias("q_pos"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    mv_ranked = maxsim_topk(
+        doc_tokens, q_tokens, k=50, round_to=4, query_pos="q_pos"
+    ).select(
+        F.col("vec_id").alias("doc_id"), "rank", F.col("maxsim").alias("score")
+    )
+
     def shape(fused, score_col, probe):
         top = fused.orderBy(F.desc(score_col), F.asc("doc_id")).limit(20)
         w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
@@ -979,8 +1170,11 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rrf = rrf_fuse([bm_ranked, cos_ranked])
     wtd = weighted_fuse([(bm_ranked, 0.5), (cos_ranked, 0.5)], score_col="score")
-    return shape(rrf, "rrf_score", "rrf").unionByName(
-        shape(wtd, "fused_score", "weighted")
+    rrf3 = rrf_fuse([bm_ranked, cos_ranked, mv_ranked])
+    return (
+        shape(rrf, "rrf_score", "rrf")
+        .unionByName(shape(wtd, "fused_score", "weighted"))
+        .unionByName(shape(rrf3, "rrf_score", "rrf3"))
     )
 
 
@@ -1019,6 +1213,38 @@ bmr AS (
   FROM cs CROSS JOIN cstat
 ), wfus AS (
   SELECT doc_id, count(*) AS n_lists, sum(c) AS f FROM wuni GROUP BY doc_id
+), mvh_n AS (
+  SELECT count(*) AS n FROM embeddings
+), mvh_doc AS (
+  -- the r12 late-interaction ranker: deterministic token bags (the
+  -- topk_enriched maxsim mapping), one query (entity 7), top-50
+  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  CROSS JOIN mvh_n
+  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % mvh_n.n
+), mvh_q AS (
+  SELECT j, t.embedding::DOUBLE[] AS qv
+  FROM (SELECT unnest([0, 1]) AS j)
+  CROSS JOIN mvh_n
+  JOIN embeddings t ON t.vec_id = (7 + 97 * j) % mvh_n.n
+), mvh_m AS (
+  SELECT mvh_doc.vec_id, mvh_q.j, max(list_dot_product(mvh_doc.v, mvh_q.qv)) AS mx
+  FROM mvh_doc CROSS JOIN mvh_q
+  GROUP BY 1, 2
+), mvh AS (
+  SELECT vec_id AS doc_id, round(sum(mx), 4) AS score,
+         row_number() OVER (ORDER BY round(sum(mx), 4) DESC, vec_id) AS rank
+  FROM mvh_m GROUP BY vec_id
+  QUALIFY rank <= 50
+), uni3 AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM cs
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM mvh
+), fus3 AS (
+  SELECT doc_id, count(*) AS n_lists, sum(c) AS f FROM uni3 GROUP BY doc_id
 )
 SELECT 'rrf' AS probe, doc_id::BIGINT AS doc_id, n_lists::BIGINT AS n_lists,
        round(f, 6) AS score,
@@ -1029,6 +1255,11 @@ SELECT 'weighted', doc_id::BIGINT, n_lists::BIGINT,
        round(f, 6),
        row_number() OVER (ORDER BY f DESC, doc_id)::BIGINT AS rank
 FROM wfus QUALIFY rank <= 20
+UNION ALL
+SELECT 'rrf3', doc_id::BIGINT, n_lists::BIGINT,
+       round(f, 6),
+       row_number() OVER (ORDER BY f DESC, doc_id)::BIGINT AS rank
+FROM fus3 QUALIFY rank <= 20
 """
 
 
@@ -3803,7 +4034,9 @@ def q_ivf_batch_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None
 _STREAM_GRAPH_CACHE: dict[str, str] = {}
 
 
-def _streamed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _streamed_graph(
+    spark: SparkSession, sf_dir: str, variant: str = "exact"
+) -> DataFrame:
     """Build-once-per-process STREAMING-MAINTAINED kNN graph over the
     embeddings table (r11, VERDICT r10 #1): the corpus lands in four
     micro-batches through ``ingest_to_store(knn_graph_maintain=...)``,
@@ -3817,7 +4050,17 @@ def _streamed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME recall floor after ≥3 ingested batches as the batch-built
     graph group, proving maintenance keeps the r10 recall surface true
     as batches land. Dirs are wiped per process (stale streaming
-    checkpoints would silently skip the replay)."""
+    checkpoints would silently skip the replay).
+
+    ``variant='ivf'`` (r12, VERDICT r11 #2): the SAME four-batch flow
+    with ANN-ASSISTED maintenance — an IVF quantizer trained on batch
+    0 keeps the store's cluster layout (``transform=idx.assign``), and
+    every ``knn_graph_update`` pass is restricted to the clusters the
+    batch probes (``reverse='ivf'``), cutting per-batch pair work from
+    O(corpus·batch) to O(corpus·probed/nlist·batch). The graph is now
+    nprobe-approximate; the (ivf, graph_stream_ivf) panel group floors
+    its end-to-end expansion recall, and tools/graph_maint_probe.py
+    records the flattened pair-work slope."""
     import hashlib
     import shutil
 
@@ -3825,9 +4068,10 @@ def _streamed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deployment_spark.operators.knn import read_knn_graph
     from deployment_spark.streaming.ingest import ingest_to_store
 
-    root = _STREAM_GRAPH_CACHE.get(sf_dir)
+    key = f"{sf_dir}::{variant}"
+    root = _STREAM_GRAPH_CACHE.get(key)
     if root is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
         root = os.path.join(tempfile.gettempdir(), f"spark_graft_sgraph_{tag}")
         shutil.rmtree(root, ignore_errors=True)
         emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3836,7 +4080,22 @@ def _streamed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.pmod("vec_id", F.lit(4)) == i).coalesce(1).write.parquet(
                 os.path.join(landing, f"b={i:03d}")
             )
-        store = SnapshotStore(spark, os.path.join(root, "store"), key="vec_id")
+        maintain = {"root": os.path.join(root, "graph"), "k": 10}
+        transform = None
+        partition_by = None
+        if variant == "ivf":
+            from deployment_spark.operators.ivf import IVFIndex
+
+            idx = IVFIndex(spark, os.path.join(root, "ivfq")).build(
+                emb.filter(F.pmod("vec_id", F.lit(4)) == 0), id_col="vec_id"
+            )
+            maintain.update({"reverse": "ivf", "index": idx, "nprobe": 8})
+            transform = idx.assign
+            partition_by = "cluster_id"
+        store = SnapshotStore(
+            spark, os.path.join(root, "store"), key="vec_id",
+            partition_by=partition_by,
+        )
         q = ingest_to_store(
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", "1")
@@ -3844,10 +4103,11 @@ def _streamed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(landing),
             store,
             os.path.join(root, "ckpt"),
-            knn_graph_maintain={"root": os.path.join(root, "graph"), "k": 10},
+            transform=transform,
+            knn_graph_maintain=maintain,
         )
         q.awaitTermination(300)
-        _STREAM_GRAPH_CACHE[sf_dir] = root
+        _STREAM_GRAPH_CACHE[key] = root
     return read_knn_graph(spark, os.path.join(root, "graph"))
 
 
@@ -3894,18 +4154,31 @@ def q_ivf_graph_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None
             emb, queries, seeds, _streamed_graph(spark, sf_dir), k=k, hops=1
         ).select("query_id", "vec_id"),
     )
+    # r12 (VERDICT r11 #2): the same expansion over the graph maintained
+    # with the ANN-ASSISTED reverse pass (per-batch pair work restricted
+    # to the clusters the batch probes) — the scale path's recall trade,
+    # floor-gated like every other approximate surface
+    expanded_stream_ivf = _sink_pairs(
+        pairs_sink, ("ivf", "graph_stream_ivf"),
+        graph_assisted_topk(
+            emb, queries, seeds, _streamed_graph(spark, sf_dir, "ivf"),
+            k=k, hops=1,
+        ).select("query_id", "vec_id"),
+    )
     exact = topk_similarity_join_expr(emb, queries, k=k).select(
         "query_id", "vec_id"
     )
     per_q = _recall_arms(
         queries, exact, k,
         seed=seeds, graph=expanded, graph_stream=expanded_stream,
+        graph_stream_ivf=expanded_stream_ivf,
     )
     return per_q.withColumn(
         "meets_floor",
         (F.col("mean_recall_graph") >= IVF_GRAPH_FLOOR)
         & (F.col("mean_recall_graph") >= F.col("mean_recall_seed"))
-        & (F.col("mean_recall_graph_stream") >= IVF_GRAPH_FLOOR),
+        & (F.col("mean_recall_graph_stream") >= IVF_GRAPH_FLOOR)
+        & (F.col("mean_recall_graph_stream_ivf") >= IVF_GRAPH_IVF_FLOOR),
     )
 
 
@@ -4029,6 +4302,22 @@ IVFSQ_BATCH_FLOOR = IVFSQ_FLOOR
 # tests/test_knn.py (candidates ⊇ seeds, exact scoring).
 IVF_GRAPH_FLOOR = 0.9
 IVF_GRAPH_SEED_FLOOR = 0.3  # the starved baseline's honest lower bound
+# r12 (VERDICT r11 #2): the ANN-ASSISTED maintenance variant — every
+# per-batch graph-update pass restricted to the IVF clusters the batch
+# probes (nprobe 8) instead of the full C×B scan. The maintained graph
+# is nprobe-approximate, so its end-to-end expansion floor sits under
+# the exact-maintenance 0.9: measured 0.975/1.00 (sf0.001/sf0.01); the
+# floor takes the weaker reading minus jitter headroom. The pair-work
+# slope flattening is recorded by tools/graph_maint_probe.py.
+IVF_GRAPH_IVF_FLOOR = 0.85
+# r12 (VERDICT r11 #3): the two-stage maxsim path at the SCALE-DERIVED
+# operating point (k_per_token = reference_k_per_token(corpus tokens),
+# token-index nlist = reference_nlist) — the fixed r11 point decayed
+# 0.91 → 0.42 over a 16× corpus; the derived point holds the floor
+# across the maxsim_probe sweep (see BASELINE.md). Measured 0.94/0.94
+# (sf0.001/sf0.01) end-to-end (token_candidates → maxsim_rerank vs
+# exact maxsim top-10).
+MAXSIM_TWO_STAGE_FLOOR = 0.9
 
 
 def _sink_pairs(pairs_sink, key, df):
@@ -4345,6 +4634,110 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = N
     )
 
 
+_MAXSIM_IDX_CACHE: dict[str, str] = {}
+
+
+def q_maxsim_recall(
+    spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
+) -> DataFrame:
+    """End-to-end TWO-STAGE maxsim recall at the scale-derived operating
+    point (r12, VERDICT r11 #3): token bags from the deterministic
+    mapping the topk_enriched maxsim probe pins (entity v's 3 doc
+    tokens = rows (v+211j) mod N; query q's 2 tokens = rows (q+97j)
+    mod N, q < 5), first stage = ``token_candidates`` over an IVF
+    index of the TOKEN vectors (nlist = reference_nlist(corpus
+    tokens), k_per_token auto-derived via ``reference_k_per_token`` —
+    the fixed r11 point decayed 0.91→0.42 over a 16× corpus), second
+    stage = ``maxsim_rerank`` of the candidate bags only. Recall@10
+    against the exact maxsim ranking, floor-gated like every other
+    approximate surface; the hit pairs join the ann_recall facet so
+    DuckDB replays the exact set (Σ-max in SQL) and the recall
+    arithmetic."""
+    from deployment_spark.operators.ivf import IVFIndex, reference_nlist
+    from deployment_spark.operators.multivec import (
+        maxsim_rerank,
+        maxsim_topk,
+        token_candidates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    k = 10
+    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
+    doc_tokens = (
+        emb.select("vec_id")
+        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select(
+            "vec_id",
+            (F.col("vec_id") * 3 + F.col("_j")).cast("long").alias("tok_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    q_tokens = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select(
+            "query_id",
+            F.col("_j").alias("q_pos"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+        .localCheckpoint()
+    )
+    exact = maxsim_topk(
+        doc_tokens.select("vec_id", "embedding"), q_tokens,
+        k=k, round_to=4, query_pos="q_pos",
+    ).select("query_id", "vec_id")
+    root = _MAXSIM_IDX_CACHE.get(sf_dir)
+    if root is None:
+        import hashlib
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_mvtok_{tag}")
+        IVFIndex(spark, root).build(
+            doc_tokens.select(F.col("tok_id").alias("vec_id"), "embedding"),
+            nlist=reference_nlist(3 * n_emb),
+        )
+        _MAXSIM_IDX_CACHE[sf_dir] = root
+    tok_idx = IVFIndex(spark, root)
+    cand = token_candidates(
+        lambda qd, kk: tok_idx.search(qd, k=kk, nprobe=8).select(
+            "query_id", F.col("vec_id").alias("tok_id")
+        ),
+        q_tokens,
+        doc_tokens.select("tok_id", "vec_id"),
+        k_per_token=None,  # scale-derived (reference_k_per_token)
+        query_pos="q_pos",
+    )
+    approx = _sink_pairs(
+        pairs_sink, ("maxsim", "two_stage"),
+        maxsim_rerank(
+            doc_tokens.select("vec_id", "embedding"), q_tokens, cand,
+            k=k, round_to=4, query_pos="q_pos",
+        ).select("query_id", "vec_id"),
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = q_tokens.select("query_id").distinct()
+    per_q = qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall_at_10"),
+    )
+    summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor", F.col("mean_recall") >= MAXSIM_TWO_STAGE_FLOOR
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified ANN recall panel (r5 fold — the driver gate windows at 50
     entries, so the per-codec recall entries ivf / pq / ivfpq / sq /
@@ -4364,11 +4757,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     point as its interactive sibling. r10 widening (V8 closure): the
     ivf family adds `seed`/`graph` — a starved nprobe-2 seed and its
     one-hop kNN-graph expansion (`knn.graph_assisted_topk`, the HNSW
-    recall trade) — 18 groups total (r11 adds ivf/graph_stream: the expansion over the
+    recall trade) — 20 groups total (r11 adds ivf/graph_stream: the expansion over the
     STREAMING-MAINTAINED graph after four ingested micro-batches, same
     floor — VERDICT r10 #1; and pq/opq: the rotation-optimized codec at
     identical bytes, parity floor on this near-isotropic fixture, the
-    anisotropic lift pinned in tests/test_opq.py). Hash-gateable since r11 via the pairs
+    anisotropic lift pinned in tests/test_opq.py; r12 adds
+    ivf/graph_stream_ivf — the ANN-ASSISTED maintenance variant whose
+    per-batch pair work is cluster-restricted, VERDICT r11 #2 — and
+    maxsim/two_stage — the late-interaction pipeline at the
+    scale-derived candidate width, VERDICT r11 #3, whose exact
+    reference is the Σ-max maxsim ranking, replayed in SQL). Hash-gateable since r11 via the pairs
     facet (SQL_ANN_RECALL replays exact sets + recall arithmetic in
     DuckDB); additionally (trained quantizers are not
     SQL-expressible); every variant is independently re-derived and
@@ -4434,6 +4832,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm_variant(graph_df, "ivf", "graph", IVF_GRAPH_FLOOR),
         # r11: the streaming-maintained graph's expansion, same floor
         arm_variant(graph_df, "ivf", "graph_stream", IVF_GRAPH_FLOOR),
+        # r12: ANN-assisted maintenance (per-batch pair work restricted
+        # to the batch's probed clusters) — the scale path's floor
+        arm_variant(graph_df, "ivf", "graph_stream_ivf", IVF_GRAPH_IVF_FLOOR),
         arm_variant(pq_df, "pq", "adc", PQ_ADC_FLOOR),
         arm_variant(pq_df, "pq", "rerank", PQ_RERANK_FLOOR),
         # r8: every codec's corpus-scale batch route, gated at the same
@@ -4451,6 +4852,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm_variant(ivfsq_df, "ivfsq", "adc", IVFSQ_FLOOR),
         arm_variant(ivfsq_df, "ivfsq", "rerank", IVFSQ_FLOOR),
         arm_variant(ivfsq_df, "ivfsq", "batch", IVFSQ_BATCH_FLOOR),
+        # r12: the two-stage maxsim path at the scale-derived operating
+        # point — late-interaction retrieval held to a published floor
+        one_variant(
+            q_maxsim_recall(spark, sf_dir, pairs_sink=sink),
+            "maxsim", "two_stage",
+        ),
     ]
     # r11 (VERDICT r10 #5): emit every group's approximate hit PAIRS as
     # a parquet facet so the panel becomes DuckDB-hash-gateable — the
@@ -4471,6 +4878,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", "seed"): IVF_GRAPH_SEED_FLOOR,
         ("ivf", "graph"): IVF_GRAPH_FLOOR,
         ("ivf", "graph_stream"): IVF_GRAPH_FLOOR,
+        ("ivf", "graph_stream_ivf"): IVF_GRAPH_IVF_FLOOR,
         ("pq", "adc"): PQ_ADC_FLOOR,
         ("pq", "rerank"): PQ_RERANK_FLOOR,
         ("pq", "batch"): PQ_BATCH_FLOOR,
@@ -4483,6 +4891,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfsq", "adc"): IVFSQ_FLOOR,
         ("ivfsq", "rerank"): IVFSQ_FLOOR,
         ("ivfsq", "batch"): IVFSQ_BATCH_FLOOR,
+        ("maxsim", "two_stage"): MAXSIM_TWO_STAGE_FLOOR,
     }
     assert set(sink) == set(floors), sorted(set(floors) - set(sink))
     pair_frames = [
@@ -4528,12 +4937,48 @@ WITH pairs AS (
     FROM embeddings c
     CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
   ) WHERE rn <= 10
+), mv_n AS (
+  SELECT count(*) AS n FROM embeddings
+), mv_doc AS (
+  -- the maxsim group's exact reference is the EXACT maxsim ranking
+  -- over the deterministic token bags (same mapping as topk_enriched)
+  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  CROSS JOIN mv_n
+  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % mv_n.n
+), mv_q AS (
+  SELECT q.vec_id AS query_id, j AS q_pos, t.embedding::DOUBLE[] AS qv
+  FROM embeddings q
+  CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  CROSS JOIN mv_n
+  JOIN embeddings t ON t.vec_id = (q.vec_id + 97 * j) % mv_n.n
+  WHERE q.vec_id < 5
+), mv_m AS (
+  SELECT mv_q.query_id, mv_doc.vec_id, mv_q.q_pos,
+         max(list_dot_product(mv_doc.v, mv_q.qv)) AS mx
+  FROM mv_doc CROSS JOIN mv_q
+  GROUP BY 1, 2, 3
+), mv_exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(sum(mx), 4) DESC, vec_id
+           ) AS rn
+    FROM mv_m GROUP BY query_id, vec_id
+  ) WHERE rn <= 10
+), exact_all AS (
+  SELECT 'cos' AS fam, query_id, vec_id FROM exactk
+  UNION ALL
+  SELECT 'maxsim' AS fam, query_id, vec_id FROM mv_exact
 ), perq AS (
   SELECT p.codec, p.variant, p.floor, p.query_id,
          count(e.vec_id) AS hits
   FROM pairs p
-  LEFT JOIN exactk e
+  LEFT JOIN exact_all e
     ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+   AND e.fam = (CASE WHEN p.codec = 'maxsim' THEN 'maxsim' ELSE 'cos' END)
   GROUP BY 1, 2, 3, 4
 )
 SELECT codec, variant, query_id, hits,
@@ -5599,6 +6044,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the engine's total order, O(nq·k) state, O(batch·nq) work
     per batch. The final state must hash-match the identical exact
     ranking vecsearch computes from scratch.
+    r12 fold (VERDICT r11 #1): an OUT-OF-BAND store DELETE lands
+    between vector batches 1 and 2 (kept ids ≡3 mod 10 among the
+    first two batches — hitting rows the standing set was serving).
+    The maintainer detects it through the store's mutation clock and,
+    under ``on_mutation='repair'``, re-tops EXACTLY the affected
+    queries over the survivors — so the same standingq ≡ vecsearch
+    hash identity now also proves the serving state survives the
+    store's delete surface (C2), not just its inserts.
 
     Column mapping: admission rows (k1=batch_id, k2=doc_id,
     flag=admitted as 0/1 — a BIGINT because nullable booleans
@@ -5716,11 +6169,6 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
         vec_landing = os.path.join(root, "vec_landing")
-        for i in range(3):
-            kept_vec.filter(F.floor(F.col("doc_id") / M) == i).coalesce(1).write.parquet(
-                os.path.join(vec_landing, f"b={i:03d}")
-            )
-        shifted.coalesce(1).write.parquet(os.path.join(vec_landing, "b=003"))
         vec_store = SnapshotStore(
             spark,
             os.path.join(root, "vec_corpus"),
@@ -5739,27 +6187,58 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("query_vec"),
         )
         standing_root = os.path.join(root, "standing")
-        vq = ingest_to_store(
-            (
-                spark.readStream.schema(kept_vec.schema)
-                .option("maxFilesPerTrigger", "1")
-                .option("recursiveFileLookup", "true")
-                .parquet(vec_landing)
-            ),
-            vec_store,
-            os.path.join(root, "vec_ckpt"),
-            transform=idx.assign,
-            drift_retrain={
-                "index": idx,
-                "baseline": idx.drift_score(kept_vec.filter(F.col("doc_id") < M)),
-                "threshold": 2.0,
-                "on_retrain": lambda bid, score: fired.append(bid),
-            },
-            standing_topk_maintain={
-                "root": standing_root, "queries": queries, "k": 5,
-            },
+
+        def vec_run():
+            q = ingest_to_store(
+                (
+                    spark.readStream.schema(kept_vec.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(vec_landing)
+                ),
+                vec_store,
+                os.path.join(root, "vec_ckpt"),
+                transform=idx.assign,
+                drift_retrain={
+                    "index": idx,
+                    "baseline": idx.drift_score(
+                        kept_vec.filter(F.col("doc_id") < M)
+                    ),
+                    "threshold": 2.0,
+                    "on_retrain": lambda bid, score: fired.append(bid),
+                },
+                standing_topk_maintain={
+                    "root": standing_root, "queries": queries, "k": 5,
+                    # r12: heal out-of-band mutations (exact for the
+                    # deletes-only history this entry stages)
+                    "on_mutation": "repair",
+                },
+            )
+            q.awaitTermination(600)
+
+        # r12 (VERDICT r11 #1): batches 0-1 land, then an OUT-OF-BAND
+        # store DELETE (kept ids ≡3 mod 10 among them — hitting both
+        # rows the standing set serves and bystanders), then batches
+        # 2-3 land through the SAME checkpoint. The standing maintainer
+        # detects the mutation clock advance and repairs EXACTLY
+        # (re-top only the affected queries over the survivors); the
+        # final standingq state must still hash-match the from-scratch
+        # exact ranking over the post-delete corpus.
+        for i in range(2):
+            kept_vec.filter(F.floor(F.col("doc_id") / M) == i).coalesce(1).write.parquet(
+                os.path.join(vec_landing, f"b={i:03d}")
+            )
+        vec_run()
+        vec_store.delete_ids(
+            vec_store.read()
+            .filter((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 2 * M))
+            .select("doc_id")
         )
-        vq.awaitTermination(600)
+        kept_vec.filter(F.floor(F.col("doc_id") / M) == 2).coalesce(1).write.parquet(
+            os.path.join(vec_landing, "b=002")
+        )
+        shifted.coalesce(1).write.parquet(os.path.join(vec_landing, "b=003"))
+        vec_run()
         from deployment_spark.streaming.ingest import read_standing_topk
 
         standingq = read_standing_topk(spark, standing_root).select(
@@ -5913,8 +6392,12 @@ keptv AS MATERIALIZED (
 ), vcorpus AS MATERIALIZED (
   -- plus the r9 shifted-distribution batch (every component +3.0) that
   -- fires the mid-stream quantizer retrain; full probe is exact under
-  -- any quantizer, so the replay needs only the final corpus content
+  -- any quantizer, so the replay needs only the final corpus content.
+  -- r12: minus the MID-STREAM OUT-OF-BAND DELETE (kept ids ≡3 mod 10
+  -- among the first two batches) the standing maintainer must repair
+  -- around — queries still rank over exactly the surviving corpus
   SELECT doc_id, v FROM keptv
+  WHERE NOT (doc_id % 10 = 3 AND doc_id < {2 * m})
   UNION ALL
   SELECT 3 * {m} + vec_id AS doc_id,
          list_transform(embedding::DOUBLE[], x -> x + 3.0) AS v

@@ -654,9 +654,14 @@ def test_commit_meta_survives_compaction_and_metaless_commits(spark, tmp_path):
     # the table really did compact (meta survived a real fold, not a no-op)
     m = s._read_manifest(s.current_version())
     assert len(m["segments"]) == 1 and not m["tombstones"]
-    # newer keys override, older unrelated keys persist
+    # newer keys override, older unrelated keys persist (the r12
+    # mutation clock rides alongside — the delete above stamped it)
     s.insert(mk(spark, [(99, "z")]), meta={"other": "x"})
-    assert s.commit_meta() == {"curated_max_seen": 60, "other": "x"}
+    meta = s.commit_meta()
+    assert {k: meta[k] for k in ("curated_max_seen", "other")} == {
+        "curated_max_seen": 60, "other": "x",
+    }
+    assert meta["mutation_clock"]["deletes"] == 1
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])

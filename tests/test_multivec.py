@@ -210,3 +210,73 @@ def test_maxsim_fuses_with_bm25_via_rrf(spark, bags):
     assert fused[top_mv][0] == 2  # present in both lists
     best = max(fused.values(), key=lambda t: t[1])
     assert fused[top_mv] == best  # both-modality doc wins the fusion
+
+
+def test_reference_k_per_token_shape():
+    """√-scaling with a floor: the derived candidate width tracks the
+    token-index cell population (nlist ≈ √n_tokens ⇒ cell ≈ √n_tokens),
+    which is what keeps candidate recall flat where a fixed width
+    decays (maxsim_probe --auto vs the r11 fixed point)."""
+    from deployment_spark.operators.multivec import reference_k_per_token
+
+    assert reference_k_per_token(0) == 32
+    assert reference_k_per_token(100) == 32  # floor
+    assert reference_k_per_token(10_000) == 200  # 2·√1e4
+    assert reference_k_per_token(1_000_000) == 2000
+    prev = 0
+    for n in (10, 10**3, 10**5, 10**7):
+        v = reference_k_per_token(n)
+        assert v >= prev
+        prev = v
+
+
+def test_token_candidates_positions_survive_partitioning(spark):
+    """r11 ADVICE: the synthesized token slots must stay distinct per
+    query REGARDLESS of physical partitioning (the mono-id % 1e6
+    synthesis collided across partition boundaries, silently merging
+    two tokens' searches). With per-query row_number slots, an
+    exhaustive search_fn over a many-partition query bag returns every
+    doc any token matches."""
+    import pyspark.sql.functions as F
+
+    from deployment_spark.operators.multivec import token_candidates
+
+    # 6 queries × 4 tokens, deliberately scattered over many partitions
+    qv = spark.createDataFrame(
+        [(q, [float(q * 4 + j), 1.0]) for q in range(6) for j in range(4)],
+        "query_id long, query_vec array<double>",
+    ).repartition(16)
+    # token universe: tok_id t owns doc t; search_fn returns the single
+    # exact-matching token per query token (nearest by first component)
+    tok_doc = spark.createDataFrame(
+        [(t, t) for t in range(24)], "tok_id long, vec_id long"
+    )
+
+    def search_fn(qd, k):
+        # nearest token = round(first component) — one hit per token row
+        return qd.select(
+            "query_id",
+            F.round(F.element_at("query_vec", 1)).cast("long").alias("tok_id"),
+        )
+
+    got = {
+        (r.query_id, r.vec_id)
+        for r in token_candidates(
+            search_fn, qv, tok_doc, k_per_token=1
+        ).collect()
+    }
+    want = {(q, q * 4 + j) for q in range(6) for j in range(4)}
+    assert got == want  # every token's candidate survives — no slot merge
+
+
+def test_token_candidates_rejects_non_integral_query_ids(spark):
+    import pytest
+
+    from deployment_spark.operators.multivec import token_candidates
+
+    qv = spark.createDataFrame(
+        [(0.5, [1.0])], "query_id double, query_vec array<double>"
+    )
+    tok_doc = spark.createDataFrame([(0, 0)], "tok_id long, vec_id long")
+    with pytest.raises(TypeError, match="integral"):
+        token_candidates(lambda qd, k: qd.select("query_id"), qv, tok_doc, 1)

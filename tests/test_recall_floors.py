@@ -111,3 +111,16 @@ def test_ivf_graph_recall_meets_floor(spark):
         rows[0].mean_recall_seed, rows[0].mean_recall_graph
     )
     assert rows[0].mean_recall_graph > rows[0].mean_recall_seed
+
+
+def test_maxsim_two_stage_recall_meets_floor(spark):
+    """r12 (VERDICT r11 #3): the two-stage maxsim path at the
+    SCALE-DERIVED operating point (k_per_token from
+    reference_k_per_token, token-index nlist from reference_nlist)
+    clears its end-to-end floor — the fixed r11 point decayed 0.91→0.42
+    over a 16× corpus (maxsim_probe); the derived point is held to a
+    published floor like every other approximate surface."""
+    from deployment_spark.queries import q_maxsim_recall
+
+    rows = _floor_rows(q_maxsim_recall, spark)
+    assert all(r.meets_floor for r in rows), rows[0].mean_recall

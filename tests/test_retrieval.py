@@ -128,26 +128,32 @@ def test_entry_functions_run(spark, sf_dir):
 
     sf = sf_dir
     bm = q_doc_bm25_topk(spark, sf).collect()
-    assert len(bm) == 40
+    assert len(bm) == 80
     by_probe = {}
     for r in bm:
         by_probe.setdefault(r.probe, []).append(r)
-    assert set(by_probe) == {"direct", "indexed"}
+    assert set(by_probe) == {"direct", "indexed", "deleted", "served"}
     key = lambda rows: sorted((r.rank, r.doc_id, r.bm25) for r in rows)
-    # the two execution paths answer identically
+    # the two full-corpus execution paths answer identically; the
+    # mutated-corpus probes rank DIFFERENT corpora (their exactness vs
+    # from-scratch twins is pinned in test_serving_state + the oracle)
     assert key(by_probe["direct"]) == key(by_probe["indexed"])
-    assert sorted(r.rank for r in by_probe["direct"]) == list(range(1, 21))
+    for probe, rows in by_probe.items():
+        assert sorted(r.rank for r in rows) == list(range(1, 21)), probe
     hy = q_hybrid_search(spark, sf).collect()
-    assert len(hy) == 40
+    assert len(hy) == 60
     by_probe = {}
     for r in hy:
         by_probe.setdefault(r.probe, []).append(r)
-    assert set(by_probe) == {"rrf", "weighted"}
+    assert set(by_probe) == {"rrf", "weighted", "rrf3"}
     for probe, rows in by_probe.items():
         assert sorted(r.rank for r in rows) == list(range(1, 21)), probe
-        assert all(r.n_lists in (1, 2) for r in rows)
-        # fused list must actually draw from both modalities
-        assert any(r.n_lists == 2 for r in rows), probe
+        lists_cap = 3 if probe == "rrf3" else 2
+        assert all(1 <= r.n_lists <= lists_cap for r in rows)
+        # fused list must actually draw from several modalities
+        assert any(r.n_lists >= 2 for r in rows), probe
+    # the three-ranker fusion really carries the late-interaction list
+    assert any(r.n_lists == 3 for r in by_probe["rrf3"])
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,12 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--scales", default="1,4,8")
-    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--buckets", default="16",
+                    help="comma list — the r12 granularity sweep runs "
+                         "16,64,256 at the top scale (VERDICT r11 #5)")
+    ap.add_argument("--rebucket-from", type=int, default=None,
+                    help="also time rebucket(first bucket value) from an "
+                         "index built at THIS count (the migration path)")
     args = ap.parse_args()
 
     from deployment_spark import get_spark
@@ -69,14 +74,25 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
         return min(ts), ts
 
+    bucket_list = [int(b) for b in str(args.buckets).split(",")]
     for k in (int(s) for s in args.scales.split(",")):
-        corpus = replicate(k).localCheckpoint()
-        n = n_base * k
-        root = os.path.join(tempfile.gettempdir(), f"bm25_probe_{k}x_{args.buckets}b")
-        idx = BM25Index(spark, root, n_buckets=args.buckets)
+      corpus = replicate(k).localCheckpoint()
+      n = n_base * k
+      for nb in bucket_list:
+        root = os.path.join(tempfile.gettempdir(), f"bm25_probe_{k}x_{nb}b")
+        idx = BM25Index(spark, root, n_buckets=nb)
         t0 = time.monotonic()
         idx.build(corpus)
         t_build = time.monotonic() - t0
+        t_rebucket = None
+        if args.rebucket_from is not None:
+            # the migration path: an index stuck at a build-time count
+            # re-partitions in one O(postings) pass, never re-tokenizes
+            r2 = os.path.join(tempfile.gettempdir(), f"bm25_reb_{k}x_{nb}b")
+            src = BM25Index(spark, r2, n_buckets=args.rebucket_from).build(corpus)
+            t0 = time.monotonic()
+            src.rebucket(nb)
+            t_rebucket = round(time.monotonic() - t0, 3)
         b_direct, raw_d = best(lambda: bm25_topk(corpus, BM25_TERMS, k=20).collect())
         b_indexed, raw_i = best(lambda: idx.topk(BM25_TERMS, k=20).collect())
         total_files = len(spark.read.parquet(idx.postings_dir).inputFiles())
@@ -114,6 +130,7 @@ def main() -> None:
                     "indexed_raw": [round(t, 3) for t in raw_i],
                     "postings_buckets_read": len(buckets),
                     "postings_buckets_total": idx.n_buckets,
+                    "rebucket_s": t_rebucket,
                     "postings_files_total": total_files,
                     "pruned_scan_bytes": pruned_bytes,
                     "postings_bytes": postings_bytes,

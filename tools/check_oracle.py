@@ -226,6 +226,22 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         ),
         IVF_GRAPH_FLOOR,
     )
+    # r12: the ANN-ASSISTED maintenance variant (per-batch pair passes
+    # restricted to the batch's probed clusters) — same expansion, its
+    # own floor; the maintained graph comes from the engine under test
+    from deployment_spark.queries import IVF_GRAPH_IVF_FLOOR
+
+    specs[("ivf", "graph_stream_ivf")] = (
+        _pairs_to_sets(
+            graph_assisted_topk(
+                emb, raw_queries, seed_df,
+                _streamed_graph(spark, spark_sf, "ivf"),
+                k=k, hops=1,
+            )
+            .select("query_id", "vec_id").collect()
+        ),
+        IVF_GRAPH_IVF_FLOOR,
+    )
 
     pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
     pq_codes = pq_codec.encode(norm)
@@ -338,6 +354,48 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         SQ_BATCH_FLOOR,
     )
 
+    # r12: maxsim/two_stage — the approximate sets come from the
+    # engine's token_candidates -> maxsim_rerank pipeline at the
+    # scale-derived operating point (re-run via the entry's own group
+    # builder); the EXACT maxsim ranking is re-derived here in numpy
+    # from the raw parquet (different exact than the shared cosine set,
+    # hence the override below).
+    from deployment_spark.queries import (
+        MAXSIM_TWO_STAGE_FLOOR,
+        q_maxsim_recall,
+    )
+
+    import numpy as np
+
+    mv_sink: dict = {}
+    q_maxsim_recall(spark, spark_sf, pairs_sink=mv_sink).collect()
+    specs[("maxsim", "two_stage")] = (
+        _pairs_to_sets(mv_sink[("maxsim", "two_stage")].collect()),
+        MAXSIM_TWO_STAGE_FLOOR,
+    )
+    import pyarrow.parquet as _pq
+
+    _t2 = _pq.read_table(
+        f"{data_sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _ids = np.asarray(_t2.column("vec_id").to_pylist())
+    _mat = np.asarray(_t2.column("embedding").to_pylist(), dtype=np.float64)
+    _order = np.argsort(_ids)
+    _ids, _mat = _ids[_order], _mat[_order]
+    _n = len(_ids)
+    _tok_idx = (np.arange(_n)[:, None] + 211 * np.arange(3)[None, :]) % _n
+    mv_exact: dict[int, set[int]] = {}
+    for _q in range(5):
+        _qb = _mat[[(int(_q) + 97 * j) % _n for j in range(2)]]  # (2, d)
+        _dots = _qb @ _mat.T  # (2, n) — query token x corpus token (row=vec)
+        _per_doc = _dots[:, _tok_idx]  # (2, n_docs, 3)
+        _score = np.round(_per_doc.max(axis=2).sum(axis=0), 4)
+        _top = np.lexsort((_ids, -_score))[:k]
+        mv_exact[int(_q)] = {int(_ids[i]) for i in _top}
+    exact_overrides: dict[tuple[str, str], dict[int, set[int]]] = {
+        ("maxsim", "two_stage"): mv_exact,
+    }
+
     problems: list[str] = []
     claimed_groups = {(r.codec, r.variant) for r in sdf.itertuples()}
     if claimed_groups != set(specs):
@@ -346,10 +404,11 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
     for (codec_name, variant), (approx, floor) in specs.items():
         rows = sdf[(sdf["codec"] == codec_name) & (sdf["variant"] == variant)]
         tag = f"{codec_name}/{variant}"
-        if set(int(q) for q in rows["query_id"]) != set(exact):
+        ex_ref = exact_overrides.get((codec_name, variant), exact)
+        if set(int(q) for q in rows["query_id"]) != set(ex_ref):
             problems.append(f"{tag}: query set mismatch")
             continue
-        per_q = {qid: len(ex & approx.get(qid, set())) for qid, ex in exact.items()}
+        per_q = {qid: len(ex & approx.get(qid, set())) for qid, ex in ex_ref.items()}
         mean = round(sum(round(h / k, 4) for h in per_q.values()) / len(per_q), 4)
         for row in rows.itertuples():
             qid = int(row.query_id)

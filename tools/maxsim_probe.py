@@ -9,6 +9,10 @@ rerank arm's maxsim work is O(candidates) by construction — the wall
 gap at the top scale is the scale claim.
 
 Usage: python tools/maxsim_probe.py [--scales 5000,20000,80000]
+       [--auto]   (r12: derive k_per_token from corpus tokens via
+                   reference_k_per_token instead of the fixed width —
+                   the sweep that shows the derived operating point
+                   holds the recall floor where the fixed one decays)
 """
 
 from __future__ import annotations
@@ -35,6 +39,8 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--cand", type=int, default=50)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--auto", action="store_true",
+                    help="scale-derived k_per_token (reference_k_per_token)")
     args = ap.parse_args()
 
     from deployment_spark import get_spark
@@ -135,6 +141,12 @@ def main() -> None:
             nlist=reference_nlist(n * args.td),
         )
 
+        from deployment_spark.operators.multivec import reference_k_per_token
+
+        kpt = (
+            reference_k_per_token(n * args.td) if args.auto else 2 * args.cand
+        )
+
         def tok_two_stage():
             cand = token_candidates(
                 lambda qd, kk2: tok_idx.search(qd, k=kk2, nprobe=32).select(
@@ -142,7 +154,7 @@ def main() -> None:
                 ),
                 q_df,
                 tok_tbl.select("tok_id", "vec_id"),
-                k_per_token=2 * args.cand,
+                k_per_token=kpt,
                 query_pos="q_pos",
             )
             return maxsim_rerank(
@@ -170,6 +182,8 @@ def main() -> None:
                 {
                     "docs": n,
                     "doc_tokens": n * args.td,
+                    "k_per_token": kpt,
+                    "operating_point": "auto" if args.auto else "fixed",
                     "exact_s": round(t_exact, 3),
                     "pooled_stage_s": round(t_two, 3),
                     "pooled_stage_recall": round(agree, 4),
