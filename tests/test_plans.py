@@ -461,14 +461,22 @@ def test_expensive_entries_exchange_budget(spark, sf_dir):
         "doc_ngram_jaccard": 4,  # shingle agg + prefix join + 2 verify joins
         "doc_minhash_lsh": 2,    # signature agg + band join
         "skewed_topn": 2,        # salted partial + final top-N
-        "hybrid_search": 11,     # BM25 ⊕ cosine ⊕ RRF composition
+        # r12 three-ranker widening: the rrf3 probe adds the maxsim
+        # ranking (token-bag build join + the two-stage Σ-max partial
+        # aggregates + rank window) and a third fusion union/groupBy —
+        # 18 measured at pin time (was 11 for two rankers, two fusions)
+        "hybrid_search": 18,
         "doc_exact_dedup": 2,    # docs md5 window + lineitem keep-first fold
         "embedding_neardup": 2,  # band join + pair dedup
         # r11 two-arm widening: the direct arm keeps its per-doc agg +
         # rank window; the indexed arm adds its own pruned-postings
         # per-doc agg + rank window (the df/stats attachments ride
-        # broadcasts) — 2 exchanges per arm
-        "doc_bm25_topk": 4,
+        # broadcasts) — 2 exchanges per arm. r12 four-probe widening:
+        # probe=deleted and probe=served each add their own
+        # pruned-postings agg + rank window — 2 more exchanges per
+        # probe (their index builds/streams run EAGERLY inside the
+        # entry, so only the serving-read plans appear here)
+        "doc_bm25_topk": 8,
         "doc_lm_score": 6,       # token stats + unigram join + rollup
         # r9 two-arm widening: interactive arm (routing broadcast join +
         # top-k window, 1 exchange) + batch arm (blocked centroid
