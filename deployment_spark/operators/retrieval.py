@@ -532,7 +532,7 @@ class BM25Index:
             .drop("_kgen")
         )
 
-    def delete(self, ids: DataFrame | list, id_col: str = "doc_id") -> int:
+    def delete(self, ids: DataFrame | list) -> int:
         """EXACT delete (r12): kill every live posting of ``ids`` and
         fold the stats corrections into the same atomic tombstone
         append. One row per doc that was actually live (its dl rides
@@ -580,7 +580,7 @@ class BM25Index:
         the index (absent, never stale) until the next repair or
         rebuild — documented, same class as a crash-lost append."""
         nb = self.n_buckets
-        self.delete(df.select(id_col), id_col=id_col)
+        self.delete(df.select(id_col))
         postings = self._postings(
             df, text_col, id_col, gen=self._current_write_gen(), n_buckets=nb
         ).localCheckpoint()
