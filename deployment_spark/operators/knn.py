@@ -313,19 +313,37 @@ def knn_graph_clustered(
     return _final_topk(candidates.dropDuplicates(["src_id", "dst_id"]), kk)
 
 
-def read_knn_graph(spark, root: str) -> DataFrame:
+def read_knn_graph(spark, root: str, live_keys: DataFrame | None = None) -> DataFrame:
     """Edges from a streaming-maintained graph store (r11 —
     ``streaming.ingest._maintain_knn_graph`` keeps one mor SnapshotStore
     of edges, pk src·k+rank−1, exact per its update's contract): the
     (src_id, dst_id, rank, cosine) frame ``graph_assisted_topk``
-    consumes, latest committed snapshot."""
+    consumes, latest committed snapshot.
+
+    ``live_keys`` (r12 — the query-time half of the delete story): a
+    one-column frame of the corpus store's CURRENT ids. When given,
+    edges whose SOURCE or DESTINATION vanished are semi-joined out —
+    two key-only joins, no edge-store rewrite — so an expansion
+    between maintenance runs never walks through (or surfaces) deleted
+    rows. Surviving sources may then carry fewer than k edges (recall
+    dips until the maintainer's deletes-only repair re-tops them
+    exactly); graph-assisted recall stays a lower bound of the
+    repaired graph's by the superset argument."""
     from deployment_spark.operators.crud import SnapshotStore
 
-    return (
+    edges = (
         SnapshotStore(spark, root, key="edge_id", mode="mor")
         .read()
         .select("src_id", "dst_id", "rank", "cosine")
     )
+    if live_keys is not None:
+        alive = live_keys.select(
+            F.col(live_keys.columns[0]).cast("long").alias("_alive")
+        )
+        edges = edges.join(
+            alive, edges.src_id == alive._alive, "left_semi"
+        ).join(alive, F.col("dst_id") == alive._alive, "left_semi")
+    return edges
 
 
 def probed_cluster_ids(

@@ -730,13 +730,27 @@ def _maintain_bm25(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
             bidx.compact()
 
 
-def read_standing_topk(spark, root: str) -> DataFrame:
+def read_standing_topk(spark, root: str, live_keys: DataFrame | None = None) -> DataFrame:
     """Consumer handle for the standing-query state maintained by
     ``ingest_to_store(standing_topk_maintain=...)``: the current exact
-    (query_id, <key>, rank, similarity) top-k per standing query."""
+    (query_id, <key>, rank, similarity) top-k per standing query.
+
+    ``live_keys`` (r12 — the query-time half of the delete story): a
+    one-column frame of the corpus store's CURRENT keys (same column
+    name as the state's key column, e.g. ``store.read().select(
+    store.key)``). When given, state rows referencing vanished keys
+    are semi-joined out — an O(nq·k)-left join, no state rewrite — so
+    a reader between maintenance runs never serves deleted rows.
+    Filtered queries may then return FEWER than k rows and keep their
+    original rank numbers (holes mark the filtered slots); the exact
+    backfill is the maintainer's deletes-only repair, which the next
+    maintained batch runs under ``on_mutation='repair'``."""
     from deployment_spark.operators.crud import SnapshotStore
 
-    return SnapshotStore(spark, root, key="slot_id").read().drop("slot_id")
+    state = SnapshotStore(spark, root, key="slot_id").read().drop("slot_id")
+    if live_keys is not None:
+        state = state.join(live_keys, on=live_keys.columns[0], how="left_semi")
+    return state
 
 
 def streaming_dedup(

@@ -464,3 +464,56 @@ def test_bm25_maintainer_detects_and_repairs(spark, tmp_path):
     assert _smap(idx.search_scores(terms + ["payload"])) == _smap(
         bm25_scores(store.read(), terms + ["payload"])
     )
+
+
+def test_read_standing_topk_live_keys_filters_deleted(spark, tmp_path, vec_batches):
+    """r12 'better' half of the delete story: a reader can exclude
+    vanished rows at query time (O(nq·k) semi-join, no state rewrite)
+    BETWEEN maintenance runs — ranks keep holes, nothing vanished is
+    served."""
+    from deployment_spark.streaming.ingest import (
+        _maintain_standing_topk,
+        read_standing_topk,
+    )
+
+    queries = vec_batches[0].filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    store = SnapshotStore(spark, str(tmp_path / "lk_store"), key="vec_id")
+    root = str(tmp_path / "lk_state")
+    _feed(store, _maintain_standing_topk, vec_batches[0],
+          {"root": root, "queries": queries, "k": 5})
+    served = {r.vec_id for r in read_standing_topk(spark, root).collect()}
+    victim = sorted(served)[0]
+    store.delete_ids([victim])
+    live = store.read().select("vec_id")
+    filtered = read_standing_topk(spark, root, live_keys=live).collect()
+    assert victim not in {r.vec_id for r in filtered}
+    # exactly the victim's slots vanish (it may serve several queries);
+    # unaffected rows keep their original ranks — holes mark the gaps
+    unfiltered = read_standing_topk(spark, root).collect()
+    n_victim_slots = sum(1 for r in unfiltered if r.vec_id == victim)
+    assert n_victim_slots >= 1
+    assert len(filtered) == len(unfiltered) - n_victim_slots
+    assert {(r.query_id, r.rank, r.vec_id) for r in filtered} <= {
+        (r.query_id, r.rank, r.vec_id) for r in unfiltered
+    }
+
+
+def test_read_knn_graph_live_keys_filters_deleted(spark, tmp_path, vec_batches):
+    from deployment_spark.operators.knn import read_knn_graph
+    from deployment_spark.streaming.ingest import _maintain_knn_graph
+
+    store = SnapshotStore(spark, str(tmp_path / "lg_store"), key="vec_id")
+    root = str(tmp_path / "lg_state")
+    _feed(store, _maintain_knn_graph, vec_batches[0], {"root": root, "k": 5})
+    store.delete_ids([0, 11])
+    live = store.read().select("vec_id")
+    edges = read_knn_graph(spark, root, live_keys=live).collect()
+    assert all(r.src_id not in (0, 11) and r.dst_id not in (0, 11) for r in edges)
+    # only edges touching the victims were dropped
+    full = read_knn_graph(spark, root).collect()
+    dropped = {(r.src_id, r.dst_id) for r in full} - {
+        (r.src_id, r.dst_id) for r in edges
+    }
+    assert dropped and all(0 in p or 11 in p for p in dropped)
