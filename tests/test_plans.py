@@ -473,10 +473,12 @@ def test_expensive_entries_exchange_budget(spark, sf_dir):
         # per-doc agg + rank window (the df/stats attachments ride
         # broadcasts) — 2 exchanges per arm. r12 four-probe widening:
         # probe=deleted and probe=served each add their own
-        # pruned-postings agg + rank window — 2 more exchanges per
-        # probe (their index builds/streams run EAGERLY inside the
-        # entry, so only the serving-read plans appear here)
-        "doc_bm25_topk": 8,
+        # pruned-postings agg + rank window (their index/state
+        # CONSTRUCTION runs eagerly in the build-once-per-process
+        # caches, so only the four serving-read plans appear here);
+        # 10 measured at pin time — 2 per ranking × 4 probes plus the
+        # deleted arm's tombstone-correction aggregation pair
+        "doc_bm25_topk": 10,
         "doc_lm_score": 6,       # token stats + unigram join + rollup
         # r9 two-arm widening: interactive arm (routing broadcast join +
         # top-k window, 1 exchange) + batch arm (blocked centroid
