@@ -351,9 +351,13 @@ class BM25Index:
         contradicting the pinned value is a contract error: pruning
         with the wrong modulus silently drops whole postings lists."""
         if self._n_buckets_pinned is None and self._has_stats():
-            row = self.spark.read.parquet(self.stats_dir).select("n_buckets").first()
-            if row is not None and row[0] is not None:
-                self._n_buckets_pinned = int(row[0])
+            stats = self.spark.read.parquet(self.stats_dir)
+            # pre-r12 stats partials carry no n_buckets column — treat
+            # as unpinned (the documented grandfathering), don't raise
+            if "n_buckets" in stats.columns:
+                row = stats.select("n_buckets").first()
+                if row is not None and row[0] is not None:
+                    self._n_buckets_pinned = int(row[0])
         if self._n_buckets_pinned is not None:
             if (
                 self._n_buckets_arg is not None
@@ -468,6 +472,11 @@ class BM25Index:
         fs.delete(hp(self.stats_dir), True)
         fs.delete(hp(self.tombstones_dir), True)
         self._append_stats(df, postings, id_col, nb, src_clock)
+        # a build IS the recovery from a torn compact()/rebucket(): clear
+        # the maintenance marker LAST, so the rebuilt index actually
+        # serves again (without this, exists() stayed False forever and
+        # every maintained batch re-ran the O(corpus) rebuild)
+        self._set_marker(False)
         self._n_buckets_pinned = nb
         return self
 
@@ -518,11 +527,15 @@ class BM25Index:
             return 0
         return int(t.agg(F.max("gen")).collect()[0][0]) + 1
 
-    def _live_postings(self, postings: DataFrame) -> DataFrame:
+    _UNSET = object()
+
+    def _live_postings(self, postings: DataFrame, tombstones=_UNSET) -> DataFrame:
         """Apply the tombstone kill rule: a posting is dead iff a
         tombstone for its doc has gen >= the posting's gen. Tombstones
-        are O(deleted-docs) — broadcast; absent → no-op."""
-        t = self._tombstones()
+        are O(deleted-docs) — broadcast; absent → no-op. Callers that
+        already read the tombstone frame pass it in (one driver-side
+        parquet probe per operation, not one per helper)."""
+        t = self._tombstones() if tombstones is self._UNSET else tombstones
         if t is None:
             return postings
         kill = t.groupBy("doc_id").agg(F.max("gen").alias("_kgen"))
@@ -552,8 +565,21 @@ class BM25Index:
             ids_df = spark.createDataFrame(
                 [(int(i),) for i in ids], "doc_id long"
             )
-        gen = self._current_write_gen()
-        live = self._live_postings(self.spark.read.parquet(self.postings_dir))
+        t = self._tombstones()
+        gen = (
+            0 if t is None else int(t.agg(F.max("gen")).collect()[0][0]) + 1
+        )
+        live = self._live_postings(
+            self.spark.read.parquet(self.postings_dir), tombstones=t
+        )
+        # only docs the stats partials COUNTED are deletable: postings
+        # above the reconcile watermark are crash orphans whose stats
+        # row never landed (reconcile will drop + re-land them) —
+        # tombstoning one would subtract a doc stats never added,
+        # silently deflating N/avgdl for every later score
+        hi = self.max_indexed_id()
+        if hi is not None:
+            live = live.filter(F.col("doc_id") <= hi)
         killed = (
             live.join(ids_df.distinct(), "doc_id", "left_semi")
             .select("doc_id", "dl")
@@ -580,6 +606,19 @@ class BM25Index:
         the index (absent, never stale) until the next repair or
         rebuild — documented, same class as a crash-lost append."""
         nb = self.n_buckets
+        hi = self.max_indexed_id()
+        if hi is not None:
+            # ids above the watermark were never indexed: they are NEW
+            # docs, and landing them with a NULL-watermark partial would
+            # let the next reconcile re-append them — double-counting
+            # n_docs/sum_dl. Route them through append (which advances
+            # the watermark) and reindex only the genuinely old ids.
+            fresh = df.filter(F.col(id_col) > hi)
+            if not fresh.isEmpty():
+                self.append(fresh, text_col=text_col, id_col=id_col)
+            df = df.filter(F.col(id_col) <= hi)
+            if df.isEmpty():
+                return
         self.delete(df.select(id_col))
         postings = self._postings(
             df, text_col, id_col, gen=self._current_write_gen(), n_buckets=nb
@@ -612,9 +651,11 @@ class BM25Index:
         None = never pinned (standalone build)."""
         if not self._has_stats():
             return None
+        stats = self.spark.read.parquet(self.stats_dir)
+        if "src_seq" not in stats.columns:
+            return None  # pre-r12 partials: never pinned (grandfathered)
         row = (
-            self.spark.read.parquet(self.stats_dir)
-            .agg(
+            stats.agg(
                 F.max("src_seq").alias("_s"),
                 F.max_by("src_clock", "src_seq").alias("_c"),
             )
@@ -783,16 +824,22 @@ class BM25Index:
         self._n_buckets_pinned = nb
         self._n_buckets_arg = None
 
-    def _fold_stats(self, n_buckets_override: int | None = None) -> None:
+    def _fold_stats(
+        self,
+        n_buckets_override: int | None = None,
+        corr_n: int = 0,
+        corr_dl: int = 0,
+    ) -> None:
         """Merge the stats partials to one row (swap-committed),
         preserving the pinned bucket count (or adopting a new one) and
-        the max src_seq."""
+        the latest src pin; ``corr_n``/``corr_dl`` fold tombstone
+        corrections in (compact's delete materialization)."""
         nb = n_buckets_override if n_buckets_override is not None else self.n_buckets
         stats = (
             self.spark.read.parquet(self.stats_dir)
             .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("sum_dl").cast("long").alias("sum_dl"),
+                (F.sum("n_docs").cast("long") - F.lit(int(corr_n))).alias("n_docs"),
+                (F.sum("sum_dl").cast("long") - F.lit(int(corr_dl))).alias("sum_dl"),
                 F.max("max_doc_id").cast("long").alias("max_doc_id"),
                 F.max("src_seq").cast("long").alias("src_seq"),
                 F.max_by("src_clock", "src_seq").alias("src_clock"),
@@ -840,30 +887,8 @@ class BM25Index:
         nb = self.n_buckets  # resolve BEFORE the marker hides the index
         self._set_marker(True)
         self._swap_postings(df.repartition(files, "tok_bucket"))
-        stats = (
-            self.spark.read.parquet(self.stats_dir)
-            .agg(
-                (F.sum("n_docs").cast("long") - F.lit(corr_n)).alias("n_docs"),
-                (F.sum("sum_dl").cast("long") - F.lit(corr_dl)).alias("sum_dl"),
-                F.max("max_doc_id").cast("long").alias("max_doc_id"),
-                F.max("src_seq").cast("long").alias("src_seq"),
-                F.max_by("src_clock", "src_seq").alias("src_clock"),
-            )
-            .withColumn("n_buckets", F.lit(int(nb)).cast("int"))
-            .select(
-                "n_docs", "sum_dl", "max_doc_id", "n_buckets",
-                "src_seq", "src_clock",
-            )
-        )
+        self._fold_stats(n_buckets_override=nb, corr_n=corr_n, corr_dl=corr_dl)
         fs, hp = self._fs()
-        tmp = self.stats_dir + ".compacting"
-        old = self.stats_dir + ".old"
-        fs.delete(hp(tmp), True)
-        stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-        fs.delete(hp(old), True)
-        fs.rename(hp(self.stats_dir), hp(old))
-        fs.rename(hp(tmp), hp(self.stats_dir))
-        fs.delete(hp(old), True)
         fs.delete(hp(self.tombstones_dir), True)
         self._set_marker(False)
 

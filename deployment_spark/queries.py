@@ -1166,7 +1166,15 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "rank", F.col("maxsim").alias("score")
     )
 
-    def shape(fused, score_col, probe):
+    def shape(fused, score_col, probe, round_first=False):
+        # round_first (rrf3): with THREE addends per sum, float addition
+        # order is no longer guaranteed commutative-exact across
+        # engines — rank on the 6dp round (ties by doc_id) so a
+        # permuted-rank tie cannot order differently between Spark and
+        # the SQL replay. The two-addend probes keep the raw ordering
+        # their exactness argument covers.
+        if round_first:
+            fused = fused.withColumn(score_col, F.round(score_col, 6))
         top = fused.orderBy(F.desc(score_col), F.asc("doc_id")).limit(20)
         w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
         return top.withColumn("rk", F.row_number().over(w)).select(
@@ -1183,7 +1191,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shape(rrf, "rrf_score", "rrf")
         .unionByName(shape(wtd, "fused_score", "weighted"))
-        .unionByName(shape(rrf3, "rrf_score", "rrf3"))
+        .unionByName(shape(rrf3, "rrf_score", "rrf3", round_first=True))
     )
 
 
@@ -1267,7 +1275,9 @@ FROM wfus QUALIFY rank <= 20
 UNION ALL
 SELECT 'rrf3', doc_id::BIGINT, n_lists::BIGINT,
        round(f, 6),
-       row_number() OVER (ORDER BY f DESC, doc_id)::BIGINT AS rank
+       -- rank on the 6dp ROUND (the Spark side's round_first) — three
+       -- addends lose the two-addend commutativity guarantee
+       row_number() OVER (ORDER BY round(f, 6) DESC, doc_id)::BIGINT AS rank
 FROM fus3 QUALIFY rank <= 20
 """
 

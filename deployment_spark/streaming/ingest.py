@@ -700,9 +700,15 @@ def _maintain_bm25(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
                 # exact: index docs absent from the store are exactly
                 # the deleted ones (append-only ids — every indexed id
                 # was once a store key); tombstone them with their
-                # embedded stats corrections
+                # embedded stats corrections. Diff against the CURRENT
+                # snapshot — the same state cur_clock describes: a
+                # delete committing between the prev_v capture and the
+                # clock read would otherwise be pinned as incorporated
+                # without ever being tombstoned (this batch's freshly
+                # inserted rows are not in live_doc_ids yet, so they
+                # cannot leak into the anti-join)
                 gone = bidx.live_doc_ids().join(
-                    store.read(prev_v).select(
+                    store.read().select(
                         F.col(store.key).cast("long").alias("doc_id")
                     ),
                     "doc_id",
