@@ -264,8 +264,17 @@ def token_candidates(
         F.col(query_vec).alias(query_vec),
     )
     hits = search_fn(q, k_per_token).select(query_id, token_id)
+    # recover the query id with EXACT long arithmetic (r12 ADVICE):
+    # floor(col / 1e6) routes through double, whose 2^53 integer
+    # precision silently corrupts recovered ids once |query_id| exceeds
+    # ~9.0e9. Subtracting pmod (non-negative by definition) yields the
+    # exact floor multiple, and integral DIV of an exact multiple is the
+    # exact quotient — correct for negative ids too.
+    recover = F.expr(
+        f"CAST(({query_id} - pmod({query_id}, 1000000)) DIV 1000000 AS BIGINT)"
+    )
     return (
-        hits.withColumn(query_id, F.floor(F.col(query_id) / 1_000_000).cast("long"))
+        hits.withColumn(query_id, recover)
         .join(token_doc, token_id)
         .select(query_id, doc_id)
         .distinct()

@@ -280,3 +280,34 @@ def test_token_candidates_rejects_non_integral_query_ids(spark):
     tok_doc = spark.createDataFrame([(0, 0)], "tok_id long, vec_id long")
     with pytest.raises(TypeError, match="integral"):
         token_candidates(lambda qd, k: qd.select("query_id"), qv, tok_doc, 1)
+
+def test_token_candidates_recovery_is_exact_for_huge_query_ids(spark):
+    """r12 ADVICE: the composite-id recovery must be EXACT long
+    arithmetic — floor(col / 1e6) routes through double, whose 2^53
+    integer precision silently shifts recovered ids once |query_id|
+    exceeds ~9.0e9 (composite ≈ 9.0e15). Query ids near the long-range
+    ceiling (composite ~4.6e18) must round-trip bit-exactly."""
+    from deployment_spark.operators.multivec import token_candidates
+
+    qids = [4_600_000_000_000, 4_600_000_000_001, -4_600_000_000_000]
+    qv = spark.createDataFrame(
+        [(q, [float(j), 1.0]) for q in qids for j in range(2)],
+        "query_id long, query_vec array<double>",
+    )
+    tok_doc = spark.createDataFrame(
+        [(t, 100 + t) for t in range(2)], "tok_id long, vec_id long"
+    )
+
+    def search_fn(qd, k):
+        # one hit per token row: tok_id = round(first vec component)
+        return qd.select(
+            "query_id",
+            F.round(F.element_at("query_vec", 1)).cast("long").alias("tok_id"),
+        )
+
+    got = {
+        (r.query_id, r.vec_id)
+        for r in token_candidates(search_fn, qv, tok_doc, k_per_token=1).collect()
+    }
+    want = {(q, 100 + j) for q in qids for j in range(2)}
+    assert got == want

@@ -346,3 +346,47 @@ def test_bm25_index_absent_raises_contract_error(spark, tmp_path):
         idx.search_scores(["x"])
     with pytest.raises(ValueError, match="non-empty"):
         idx.search_scores([])
+
+def test_bm25_index_legacy_stats_compact_and_rebucket(spark, corpus_docs, tmp_path):
+    """r12 ADVICE: pre-r12 stats partials carry no src_seq/src_clock
+    columns; _fold_stats aggregated them unconditionally, raising AFTER
+    _set_marker(True) — the marker stayed set and the legacy index
+    permanently read as absent. Legacy indexes must compact() and
+    rebucket() cleanly (pin stays NULL, like a never-pinned partial)."""
+    from deployment_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "legacy"), n_buckets=8).build(corpus_docs)
+    # strip the r12 pin columns to reproduce a grandfathered stats dir
+    legacy = spark.read.parquet(idx.stats_dir).drop("src_seq", "src_clock").collect()
+    legacy_df = spark.createDataFrame(
+        legacy, "n_docs long, sum_dl long, max_doc_id long, n_buckets int"
+    )
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "legacy" / "stats"))
+    legacy_df.coalesce(1).write.mode("overwrite").parquet(idx.stats_dir)
+    idx2 = BM25Index(spark, str(tmp_path / "legacy"))
+    terms = ["common", "rareterm"]
+    want = _score_map(idx2.search_scores(terms))
+    idx2.compact()
+    assert idx2.exists()  # marker cleared, index serves
+    assert _score_map(idx2.search_scores(terms)) == want
+    assert idx2.pinned_src_clock() is None  # still unpinned, not corrupted
+    idx2.rebucket(16)
+    assert idx2.exists()
+    idx3 = BM25Index(spark, str(tmp_path / "legacy"))
+    assert idx3.n_buckets == 16
+    assert _score_map(idx3.search_scores(terms)) == want
+
+
+def test_bm25_index_reindex_absent_raises(spark, corpus_docs, tmp_path):
+    """r12 ADVICE: reindex() on a non-existent/torn index must raise —
+    delete() returns 0, postings land, a stats partial flips exists()
+    true, and searches silently serve a one-batch corpus (the failure
+    mode the maintenance marker closed for torn compactions)."""
+    from deployment_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "absent"), n_buckets=8)
+    with pytest.raises(FileNotFoundError, match="reindex"):
+        idx.reindex(corpus_docs.filter("doc_id < 5"))
+    assert not idx.exists()

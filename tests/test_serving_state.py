@@ -517,3 +517,58 @@ def test_read_knn_graph_live_keys_filters_deleted(spark, tmp_path, vec_batches):
         (r.src_id, r.dst_id) for r in edges
     }
     assert dropped and all(0 in p or 11 in p for p in dropped)
+
+def test_bm25_maintainer_tombstone_fraction_triggers_compaction(spark, tmp_path):
+    """r13 (VERDICT r12 Wrong #4): a delete-heavy history tombstones
+    many docs WITHOUT adding postings files, so the file-count trigger
+    never fires and every query pays the O(deleted) anti-join forever.
+    The tombstone-fraction trigger (default 0.2) must fold the index
+    once tombstone rows exceed that fraction of live docs — and stay
+    off when disabled."""
+    from deployment_spark.streaming.ingest import _maintain_bm25
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batches = [
+        docs.filter(F.col("doc_id").between(lo, hi)).localCheckpoint()
+        for lo, hi in [(0, 79), (80, 159), (160, 239)]
+    ]
+    terms = ["dup", "vector", "batch"]
+
+    # fraction trigger fires: 60 tombstones vs ~180 live (> 0.2), while
+    # the file-count trigger is parked out of reach
+    store = SnapshotStore(spark, str(tmp_path / "tf_store"), key="doc_id")
+    cfg = {
+        "root": str(tmp_path / "tf_idx"),
+        "on_mutation": "repair",
+        "compact_files": 10_000,
+    }
+    _feed(store, _maintain_bm25, batches[0], cfg)
+    _feed(store, _maintain_bm25, batches[1], cfg)
+    store.delete_ids(list(range(0, 60)))
+    _feed(store, _maintain_bm25, batches[2], cfg)
+    idx = BM25Index(spark, cfg["root"])
+    assert idx._tombstones() is None  # folded away
+    assert spark.read.parquet(idx.stats_dir).count() == 1  # merged stats
+    assert _smap(idx.search_scores(terms)) == _smap(
+        bm25_scores(store.read(), terms)
+    )
+
+    # control: trigger disabled — the same history keeps its tombstones
+    store2 = SnapshotStore(spark, str(tmp_path / "tf2_store"), key="doc_id")
+    cfg2 = {
+        "root": str(tmp_path / "tf2_idx"),
+        "on_mutation": "repair",
+        "compact_files": None,
+        "compact_tombstone_frac": None,
+    }
+    _feed(store2, _maintain_bm25, batches[0], cfg2)
+    _feed(store2, _maintain_bm25, batches[1], cfg2)
+    store2.delete_ids(list(range(0, 60)))
+    _feed(store2, _maintain_bm25, batches[2], cfg2)
+    idx2 = BM25Index(spark, cfg2["root"])
+    assert idx2._tombstones() is not None  # still paying the anti-join
+    assert _smap(idx2.search_scores(terms)) == _smap(
+        bm25_scores(store2.read(), terms)
+    )

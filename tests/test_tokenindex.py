@@ -1,0 +1,221 @@
+"""Maintained maxsim token index (operators/tokenindex.py +
+streaming.ingest._maintain_token_index — r13, VERDICT r12 Missing #1):
+build/append layout correctness, the mutation-clock staleness contract
+(raise / exact deletes-only repair / rebuild on content change), torn
+maintenance reading as absent, and delete-pressure compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deployment_spark.operators.crud import (
+    SnapshotStore,
+    StaleServingStateError,
+)
+from deployment_spark.operators.multivec import (
+    maxsim_rerank,
+    maxsim_topk,
+    token_candidates,
+)
+from deployment_spark.operators.tokenindex import TokenIVFIndex
+
+
+@pytest.fixture(scope="module")
+def doc_batches(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return [
+        emb.filter(F.col("vec_id").between(lo, hi)).localCheckpoint()
+        for lo, hi in [(0, 79), (80, 159), (160, 239)]
+    ]
+
+
+def _tokens_fn(df):
+    """Deterministic per-doc token bags derivable from the rows alone
+    (the maintainer's tokens_fn contract): token 0 is the doc's own
+    vector, token 1 a scaled copy; tok_id = doc·2 + j."""
+    base = df.select(F.col("vec_id").cast("long").alias("doc_id"), "embedding")
+    t0 = base.select(
+        "doc_id",
+        (F.col("doc_id") * 2).alias("tok_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    t1 = base.select(
+        "doc_id",
+        (F.col("doc_id") * 2 + 1).alias("tok_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * F.lit(0.5)
+        ).alias("embedding"),
+    )
+    return t0.unionByName(t1)
+
+
+def _queries(batch):
+    """3 query bags of 2 tokens each, from the first rows."""
+    q = batch.filter(F.col("vec_id") < 3)
+    q0 = q.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.lit(0).cast("long").alias("q_pos"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    q1 = q.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.lit(1).cast("long").alias("q_pos"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("query_vec"),
+    )
+    return q0.unionByName(q1).localCheckpoint()
+
+
+def _two_stage(tidx, q_tokens, k=5):
+    """Full-probe, all-hits two-stage over the MAINTAINED index — exact
+    by construction (candidates ⊇ every doc with a live token), so it
+    must equal the exact maxsim ranking over the live bags."""
+    n = tidx.n_tokens()
+    cand = token_candidates(
+        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=10**9),
+        q_tokens,
+        tidx.live_token_doc(),
+        k_per_token=max(n, 1),
+        query_pos="q_pos",
+    )
+    bags = tidx.live_tokens().select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return maxsim_rerank(
+        bags, q_tokens, cand, k=k, round_to=6, query_pos="q_pos"
+    )
+
+
+def _exact(store, q_tokens, k=5):
+    bags = _tokens_fn(store.read()).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return maxsim_topk(bags, q_tokens, k=k, round_to=6, query_pos="q_pos")
+
+
+def _rankmap(df):
+    return {
+        (r.query_id, r.rank): (r.vec_id, round(r.maxsim, 9))
+        for r in df.collect()
+    }
+
+
+def _feed(store, batch, cfg):
+    from deployment_spark.streaming.ingest import _maintain_token_index
+
+    prev_v = store.current_version() if store.exists() else 0
+    store.insert(batch)
+    _maintain_token_index(store, batch, prev_v, cfg)
+
+
+def test_token_index_build_append_two_stage_exact(spark, tmp_path, doc_batches):
+    """build(b0) + maintained append(b1) must serve a two-stage ranking
+    identical (at full probe / all hits) to the exact maxsim ranking
+    over the current corpus — the maintained index IS the corpus's
+    token index."""
+    store = SnapshotStore(spark, str(tmp_path / "tx_store"), key="vec_id")
+    cfg = {"root": str(tmp_path / "tx_idx"), "tokens_fn": _tokens_fn, "nlist": 8}
+    _feed(store, doc_batches[0], cfg)
+    _feed(store, doc_batches[1], cfg)
+    tidx = TokenIVFIndex(spark, cfg["root"])
+    assert tidx.exists()
+    q = _queries(doc_batches[0])
+    assert _rankmap(_two_stage(tidx, q)) == _rankmap(_exact(store, q))
+    # live token count tracks the corpus (160 docs × 2 tokens)
+    assert tidx.n_tokens() == 320
+    # watermark = max doc id landed
+    assert tidx.max_indexed_id() == 159
+
+
+def test_token_index_detects_and_repairs_deletes(spark, tmp_path, doc_batches):
+    store = SnapshotStore(spark, str(tmp_path / "td_store"), key="vec_id")
+    cfg = {"root": str(tmp_path / "td_idx"), "tokens_fn": _tokens_fn, "nlist": 8}
+    _feed(store, doc_batches[0], cfg)
+    _feed(store, doc_batches[1], cfg)
+
+    store.delete_ids([5, 81, 92])
+    with pytest.raises(StaleServingStateError, match="maxsim token index"):
+        _feed(store, doc_batches[2], cfg)
+
+    # repair: exact tombstone kill; batch 2 (already inserted by the
+    # raising call) lands through the watermark — the coverage-derived
+    # increment self-heals the crash window by construction
+    from deployment_spark.streaming.ingest import _maintain_token_index
+
+    cfg_r = {**cfg, "on_mutation": "repair"}
+    prev_v = store.current_version()
+    _maintain_token_index(store, doc_batches[2], prev_v, cfg_r)
+    tidx = TokenIVFIndex(spark, cfg["root"])
+    assert {r.doc_id for r in tidx.live_doc_ids().collect()} == {
+        r.vec_id for r in store.read().select("vec_id").collect()
+    }
+    # candidates can never propose a deleted doc
+    q = _queries(doc_batches[0])
+    cand = token_candidates(
+        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=10**9),
+        q,
+        tidx.live_token_doc(),
+        k_per_token=tidx.n_tokens(),
+        query_pos="q_pos",
+    )
+    assert not {r.vec_id for r in cand.collect()} & {5, 81, 92}
+    # and the served ranking equals exact-over-survivors
+    assert _rankmap(_two_stage(tidx, q)) == _rankmap(_exact(store, q))
+
+
+def test_token_index_upsert_rebuilds(spark, tmp_path, doc_batches):
+    store = SnapshotStore(spark, str(tmp_path / "tu_store"), key="vec_id")
+    cfg = {
+        "root": str(tmp_path / "tu_idx"),
+        "tokens_fn": _tokens_fn,
+        "nlist": 8,
+        "on_mutation": "repair",
+    }
+    _feed(store, doc_batches[0], cfg)
+    # content change: repair must fall back to rebuild (token bags are
+    # derived from the payload, so old token rows are silently wrong)
+    store.upsert(
+        store.read()
+        .filter(F.col("vec_id") == 7)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    _feed(store, doc_batches[1], cfg)
+    tidx = TokenIVFIndex(spark, cfg["root"])
+    q = _queries(doc_batches[0])
+    assert _rankmap(_two_stage(tidx, q)) == _rankmap(_exact(store, q))
+
+
+def test_token_index_torn_maintenance_reads_absent(spark, tmp_path, doc_batches):
+    tidx = TokenIVFIndex(spark, str(tmp_path / "torn_idx"), nlist=8).build(
+        _tokens_fn(doc_batches[0])
+    )
+    assert tidx.exists()
+    tidx._set_marker(True)
+    assert not tidx.exists()
+    # a build IS the recovery: marker cleared last, index serves again
+    tidx.build(_tokens_fn(doc_batches[0]))
+    assert tidx.exists()
+
+
+def test_token_index_delete_and_compact(spark, tmp_path, doc_batches):
+    tidx = TokenIVFIndex(spark, str(tmp_path / "tc_idx"), nlist=8).build(
+        _tokens_fn(doc_batches[0])
+    )
+    assert tidx.delete([0, 1, 2]) == 3
+    assert tidx.delete([0]) == 0  # already dead: no double-subtract
+    assert tidx.n_tokens() == (80 - 3) * 2
+    live_before = {r.doc_id for r in tidx.live_doc_ids().collect()}
+    assert live_before == set(range(3, 80))
+    dead, live = tidx.tombstone_pressure()
+    assert (dead, live) == (6, 154)
+    tidx.compact()
+    assert tidx._tombstones() is None
+    assert tidx.exists()
+    assert {r.doc_id for r in tidx.live_doc_ids().collect()} == live_before
+    assert tidx.n_tokens() == 154
+    # watermark survives the fold
+    assert tidx.max_indexed_id() == 79
