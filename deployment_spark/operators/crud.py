@@ -293,6 +293,74 @@ class SnapshotStore:
         clock[op] += 1
         return {**(meta or {}), "mutation_clock": clock}
 
+    # -- destructive-mutation key log (r13, VERDICT r12 Next #3) -------------
+
+    @property
+    def _mutations_dir(self) -> str:
+        return os.path.join(self.root, "_mutations")
+
+    def _log_touched(self, keys_df: DataFrame, meta: dict) -> None:
+        """O(batch) durable log of the KEYS a destructive mutation
+        touches, under the clock seq the mutation will commit with —
+        written BEFORE the commit publishes, so a published destructive
+        commit always has its keys on record (an orphan entry from a
+        commit that then failed merely over-approximates: repairing an
+        untouched key re-tops it to the same exact state). This is what
+        upgrades the maintainers' upsert/update story from rebuild to
+        EXACT repair: a maintainer asks for the keys touched since its
+        pinned seq and restricts the re-top to state referencing them.
+        ``replace`` deliberately writes NO entry — its touched set is
+        the corpus — which makes :meth:`touched_keys_since`'s coverage
+        check route replace histories to rebuild automatically. The log
+        grows O(touched) per destructive mutation; bound retention with
+        :meth:`vacuum_mutation_log` once every consumer's pin has
+        advanced."""
+        clock = meta["mutation_clock"]
+        (
+            keys_df.select(self.key)
+            .distinct()
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(self._mutations_dir, f"seq={int(clock['seq'])}"))
+        )
+
+    def touched_keys_since(self, pinned_seq: int, cur_seq: int) -> DataFrame | None:
+        """Distinct keys destructively touched in the clock range
+        (pinned_seq, cur_seq], from the key log — or ``None`` when the
+        log does not COVER the whole range (a replace in the range logs
+        nothing by design; stores predating the log have holes), in
+        which case exact repair is impossible and callers rebuild.
+        Coverage = every seq in the range has at least one entry; a
+        duplicate entry from a failed-then-retried commit just unions
+        in (over-approximation is repair-safe). O(touched) read."""
+        if cur_seq <= pinned_seq:
+            return self.read().select(self.key).limit(0)
+        try:
+            log = self.spark.read.parquet(self._mutations_dir)
+        except Exception:  # no log at all
+            return None
+        in_range = log.filter(
+            (F.col("seq") > int(pinned_seq)) & (F.col("seq") <= int(cur_seq))
+        )
+        seqs = {int(r[0]) for r in in_range.select("seq").distinct().collect()}
+        if seqs != set(range(int(pinned_seq) + 1, int(cur_seq) + 1)):
+            return None
+        return in_range.select(self.key).distinct()
+
+    def vacuum_mutation_log(self, below_seq: int) -> int:
+        """Drop key-log entries with seq < ``below_seq`` (every consumer
+        has pinned at or past it). Returns entries removed."""
+        removed = 0
+        if not os.path.isdir(self._mutations_dir):
+            return removed
+        for name in sorted(os.listdir(self._mutations_dir)):
+            if name.startswith("seq=") and int(name[4:]) < int(below_seq):
+                shutil.rmtree(
+                    os.path.join(self._mutations_dir, name), ignore_errors=True
+                )
+                removed += 1
+        return removed
+
     # -- commit-embedded per-cluster counts (r11, VERDICT r10 #3) ------------
 
     def _footer_cluster_counts(self, path: str) -> dict:
@@ -1150,6 +1218,7 @@ class SnapshotStore:
         base = self.read(base_v)
         ids_df = self._keys_df(ids, base)
         meta = self._bump_mutation("deletes")
+        self._log_touched(ids_df, meta)
         if self.mode == "mor":
             v = base_v + 1
             self._claim_version(v)
@@ -1202,6 +1271,11 @@ class SnapshotStore:
             remaining.select(self.key), on=self.key, how="left_anti"
         )
         meta = self._bump_mutation("updates")
+        # touched = the deleted slots AND the re-inserted keys (which may
+        # be NEW ids — their fresh content must reach exact repairs too)
+        self._log_touched(
+            ids_df.select(self.key).unionByName(new.select(self.key)), meta
+        )
         if self.mode == "mor":
             v = base_v + 1
             self._claim_version(v)
@@ -1249,6 +1323,7 @@ class SnapshotStore:
         self._check_schema(rows)
         if not content_preserving:
             meta = self._bump_mutation("upserts", meta)
+            self._log_touched(rows, meta)
         if self.mode == "mor":
             new = rows.dropDuplicates([self.key])
             if not self.exists():

@@ -355,6 +355,12 @@ class BM25Index:
         # torn-state detectors, and tombstones are written by sibling
         # maintainer instances a cached file-plan would crash on.
         self._stats_cache: list | None = None
+        # cached postings DataFrame for the QUERY path (r13): each
+        # read.parquet lists the whole bucket-partition tree driver-side
+        # — ~0.3 s per search call at sf0.1 file counts. Same ownership
+        # contract as the stats cache: this instance's own postings
+        # writes invalidate; cross-instance writers need a fresh handle.
+        self._postings_df_cache: DataFrame | None = None
 
     # -- layout metadata ----------------------------------------------------
 
@@ -503,6 +509,7 @@ class BM25Index:
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
+        self._invalidate_postings()
         fs, hp = self._fs()
         fs.delete(hp(self.stats_dir), True)
         fs.delete(hp(self.tombstones_dir), True)
@@ -542,6 +549,7 @@ class BM25Index:
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
+        self._invalidate_postings()
         self._append_stats(df, postings, id_col, nb, src_clock)
 
     # -- deletes / upserts (r12) --------------------------------------------
@@ -676,6 +684,7 @@ class BM25Index:
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
+        self._invalidate_postings()
         self._append_stats(None, postings, id_col, nb, src_clock=None)
 
     def live_doc_ids(self) -> DataFrame:
@@ -814,6 +823,17 @@ class BM25Index:
         except Exception:
             return False
 
+    def _postings_df(self) -> DataFrame:
+        """The postings relation for the query path, with its file
+        listing cached per instance — invalidated by this instance's
+        own postings writes (see the cache contract in __init__)."""
+        if self._postings_df_cache is None:
+            self._postings_df_cache = self.spark.read.parquet(self.postings_dir)
+        return self._postings_df_cache
+
+    def _invalidate_postings(self) -> None:
+        self._postings_df_cache = None
+
     def _fs(self):
         jvm = self.spark.sparkContext._jvm
         hp = jvm.org.apache.hadoop.fs.Path
@@ -837,6 +857,7 @@ class BM25Index:
         fs.rename(hp(self.postings_dir), hp(old))
         fs.rename(hp(tmp), hp(self.postings_dir))
         fs.delete(hp(old), True)
+        self._invalidate_postings()
 
     # -- maintenance commit marker (r12) ------------------------------------
 
@@ -995,12 +1016,17 @@ class BM25Index:
         terms = list(dict.fromkeys(t.lower() for t in query_terms))
         nb = self.n_buckets
         buckets = sorted({bm25_bucket(t, nb) for t in terms})
+        # ONE tombstone probe per search (r13): _live_postings and the
+        # stats-correction branch below previously each re-read the
+        # tombstone parquet — at serving cadence that was two driver
+        # round-trips per query for one logical read
+        tomb = self._tombstones()
         hits = (
-            self.spark.read.parquet(self.postings_dir)
+            self._postings_df()
             .filter(F.col("tok_bucket").isin(buckets))
             .filter(F.col("tok").isin(terms))
         )
-        hits = self._live_postings(hits)
+        hits = self._live_postings(hits, tombstones=tomb)
         per_doc = hits.groupBy("doc_id").agg(
             F.max("dl").alias("dl"),
             *[
@@ -1014,7 +1040,7 @@ class BM25Index:
             F.sum("n_docs").cast("long").alias("_bn"),
             F.sum("sum_dl").cast("long").alias("_bdl"),
         )
-        t = self._tombstones()
+        t = tomb
         if t is not None:
             corr = t.agg(
                 F.count(F.lit(1)).cast("long").alias("_cn"),

@@ -812,30 +812,34 @@ GROUP BY doc_id
 BM25_TERMS = ["dup", "vector", "merge", "batch"]  # df 25/382/~390/402 at sf0.01 — idf spread
 
 
-_BM25_IDX_CACHE: dict[str, str] = {}
+_BM25_IDX_CACHE: dict[str, object] = {}
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str):
     """Build-once-per-process BM25 inverted index over the documents
     table (deterministic root derived from sf_dir, overwrite-in-place —
-    the _ivf_index convention)."""
+    the _ivf_index convention). Returns the CACHED INSTANCE (r13): the
+    index is read-only after construction, and a fresh handle per call
+    re-paid the stats collect + postings file listing on every serving
+    read (~0.5 s/probe of pure driver overhead at sf0.1 — the
+    doc_bm25_topk gate-cost paydown, VERDICT r12 Next #6)."""
     import hashlib
     import tempfile
 
     from deployment_spark.operators.retrieval import BM25Index
 
-    root = _BM25_IDX_CACHE.get(sf_dir)
-    if root is None:
+    idx = _BM25_IDX_CACHE.get(sf_dir)
+    if idx is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_{tag}")
-        BM25Index(spark, root).build(
+        idx = BM25Index(spark, root).build(
             _t(spark, sf_dir, "documents").select("doc_id", "text")
         )
-        _BM25_IDX_CACHE[sf_dir] = root
-    return BM25Index(spark, root)
+        _BM25_IDX_CACHE[sf_dir] = idx
+    return idx
 
 
-_BM25_DEL_CACHE: dict[str, str] = {}
+_BM25_DEL_CACHE: dict[str, object] = {}
 
 
 def _bm25_deleted_index(spark: SparkSession, sf_dir: str):
@@ -844,25 +848,27 @@ def _bm25_deleted_index(spark: SparkSession, sf_dir: str):
     rows embed their own stats corrections, so searches stay
     bit-identical to a from-scratch build over the survivors — the
     driver-gated face of ``BM25Index.delete``. Idempotent across calls:
-    the delete is applied once at build time."""
+    the delete is applied once at build time; the instance is cached
+    (read-only after construction — r13, see _bm25_index)."""
     import hashlib
     import tempfile
 
     from deployment_spark.operators.retrieval import BM25Index
 
-    root = _BM25_DEL_CACHE.get(sf_dir)
-    if root is None:
+    idx = _BM25_DEL_CACHE.get(sf_dir)
+    if idx is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25del_{tag}")
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
         sl = d.filter(F.col("doc_id") % 4 == 1)
         idx = BM25Index(spark, root).build(sl)
         idx.delete(sl.filter(F.col("doc_id") % 5 == 2).select("doc_id"))
-        _BM25_DEL_CACHE[sf_dir] = root
-    return BM25Index(spark, root)
+        _BM25_DEL_CACHE[sf_dir] = idx
+    return idx
 
 
-_BM25_SERVED_CACHE: dict[str, str] = {}
+_BM25_SERVED_CACHE: dict[str, object] = {}
+_BM25_PROBE_PLAN_CACHE: dict[str, dict] = {}
 
 
 def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,8 +898,7 @@ def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deployment_spark.operators.retrieval import BM25Index
     from deployment_spark.streaming.ingest import ingest_to_store
 
-    root = _BM25_SERVED_CACHE.get(sf_dir)
-    if root is None:
+    if sf_dir not in _BM25_SERVED_CACHE:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25srv_{tag}")
         shutil.rmtree(root, ignore_errors=True)
@@ -931,10 +936,11 @@ def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         b2.coalesce(1).write.parquet(os.path.join(landing, "b=001"))
         run()
-        _BM25_SERVED_CACHE[sf_dir] = root
-    return BM25Index(spark, os.path.join(root, "idx")).topk(
-        BM25_TERMS, k=20, round_to=4
-    )
+        # cache the HANDLE, not just the root (r13): the healed index is
+        # read-only from here on, and a fresh handle per call re-paid
+        # the stats/postings driver probes on every serving read
+        _BM25_SERVED_CACHE[sf_dir] = BM25Index(spark, os.path.join(root, "idx"))
+    return _BM25_SERVED_CACHE[sf_dir].topk(BM25_TERMS, k=20, round_to=4)
 
 
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,14 +991,27 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     direct = bm25_topk(d, BM25_TERMS, k=20, round_to=4)
-    indexed = _bm25_index(spark, sf_dir).topk(BM25_TERMS, k=20, round_to=4)
-    deleted = _bm25_deleted_index(spark, sf_dir).topk(BM25_TERMS, k=20, round_to=4)
-    served = _bm25_served_topk(spark, sf_dir)
+    # the three index-backed probes are PREPARED PLANS per process
+    # (r13, VERDICT r12 Next #6): a serving system holds its prepared
+    # ranking over the immutable built index instead of re-deriving the
+    # existence/stats/tombstone probes per query — re-planning them each
+    # call cost ~2 s of pure driver round-trips at sf0.1, over half the
+    # row's gate cost. The one-shot 'direct' probe deliberately keeps
+    # per-call planning: re-deriving from the raw corpus IS its shape.
+    plans = _BM25_PROBE_PLAN_CACHE.setdefault(sf_dir, {})
+    if not plans:
+        plans["indexed"] = _bm25_index(spark, sf_dir).topk(
+            BM25_TERMS, k=20, round_to=4
+        )
+        plans["deleted"] = _bm25_deleted_index(spark, sf_dir).topk(
+            BM25_TERMS, k=20, round_to=4
+        )
+        plans["served"] = _bm25_served_topk(spark, sf_dir)
     return (
         shape(direct, "direct")
-        .unionByName(shape(indexed, "indexed"))
-        .unionByName(shape(deleted, "deleted"))
-        .unionByName(shape(served, "served"))
+        .unionByName(shape(plans["indexed"], "indexed"))
+        .unionByName(shape(plans["deleted"], "deleted"))
+        .unionByName(shape(plans["served"], "served"))
     )
 
 
@@ -1075,6 +1094,98 @@ def _sql_bm25_ranked(prefix: str) -> str:
 """
 
 
+def _maxsim_token_bags(
+    spark, emb, query_pred, with_tok_id=False, checkpoint=False, docs=None
+):
+    """The deterministic multi-vector fixture SHARED by every maxsim
+    surface (r13, VERDICT r12 Wrong #3 — this construction previously
+    existed in five Spark/SQL copies; a changed constant in one would
+    silently break hash parity): entity v's 3 doc tokens are embedding
+    rows (v + 211·j) mod N, query q's 2 tokens are rows (q + 97·j)
+    mod N — both engines replay the mapping from the same constants.
+    Returns (doc_tokens, q_tokens, n_emb): doc_tokens one row per doc
+    token (vec_id[, tok_id = vec_id·3 + j], embedding), q_tokens one
+    row per query token (query_id, q_pos, query_vec) for the rows of
+    ``emb`` matching ``query_pred``. The SQL replay is
+    ``_sql_maxsim_token_ctes``; the independent numpy re-derivation in
+    tools/check_oracle.py deliberately stays a separate copy — it is
+    the defense-in-depth check, not a consumer. ``docs`` (r13, the
+    streamed token-index fixture) restricts the DOC side to a subset of
+    entities — token VECTORS still come from the full ``emb`` table and
+    N stays the full count, so each doc's bag is independent of which
+    other docs exist (the per-doc-deterministic property the maintained
+    token index's tokens_fn contract requires)."""
+    n_emb = emb.count()
+    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
+    doc_cols = ["vec_id"]
+    if with_tok_id:
+        doc_cols.append(
+            (F.col("vec_id") * 3 + F.col("_j")).cast("long").alias("tok_id")
+        )
+    doc_tokens = (
+        (docs if docs is not None else emb).select("vec_id")
+        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select(
+            *doc_cols,
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    q_tokens = (
+        emb.filter(query_pred)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
+        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
+        .join(tok_src, "_tid")
+        .select(
+            "query_id",
+            F.col("_j").alias("q_pos"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    if checkpoint:
+        doc_tokens = doc_tokens.localCheckpoint()
+        q_tokens = q_tokens.localCheckpoint()
+    return doc_tokens, q_tokens, n_emb
+
+
+def _sql_maxsim_token_ctes(
+    prefix: str, query_where: str, doc_where: str | None = None
+) -> str:
+    """SQL twin of ``_maxsim_token_bags`` — one generator for every
+    oracle that replays the maxsim token mapping (hybrid rrf3,
+    ann_recall's exact maxsim sets, topk_enriched's maxsim probe), so
+    the 211/97 constants exist in exactly one Python and one SQL
+    site. Emits CTEs {p}n (corpus count), {p}doc (vec_id, v — one row
+    per doc token) and {p}q (query_id, q_pos, qv — one row per query
+    token, filtered by ``query_where`` over alias q). ``doc_where``
+    (r13) restricts the DOC side over alias e — the streamed fixture's
+    survivor set — while token vectors and N stay full-table, matching
+    the Python builder's ``docs`` parameter."""
+    p = prefix
+    doc_filter = "" if doc_where is None else f"\n  WHERE {doc_where}"
+    return f"""{p}n AS (
+  SELECT count(*) AS n FROM embeddings
+), {p}doc AS (
+  -- multi-vector token bags, derived from the embeddings view by the
+  -- same deterministic mapping the Spark side uses: entity v's 3 doc
+  -- tokens are rows (v + 211*j) mod N
+  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  CROSS JOIN {p}n
+  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % {p}n.n{doc_filter}
+), {p}q AS (
+  SELECT q.vec_id AS query_id, j AS q_pos, t.embedding::DOUBLE[] AS qv
+  FROM embeddings q
+  CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  CROSS JOIN {p}n
+  JOIN embeddings t ON t.vec_id = (q.vec_id + 97 * j) % {p}n.n
+  WHERE {query_where}
+)"""
+
+
 SQL_DOC_BM25_TOPK = f"""
 WITH {_sql_bm25_ctes()},
 {_sql_bm25_ctes(_SQL_BM25_DELETED_CORPUS, "del_")},
@@ -1137,28 +1248,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # the late-interaction ranker: same deterministic token bags as the
-    # topk_enriched maxsim probe / ann_recall maxsim group, one query
-    # (entity 7), exact Σ-max ranking to top-50
-    n_emb = emb.count()
-    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
-    doc_tokens = (
-        emb.select("vec_id")
-        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
-        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
-        .join(tok_src, "_tid")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    )
-    q_tokens = (
-        emb.filter(F.col("vec_id") == 7)
-        .select(F.col("vec_id").alias("query_id"))
-        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
-        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
-        .join(tok_src, "_tid")
-        .select(
-            "query_id",
-            F.col("_j").alias("q_pos"),
-            F.col("embedding").cast("array<double>").alias("query_vec"),
-        )
+    # topk_enriched maxsim probe / ann_recall maxsim group (ONE builder,
+    # r13), one query (entity 7), exact Σ-max ranking to top-50
+    doc_tokens, q_tokens, _ = _maxsim_token_bags(
+        spark, emb, F.col("vec_id") == 7
     )
     mv_ranked = maxsim_topk(
         doc_tokens, q_tokens, k=50, round_to=4, query_pos="q_pos"
@@ -1230,23 +1323,12 @@ bmr AS (
   FROM cs CROSS JOIN cstat
 ), wfus AS (
   SELECT doc_id, count(*) AS n_lists, sum(c) AS f FROM wuni GROUP BY doc_id
-), mvh_n AS (
-  SELECT count(*) AS n FROM embeddings
-), mvh_doc AS (
-  -- the r12 late-interaction ranker: deterministic token bags (the
-  -- topk_enriched maxsim mapping), one query (entity 7), top-50
-  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
-  FROM embeddings e
-  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
-  CROSS JOIN mvh_n
-  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % mvh_n.n
-), mvh_q AS (
-  SELECT j, t.embedding::DOUBLE[] AS qv
-  FROM (SELECT unnest([0, 1]) AS j)
-  CROSS JOIN mvh_n
-  JOIN embeddings t ON t.vec_id = (7 + 97 * j) % mvh_n.n
-), mvh_m AS (
-  SELECT mvh_doc.vec_id, mvh_q.j, max(list_dot_product(mvh_doc.v, mvh_q.qv)) AS mx
+), {_sql_maxsim_token_ctes("mvh_", "q.vec_id = 7")}, mvh_m AS (
+  -- the r12 late-interaction ranker: deterministic token bags (ONE
+  -- generator with the other maxsim oracles, r13), one query (entity
+  -- 7), top-50
+  SELECT mvh_doc.vec_id, mvh_q.q_pos,
+         max(list_dot_product(mvh_doc.v, mvh_q.qv)) AS mx
   FROM mvh_doc CROSS JOIN mvh_q
   GROUP BY 1, 2
 ), mvh AS (
@@ -4337,6 +4419,14 @@ IVF_GRAPH_IVF_FLOOR = 0.85
 # (sf0.001/sf0.01) end-to-end (token_candidates → maxsim_rerank vs
 # exact maxsim top-10).
 MAXSIM_TWO_STAGE_FLOOR = 0.9
+# r13 (VERDICT r12 Missing #1): the SAME two-stage pipeline served from
+# the STREAMING-MAINTAINED token index after four batches and a
+# mid-stream exact delete repair — recall vs the exact maxsim ranking
+# over the survivors. The maintained index equals a from-scratch build
+# over the survivors by the repair-exactness contract (pinned in
+# tests/test_tokenindex.py), so the floor matches the batch-built
+# two_stage group's.
+MAXSIM_STREAM_FLOOR = 0.9
 
 
 def _sink_pairs(pairs_sink, key, df):
@@ -4680,33 +4770,9 @@ def q_maxsim_recall(
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_emb = emb.count()
     k = 10
-    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
-    doc_tokens = (
-        emb.select("vec_id")
-        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
-        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
-        .join(tok_src, "_tid")
-        .select(
-            "vec_id",
-            (F.col("vec_id") * 3 + F.col("_j")).cast("long").alias("tok_id"),
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-        .localCheckpoint()
-    )
-    q_tokens = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"))
-        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
-        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
-        .join(tok_src, "_tid")
-        .select(
-            "query_id",
-            F.col("_j").alias("q_pos"),
-            F.col("embedding").cast("array<double>").alias("query_vec"),
-        )
-        .localCheckpoint()
+    doc_tokens, q_tokens, n_emb = _maxsim_token_bags(
+        spark, emb, F.col("vec_id") < 5, with_tok_id=True, checkpoint=True
     )
     exact = maxsim_topk(
         doc_tokens.select("vec_id", "embedding"), q_tokens,
@@ -4754,6 +4820,169 @@ def q_maxsim_recall(
     summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
     return per_q.crossJoin(F.broadcast(summary)).withColumn(
         "meets_floor", F.col("mean_recall") >= MAXSIM_TWO_STAGE_FLOOR
+    )
+
+
+_MAXSIM_STREAM_CACHE: dict[str, str] = {}
+
+
+def _streamed_token_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-process STREAMING-MAINTAINED maxsim token index
+    (r13, VERDICT r12 Missing #1 'done' criterion): the vec_id%4==2
+    slice of the embeddings table lands in four id-range micro-batches
+    through ``ingest_to_store(token_index_maintain=...)``; BETWEEN the
+    two streaming runs an out-of-band store DELETE lands (first-half
+    ids ≡3 mod 17), which the second run's maintainer detects through
+    the mutation clock and heals EXACTLY (``on_mutation='repair'`` —
+    generation tombstones, deletes-only history). Token bags are the
+    engine-wide deterministic 211-mapping over the STATIC embeddings
+    table (``_maxsim_token_bags(docs=batch)``), so each batch's token
+    derivation is O(batch) and content-independent of the rest of the
+    corpus — the maintainer's tokens_fn contract. Id-RANGE batches keep
+    the append-only id contract the watermark reconcile requires.
+    Returns (TokenIVFIndex, survivors_df); dirs are wiped at first
+    build (a stale checkpoint would silently skip the staged
+    mutation)."""
+    import hashlib
+    import shutil
+
+    from deployment_spark.operators.crud import SnapshotStore
+    from deployment_spark.operators.tokenindex import TokenIVFIndex
+    from deployment_spark.streaming.ingest import ingest_to_store
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sl = emb.filter(F.col("vec_id") % 4 == 2).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mx = emb.agg(F.max("vec_id").cast("long")).collect()[0][0]
+    half = mx // 2
+    root = _MAXSIM_STREAM_CACHE.get(sf_dir)
+    if root is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_mvstream_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+
+        def tokens_fn(batch):
+            toks, _, _ = _maxsim_token_bags(
+                spark, emb, F.lit(False), with_tok_id=True, docs=batch
+            )
+            return toks.select(
+                F.col("vec_id").alias("doc_id"), "tok_id", "embedding"
+            )
+
+        landing = os.path.join(root, "landing")
+        store = SnapshotStore(spark, os.path.join(root, "store"), key="vec_id")
+        cfg = {
+            "root": os.path.join(root, "idx"),
+            "tokens_fn": tokens_fn,
+            "on_mutation": "repair",
+        }
+
+        def run():
+            q = ingest_to_store(
+                spark.readStream.schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(landing),
+                store,
+                os.path.join(root, "ckpt"),
+                token_index_maintain=cfg,
+            )
+            q.awaitTermination(600)
+
+        quarters = [mx // 4, half, (3 * mx) // 4, mx]
+        lo = -1
+        bounds = []
+        for hi in quarters:
+            bounds.append((lo, hi))
+            lo = hi
+        for i, (blo, bhi) in enumerate(bounds[:2]):
+            sl.filter(
+                (F.col("vec_id") > blo) & (F.col("vec_id") <= bhi)
+            ).coalesce(1).write.parquet(os.path.join(landing, f"b={i:03d}"))
+        run()
+        # out-of-band delete between the streaming runs: first-half ids
+        # ≡3 (mod 17) vanish from the store; the next run's maintainer
+        # must detect the clock advance and tombstone them exactly
+        store.delete_ids(
+            sl.filter(
+                (F.col("vec_id") % 17 == 3) & (F.col("vec_id") <= half)
+            ).select("vec_id")
+        )
+        for i, (blo, bhi) in enumerate(bounds[2:], start=2):
+            sl.filter(
+                (F.col("vec_id") > blo) & (F.col("vec_id") <= bhi)
+            ).coalesce(1).write.parquet(os.path.join(landing, f"b={i:03d}"))
+        run()
+        _MAXSIM_STREAM_CACHE[sf_dir] = root
+    survivors = sl.filter(
+        ~((F.col("vec_id") % 17 == 3) & (F.col("vec_id") <= half))
+    )
+    from deployment_spark.operators.tokenindex import TokenIVFIndex
+
+    return TokenIVFIndex(spark, os.path.join(root, "idx")), survivors
+
+
+def q_maxsim_stream_recall(
+    spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
+) -> DataFrame:
+    """End-to-end two-stage maxsim recall served from the STREAMING-
+    MAINTAINED token index after batches AND a mid-stream delete landed
+    (r13, VERDICT r12 Missing #1): first stage = ``token_candidates``
+    over ``TokenIVFIndex.search_tokens`` (live tokens only — the
+    repair's tombstones exclude deleted docs' tokens), second stage =
+    ``maxsim_rerank`` over the index's own live bags. Recall@10 against
+    the exact maxsim ranking over the SURVIVORS, floor-gated; the hit
+    pairs join the ann_recall facet so DuckDB replays the exact
+    survivor ranking (Σ-max in SQL over the deterministic survivor
+    predicate) and the recall arithmetic, and tools/check_oracle.py
+    re-derives the same in numpy."""
+    from deployment_spark.operators.multivec import (
+        maxsim_rerank,
+        maxsim_topk,
+        token_candidates,
+    )
+
+    k = 10
+    tidx, survivors = _streamed_token_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    doc_tokens, q_tokens, _ = _maxsim_token_bags(
+        spark, emb, F.col("vec_id") < 5, docs=survivors, checkpoint=True
+    )
+    exact = maxsim_topk(
+        doc_tokens.select("vec_id", "embedding"), q_tokens,
+        k=k, round_to=4, query_pos="q_pos",
+    ).select("query_id", "vec_id")
+    cand = token_candidates(
+        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=8),
+        q_tokens,
+        tidx.live_token_doc(),
+        k_per_token=None,  # scale-derived from the LIVE token count
+        query_pos="q_pos",
+    )
+    approx = _sink_pairs(
+        pairs_sink, ("maxsim", "two_stage_stream"),
+        maxsim_rerank(
+            tidx.live_tokens().select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            q_tokens, cand, k=k, round_to=4, query_pos="q_pos",
+        ).select("query_id", "vec_id"),
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = q_tokens.select("query_id").distinct()
+    per_q = qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4).alias("recall_at_10"),
+    )
+    summary = per_q.agg(F.round(F.avg("recall_at_10"), 4).alias("mean_recall"))
+    return per_q.crossJoin(F.broadcast(summary)).withColumn(
+        "meets_floor", F.col("mean_recall") >= MAXSIM_STREAM_FLOOR
     )
 
 
@@ -4877,6 +5106,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_maxsim_recall(spark, sf_dir, pairs_sink=sink),
             "maxsim", "two_stage",
         ),
+        # r13 (VERDICT r12 Missing #1): the same pipeline served from
+        # the streaming-MAINTAINED token index after a mid-stream
+        # delete + exact repair — the last retrieval arm under the
+        # serving-structure contract, floor-gated end-to-end
+        one_variant(
+            q_maxsim_stream_recall(spark, sf_dir, pairs_sink=sink),
+            "maxsim", "two_stage_stream",
+        ),
     ]
     # r11 (VERDICT r10 #5): emit every group's approximate hit PAIRS as
     # a parquet facet so the panel becomes DuckDB-hash-gateable — the
@@ -4911,6 +5148,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfsq", "rerank"): IVFSQ_FLOOR,
         ("ivfsq", "batch"): IVFSQ_BATCH_FLOOR,
         ("maxsim", "two_stage"): MAXSIM_TWO_STAGE_FLOOR,
+        ("maxsim", "two_stage_stream"): MAXSIM_STREAM_FLOOR,
     }
     assert set(sink) == set(floors), sorted(set(floors) - set(sink))
     pair_frames = [
@@ -4956,24 +5194,10 @@ WITH pairs AS (
     FROM embeddings c
     CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
   ) WHERE rn <= 10
-), mv_n AS (
-  SELECT count(*) AS n FROM embeddings
-), mv_doc AS (
+), {_sql_maxsim_token_ctes("mv_", "q.vec_id < 5")}, mv_m AS (
   -- the maxsim group's exact reference is the EXACT maxsim ranking
-  -- over the deterministic token bags (same mapping as topk_enriched)
-  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
-  FROM embeddings e
-  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
-  CROSS JOIN mv_n
-  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % mv_n.n
-), mv_q AS (
-  SELECT q.vec_id AS query_id, j AS q_pos, t.embedding::DOUBLE[] AS qv
-  FROM embeddings q
-  CROSS JOIN (SELECT unnest([0, 1]) AS j)
-  CROSS JOIN mv_n
-  JOIN embeddings t ON t.vec_id = (q.vec_id + 97 * j) % mv_n.n
-  WHERE q.vec_id < 5
-), mv_m AS (
+  -- over the deterministic token bags (same generator as the other
+  -- maxsim oracles, r13)
   SELECT mv_q.query_id, mv_doc.vec_id, mv_q.q_pos,
          max(list_dot_product(mv_doc.v, mv_q.qv)) AS mx
   FROM mv_doc CROSS JOIN mv_q
@@ -4987,17 +5211,48 @@ WITH pairs AS (
            ) AS rn
     FROM mv_m GROUP BY query_id, vec_id
   ) WHERE rn <= 10
+), {_sql_maxsim_token_ctes(
+    "mvs_",
+    "q.vec_id < 5",
+    doc_where=(
+        "e.vec_id % 4 = 2 AND NOT (e.vec_id % 17 = 3 AND e.vec_id <= "
+        "(SELECT CAST(FLOOR(max(vec_id) / 2) AS BIGINT) FROM embeddings))"
+    ),
+)}, mvs_m AS (
+  -- the streamed group's exact reference: the SAME Σ-max ranking over
+  -- the SURVIVORS of the mid-stream delete (the fixture's predicate is
+  -- deterministic, so SQL replays the corpus exactly)
+  SELECT mvs_q.query_id, mvs_doc.vec_id, mvs_q.q_pos,
+         max(list_dot_product(mvs_doc.v, mvs_q.qv)) AS mx
+  FROM mvs_doc CROSS JOIN mvs_q
+  GROUP BY 1, 2, 3
+), mvs_exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(sum(mx), 4) DESC, vec_id
+           ) AS rn
+    FROM mvs_m GROUP BY query_id, vec_id
+  ) WHERE rn <= 10
 ), exact_all AS (
   SELECT 'cos' AS fam, query_id, vec_id FROM exactk
   UNION ALL
   SELECT 'maxsim' AS fam, query_id, vec_id FROM mv_exact
+  UNION ALL
+  SELECT 'maxsim_stream' AS fam, query_id, vec_id FROM mvs_exact
 ), perq AS (
   SELECT p.codec, p.variant, p.floor, p.query_id,
          count(e.vec_id) AS hits
   FROM pairs p
   LEFT JOIN exact_all e
     ON e.query_id = p.query_id AND e.vec_id = p.vec_id
-   AND e.fam = (CASE WHEN p.codec = 'maxsim' THEN 'maxsim' ELSE 'cos' END)
+   AND e.fam = (CASE
+                  WHEN p.codec = 'maxsim' AND p.variant = 'two_stage_stream'
+                    THEN 'maxsim_stream'
+                  WHEN p.codec = 'maxsim' THEN 'maxsim'
+                  ELSE 'cos'
+                END)
   GROUP BY 1, 2, 3, 4
 )
 SELECT codec, variant, query_id, hits,
@@ -5456,22 +5711,8 @@ def q_topk_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and SUM both map-side-partial aggregates.
     from deployment_spark.operators.multivec import maxsim_topk
 
-    n_emb = emb.count()
-    tok_src = emb.select(F.col("vec_id").alias("_tid"), "embedding")
-    doc_tokens = (
-        emb.select("vec_id")
-        .crossJoin(spark.range(3).select(F.col("id").alias("_j")))
-        .withColumn("_tid", (F.col("vec_id") + 211 * F.col("_j")) % n_emb)
-        .join(tok_src, "_tid")
-        .select("vec_id", "embedding")
-    )
-    q_tokens = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"))
-        .crossJoin(spark.range(2).select(F.col("id").alias("_j")))
-        .withColumn("_tid", (F.col("query_id") + 97 * F.col("_j")) % n_emb)
-        .join(tok_src, "_tid")
-        .select("query_id", F.col("_j").alias("q_pos"), F.col("embedding").alias("query_vec"))
+    doc_tokens, q_tokens, _ = _maxsim_token_bags(
+        spark, emb, F.col("vec_id") < 5
     )
     mv = maxsim_topk(
         doc_tokens, q_tokens, k=5, round_to=4, query_pos="q_pos"
@@ -5569,25 +5810,7 @@ q AS (
   SELECT query_id, vec_id, label, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s WHERE vec_id % 37 = 0
-), mv_n AS (
-  SELECT count(*) AS n FROM embeddings
-), mv_doc AS (
-  -- multi-vector token bags, derived from the embeddings view by the
-  -- same deterministic mapping the Spark side uses: entity v's 3 doc
-  -- tokens are rows (v + 211*j) mod N
-  SELECT e.vec_id, t.embedding::DOUBLE[] AS v
-  FROM embeddings e
-  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
-  CROSS JOIN mv_n
-  JOIN embeddings t ON t.vec_id = (e.vec_id + 211 * j) % mv_n.n
-), mv_q AS (
-  SELECT q.vec_id AS query_id, j AS q_pos, t.embedding::DOUBLE[] AS qv
-  FROM embeddings q
-  CROSS JOIN (SELECT unnest([0, 1]) AS j)
-  CROSS JOIN mv_n
-  JOIN embeddings t ON t.vec_id = (q.vec_id + 97 * j) % mv_n.n
-  WHERE q.vec_id < 5
-), mv_m AS (
+), """ + _sql_maxsim_token_ctes("mv_", "q.vec_id < 5") + """, mv_m AS (
   SELECT mv_q.query_id, mv_doc.vec_id, mv_q.q_pos,
          max(list_dot_product(mv_doc.v, mv_q.qv)) AS mx
   FROM mv_doc CROSS JOIN mv_q
@@ -6253,6 +6476,26 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 2 * M))
             .select("doc_id")
         )
+        # r13 (VERDICT r12 Next #3): an OUT-OF-BAND UPSERT lands in the
+        # same between-runs window — survivor ids ≡7 (mod 10) among the
+        # first two batches get NEGATED vectors, re-assigned into the
+        # current layout. The history since the standing state's pin is
+        # now delete+upsert, NOT deletes-only, so the maintainer must
+        # take the EXACT mutation repair (store key log): re-top only
+        # the queries whose served rows were touched, merge the new
+        # content's scores for the rest. The final standingq state must
+        # still hash-match the from-scratch exact ranking over the
+        # mutated corpus (negated vectors included) — rebuild is no
+        # longer the upsert answer.
+        up = (
+            vec_store.read()
+            .filter((F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 2 * M))
+            .select(
+                "doc_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+        vec_store.upsert(idx.assign(up, vec_col="embedding"))
         kept_vec.filter(F.floor(F.col("doc_id") / M) == 2).coalesce(1).write.parquet(
             os.path.join(vec_landing, "b=002")
         )
@@ -6414,8 +6657,15 @@ keptv AS MATERIALIZED (
   -- any quantizer, so the replay needs only the final corpus content.
   -- r12: minus the MID-STREAM OUT-OF-BAND DELETE (kept ids ≡3 mod 10
   -- among the first two batches) the standing maintainer must repair
-  -- around — queries still rank over exactly the surviving corpus
-  SELECT doc_id, v FROM keptv
+  -- around — queries still rank over exactly the surviving corpus.
+  -- r13: AND with the MID-STREAM OUT-OF-BAND UPSERT applied (survivor
+  -- ids ≡7 mod 10 among the first two batches carry NEGATED vectors) —
+  -- the delete+upsert history forces the maintainer's exact MUTATION
+  -- repair, and both probes rank over the post-upsert content
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 AND doc_id < {2 * m}
+              THEN list_transform(v, x -> -x) ELSE v END AS v
+  FROM keptv
   WHERE NOT (doc_id % 10 = 3 AND doc_id < {2 * m})
   UNION ALL
   SELECT 3 * {m} + vec_id AS doc_id,

@@ -233,14 +233,32 @@ def _clock_mismatch(pinned: dict | None, cur: dict) -> bool:
 
 def _deletes_only_since(pinned: dict, cur: dict) -> bool:
     """True when every destructive mutation since the pin was a delete
-    — the history class with an EXACT O(affected) repair. Any
-    update/upsert/replace in between can have changed payloads the
-    derived state already served, which only a rebuild heals."""
+    — the history class with an EXACT O(affected) repair that needs no
+    key log (vanished keys are derivable by diffing the state against
+    the store). Update/upsert histories are ALSO exactly repairable
+    since r13 — through the store's mutation key log, see
+    ``_exact_repair_keys`` — leaving only replace (and log-less legacy
+    stores) on the rebuild path."""
 
     def non_deletes(c: dict) -> int:
         return int(c.get("seq", 0)) - int(c.get("deletes", 0))
 
     return non_deletes(pinned) == non_deletes(cur)
+
+
+def _exact_repair_keys(store, pinned: dict, cur: dict):
+    """The touched-key frame enabling an EXACT repair of a
+    delete/update/upsert history (r13, VERDICT r12 Next #3), or None
+    when only a rebuild is exact: a replace intervened (its touched set
+    is the whole corpus — and it deliberately writes no log entry, so
+    the coverage check below also fails), or the store predates the
+    mutation key log. Every touched key decomposes as delete-then-
+    maybe-reinsert, which is exactly the case split the repair
+    functions below implement; an over-approximated key set is safe
+    (repairing an untouched key re-derives its exact state)."""
+    if int(cur.get("replaces", 0)) != int(pinned.get("replaces", 0)):
+        return None
+    return store.touched_keys_since(int(pinned.get("seq", 0)), int(cur["seq"]))
 
 
 def _stale_error(what: str, root: str, pinned: dict, cur: dict):
@@ -325,13 +343,27 @@ def _maintain_knn_graph(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
         policy = cfg.get("on_mutation", "error")
         if policy == "error":
             raise _stale_error("kNN-graph store", cfg["root"], pinned, cur_clock)
-        if policy == "repair" and _deletes_only_since(pinned, cur_clock):
-            _repair_knn_graph_deletes(store, gstore, gk, vec_col)
+        repaired = False
+        if policy == "repair":
+            if _deletes_only_since(pinned, cur_clock):
+                _repair_knn_graph_deletes(store, gstore, gk, vec_col)
+                repaired = True
+            else:
+                # r13 (VERDICT r12 Next #3): update/upsert histories
+                # repair EXACTLY through the store's mutation key log —
+                # an upsert is a delete + insert of the same keys, and
+                # both halves' restricted machinery already exists
+                touched = _exact_repair_keys(store, pinned, cur_clock)
+                if touched is not None:
+                    _repair_knn_graph_mutations(
+                        store, gstore, gk, vec_col, touched
+                    )
+                    repaired = True
+        if repaired:
             gstore.update_meta({"src_mutation_clock": cur_clock})
         else:
-            # 'rebuild', or 'repair' over a history with content
-            # changes (an upsert may have replaced vectors the graph's
-            # edges were scored on — only a rebuild is exact)
+            # 'rebuild', or 'repair' over a replace / log-less history
+            # (the touched set is unknowable — only a rebuild is exact)
             full_build()
             return
     # derive the increment from the GRAPH'S OWN source set, not from an
@@ -454,6 +486,112 @@ def _repair_knn_graph_deletes(store, gstore, gk: int, vec_col: str) -> None:
     )
     gstore.upsert(
         repl.withColumn("edge_id", F.col("src_id") * gk + F.col("rank") - 1)
+    )
+
+
+def _repair_knn_graph_mutations(store, gstore, gk: int, vec_col: str, touched) -> None:
+    """EXACT repair for delete/update/upsert histories (r13, VERDICT
+    r12 Next #3): with T = the keys touched since the pin (from the
+    store's mutation key log; over-approximation safe — re-topping an
+    untouched source re-derives its exact state), every touched key
+    decomposes as delete-then-maybe-reinsert, so the repair composes
+    the two exact machineries that already exist:
+
+    step 1 (delete semantics): drop ALL slots of sources in T and of
+    sources whose top-k references T; re-top the latter over
+    corpus ∖ T. The edge store then equals ``knn_graph(corpus ∖ T)``
+    exactly — the deletes-only repair's three-fact argument with T in
+    the deleted role.
+    step 2 (insert semantics): the T keys still present carry NEW
+    content and are absent from the step-1 graph, which is precisely
+    ``knn_graph_update``'s contract (exact graph over a corpus + a
+    disjoint batch) — its forward pass lands their fresh
+    neighborhoods, its reverse pass re-tops the sources that gain one,
+    and the result is exactly ``knn_graph(current corpus)``.
+
+    Cost: O(touched·k) slot deletes + O(affected·corpus) +
+    O(corpus·|T|) blocked pair work — bounded by the mutation size,
+    never the O(corpus²) rebuild.
+
+    SCOPE: the repair restricts every pass to the graph's OWN coverage
+    (current sources ∪ T). The maintainer calls it AFTER this batch's
+    store insert, so the raw corpus already contains rows the graph
+    has never seen — scoring against them here would mint partial
+    sources (a batch row with only its T-candidates as edges), which
+    the increment step would then wrongly treat as fully-maintained.
+    Rows outside the scope are exactly the increment's job, and it
+    runs right after with its own exactness contract."""
+    from deployment_spark.operators.knn import _final_topk, knn_graph_update
+    from deployment_spark.operators.similarity import (
+        topk_similarity_join_blocked,
+    )
+
+    t_keys = (
+        touched.select(F.col(touched.columns[0]).cast("long").alias("_t_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = gstore.read().select("edge_id", "src_id", "dst_id", "rank", "cosine")
+    scope = (
+        edges.select(F.col("src_id").alias("_t_id"))
+        .distinct()
+        .unionByName(t_keys)
+        .distinct()
+    )
+    key_l = F.col(store.key).cast("long")
+    corpus = store.read().join(scope, key_l == scope["_t_id"], "left_semi")
+    rest = corpus.join(t_keys, key_l == t_keys["_t_id"], "left_anti")
+    touched_src = (
+        edges.join(t_keys, edges.src_id == t_keys["_t_id"], "left_semi")
+        .select("src_id")
+        .distinct()
+    )
+    affected = (
+        edges.join(t_keys, edges.dst_id == t_keys["_t_id"], "left_semi")
+        .join(t_keys, edges.src_id == t_keys["_t_id"], "left_anti")
+        .select("src_id")
+        .distinct()
+    )
+    to_drop = edges.join(
+        touched_src.unionByName(affected).distinct(), "src_id", "left_semi"
+    ).select("edge_id")
+    if not to_drop.isEmpty():
+        gstore.delete_ids(to_drop)
+    rest_sl = rest.select(
+        key_l.alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if not affected.isEmpty():
+        aff_q = rest_sl.join(
+            affected.select(F.col("src_id").alias("vec_id")), "vec_id", "left_semi"
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        repl = _final_topk(
+            topk_similarity_join_blocked(rest_sl, aff_q, k=gk + 1)
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                F.col("query_id").alias("src_id"),
+                F.col("vec_id").alias("dst_id"),
+                F.col("similarity").alias("cosine"),
+            ),
+            gk,
+        )
+        gstore.upsert(
+            repl.withColumn("edge_id", F.col("src_id") * gk + F.col("rank") - 1)
+        )
+    t_rows = corpus.join(t_keys, key_l == t_keys["_t_id"], "left_semi")
+    if t_rows.isEmpty():
+        return
+    repl2 = knn_graph_update(
+        gstore.read().select("src_id", "dst_id", "rank", "cosine"),
+        rest,
+        t_rows,
+        k=gk,
+        id_col=store.key,
+        vec_col=vec_col,
+    )
+    gstore.upsert(
+        repl2.withColumn("edge_id", F.col("src_id") * gk + F.col("rank") - 1)
     )
 
 
@@ -606,12 +744,25 @@ def _maintain_standing_topk(store, out: DataFrame, prev_v: int, cfg: dict) -> No
             raise _stale_error(
                 "standing top-k state", cfg["root"], pinned_clock, cur_clock
             )
-        if policy == "repair" and _deletes_only_since(pinned_clock, cur_clock):
-            _repair_standing_deletes(
-                store, sstore, queries, k, vec_col,
-                topped, with_pk, contract, cur_clock,
-            )
-        else:
+        repaired = False
+        if policy == "repair":
+            if _deletes_only_since(pinned_clock, cur_clock):
+                _repair_standing_deletes(
+                    store, sstore, queries, k, vec_col,
+                    topped, with_pk, contract, cur_clock,
+                )
+                repaired = True
+            else:
+                # r13 (VERDICT r12 Next #3): exact update/upsert repair
+                # through the store's mutation key log
+                touched = _exact_repair_keys(store, pinned_clock, cur_clock)
+                if touched is not None:
+                    _repair_standing_mutations(
+                        store, sstore, queries, k, vec_col,
+                        topped, with_pk, contract, cur_clock, touched,
+                    )
+                    repaired = True
+        if not repaired:
             full_build()
             return
     batch_top = topk_similarity_join_expr(
@@ -661,6 +812,64 @@ def _repair_standing_deletes(
     ).select("query_id", store.key, "rank", "similarity")
     sstore.replace(
         with_pk(topped(kept_state.unionByName(re_top))),
+        meta={**contract, "src_mutation_clock": cur_clock},
+    )
+
+
+def _repair_standing_mutations(
+    store, sstore, queries, k, vec_col, topped, with_pk, contract, cur_clock,
+    touched,
+) -> None:
+    """EXACT repair of the standing top-k for delete/update/upsert
+    histories (r13, VERDICT r12 Next #3). With T = the keys touched
+    since the pin (store mutation key log; over-approximation safe):
+
+    - a query whose stored top-k references T is invalid (its scores
+      were computed against vanished or replaced content) — re-top it
+      over the CURRENT corpus from scratch, exact by the restricted-
+      full-build argument;
+    - every other query's stored state is the exact top-k over
+      corpus ∖ T (none of its members were touched, and removing
+      non-members cannot change a top-k), so merging it with the
+      scores of the T rows still present — O(|T|·nq) work, the normal
+      batch algebra — yields exactly top-k(current corpus).
+
+    Cost: O(affected·corpus) re-top + O(|T|·nq) scoring; the rebuild
+    is kept only for replace / log-less histories."""
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    t_keys = (
+        touched.select(F.col(touched.columns[0]).alias(store.key))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = sstore.read().select("query_id", store.key, "rank", "similarity")
+    affected_q = (
+        state.join(t_keys, store.key, "left_semi").select("query_id").distinct()
+    )
+    kept_state = state.join(affected_q, "query_id", "left_anti")
+    corpus = store.read()
+    parts = [kept_state]
+    re_q = queries.join(affected_q, "query_id", "left_semi")
+    if not re_q.isEmpty():
+        parts.append(
+            topk_similarity_join_expr(
+                corpus, re_q, k=k, corpus_id=store.key, corpus_vec=vec_col
+            ).select("query_id", store.key, "rank", "similarity")
+        )
+    t_rows = corpus.join(t_keys, store.key, "left_semi")
+    if not t_rows.isEmpty():
+        other_q = queries.join(affected_q, "query_id", "left_anti")
+        parts.append(
+            topk_similarity_join_expr(
+                t_rows, other_q, k=k, corpus_id=store.key, corpus_vec=vec_col
+            ).select("query_id", store.key, "rank", "similarity")
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    sstore.replace(
+        with_pk(topped(merged)),
         meta={**contract, "src_mutation_clock": cur_clock},
     )
 
@@ -953,6 +1162,7 @@ def curated_ingest_to_store(
     admit_filter=None,
     available_now: bool = True,
     bm25_maintain: dict | None = None,
+    token_index_maintain: dict | None = None,
 ):
     """Continuous CURATED ingestion — the streaming face of
     ``operators.dedup.incremental_dedup``: every micro-batch is admitted
@@ -1148,6 +1358,15 @@ def curated_ingest_to_store(
                 id_col,
                 force_rebuild=not had_store,
                 default_compact_files=compact_index_files,
+            )
+        if token_index_maintain is not None:
+            # maxsim token-index maintenance under curated ingest (r13):
+            # the same per-batch discipline as the plain path — the
+            # coverage-derived increment (everything above the index's
+            # own watermark) makes the admitted-vs-replayed distinction
+            # irrelevant here, and tokens_fn sees only admitted rows
+            _maintain_token_index(
+                store, admitted, 0 if not had_store else 1, token_index_maintain
             )
 
     writer = (

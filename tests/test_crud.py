@@ -1161,3 +1161,39 @@ def test_commit_embedded_cluster_counts_lifecycle(spark, tmp_path):
     plain = SnapshotStore(spark, str(tmp_path / "cc_plain"), key="k")
     plain.create(spark.createDataFrame([(1, "a")], "k long, v string"))
     assert plain.cluster_counts() is None
+
+def test_mutation_key_log_and_coverage(spark, tmp_path):
+    """r13 (VERDICT r12 Next #3): destructive mutations log their
+    touched keys under the clock seq; touched_keys_since returns the
+    union over a fully-covered range and None when a replace (which
+    logs nothing by design) or a missing log leaves a hole — the
+    signal that routes maintainers to rebuild."""
+    from deployment_spark.operators.crud import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "mlog"), key="id")
+    rows = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    store.create(rows)
+    s0 = store.mutation_clock()["seq"]
+    store.delete_ids([1, 2])
+    store.upsert(spark.range(3, 5).select("id", (F.col("id") * 7).alias("v")))
+    store.update([7], spark.range(20, 21).select("id", (F.col("id")).alias("v")))
+    cur = store.mutation_clock()["seq"]
+    touched = store.touched_keys_since(s0, cur)
+    assert {r.id for r in touched.collect()} == {1, 2, 3, 4, 7, 20}
+    # sub-range: only mutations after the newer pin
+    assert {r.id for r in store.touched_keys_since(s0 + 1, cur).collect()} == {
+        3, 4, 7, 20,
+    }
+    # empty range: typed empty frame, never None
+    assert store.touched_keys_since(cur, cur).count() == 0
+    # replace logs nothing → the range has a hole → None (rebuild signal)
+    store.replace(store.read())
+    assert store.touched_keys_since(s0, store.mutation_clock()["seq"]) is None
+    # a pin taken AFTER the replace is covered again
+    s1 = store.mutation_clock()["seq"]
+    store.delete_ids([6])
+    got = store.touched_keys_since(s1, store.mutation_clock()["seq"])
+    assert {r.id for r in got.collect()} == {6}
+    # vacuum: entries below a seq vanish, coverage correctly reports the hole
+    assert store.vacuum_mutation_log(below_seq=s1 + 2) >= 1
+    assert store.touched_keys_since(s0, cur) is None

@@ -291,8 +291,13 @@ def test_standing_topk_detects_and_repairs_deletes(spark, tmp_path, vec_batches)
     assert got == want
 
 
-def test_standing_topk_rebuilds_after_upsert(spark, tmp_path, vec_batches):
+def test_standing_topk_repairs_upsert_exactly(spark, tmp_path, vec_batches, monkeypatch):
+    """r13 (VERDICT r12 Next #3): an upsert that CHANGES a served vector
+    is healed by the EXACT mutation repair (store key log + restricted
+    re-top), not a rebuild — and the repaired state equals the
+    from-scratch top-k over the mutated corpus."""
     from deployment_spark.operators.similarity import topk_similarity_join_expr
+    from deployment_spark.streaming import ingest as ing
     from deployment_spark.streaming.ingest import (
         _maintain_standing_topk,
         read_standing_topk,
@@ -305,7 +310,6 @@ def test_standing_topk_rebuilds_after_upsert(spark, tmp_path, vec_batches):
     root = str(tmp_path / "su_state")
     cfg = {"root": root, "queries": queries, "k": 5, "on_mutation": "repair"}
     _feed(store, _maintain_standing_topk, vec_batches[0], cfg)
-    # upsert CHANGES a served vector — repair must fall back to rebuild
     top_now = {r.vec_id for r in read_standing_topk(spark, root).collect()}
     victim = sorted(v for v in top_now if v > 2)[0]
     store.upsert(
@@ -313,7 +317,16 @@ def test_standing_topk_rebuilds_after_upsert(spark, tmp_path, vec_batches):
         .filter(F.col("vec_id") == victim)
         .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
     )
+    calls = {"repair": 0}
+    orig = ing._repair_standing_mutations
+
+    def spy(*a, **kw):
+        calls["repair"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ing, "_repair_standing_mutations", spy)
     _feed(store, _maintain_standing_topk, vec_batches[1], cfg)
+    assert calls["repair"] == 1  # the exact path ran, not the rebuild
     want = {
         (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
         for r in topk_similarity_join_expr(store.read(), queries, k=5).collect()
@@ -323,6 +336,67 @@ def test_standing_topk_rebuilds_after_upsert(spark, tmp_path, vec_batches):
         for r in read_standing_topk(spark, root).collect()
     }
     assert got == want
+
+
+def test_standing_topk_rebuilds_on_replace_or_missing_log(
+    spark, tmp_path, vec_batches, monkeypatch
+):
+    """The exact mutation repair is gated on the key log COVERING the
+    pin range: a replace (logs nothing by design) and a legacy store
+    (log dir absent) both route to rebuild — still exact, never
+    silently stale."""
+    import shutil
+
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+    from deployment_spark.streaming import ingest as ing
+    from deployment_spark.streaming.ingest import (
+        _maintain_standing_topk,
+        read_standing_topk,
+    )
+
+    queries = vec_batches[0].filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    store = SnapshotStore(spark, str(tmp_path / "sr_store"), key="vec_id")
+    root = str(tmp_path / "sr_state")
+    cfg = {"root": root, "queries": queries, "k": 5, "on_mutation": "repair"}
+    _feed(store, _maintain_standing_topk, vec_batches[0], cfg)
+    # replace: whole-corpus content rewrite (drop one row so it differs)
+    store.replace(store.read().filter(F.col("vec_id") != 7))
+    calls = {"repair": 0}
+    monkeypatch.setattr(
+        ing, "_repair_standing_mutations",
+        lambda *a, **kw: calls.__setitem__("repair", calls["repair"] + 1),
+    )
+    _feed(store, _maintain_standing_topk, vec_batches[1], cfg)
+    assert calls["repair"] == 0  # replace → rebuild path
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in topk_similarity_join_expr(store.read(), queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in read_standing_topk(spark, root).collect()
+    }
+    assert got == want
+    # legacy store: upsert history but the log vanished → rebuild too
+    store.upsert(
+        store.read()
+        .filter(F.col("vec_id") == 8)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    shutil.rmtree(str(tmp_path / "sr_store" / "_mutations"), ignore_errors=True)
+    _feed(store, _maintain_standing_topk, vec_batches[2], cfg)
+    assert calls["repair"] == 0
+    want2 = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in topk_similarity_join_expr(store.read(), queries, k=5).collect()
+    }
+    got2 = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in read_standing_topk(spark, root).collect()
+    }
+    assert got2 == want2
 
 
 def test_standing_topk_contract_pins_k_and_queryset(spark, tmp_path, vec_batches):
@@ -393,8 +467,14 @@ def test_knn_graph_detects_and_repairs_deletes(spark, tmp_path, vec_batches):
     assert got == want
 
 
-def test_knn_graph_rebuilds_after_upsert(spark, tmp_path, vec_batches):
+def test_knn_graph_repairs_upsert_exactly(spark, tmp_path, vec_batches, monkeypatch):
+    """r13 (VERDICT r12 Next #3): an upsert history heals through the
+    EXACT mutation repair (delete-then-reinsert decomposition over the
+    store key log) — the repaired graph equals knn_graph(mutated
+    corpus) and the rebuild path never runs. A mixed history (delete +
+    upsert since the pin) exercises both halves of the decomposition."""
     from deployment_spark.operators.knn import knn_graph, read_knn_graph
+    from deployment_spark.streaming import ingest as ing
     from deployment_spark.streaming.ingest import _maintain_knn_graph
 
     store = SnapshotStore(spark, str(tmp_path / "ku_store"), key="vec_id")
@@ -406,7 +486,46 @@ def test_knn_graph_rebuilds_after_upsert(spark, tmp_path, vec_batches):
         .filter(F.col("vec_id") == 7)
         .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
     )
+    store.delete_ids([11, 12])
+    calls = {"repair": 0}
+    orig = ing._repair_knn_graph_mutations
+
+    def spy(*a, **kw):
+        calls["repair"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ing, "_repair_knn_graph_mutations", spy)
     _feed(store, _maintain_knn_graph, vec_batches[1], cfg)
+    assert calls["repair"] == 1
+
+    def edge_map(df):
+        return {
+            (r.src_id, r.rank): (r.dst_id, round(r.cosine, 9))
+            for r in df.collect()
+        }
+
+    assert edge_map(read_knn_graph(spark, root)) == edge_map(
+        knn_graph(store.read(), k=5, id_col="vec_id")
+    )
+
+
+def test_knn_graph_rebuilds_on_replace(spark, tmp_path, vec_batches, monkeypatch):
+    from deployment_spark.operators.knn import knn_graph, read_knn_graph
+    from deployment_spark.streaming import ingest as ing
+    from deployment_spark.streaming.ingest import _maintain_knn_graph
+
+    store = SnapshotStore(spark, str(tmp_path / "kr_store"), key="vec_id")
+    root = str(tmp_path / "kr_state")
+    cfg = {"root": root, "k": 5, "on_mutation": "repair"}
+    _feed(store, _maintain_knn_graph, vec_batches[0], cfg)
+    store.replace(store.read().filter(F.col("vec_id") != 7))
+    calls = {"repair": 0}
+    monkeypatch.setattr(
+        ing, "_repair_knn_graph_mutations",
+        lambda *a, **kw: calls.__setitem__("repair", calls["repair"] + 1),
+    )
+    _feed(store, _maintain_knn_graph, vec_batches[1], cfg)
+    assert calls["repair"] == 0  # replace → rebuild (exact by definition)
 
     def edge_map(df):
         return {

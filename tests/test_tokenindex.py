@@ -219,3 +219,60 @@ def test_token_index_delete_and_compact(spark, tmp_path, doc_batches):
     assert tidx.n_tokens() == 154
     # watermark survives the fold
     assert tidx.max_indexed_id() == 79
+
+def test_token_index_under_curated_ingest(spark, tmp_path):
+    """The curated wrapper maintains the token index too (r13): admitted
+    batches land their token rows; the coverage-derived increment keeps
+    the index equal to the kept corpus across micro-batches."""
+    import os
+
+    from deployment_spark.streaming.ingest import curated_ingest_to_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter(F.col("doc_id").between(60, 119))
+    landing = str(tmp_path / "landing")
+    b0.coalesce(1).write.parquet(os.path.join(landing, "b=000"))
+    b1.coalesce(1).write.parquet(os.path.join(landing, "b=001"))
+
+    def tokens_fn(df):
+        # deterministic per-doc token vectors derived from the id alone
+        base = df.select(F.col("doc_id").cast("long").alias("doc_id"))
+        return base.select(
+            "doc_id",
+            (F.col("doc_id") * 2).alias("tok_id"),
+            F.array(
+                (F.col("doc_id") % 7).cast("double"), F.lit(1.0)
+            ).alias("embedding"),
+        ).unionByName(
+            base.select(
+                "doc_id",
+                (F.col("doc_id") * 2 + 1).alias("tok_id"),
+                F.array(
+                    (F.col("doc_id") % 5).cast("double"), F.lit(-1.0)
+                ).alias("embedding"),
+            )
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "cur_store"), key="doc_id")
+    q = curated_ingest_to_store(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing),
+        store,
+        str(tmp_path / "ckpt"),
+        token_index_maintain={
+            "root": str(tmp_path / "cur_idx"),
+            "tokens_fn": tokens_fn,
+            "nlist": 4,
+        },
+    )
+    q.awaitTermination(300)
+    tidx = TokenIVFIndex(spark, str(tmp_path / "cur_idx"))
+    assert tidx.exists()
+    kept = {r.doc_id for r in store.read().select("doc_id").collect()}
+    assert {r.doc_id for r in tidx.live_doc_ids().collect()} == kept
+    assert tidx.n_tokens() == 2 * len(kept)

@@ -392,8 +392,36 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         _score = np.round(_per_doc.max(axis=2).sum(axis=0), 4)
         _top = np.lexsort((_ids, -_score))[:k]
         mv_exact[int(_q)] = {int(_ids[i]) for i in _top}
+    # r13: maxsim/two_stage_stream — served from the STREAMING-
+    # MAINTAINED token index after a mid-stream delete + exact repair;
+    # the exact reference is the same Σ-max ranking RESTRICTED to the
+    # survivors (the fixture's predicate is deterministic), re-derived
+    # here in numpy with no engine code
+    from deployment_spark.queries import (
+        MAXSIM_STREAM_FLOOR,
+        q_maxsim_stream_recall,
+    )
+
+    mvs_sink: dict = {}
+    q_maxsim_stream_recall(spark, spark_sf, pairs_sink=mvs_sink).collect()
+    specs[("maxsim", "two_stage_stream")] = (
+        _pairs_to_sets(mvs_sink[("maxsim", "two_stage_stream")].collect()),
+        MAXSIM_STREAM_FLOOR,
+    )
+    _half = int(_ids.max()) // 2
+    _surv = (_ids % 4 == 2) & ~((_ids % 17 == 3) & (_ids <= _half))
+    mvs_exact: dict[int, set[int]] = {}
+    for _q in range(5):
+        _qb = _mat[[(int(_q) + 97 * j) % _n for j in range(2)]]
+        _dots = _qb @ _mat.T
+        _per_doc = _dots[:, _tok_idx]
+        _score = np.round(_per_doc.max(axis=2).sum(axis=0), 4)
+        _sids, _sscore = _ids[_surv], _score[_surv]
+        _top = np.lexsort((_sids, -_sscore))[:k]
+        mvs_exact[int(_q)] = {int(_sids[i]) for i in _top}
     exact_overrides: dict[tuple[str, str], dict[int, set[int]]] = {
         ("maxsim", "two_stage"): mv_exact,
+        ("maxsim", "two_stage_stream"): mvs_exact,
     }
 
     problems: list[str] = []
