@@ -54,7 +54,8 @@ class StaleServingStateError(RuntimeError):
     content-destructive mutation (delete/update/upsert/replace) it never
     incorporated — serving from it would silently return vanished or
     stale rows. Re-run maintenance with ``on_mutation='repair'`` (exact
-    delete repair, rebuild on content changes) or ``'rebuild'``."""
+    for delete/update/upsert histories via the mutation key log;
+    rebuild for replace or log-less stores) or ``'rebuild'``."""
 
 
 class SnapshotStore:

@@ -355,12 +355,6 @@ class BM25Index:
         # torn-state detectors, and tombstones are written by sibling
         # maintainer instances a cached file-plan would crash on.
         self._stats_cache: list | None = None
-        # cached postings DataFrame for the QUERY path (r13): each
-        # read.parquet lists the whole bucket-partition tree driver-side
-        # — ~0.3 s per search call at sf0.1 file counts. Same ownership
-        # contract as the stats cache: this instance's own postings
-        # writes invalidate; cross-instance writers need a fresh handle.
-        self._postings_df_cache: DataFrame | None = None
 
     # -- layout metadata ----------------------------------------------------
 
@@ -509,7 +503,6 @@ class BM25Index:
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
-        self._invalidate_postings()
         fs, hp = self._fs()
         fs.delete(hp(self.stats_dir), True)
         fs.delete(hp(self.tombstones_dir), True)
@@ -549,7 +542,6 @@ class BM25Index:
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
-        self._invalidate_postings()
         self._append_stats(df, postings, id_col, nb, src_clock)
 
     # -- deletes / upserts (r12) --------------------------------------------
@@ -684,7 +676,6 @@ class BM25Index:
             .partitionBy("tok_bucket")
             .parquet(self.postings_dir)
         )
-        self._invalidate_postings()
         self._append_stats(None, postings, id_col, nb, src_clock=None)
 
     def live_doc_ids(self) -> DataFrame:
@@ -824,15 +815,15 @@ class BM25Index:
             return False
 
     def _postings_df(self) -> DataFrame:
-        """The postings relation for the query path, with its file
-        listing cached per instance — invalidated by this instance's
-        own postings writes (see the cache contract in __init__)."""
-        if self._postings_df_cache is None:
-            self._postings_df_cache = self.spark.read.parquet(self.postings_dir)
-        return self._postings_df_cache
-
-    def _invalidate_postings(self) -> None:
-        self._postings_df_cache = None
+        """The postings relation for the query path. Deliberately NOT
+        cached (r13 tried and reverted it): a long-lived reader handle
+        must survive a sibling maintainer instance REBUILDING the index
+        under it — a frozen file listing crashes on the vanished files,
+        where a fresh read just serves the new postings. Per-call
+        listing cost is amortized where it matters by the callers'
+        prepared-plan caches (queries._BM25_PROBE_PLAN_CACHE), whose
+        indexes are immutable after construction."""
+        return self.spark.read.parquet(self.postings_dir)
 
     def _fs(self):
         jvm = self.spark.sparkContext._jvm
@@ -857,7 +848,6 @@ class BM25Index:
         fs.rename(hp(self.postings_dir), hp(old))
         fs.rename(hp(tmp), hp(self.postings_dir))
         fs.delete(hp(old), True)
-        self._invalidate_postings()
 
     # -- maintenance commit marker (r12) ------------------------------------
 

@@ -180,10 +180,17 @@ class TokenIVFIndex:
         )
         self._append_stats(assigned, src_clock)
 
-    def _append_stats(self, rows: DataFrame, src_clock: dict | None) -> None:
+    def _append_stats(
+        self, rows: DataFrame, src_clock: dict | None, advance_watermark: bool = True
+    ) -> None:
+        # advance_watermark=False (reindex): the re-landed ids are OLD
+        # ids at-or-below the watermark by contract — the partial rides
+        # with max_doc_id NULL so the append-only watermark is unmoved
         stat = rows.agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.max("doc_id").cast("long").alias("max_doc_id"),
+            (
+                F.max("doc_id") if advance_watermark else F.lit(None)
+            ).cast("long").alias("max_doc_id"),
         )
         seq = None if src_clock is None else int(src_clock.get("seq", 0))
         stat = stat.withColumn("src_seq", F.lit(seq).cast("long")).withColumn(
@@ -194,6 +201,55 @@ class TokenIVFIndex:
         )
         stat.coalesce(1).write.mode("append").parquet(self.stats_dir)
         self._invalidate_stats()
+
+    def reindex(
+        self,
+        tokens: DataFrame,
+        src_clock: dict | None = None,
+        id_col: str = "tok_id",
+        doc_col: str = "doc_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """UPSERT a set of docs' token bags (r13): kill the old
+        instances (generation tombstones at the current gen, a no-op
+        for docs already dead), then land the new token rows one
+        generation HIGHER so they survive the kill. Ids above the
+        watermark are NEW docs and route through :meth:`append`
+        (advancing the watermark — so the maintainer's coverage-derived
+        increment can never double-index them); old ids re-land with a
+        NULL-watermark stats partial. A crash between the kill and the
+        re-land leaves the docs absent (never stale) until the next
+        repair or rebuild — the same documented window as BM25's."""
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no token index at {self.root}: reindex() upserts into an "
+                f"existing index — build() first"
+            )
+        hi = self.max_indexed_id()
+        if hi is not None:
+            fresh = tokens.filter(F.col(doc_col) > hi)
+            if not fresh.isEmpty():
+                self.append(
+                    fresh, src_clock=src_clock,
+                    id_col=id_col, doc_col=doc_col, vec_col=vec_col,
+                )
+            tokens = tokens.filter(F.col(doc_col) <= hi)
+            if tokens.isEmpty():
+                return
+        self.delete(tokens.select(doc_col).distinct())
+        rows = tokens.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(doc_col).cast("long").alias("doc_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ).withColumn("gen", F.lit(int(self._current_write_gen())).cast("int"))
+        assigned = self.quantizer().assign(rows, vec_col="embedding")
+        (
+            assigned.repartition("cluster_id")
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(self.tokens_dir)
+        )
+        self._append_stats(assigned, src_clock, advance_watermark=False)
 
     def drop_orphans(self) -> None:
         """Remove token rows above the stats watermark — the crash

@@ -4831,10 +4831,13 @@ def _streamed_token_index(spark: SparkSession, sf_dir: str):
     (r13, VERDICT r12 Missing #1 'done' criterion): the vec_id%4==2
     slice of the embeddings table lands in four id-range micro-batches
     through ``ingest_to_store(token_index_maintain=...)``; BETWEEN the
-    two streaming runs an out-of-band store DELETE lands (first-half
-    ids ≡3 mod 17), which the second run's maintainer detects through
-    the mutation clock and heals EXACTLY (``on_mutation='repair'`` —
-    generation tombstones, deletes-only history). Token bags are the
+    two streaming runs an out-of-band store DELETE (first-half ids ≡3
+    mod 17) AND an out-of-band UPSERT (ids ≡5 mod 17, negated vectors)
+    land, which the second run's maintainer detects through the
+    mutation clock and heals EXACTLY (``on_mutation='repair'`` — the
+    delete+upsert history takes the r13 mutation repair: generation
+    tombstones for the vanished docs, delete + gen-bumped reindex for
+    the upserted ones). Token bags are the
     engine-wide deterministic 211-mapping over the STATIC embeddings
     table (``_maxsim_token_bags(docs=batch)``), so each batch's token
     derivation is O(batch) and content-independent of the rest of the
@@ -4908,6 +4911,24 @@ def _streamed_token_index(spark: SparkSession, sf_dir: str):
             sl.filter(
                 (F.col("vec_id") % 17 == 3) & (F.col("vec_id") <= half)
             ).select("vec_id")
+        )
+        # ...AND an out-of-band UPSERT (r13): ids ≡5 (mod 17) get
+        # negated stored vectors. The history is now delete+upsert, so
+        # the maintainer must take the EXACT mutation repair (key log →
+        # delete(T) + reindex(tokens_fn(T)) one generation higher).
+        # The fixture's token bags derive from the STATIC embeddings
+        # table keyed by id — a row's own payload change leaves its bag
+        # identical — so the exact reference is unchanged and any
+        # corruption introduced by the repair machinery itself (lost
+        # tokens, double-landed rows, wrong generations) shows up as a
+        # recall/hash failure.
+        store.upsert(
+            store.read()
+            .filter((F.col("vec_id") % 17 == 5) & (F.col("vec_id") <= half))
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
         )
         for i, (blo, bhi) in enumerate(bounds[2:], start=2):
             sl.filter(

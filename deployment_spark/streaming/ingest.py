@@ -269,8 +269,9 @@ def _stale_error(what: str, root: str, pinned: dict, cur: dict):
         f"{pinned} but the store is now at {cur} — a delete/update/"
         f"upsert/replace landed that this structure never saw, so it "
         f"would serve vanished or stale rows. Re-run with "
-        f"on_mutation='repair' (exact for deletes-only histories, "
-        f"rebuild otherwise) or 'rebuild'."
+        f"on_mutation='repair' (exact for delete/update/upsert "
+        f"histories via the store's mutation key log; rebuild for "
+        f"replace or log-less stores) or 'rebuild'."
     )
 
 
@@ -301,10 +302,13 @@ def _maintain_knn_graph(store, out: DataFrame, prev_v: int, cfg: dict) -> None:
     pinned in the edge store's commit meta, i.e. an out-of-band
     delete/update/upsert/replace landed that the graph never saw:
     'error' [default] raises StaleServingStateError, 'rebuild' runs
-    the one-time full build, 'repair' heals a deletes-only history
+    the one-time full build, 'repair' heals deletes-only histories
     EXACTLY in O(affected·corpus) — drop dead sources' slots, re-top
-    the sources that lost a neighbor over the surviving corpus — and
-    falls back to rebuild when content changed), ``reverse``/``index``
+    the sources that lost a neighbor over the surviving corpus — and,
+    r13, heals update/upsert histories EXACTLY too through the store's
+    mutation key log (``_repair_knn_graph_mutations``: delete-then-
+    reinsert decomposition); only replace / log-less legacy histories
+    rebuild), ``reverse``/``index``
     (r12 — see ``knn_graph_update``: 'exact' [default] keeps the full
     C×B reverse pass; 'ivf' with the maintained IVFIndex restricts it
     to the clusters the batch lands near). The batch's landed rows are
@@ -628,8 +632,10 @@ def _maintain_standing_topk(store, out: DataFrame, prev_v: int, cfg: dict) -> No
     when the corpus store's mutation clock advanced past the pinned
     value: 'error' [default] / 'rebuild' / 'repair'; repair re-tops
     ONLY the queries whose state rows reference vanished keys —
-    O(affected·corpus) exact — and falls back to rebuild on content
-    changes). Enabling maintenance on a store with history triggers a
+    O(affected·corpus) exact — and, r13, heals update/upsert histories
+    exactly too through the store's mutation key log
+    (``_repair_standing_mutations``); only replace / log-less legacy
+    histories rebuild). Enabling maintenance on a store with history triggers a
     one-time full build over everything landed (absence-is-safe, as
     elsewhere).
 
@@ -1008,8 +1014,10 @@ def _maintain_token_index(store, out: DataFrame, prev_v: int, cfg: dict) -> None
     could silently serve stale candidates under CRUD. Same discipline
     as the other three maintained serving structures: O(batch) appends,
     staleness detection through the source store's mutation clock,
-    exact tombstone repair for deletes-only histories, rebuild on
-    content changes.
+    exact tombstone repair for deletes-only histories, exact
+    delete+reindex repair for update/upsert histories (tokens derive
+    per doc, so changed content re-lands one generation higher —
+    O(|touched|)), rebuild only for replace / log-less histories.
 
     cfg keys: ``root`` (required — a ``TokenIVFIndex`` layout),
     ``tokens_fn`` (required — DataFrame of store rows → one row per
@@ -1059,6 +1067,37 @@ def _maintain_token_index(store, out: DataFrame, prev_v: int, cfg: dict) -> None
                 )
                 tidx.delete(gone)
                 tidx.pin_src_clock(cur_clock)
+            elif policy == "repair":
+                # r13: EXACT upsert/update repair — tokens derive
+                # deterministically per doc, so a content change is
+                # delete(T) + re-land tokens_fn(T ∩ corpus) one
+                # generation higher, O(|T|) work (the token-index
+                # analogue of BM25's reindex); replace / log-less
+                # histories fall through to rebuild via the key log's
+                # coverage check
+                touched = _exact_repair_keys(store, pinned, cur_clock)
+                if touched is not None:
+                    t_keys = touched.select(
+                        F.col(touched.columns[0]).cast("long").alias("doc_id")
+                    ).localCheckpoint()
+                    tidx.delete(t_keys)
+                    # re-land ONLY touched ids at or below the watermark:
+                    # touched ids above it were never indexed — they are
+                    # the increment step's job, and letting reindex's
+                    # append routing advance the watermark past them
+                    # would silently skip interleaved batch ids below it
+                    hi_now = tidx.max_indexed_id()
+                    if hi_now is not None:
+                        t_rows = store.read().join(
+                            t_keys,
+                            F.col(store.key).cast("long") == t_keys["doc_id"],
+                            "left_semi",
+                        ).filter(F.col(store.key).cast("long") <= hi_now)
+                        if not t_rows.isEmpty():
+                            tidx.reindex(tokens_fn(t_rows), src_clock=cur_clock)
+                    tidx.pin_src_clock(cur_clock)
+                else:
+                    rebuild = True
             else:
                 rebuild = True
     if rebuild:

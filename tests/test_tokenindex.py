@@ -167,7 +167,25 @@ def test_token_index_detects_and_repairs_deletes(spark, tmp_path, doc_batches):
     assert _rankmap(_two_stage(tidx, q)) == _rankmap(_exact(store, q))
 
 
-def test_token_index_upsert_rebuilds(spark, tmp_path, doc_batches):
+def test_token_index_upsert_repairs_exactly(spark, tmp_path, doc_batches, monkeypatch):
+    """r13: a content upsert heals through the EXACT repair — tokens
+    derive per doc, so the repair is delete(T) + reindex(tokens_fn(T))
+    one generation higher, never a rebuild. Mixed history (upsert +
+    delete) exercises both decomposition halves."""
+    calls = {"reindex": 0, "build": 0}
+    orig_reindex = TokenIVFIndex.reindex
+    orig_build = TokenIVFIndex.build
+
+    def spy_reindex(self, *a, **kw):
+        calls["reindex"] += 1
+        return orig_reindex(self, *a, **kw)
+
+    def spy_build(self, *a, **kw):
+        calls["build"] += 1
+        return orig_build(self, *a, **kw)
+
+    monkeypatch.setattr(TokenIVFIndex, "reindex", spy_reindex)
+    monkeypatch.setattr(TokenIVFIndex, "build", spy_build)
     store = SnapshotStore(spark, str(tmp_path / "tu_store"), key="vec_id")
     cfg = {
         "root": str(tmp_path / "tu_idx"),
@@ -176,14 +194,40 @@ def test_token_index_upsert_rebuilds(spark, tmp_path, doc_batches):
         "on_mutation": "repair",
     }
     _feed(store, doc_batches[0], cfg)
-    # content change: repair must fall back to rebuild (token bags are
-    # derived from the payload, so old token rows are silently wrong)
+    assert calls["build"] == 1  # the first-batch build
     store.upsert(
         store.read()
         .filter(F.col("vec_id") == 7)
         .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
     )
+    store.delete_ids([11])
     _feed(store, doc_batches[1], cfg)
+    assert calls["reindex"] == 1 and calls["build"] == 1  # repair, no rebuild
+    tidx = TokenIVFIndex(spark, cfg["root"])
+    q = _queries(doc_batches[0])
+    assert _rankmap(_two_stage(tidx, q)) == _rankmap(_exact(store, q))
+    assert 11 not in {r.doc_id for r in tidx.live_doc_ids().collect()}
+
+
+def test_token_index_rebuilds_on_replace(spark, tmp_path, doc_batches, monkeypatch):
+    """replace logs no touched keys by design → the repair policy falls
+    back to rebuild — still exact, never silently stale."""
+    calls = {"reindex": 0}
+    monkeypatch.setattr(
+        TokenIVFIndex, "reindex",
+        lambda self, *a, **kw: calls.__setitem__("reindex", calls["reindex"] + 1),
+    )
+    store = SnapshotStore(spark, str(tmp_path / "tr_store"), key="vec_id")
+    cfg = {
+        "root": str(tmp_path / "tr_idx"),
+        "tokens_fn": _tokens_fn,
+        "nlist": 8,
+        "on_mutation": "repair",
+    }
+    _feed(store, doc_batches[0], cfg)
+    store.replace(store.read().filter(F.col("vec_id") != 7))
+    _feed(store, doc_batches[1], cfg)
+    assert calls["reindex"] == 0  # rebuild path, not the exact repair
     tidx = TokenIVFIndex(spark, cfg["root"])
     q = _queries(doc_batches[0])
     assert _rankmap(_two_stage(tidx, q)) == _rankmap(_exact(store, q))
