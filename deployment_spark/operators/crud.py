@@ -315,7 +315,12 @@ class SnapshotStore:
         check route replace histories to rebuild automatically. The log
         grows O(touched) per destructive mutation; bound retention with
         :meth:`vacuum_mutation_log` once every consumer's pin has
-        advanced."""
+        advanced. Determinism note: the log is a SECOND execution of
+        the caller's input frame (the first lands the data) — a
+        nondeterministic mutation input could log keys that differ
+        from the landed ones, corrupting exact repairs the same way it
+        would corrupt any replay; deterministic inputs are the store's
+        standing contract."""
         clock = meta["mutation_clock"]
         (
             keys_df.select(self.key)
