@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--rebucket-from", type=int, default=None,
                     help="also time rebucket(first bucket value) from an "
                          "index built at THIS count (the migration path)")
+    ap.add_argument("--delete-frac", type=float, default=None,
+                    help="also probe DELETE PRESSURE (r13, VERDICT r12 "
+                         "Wrong #4): tombstone this fraction of docs, "
+                         "record query cost tombstoned vs compacted — "
+                         "the O(deleted) anti-join the fraction trigger "
+                         "exists to fold away")
     args = ap.parse_args()
 
     from deployment_spark import get_spark
@@ -140,6 +146,41 @@ def main() -> None:
             ),
             flush=True,
         )
+        if args.delete_frac:
+            # delete pressure: a delete-heavy history pays the
+            # O(deleted) broadcast anti-join per query until compaction
+            # materializes the kills — record both sides of that trade
+            droot = os.path.join(tempfile.gettempdir(), f"bm25_delp_{k}x_{nb}b")
+            didx = BM25Index(spark, droot, n_buckets=nb)
+            didx.build(corpus)
+            mod = max(2, round(1.0 / args.delete_frac))
+            n_killed = didx.delete(
+                corpus.filter(F.col("doc_id") % mod == 0).select("doc_id")
+            )
+            b_tomb, raw_t = best(lambda: didx.topk(BM25_TERMS, k=20).collect())
+            t0 = time.monotonic()
+            didx.compact()
+            t_compact = time.monotonic() - t0
+            b_comp, raw_c = best(lambda: didx.topk(BM25_TERMS, k=20).collect())
+            dead, live = didx.tombstone_pressure()
+            print(
+                json.dumps(
+                    {
+                        "probe": "delete_pressure",
+                        "scale": k,
+                        "n_buckets": nb,
+                        "docs_killed": n_killed,
+                        "query_tombstoned_s": round(b_tomb, 3),
+                        "query_compacted_s": round(b_comp, 3),
+                        "tombstoned_raw": [round(t, 3) for t in raw_t],
+                        "compacted_raw": [round(t, 3) for t in raw_c],
+                        "compact_s": round(t_compact, 3),
+                        "tombstones_after_compact": dead,
+                        "load_1m": round(os.getloadavg()[0], 2),
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
