@@ -49,10 +49,24 @@ def ingest_to_store(
     standing_topk_maintain: dict | None = None,
     bm25_maintain: dict | None = None,
     token_index_maintain: dict | None = None,
+    vacuum_mutation_log: bool = False,
 ):
     """ST5 — micro-batch maintenance: each batch is cleaned/transformed
     then inserted into the snapshot store inside ``foreachBatch``; the
     checkpoint replaces the reference's manual entity-count offset.
+
+    ``vacuum_mutation_log`` (r13 — DEFAULT OFF): bound the store's
+    destructive-mutation key log at serving cadence. The log grows
+    O(touched) per delete/update/upsert forever by default, because the
+    store cannot know who still needs old entries; setting this flag is
+    the caller CERTIFYING that the maintainers enabled on THIS ingest
+    are the log's only consumers. Per successful batch, entries below
+    the clock seq observed right after the store insert are dropped —
+    every enabled maintainer reads its clock (and hence pins) at or
+    after that point, so any future exact repair's range ``(pin, cur]``
+    only needs seqs the vacuum preserved. A maintainer that ERRORS
+    (staleness contract) aborts the batch before the vacuum runs, so
+    entries its eventual repair needs are never dropped.
 
     ``drift_retrain`` (r9, VERDICT r8 #5 — DEFAULT OFF, matching the
     reference, which never retrains) arms the quantizer-drift response
@@ -205,6 +219,11 @@ def ingest_to_store(
         # itself AND applies the per-batch pk dedup (stream1.py:265) that
         # a raw create() would bypass for the first micro-batch.
         store.insert(out)
+        # the vacuum floor is read BEFORE the maintainers run: each of
+        # them reads (and pins) the clock at or after this point, so
+        # seqs below the floor can never fall inside a future repair's
+        # (pin, cur] range — see the vacuum_mutation_log docstring
+        seq_floor = store.mutation_clock()["seq"] if vacuum_mutation_log else None
         if knn_graph_maintain is not None:
             _maintain_knn_graph(store, out, prev_v, knn_graph_maintain)
         if standing_topk_maintain is not None:
@@ -213,6 +232,8 @@ def ingest_to_store(
             _maintain_bm25(store, out, prev_v, bm25_maintain)
         if token_index_maintain is not None:
             _maintain_token_index(store, out, prev_v, token_index_maintain)
+        if seq_floor is not None:
+            store.vacuum_mutation_log(below_seq=seq_floor)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)
@@ -1202,6 +1223,7 @@ def curated_ingest_to_store(
     available_now: bool = True,
     bm25_maintain: dict | None = None,
     token_index_maintain: dict | None = None,
+    vacuum_mutation_log: bool = False,
 ):
     """Continuous CURATED ingestion — the streaming face of
     ``operators.dedup.incremental_dedup``: every micro-batch is admitted
@@ -1375,6 +1397,10 @@ def curated_ingest_to_store(
                     and len(idx_now.inputFiles()) > compact_index_files
                 ):
                     compact_signature_index(spark, index_dir)
+        # vacuum floor read BEFORE the index maintainers (each reads and
+        # pins the clock at or after this point) — same certification
+        # contract as the plain path's flag, see ingest_to_store
+        seq_floor = store.mutation_clock()["seq"] if vacuum_mutation_log else None
         if bm25_maintain is not None:
             # BM25 inverted-index maintenance (r11): same discipline as
             # the signature index — reconcile crash-lost appends against
@@ -1407,6 +1433,8 @@ def curated_ingest_to_store(
             _maintain_token_index(
                 store, admitted, 0 if not had_store else 1, token_index_maintain
             )
+        if seq_floor is not None:
+            store.vacuum_mutation_log(below_seq=seq_floor)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)

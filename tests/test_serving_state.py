@@ -691,3 +691,101 @@ def test_bm25_maintainer_tombstone_fraction_triggers_compaction(spark, tmp_path)
     assert _smap(idx2.search_scores(terms)) == _smap(
         bm25_scores(store2.read(), terms)
     )
+
+
+def test_ingest_vacuum_bounds_mutation_log(spark, tmp_path, vec_batches):
+    """r13: ``ingest_to_store(vacuum_mutation_log=True)`` bounds the
+    store's destructive-mutation key log at serving cadence WITHOUT
+    breaking the exact mutation repair: after each successful batch,
+    entries below the clock seq observed at batch start are dropped —
+    the maintainer pinned at or past that seq, so every entry a future
+    repair's (pin, cur] range can need survives. Staged twice: a
+    delete+upsert history is healed by the exact mutation repair from
+    the log, the incorporated entry is vacuumed, and a SECOND
+    out-of-band delete still repairs exactly from the fresh entry."""
+    import os
+
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+    from deployment_spark.streaming.ingest import (
+        ingest_to_store,
+        read_standing_topk,
+    )
+
+    queries = vec_batches[0].filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    store = SnapshotStore(spark, str(tmp_path / "vml_store"), key="vec_id")
+    root = str(tmp_path / "vml_state")
+    landing = str(tmp_path / "vml_landing")
+    cfg = {"root": root, "queries": queries, "k": 5, "on_mutation": "repair"}
+
+    def run():
+        q = ingest_to_store(
+            spark.readStream.schema(vec_batches[0].schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(landing),
+            store,
+            str(tmp_path / "vml_ckpt"),
+            standing_topk_maintain=cfg,
+            vacuum_mutation_log=True,
+        )
+        q.awaitTermination(300)
+
+    def log_seqs():
+        d = store._mutations_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[4:]) for n in os.listdir(d) if n.startswith("seq=")
+        )
+
+    vec_batches[0].coalesce(1).write.parquet(os.path.join(landing, "b=000"))
+    run()
+
+    # out-of-band delete (a served row) + upsert (negated vector):
+    # two log entries at seq 1 and 2
+    top_now = {r.vec_id for r in read_standing_topk(spark, root).collect()}
+    victims = sorted(v for v in top_now if v > 2)[:2]
+    store.delete_ids([victims[0]])
+    store.upsert(
+        store.read()
+        .filter(F.col("vec_id") == victims[1])
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    assert log_seqs() == [1, 2]
+
+    # run 2: the maintainer repairs exactly from the log (pin 0 → cur 2
+    # needs seqs {1, 2}), then the vacuum floor (seq 2, read at batch
+    # start) drops seq 1 and keeps seq 2
+    vec_batches[1].coalesce(1).write.parquet(os.path.join(landing, "b=001"))
+    run()
+    assert log_seqs() == [2]
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in topk_similarity_join_expr(store.read(), queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in read_standing_topk(spark, root).collect()
+    }
+    assert got == want
+
+    # a SECOND out-of-band delete after the vacuum still repairs
+    # exactly: its entry (seq 3) is above every dropped seq by the
+    # floor argument
+    top_now = {r.vec_id for r in read_standing_topk(spark, root).collect()}
+    store.delete_ids([sorted(v for v in top_now if v > 2)[0]])
+    assert log_seqs() == [2, 3]
+    vec_batches[2].coalesce(1).write.parquet(os.path.join(landing, "b=002"))
+    run()
+    assert log_seqs() == [3]
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in topk_similarity_join_expr(store.read(), queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.similarity, 9))
+        for r in read_standing_topk(spark, root).collect()
+    }
+    assert got == want
