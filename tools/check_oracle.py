@@ -549,7 +549,7 @@ def main() -> int:
         shutil.copy(f"{args.sf}/events.parquet", f"{orc_dir}/events.parquet")
         os.environ["SPARK_GRAFT_TABLE_FORMAT"] = "orc"
         spark_sf = orc_dir
-        print(f"[orc] tables converted to {orc_dir}; spark scans ORC, duckdb scans parquet")
+        print(f"[orc] tables converted to {orc_dir}; spark scans ORC, duckdb scans parquet", flush=True)
 
     failed, passed, rows_only = [], [], []
     try:
@@ -563,7 +563,7 @@ def main() -> int:
         else:
             os.environ["SPARK_GRAFT_TABLE_FORMAT"] = prior_fmt
 
-    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only", flush=True)
     return 1 if failed else 0
 
 
@@ -574,34 +574,34 @@ def _run(spark, con, qs, oracles, names, spark_sf, args, failed, passed, rows_on
             sdf = qs[name](spark, spark_sf).toPandas()
         except Exception as e:
             failed.append(name)
-            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}", flush=True)
             continue
         if name not in oracles:
             chk = LOCAL_CHECKS.get(name)
             if chk is None:
                 rows_only.append(name)
-                print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+                print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)", flush=True)
                 continue
             try:
                 problems = chk(spark, spark_sf, args.sf, sdf)
             except Exception as e:
                 failed.append(name)
-                print(f"✗ {name}: LOCAL CHECK ERROR {type(e).__name__}: {e}")
+                print(f"✗ {name}: LOCAL CHECK ERROR {type(e).__name__}: {e}", flush=True)
                 continue
             if problems:
                 failed.append(name)
-                print(f"✗ {name} (local check, {time.time()-t0:.1f}s)")
+                print(f"✗ {name} (local check, {time.time()-t0:.1f}s)", flush=True)
                 for p in problems:
-                    print(f"    {p}")
+                    print(f"    {p}", flush=True)
             else:
                 passed.append(name)
-                print(f"✓ {name} (local independent check, {len(sdf)} rows, {time.time()-t0:.1f}s)")
+                print(f"✓ {name} (local independent check, {len(sdf)} rows, {time.time()-t0:.1f}s)", flush=True)
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             failed.append(name)
-            print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {e}", flush=True)
             continue
         problems = compare(name, sdf, ddf)
         hard = [p for p in problems if not p.startswith("dtype")]
@@ -621,14 +621,14 @@ def _run(spark, con, qs, oracles, names, spark_sf, args, failed, passed, rows_on
                 problems = problems + hard
         if hard:
             failed.append(name)
-            print(f"✗ {name} ({len(sdf)} vs {len(ddf)} rows, {time.time()-t0:.1f}s)")
+            print(f"✗ {name} ({len(sdf)} vs {len(ddf)} rows, {time.time()-t0:.1f}s)", flush=True)
             for p in problems:
-                print(f"    {p}")
+                print(f"    {p}", flush=True)
         else:
             passed.append(name)
             soft = "; ".join(p for p in problems if p.startswith("dtype"))
             extra = " + local check" if chk is not None else ""
-            print(f"✓ {name} ({len(sdf)} rows{extra}, {time.time()-t0:.1f}s)" + (f" [{soft}]" if soft else ""))
+            print(f"✓ {name} ({len(sdf)} rows{extra}, {time.time()-t0:.1f}s)" + (f" [{soft}]" if soft else ""), flush=True)
 
 
 if __name__ == "__main__":
