@@ -201,7 +201,7 @@ def maxsim_rerank(
 def token_candidates(
     search_fn,
     query_vecs: DataFrame,
-    token_doc: DataFrame,
+    token_doc: DataFrame | None,
     k_per_token: int | None = None,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
@@ -237,8 +237,22 @@ def token_candidates(
     corpus token count via ``reference_k_per_token`` — a fixed width
     decays as the corpus grows (see its docstring); the count is one
     O(1) aggregate over ``token_doc``.
+
+    ``token_doc=None`` (r13): the searcher resolves docs itself —
+    ``search_fn``'s output must already carry ``doc_id`` (e.g.
+    ``TokenIVFIndex.search_tokens(with_doc=True)``, which reads the
+    mapping from the probed cells only instead of a full-layout map —
+    the bounded shape at corpus scale). ``k_per_token`` must then be
+    explicit (there is no map to count; the maintained index's
+    ``reference_k_per_token(idx.n_tokens())`` is the O(1) source).
     Output: (query_id, doc_id) distinct candidate pairs."""
     if k_per_token is None:
+        if token_doc is None:
+            raise ValueError(
+                "token_candidates(token_doc=None) needs an explicit "
+                "k_per_token — there is no map to derive it from; pass "
+                "reference_k_per_token(<live token count>)"
+            )
         k_per_token = reference_k_per_token(token_doc.count())
     qid_type = dict(
         (f.name, f.dataType.simpleString()) for f in query_vecs.schema.fields
@@ -263,7 +277,7 @@ def token_candidates(
         (F.col(query_id).cast("long") * 1_000_000 + pos).alias(query_id),
         F.col(query_vec).alias(query_vec),
     )
-    hits = search_fn(q, k_per_token).select(query_id, token_id)
+    raw = search_fn(q, k_per_token)
     # recover the query id with EXACT long arithmetic (r12 ADVICE):
     # floor(col / 1e6) routes through double, whose 2^53 integer
     # precision silently corrupts recovered ids once |query_id| exceeds
@@ -273,8 +287,15 @@ def token_candidates(
     recover = F.expr(
         f"CAST(({query_id} - pmod({query_id}, 1000000)) DIV 1000000 AS BIGINT)"
     )
+    if token_doc is None:
+        return (
+            raw.select(query_id, doc_id)
+            .withColumn(query_id, recover)
+            .distinct()
+        )
     return (
-        hits.withColumn(query_id, recover)
+        raw.select(query_id, token_id)
+        .withColumn(query_id, recover)
         .join(token_doc, token_id)
         .select(query_id, doc_id)
         .distinct()

@@ -364,20 +364,78 @@ class TokenIVFIndex:
             self.spark.read.parquet(self.tokens_dir).select("doc_id", "gen")
         ).select("doc_id").distinct()
 
+    def _probed_cells(self, queries: DataFrame, nprobe: int) -> list[int]:
+        """The sorted union of cells this query batch probes — the SAME
+        routing the quantizer search runs (``IVFIndex.route`` at
+        driver-scale nlist, ``route_distributed`` above it; the two are
+        documented to produce identical probe sets, matching
+        tie-breaks), so restricting any follow-up read to these cells
+        provably covers every hit the search can return. Collect is
+        nq·nprobe-bounded ints, never data rows."""
+        from deployment_spark.operators.ivf import AUTO_DISTRIBUTED_NLIST
+
+        q = self.quantizer()
+        if q.nlist() <= AUTO_DISTRIBUTED_NLIST:
+            qrows = queries.select("query_id", "query_vec").collect()
+            _, probed = q.route(qrows, nprobe)
+            return probed
+        return sorted(
+            r.cluster_id
+            for r in q.route_distributed(queries, nprobe)
+            .select("cluster_id")
+            .distinct()
+            .collect()
+        )
+
     def search_tokens(
-        self, queries: DataFrame, k: int, nprobe: int = 8
+        self, queries: DataFrame, k: int, nprobe: int = 8, with_doc: bool = False
     ) -> DataFrame:
         """First-stage token ANN: (query_id, tok_id) hits of the probed
-        cells, LIVE tokens only. The cell scan itself may contain dead
-        rows until compaction — they are anti-joined out here
-        (O(deleted) broadcast) so they can never displace a live hit
-        from the k_per_token window."""
-        hits = self.quantizer().search(queries, k=k, nprobe=nprobe)
-        live = self.live_token_doc(token_id="vec_id", doc_id="_doc")
-        return (
-            hits.join(live.select("vec_id"), "vec_id", "left_semi")
-            .select("query_id", F.col("vec_id").alias("tok_id"))
+        cells, LIVE tokens only — plus the hit's OWNING DOC as
+        ``vec_id`` when ``with_doc=True`` (the entity-id convention of
+        ``live_token_doc``), which lets ``token_candidates`` skip its
+        tok→doc map join entirely.
+
+        Liveness and doc resolution are BOUNDED at scale (r13 session
+        2): the tok→doc rows are read from the PROBED CELLS only (the
+        partition-pruned filter below — every hit token lives in a
+        probed cell by construction) and filtered to the hit set with
+        the HIT side broadcast (k·nq-bounded by contract). The first
+        cut semi-joined hits against ``live_token_doc()`` — a FULL
+        layout scan whose live token-id set became the broadcast build
+        side: O(corpus) driver/executor memory, an OOM (not merely a
+        slow scan) on a 100 TB corpus. Dead rows in the probed cells
+        are anti-joined out per the generation rule (O(deleted)
+        broadcast) so they can never displace a live hit from the
+        k_per_token window; the hits frame is locally checkpointed
+        (k·nq rows) so the probed scan runs once, not once per
+        consumer."""
+        hits = self.quantizer().search(
+            queries, k=k, nprobe=nprobe
+        ).localCheckpoint()
+        cells = self._probed_cells(queries, nprobe)
+        tok_doc = (
+            self.spark.read.parquet(self.tokens_dir)
+            .filter(F.col("cluster_id").isin([int(c) for c in cells]))
+            .select("vec_id", "doc_id", "gen")
         )
+        live_hit = self._live(
+            tok_doc.join(
+                F.broadcast(hits.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
+        )
+        out = hits.join(
+            F.broadcast(live_hit.select("vec_id", "doc_id")), "vec_id"
+        )
+        if with_doc:
+            return out.select(
+                "query_id",
+                F.col("vec_id").alias("tok_id"),
+                F.col("doc_id").alias("vec_id"),
+            )
+        return out.select("query_id", F.col("vec_id").alias("tok_id"))
 
     def n_tokens(self) -> int:
         """Live token count: Σ stats partials − tombstone corrections —

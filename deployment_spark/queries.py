@@ -4974,11 +4974,17 @@ def q_maxsim_stream_recall(
         doc_tokens.select("vec_id", "embedding"), q_tokens,
         k=k, round_to=4, query_pos="q_pos",
     ).select("query_id", "vec_id")
+    # r13 session 2: the searcher resolves docs itself (with_doc=True —
+    # probed-cells-pruned map read, hit-bounded broadcasts), so no
+    # full-layout live_token_doc() map rides the candidate join; the
+    # scale-derived width comes from the index's O(1) live token count
+    from deployment_spark.operators.multivec import reference_k_per_token
+
     cand = token_candidates(
-        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=8),
+        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=8, with_doc=True),
         q_tokens,
-        tidx.live_token_doc(),
-        k_per_token=None,  # scale-derived from the LIVE token count
+        None,
+        k_per_token=reference_k_per_token(tidx.n_tokens()),
         query_pos="q_pos",
     )
     approx = _sink_pairs(

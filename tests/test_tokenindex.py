@@ -320,3 +320,67 @@ def test_token_index_under_curated_ingest(spark, tmp_path):
     kept = {r.doc_id for r in store.read().select("doc_id").collect()}
     assert {r.doc_id for r in tidx.live_doc_ids().collect()} == kept
     assert tidx.n_tokens() == 2 * len(kept)
+
+
+def test_search_tokens_doc_resolution_pruned_and_bounded(
+    spark, tmp_path, doc_batches
+):
+    """r13 session 2: ``search_tokens`` resolves hit liveness (and, with
+    ``with_doc=True``, the owning docs) from the PROBED CELLS with the
+    k·nq-bounded hit set as the broadcast side — never by broadcasting
+    the full layout's live token-id set, which is O(corpus) memory (an
+    OOM at 100 TB, not merely a slow scan). Pins: (1) the with_doc
+    candidate path equals the full-map path, including dead-doc
+    exclusion after a delete; (2) the tok→doc resolution scan carries a
+    cluster_id partition filter; (3) no tokens-layout scan without a
+    partition filter appears anywhere in the plan."""
+    import re
+
+    from deployment_spark.operators.multivec import reference_k_per_token
+    from deployment_spark.plans import audit
+
+    store = SnapshotStore(spark, str(tmp_path / "pb_store"), key="vec_id")
+    store.insert(doc_batches[0])
+    store.insert(doc_batches[1])
+    tidx = TokenIVFIndex(spark, str(tmp_path / "pb_idx"), nlist=8)
+    tidx.build(_tokens_fn(store.read()))
+    tidx.delete([85, 90, 95])
+    q_tokens = _queries(doc_batches[0])
+    kpt = reference_k_per_token(tidx.n_tokens())
+
+    with_map = token_candidates(
+        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=4),
+        q_tokens,
+        tidx.live_token_doc(),
+        k_per_token=kpt,
+        query_pos="q_pos",
+    )
+    self_resolved = token_candidates(
+        lambda qd, kk: tidx.search_tokens(qd, k=kk, nprobe=4, with_doc=True),
+        q_tokens,
+        None,
+        k_per_token=kpt,
+        query_pos="q_pos",
+    )
+    a = {(r.query_id, r.vec_id) for r in with_map.collect()}
+    b = {(r.query_id, r.vec_id) for r in self_resolved.collect()}
+    assert a == b and b
+    assert not {85, 90, 95} & {d for _, d in b}  # dead docs never proposed
+
+    qdf = q_tokens.select(
+        (F.col("query_id") * 10 + F.col("q_pos")).alias("query_id"),
+        F.col("query_vec"),
+    )
+    plan = audit.physical_plan(
+        tidx.search_tokens(qdf, k=kpt, nprobe=4, with_doc=True)
+    )
+    # tokens-layout scans are the FileScans carrying the cluster_id
+    # partition column (the explain truncates Location paths, so match
+    # on the attribute list; the tombstone scan has no cluster_id)
+    token_scans = re.findall(
+        r"FileScan parquet \[[^\]]*cluster_id[^\]]*\][^\n]*", plan
+    )
+    assert token_scans, plan
+    assert all(
+        re.search(r"PartitionFilters: \[[^\]]*cluster_id", s) for s in token_scans
+    ), token_scans  # every tokens-layout scan is cell-pruned
