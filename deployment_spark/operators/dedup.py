@@ -68,8 +68,20 @@ def _minhash_wide(
     re-evaluates non-trivial subexpressions per reference inside
     higher-order lambdas, exploding runtime; the wide-agg shape is the
     fast one in practice.)"""
-    sh = spread_for_cpu(df).select(
-        id_col, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    # tokenize ONCE in a projection below the explode: the generator
+    # expression references the token array shingle_words+1 times and
+    # Generate evaluates interpreted with no CSE — a text-column input
+    # would re-run the regex split that many times per row (r13,
+    # word_shingles docstring)
+    sh = (
+        spread_for_cpu(df)
+        .select(id_col, tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.explode(
+                word_shingles(F.col("_toks"), shingle_words, from_tokens=True)
+            ).alias("sh"),
+        )
     )
     hs = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -497,13 +509,22 @@ def ngram_jaccard_pairs(
     # - freq is broadcast EXPLICITLY: the exploded side's size estimate is
     #   the pre-explode file size, so the planner otherwise broadcasts the
     #   big side.
-    grams = word_shingles(text_col, shingle_words)
-    base = spread_for_cpu(df)
-    docs = base.select(id_col, grams.alias("arr"))
+    # r13: (a) null-drop the id EXPLICITLY — the prefix self-join pushes
+    # isnotnull(id) into its branch's scan while the freq branch's scan
+    # stays unfiltered, so the two otherwise-identical shingle subtrees
+    # no longer canonicalize equal and AQE's exchange reuse can't dedupe
+    # them (measured: one extra scan+explode+partial-agg pass at sf0.1).
+    # Null ids can never appear in a pair (the a<b join drops them), so
+    # the result is unchanged. (b) tokenize once below the explode —
+    # see word_shingles(from_tokens=True).
+    base = spread_for_cpu(df).filter(F.col(id_col).isNotNull())
+    tokd = base.select(id_col, tokens(text_col).alias("_toks"))
+    grams = word_shingles(F.col("_toks"), shingle_words, from_tokens=True)
+    docs = tokd.select(id_col, grams.alias("arr"))
     if candidates is not None:
         cand = candidates.select("a_id", "b_id")
     else:
-        sh = base.select(id_col, F.explode(grams).alias("sh"))
+        sh = tokd.select(id_col, F.explode(grams).alias("sh"))
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
         wdoc = Window.partitionBy(id_col)
         w = wdoc.orderBy(F.asc("cnt"), F.asc("sh"))
@@ -647,11 +668,22 @@ def contamination_pairs(
 
     Output: (corpus_id, bench_id, shared_shingles ≥ min_shared).
     """
-    c_sh = spread_for_cpu(corpus).select(
-        corpus_id, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    # tokenize once below each explode (r13, word_shingles docstring)
+    c_sh = (
+        spread_for_cpu(corpus)
+        .select(corpus_id, tokens(text_col).alias("_toks"))
+        .select(
+            corpus_id,
+            F.explode(
+                word_shingles(F.col("_toks"), shingle_words, from_tokens=True)
+            ).alias("sh"),
+        )
     )
-    b_sh = bench.select(
-        bench_id, F.explode(word_shingles(text_col, shingle_words)).alias("sh")
+    b_sh = bench.select(bench_id, tokens(text_col).alias("_toks")).select(
+        bench_id,
+        F.explode(
+            word_shingles(F.col("_toks"), shingle_words, from_tokens=True)
+        ).alias("sh"),
     )
     j = c_sh.join(F.broadcast(b_sh), "sh")
     return (
@@ -708,7 +740,11 @@ def span_dedup(
     """
     from functools import reduce
 
-    toks = tokens(F.col(text_col))
+    # tokenize ONCE in a projection below the posexplode: the generator
+    # references the token array k+2 times and Generate evaluates
+    # interpreted with no CSE, so a text-column input re-runs the regex
+    # split that many times per row (r13, word_shingles docstring)
+    toks = F.col("_toks")
     n = F.size(toks)
     k = span_words
     # m valid span starts; k shifted length-m slices zipped into the
@@ -724,10 +760,15 @@ def span_dedup(
     pairs = F.zip_with(
         toks, sh_arr, lambda t, s: F.struct(t.alias("tok"), s.alias("sh"))
     )
-    rows = spread_for_cpu(df).select(
-        F.col(id_col),
-        F.posexplode(pairs).alias("pos", "s"),
-    ).select(id_col, "pos", F.col("s.tok").alias("tok"), F.col("s.sh").alias("sh"))
+    rows = (
+        spread_for_cpu(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(pairs).alias("pos", "s"),
+        )
+        .select(id_col, "pos", F.col("s.tok").alias("tok"), F.col("s.sh").alias("sh"))
+    )
 
     dup = (
         rows.filter(F.col("sh").isNotNull())

@@ -121,8 +121,14 @@ def dsir_weights(
     """
     tagged = raw.withColumn("_is_target", target_pred.cast("int"))
     # the target tag rides along THROUGH the explode (not re-joined on
-    # the doc key afterwards) — the corpus never shuffles for it
-    toks = tokens(F.col(text_col))
+    # the doc key afterwards) — the corpus never shuffles for it.
+    # r13: tokenize ONCE in a projection below the explode — the
+    # generator expression references the token array ~6 times and
+    # Generate evaluates interpreted with no CSE, so a text-column
+    # input re-ran the regex split 6× per row (measured −0.9 s on the
+    # sf0.1 feature pass; same fix as word_shingles(from_tokens=True))
+    tokd = tagged.select(id_col, "_is_target", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     n1 = F.greatest(n - 1, F.lit(1))
     bigrams = F.when(
@@ -133,7 +139,7 @@ def dsir_weights(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = tagged.select(
+    feats = tokd.select(
         id_col, "_is_target", F.explode(F.concat(toks, bigrams)).alias("feature")
     ).select(
         id_col,

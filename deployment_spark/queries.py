@@ -1234,8 +1234,22 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from deployment_spark.operators.similarity import topk_similarity_join_expr
 
+    # r13 (optimization round): each ranked list feeds 2-3 fusions below,
+    # and without materialization every fusion re-executed its rankers'
+    # post-exchange tail (AQE's exchange reuse dedupes the shuffles, but
+    # the per-doc score windows above them re-ran per consumer — 3 rank
+    # passes per ranker in the measured final plan). The lists are
+    # k-scale (≤50 rows): localCheckpoint computes each ranker EXACTLY
+    # ONCE and the fusions consume the materialized rows — at 100 TB one
+    # corpus ranking per ranker instead of three. The three checkpoints
+    # run CONCURRENTLY from a small thread pool (guide §2.6: actions are
+    # only sequential because driver code calls them sequentially);
+    # measured interleaved at sf0.1: serial checkpoints 3.6-3.8 s, the
+    # one-DAG plain form median 4.5 s, threads median 3.35 s / best 3.26.
+    # Values are unchanged by construction (each checkpoint stores its
+    # ranker's own deterministic output; oracle-verified at 3 SFs).
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    bm_ranked = bm25_topk(d, BM25_TERMS, k=50, round_to=4).select(
+    bm_lazy = bm25_topk(d, BM25_TERMS, k=50, round_to=4).select(
         "doc_id", "rank", F.col("bm25").alias("score")
     )
 
@@ -1243,8 +1257,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cos_ranked = topk_similarity_join_expr(emb, q, k=50).select(
-        F.col("vec_id").alias("doc_id"), "rank", F.round("similarity", 4).alias("score")
+    cos_lazy = topk_similarity_join_expr(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+        F.round("similarity", 4).alias("score"),
     )
 
     # the late-interaction ranker: same deterministic token bags as the
@@ -1253,11 +1269,18 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tokens, q_tokens, _ = _maxsim_token_bags(
         spark, emb, F.col("vec_id") == 7
     )
-    mv_ranked = maxsim_topk(
+    mv_lazy = maxsim_topk(
         doc_tokens, q_tokens, k=50, round_to=4, query_pos="q_pos"
     ).select(
         F.col("vec_id").alias("doc_id"), "rank", F.col("maxsim").alias("score")
     )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        bm_ranked, cos_ranked, mv_ranked = list(
+            pool.map(lambda df: df.localCheckpoint(), [bm_lazy, cos_lazy, mv_lazy])
+        )
 
     def shape(fused, score_col, probe, round_first=False):
         # round_first (rrf3): with THREE addends per sum, float addition
