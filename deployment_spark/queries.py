@@ -5404,6 +5404,16 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     _prev = spark.conf.get(_conf_key, None)
     spark.conf.set(_conf_key, "true")
+    # r13 (optimization round): AvailableNow appends a NO-DATA micro-batch
+    # after the drain purely to advance the watermark and flush append-
+    # mode state. This sink is COMPLETE mode — every batch re-emits the
+    # full window state, so the extra batch recomputes the whole
+    # aggregation and changes nothing (oracle-verified at 3 SFs).
+    # Skipping it removes one full state-store pass per drain: measured
+    # 2.5 s → 1.8 s at sf0.1. Scoped and restored like nanosAsLong.
+    _nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    _nd_prev = spark.conf.get(_nd_key, None)
+    spark.conf.set(_nd_key, "false")
     try:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
@@ -5425,6 +5435,10 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_conf_key)
         else:
             spark.conf.set(_conf_key, _prev)
+        if _nd_prev is None:
+            spark.conf.unset(_nd_key)
+        else:
+            spark.conf.set(_nd_key, _nd_prev)
     # the windowed result is bounded (hours × event types), so materialize
     # it and release the memory sink NOW — repeated invocations (gate
     # runs, bench warmups) must not each leak a cached in-memory table
