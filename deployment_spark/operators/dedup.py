@@ -511,12 +511,14 @@ def ngram_jaccard_pairs(
     #   big side.
     # r13: (a) null-drop the id EXPLICITLY — the prefix self-join pushes
     # isnotnull(id) into its branch's scan while the freq branch's scan
-    # stays unfiltered, so the two otherwise-identical shingle subtrees
-    # no longer canonicalize equal and AQE's exchange reuse can't dedupe
-    # them (measured: one extra scan+explode+partial-agg pass at sf0.1).
-    # Null ids can never appear in a pair (the a<b join drops them), so
-    # the result is unchanged. (b) tokenize once below the explode —
-    # see word_shingles(from_tokens=True).
+    # stays unfiltered, so the two shingle subtrees carry different
+    # pushed filters. The explicit filter makes the pushed predicates
+    # identical (a precondition for exchange reuse; the branches still
+    # differ in projection placement, so the freq scan is not yet
+    # deduped — the residual cost is one narrow scan+explode+partial
+    # agg). Null ids can never appear in a pair (the a<b join drops
+    # them), so the result is unchanged. (b) tokenize once below the
+    # explode — see word_shingles(from_tokens=True).
     base = spread_for_cpu(df).filter(F.col(id_col).isNotNull())
     tokd = base.select(id_col, tokens(text_col).alias("_toks"))
     grams = word_shingles(F.col("_toks"), shingle_words, from_tokens=True)
@@ -525,7 +527,13 @@ def ngram_jaccard_pairs(
         cand = candidates.select("a_id", "b_id")
     else:
         sh = tokd.select(id_col, F.explode(grams).alias("sh"))
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+        # count(id) not count(*): under the null-drop above they are
+        # identical, and referencing the id keeps the freq branch's
+        # column set equal to the prefix branch's, so the pruner cannot
+        # strip the id below the spread exchange and de-canonicalize it
+        # (the dsir is_target pattern) — with equal column sets AQE
+        # reuses ONE corpus scan+union for both shingle subtrees
+        freq = sh.groupBy("sh").agg(F.count(F.col(id_col)).alias("cnt"))
         wdoc = Window.partitionBy(id_col)
         w = wdoc.orderBy(F.asc("cnt"), F.asc("sh"))
         prefix = (
