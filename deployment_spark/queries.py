@@ -3287,9 +3287,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE weight computation feeds both selection modes (the weights=
     # passthrough); localCheckpoint materializes the k·corpus-doc-scale
     # weight table once so the two k-row rankings don't re-run the
-    # feature pass (the connected_components precedent — eager, tiny:
-    # one row per doc)
-    w = dsir_weights(d, F.col("lang") == "en").localCheckpoint()
+    # feature pass (the connected_components precedent — tiny: one row
+    # per doc). The checkpoint is ALSO the column-pruning barrier: the
+    # entry's output drops is_target, and without the barrier the
+    # pruner strips max(is_t) from the scoring branch's bf copy, which
+    # de-canonicalizes the shared feature exchange into TWO scans +
+    # explodes (the operator docstring's load-bearing-column caveat —
+    # re-measured r14, plan in scratch/dsir_nockpt_plan.txt). r14:
+    # eager=False — the checkpoint materializes inside the consumer's
+    # own action instead of paying a separate build-time job + a second
+    # action's planning round-trip (one driver action per invocation).
+    w = dsir_weights(d, F.col("lang") == "en").localCheckpoint(eager=False)
     top = dsir_select(d, F.col("lang") == "en", k=100, weights=w).select(
         F.lit("top").alias("mode"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -4249,7 +4257,6 @@ def q_ivf_graph_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None
     Rows-only by nature; independently re-derived by
     tools/check_oracle.py."""
     from deployment_spark.operators.knn import graph_assisted_topk, knn_graph
-    from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     index, emb = _ivf_index(spark, sf_dir)
     k = 10
@@ -4289,9 +4296,7 @@ def q_ivf_graph_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None
             k=k, hops=1,
         ).select("query_id", "vec_id"),
     )
-    exact = topk_similarity_join_expr(emb, queries, k=k).select(
-        "query_id", "vec_id"
-    )
+    exact = _exact_raw_topk10(spark, sf_dir)
     per_q = _recall_arms(
         queries, exact, k,
         seed=seeds, graph=expanded, graph_stream=expanded_stream,
@@ -4355,7 +4360,6 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = Non
     SQL-expressible — so the driver records this rows-only; the VALUES
     are the point: a judge (or user) reads recall straight from the
     result rows."""
-    from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     index, emb = _ivf_index(spark, sf_dir)
     k = 10
@@ -4366,9 +4370,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = Non
         pairs_sink, ("ivf", "pruned"),
         index.search(queries, k=k, nprobe=10).select("query_id", "vec_id"),
     )
-    exact = topk_similarity_join_expr(emb, queries, k=k).select(
-        "query_id", "vec_id"
-    )
+    exact = _exact_raw_topk10(spark, sf_dir)
     hits = (
         exact.join(approx, ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
@@ -4500,6 +4502,71 @@ def _recall_arms(queries, exact, k, **arms):
     return per_q.crossJoin(F.broadcast(summary))
 
 
+_EXACT_NORM_TOPK: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_norm_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared exact reference of the four codec recall families
+    (pq / sq8 / ivfpq / ivfsq): cosine top-10 over the L2-NORMALIZED
+    corpus for the vec_id < 20 query panel. All four entries built this
+    from the IDENTICAL expression tree (same normalization, same query
+    slice, same k, same tie-break), so sharing one materialized copy
+    per process cannot flip a borderline hit — the panel's stability
+    contract forbids sharing only across DIFFERENT exact definitions
+    (ivf's raw-vector cosine, maxsim's Σ-max), which keep their own
+    (r14, VERDICT r13 next #2: the panel previously executed this same
+    200-row reference once per codec family). Lazy localCheckpoint: the
+    first consumer's action materializes it; k·nq rows, never
+    corpus-scale."""
+    from deployment_spark.functions.vector import l2_normalize
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    key = (sf_dir, os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet"))
+    cached = _EXACT_NORM_TOPK.get(key)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+        queries = norm.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        cached = (
+            topk_similarity_join_expr(norm, queries, k=10)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        _EXACT_NORM_TOPK[key] = cached
+    return cached
+
+
+_EXACT_RAW_TOPK: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_raw_topk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared exact reference of the RAW-vector ivf recall groups
+    (ivf/pruned and the four graph arms): cosine top-10 over the
+    unnormalized corpus for the vec_id < 20 panel — the identical
+    expression tree in both sub-entries, so one materialized copy per
+    process is value-identical (same sharing contract as
+    ``_exact_norm_topk10``; the distributed/batch groups rank over the
+    hand-seeded big fixture and keep their own set)."""
+    from deployment_spark.operators.similarity import topk_similarity_join_expr
+
+    key = (sf_dir, os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet"))
+    cached = _EXACT_RAW_TOPK.get(key)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        cached = (
+            topk_similarity_join_expr(emb, queries, k=10)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        _EXACT_RAW_TOPK[key] = cached
+    return cached
+
+
 def q_pq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None) -> DataFrame:
     """PQ compressed-vector search quality at the 100 TB memory design
     point: 16-byte codes vs 256-byte float vectors (16×). Per-query
@@ -4513,7 +4580,6 @@ def q_pq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
     diagnostic column."""
     from deployment_spark.functions.vector import l2_normalize
     from deployment_spark.operators.pq import PQCodec
-    from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     k = 10
     emb = _t(spark, sf_dir, "embeddings")
@@ -4523,7 +4589,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
     )
     codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
     codes = codec.encode(norm)
-    exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
+    exact = _exact_norm_topk10(spark, sf_dir)
     adc = _sink_pairs(
         pairs_sink, ("pq", "adc"),
         codec.search(codes, queries, k=k).select("query_id", "vec_id"),
@@ -4605,7 +4671,6 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = N
     floor matches the IVF pruning floor (nprobe 5/8 = the same 62.5%
     probe ratio as IVF's 10/16; r3 measured 0.875). Rows-only (trained
     quantizers)."""
-    from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     k = 10
     index, norm = _ivfpq_index(spark, sf_dir)
@@ -4627,9 +4692,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = N
             queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
         ).select("query_id", "vec_id"),
     )
-    exact = topk_similarity_join_expr(norm, queries, k=k).select(
-        "query_id", "vec_id"
-    )
+    exact = _exact_norm_topk10(spark, sf_dir)
     per_q = _recall_arms(queries, exact, k, rerank=rr, batch=batch)
     return per_q.withColumn(
         "meets_floor",
@@ -4655,7 +4718,6 @@ def q_sq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
     verified by tools/check_oracle.py against a numpy exact top-k."""
     from deployment_spark.functions.vector import l2_normalize
     from deployment_spark.operators.sq import SQCodec
-    from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     k = 10
     emb = _t(spark, sf_dir, "embeddings")
@@ -4665,7 +4727,7 @@ def q_sq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = None
     )
     codec = SQCodec.train(norm)
     codes = codec.encode(norm)
-    exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
+    exact = _exact_norm_topk10(spark, sf_dir)
     adc = _sink_pairs(
         pairs_sink, ("sq8", "adc"),
         codec.search(codes, queries, k=k).select("query_id", "vec_id"),
@@ -4728,14 +4790,13 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str, pairs_sink: dict | None = N
     loss), which is the measured argument for picking IVF_SQ8 over
     IVF_PQ when memory allows 4×. Rows-only (trained quantizers);
     independently re-derived by tools/check_oracle.py."""
-    from deployment_spark.operators.similarity import topk_similarity_join_expr
 
     k = 10
     index, norm = _ivfsq_index(spark, sf_dir)
     queries = norm.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = topk_similarity_join_expr(norm, queries, k=k).select("query_id", "vec_id")
+    exact = _exact_norm_topk10(spark, sf_dir)
     adc = _sink_pairs(
         pairs_sink, ("ivfsq", "adc"),
         index.search(queries, k=k, nprobe=5, shortlist=None).select(
@@ -5071,13 +5132,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked by tools/check_oracle.py against a numpy exact
     top-k.
 
-    Each sub-entry deliberately recomputes its OWN exact reference set
-    rather than sharing one across the panel: ivf ranks raw-vector
-    cosine while the codec entries rank normalized-vector dot — equal
-    in exact arithmetic but not in floats, and a shared set could flip
-    a borderline hit and silently shift a pinned recall value. The
-    redundant work is a few corpus × 20-query expression joins in a
-    gate-only path; stability of the published numbers wins."""
+    Exact-reference sharing follows the stability contract: a set is
+    shared across groups ONLY where their exact definitions are the
+    IDENTICAL expression tree — the four codec families (pq/sq8/ivfpq/
+    ivfsq) all rank cosine over the same normalized corpus and share
+    one materialized copy per process (``_exact_norm_topk10``, r14;
+    sharing an identical plan cannot flip a borderline hit). ivf ranks
+    raw-vector cosine and maxsim ranks Σ-max — equal to the codec
+    reference in exact arithmetic but not in floats — so those keep
+    their own sets; sharing ACROSS definitions could flip a borderline
+    hit and silently shift a pinned recall value."""
 
     def arm_variant(df, codec, arm, floor):
         # slice one _recall_arms arm (hits_<arm>/recall_<arm>/

@@ -112,269 +112,102 @@ def _pairs_to_sets(rows) -> dict[int, set[int]]:
 def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> list[str]:
     """Verify the unified recall panel: every (codec, variant) group's
     per-query hits, recall, mean and floor bit are re-derived
-    independently — approximate sets from the engine under test, the
-    exact set from pyarrow+numpy, all arithmetic in plain Python."""
-    import tempfile
+    independently — approximate sets from the ENGINE-PUBLISHED pairs
+    facet (the object under test: the same lazily-checkpointed frames
+    the entry's own recall arithmetic consumed, written by the
+    q_ann_recall call that produced ``sdf`` moments earlier in this
+    run), the exact sets from pyarrow+numpy straight off the raw
+    parquet, all arithmetic in plain Python.
 
-    from pyspark.sql import functions as F
+    r14 (VERDICT r13 next #2): the checker previously re-derived the
+    approximate sets by RE-RUNNING every engine search — two quantizer
+    trainings, five index builds, two full maxsim pipeline re-runs, 21
+    collects — roughly half the gate wall of the most expensive entry,
+    for zero added independence: the approximate sets are the engine's
+    output either way (they are the measured object, exactly as the
+    DuckDB facet replay treats them). What must stay independent of the
+    engine is the EXACT reference set and the recall arithmetic, and
+    both still are. Search determinism stays pinned in the test suite
+    (seeded trains, tie-aware rankings), and a facet that drifted from
+    the entry's claimed rows fails the hits/mean comparison below."""
+    import numpy as np
+    import pyarrow.parquet as _pq
 
-    from deployment_spark.functions.vector import l2_normalize
-    from deployment_spark.operators.ivfpq import IVFPQIndex
-    from deployment_spark.operators.pq import PQCodec
-    from deployment_spark.operators.sq import SQCodec
     from deployment_spark.queries import (
+        ANN_RECALL_FACET,
         IVF_BATCH_FLOOR,
         IVF_DISTRIBUTED_FLOOR,
         IVF_GRAPH_FLOOR,
+        IVF_GRAPH_IVF_FLOOR,
         IVF_GRAPH_SEED_FLOOR,
         IVF_RECALL_FLOOR,
         IVFPQ_BATCH_FLOOR,
         IVFPQ_RERANK_FLOOR,
         IVFSQ_BATCH_FLOOR,
+        IVFSQ_FLOOR,
+        MAXSIM_STREAM_FLOOR,
+        MAXSIM_TWO_STAGE_FLOOR,
+        OPQ_RERANK_FLOOR,
         PQ_ADC_FLOOR,
         PQ_BATCH_FLOOR,
         PQ_RERANK_FLOOR,
         SQ_ADC_FLOOR,
         SQ_BATCH_FLOOR,
         SQ_RERANK_FLOOR,
-        _ivf_big_index,
-        _ivf_index,
-        _t,
     )
 
     k = 10
+    # the independent floor registry — import of engine CONSTANTS only
+    # (as before); the facet's own floor column is deliberately ignored
+    floors: dict[tuple[str, str], float] = {
+        ("ivf", "pruned"): IVF_RECALL_FLOOR,
+        ("ivf", "distributed"): IVF_DISTRIBUTED_FLOOR,
+        ("ivf", "batch"): IVF_BATCH_FLOOR,
+        ("ivf", "seed"): IVF_GRAPH_SEED_FLOOR,
+        ("ivf", "graph"): IVF_GRAPH_FLOOR,
+        ("ivf", "graph_stream"): IVF_GRAPH_FLOOR,
+        ("ivf", "graph_stream_ivf"): IVF_GRAPH_IVF_FLOOR,
+        ("pq", "adc"): PQ_ADC_FLOOR,
+        ("pq", "rerank"): PQ_RERANK_FLOOR,
+        ("pq", "batch"): PQ_BATCH_FLOOR,
+        ("pq", "opq"): OPQ_RERANK_FLOOR,
+        ("ivfpq", "rerank"): IVFPQ_RERANK_FLOOR,
+        ("ivfpq", "batch"): IVFPQ_BATCH_FLOOR,
+        ("sq8", "adc"): SQ_ADC_FLOOR,
+        ("sq8", "rerank"): SQ_RERANK_FLOOR,
+        ("sq8", "batch"): SQ_BATCH_FLOOR,
+        ("ivfsq", "adc"): IVFSQ_FLOOR,
+        ("ivfsq", "rerank"): IVFSQ_FLOOR,
+        ("ivfsq", "batch"): IVFSQ_BATCH_FLOOR,
+        ("maxsim", "two_stage"): MAXSIM_TWO_STAGE_FLOOR,
+        ("maxsim", "two_stage_stream"): MAXSIM_STREAM_FLOOR,
+    }
+
+    # approximate sets: the engine-published hit pairs
+    ft = _pq.read_table(ANN_RECALL_FACET, columns=["codec", "variant", "query_id", "vec_id"])
+    approx_sets: dict[tuple[str, str], dict[int, set[int]]] = {}
+    for codec_v, variant_v, qid_v, vid_v in zip(
+        ft.column("codec").to_pylist(),
+        ft.column("variant").to_pylist(),
+        ft.column("query_id").to_pylist(),
+        ft.column("vec_id").to_pylist(),
+    ):
+        approx_sets.setdefault((codec_v, variant_v), {}).setdefault(
+            int(qid_v), set()
+        ).add(int(vid_v))
+
+    problems: list[str] = []
+    if set(approx_sets) != set(floors):
+        problems.append(
+            f"facet group set mismatch: {sorted(approx_sets)} vs {sorted(floors)}"
+        )
+        return problems
+
+    # exact reference sets, independent of the engine (numpy off the
+    # raw parquet). The cosine set serves every codec family; the two
+    # maxsim groups rank Σ-max over the deterministic token bags, so
+    # their exact references are re-derived here the same way.
     exact = _exact_topk_numpy(data_sf)
-    emb = _t(spark, spark_sf, "embeddings")
-    norm = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
-    queries = norm.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    raw_queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-
-    specs: dict[tuple[str, str], tuple[dict[int, set[int]], float]] = {}
-
-    ivf_index, _ = _ivf_index(spark, spark_sf)
-    specs[("ivf", "pruned")] = (
-        _pairs_to_sets(
-            ivf_index.search(raw_queries, k=k, nprobe=10)
-            .select("query_id", "vec_id").collect()
-        ),
-        IVF_RECALL_FLOOR,
-    )
-
-    # distributed routing on the hand-seeded nlist > 1,024 index: the
-    # approximate set comes from the engine's route_distributed path
-    # (the object under test — NO driver centroid collect inside), the
-    # exact set and arithmetic stay independent; the one-doc-per-cluster
-    # construction makes 1.0 the only correct mean (floor is equality)
-    big_index, big_emb = _ivf_big_index(spark, spark_sf)
-    assert big_index.nlist() > 1024, big_index.nlist()
-    copies = -(-big_index.nlist() // big_emb.count())
-    specs[("ivf", "distributed")] = (
-        _pairs_to_sets(
-            big_index.search(
-                raw_queries, k=k, nprobe=copies * k, routing="distributed"
-            )
-            .select("query_id", "vec_id").collect()
-        ),
-        IVF_DISTRIBUTED_FLOOR,
-    )
-
-    # r8: the batch path (blocked centroid routing + cluster-grouped
-    # scoring, nothing query-scale on the driver) on the same
-    # exact-by-construction fixture — floor is equality at 1.0
-    specs[("ivf", "batch")] = (
-        _pairs_to_sets(
-            big_index.search_batch(raw_queries, k=k, nprobe=copies * k)
-            .select("query_id", "vec_id").collect()
-        ),
-        IVF_BATCH_FLOOR,
-    )
-
-    # r10 (V8 closure): the starved seed and its graph-assisted lift —
-    # approximate sets from the engine's graph_assisted_topk (the object
-    # under test), exact set + arithmetic independent as everywhere
-    from deployment_spark.operators.knn import graph_assisted_topk, knn_graph
-
-    seed_df = ivf_index.search(raw_queries, k=k, nprobe=2).select(
-        "query_id", "vec_id"
-    )
-    specs[("ivf", "seed")] = (_pairs_to_sets(seed_df.collect()), IVF_GRAPH_SEED_FLOOR)
-    specs[("ivf", "graph")] = (
-        _pairs_to_sets(
-            graph_assisted_topk(
-                emb, raw_queries, seed_df, knn_graph(emb, k=10), k=k, hops=1
-            )
-            .select("query_id", "vec_id").collect()
-        ),
-        IVF_GRAPH_FLOOR,
-    )
-    # r11: the streaming-maintained graph's expansion — the graph comes
-    # from the engine's per-insert maintenance path (the object under
-    # test); exact set + recall arithmetic stay independent as always
-    from deployment_spark.queries import _streamed_graph
-
-    specs[("ivf", "graph_stream")] = (
-        _pairs_to_sets(
-            graph_assisted_topk(
-                emb, raw_queries, seed_df, _streamed_graph(spark, spark_sf),
-                k=k, hops=1,
-            )
-            .select("query_id", "vec_id").collect()
-        ),
-        IVF_GRAPH_FLOOR,
-    )
-    # r12: the ANN-ASSISTED maintenance variant (per-batch pair passes
-    # restricted to the batch's probed clusters) — same expansion, its
-    # own floor; the maintained graph comes from the engine under test
-    from deployment_spark.queries import IVF_GRAPH_IVF_FLOOR
-
-    specs[("ivf", "graph_stream_ivf")] = (
-        _pairs_to_sets(
-            graph_assisted_topk(
-                emb, raw_queries, seed_df,
-                _streamed_graph(spark, spark_sf, "ivf"),
-                k=k, hops=1,
-            )
-            .select("query_id", "vec_id").collect()
-        ),
-        IVF_GRAPH_IVF_FLOOR,
-    )
-
-    pq_codec = PQCodec.train(norm, m=16, ksub=256, seed=42)
-    pq_codes = pq_codec.encode(norm)
-    specs[("pq", "adc")] = (
-        _pairs_to_sets(
-            pq_codec.search(pq_codes, queries, k=k).select("query_id", "vec_id").collect()
-        ),
-        PQ_ADC_FLOOR,
-    )
-    specs[("pq", "rerank")] = (
-        _pairs_to_sets(
-            pq_codec.search_rerank(pq_codes, queries, norm, k=k, shortlist=50)
-            .select("query_id", "vec_id").collect()
-        ),
-        PQ_RERANK_FLOOR,
-    )
-    # r8: the corpus-scale batch route, same block grid as the entry
-    specs[("pq", "batch")] = (
-        _pairs_to_sets(
-            pq_codec.search_batch(
-                pq_codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
-            ).select("query_id", "vec_id").collect()
-        ),
-        PQ_BATCH_FLOOR,
-    )
-    # r11: OPQ — deterministic seeded training, so this independent
-    # re-run re-derives the entry's exact approximate sets
-    from deployment_spark.operators.opq import rotate_vectors, train_opq
-    from deployment_spark.queries import OPQ_RERANK_FLOOR
-
-    r_mat, opq_codec = train_opq(norm, m=16, ksub=256, seed=42, opq_iters=6)
-    opq_rot = rotate_vectors(norm, r_mat)
-    opq_q = rotate_vectors(queries, r_mat, vec_col="query_vec")
-    specs[("pq", "opq")] = (
-        _pairs_to_sets(
-            opq_codec.search_rerank(
-                opq_codec.encode(opq_rot), opq_q, opq_rot, k=k, shortlist=50
-            ).select("query_id", "vec_id").collect()
-        ),
-        OPQ_RERANK_FLOOR,
-    )
-
-    with tempfile.TemporaryDirectory(prefix="oracle_ivfpq_") as root:
-        ivfpq = IVFPQIndex(spark, root).build(norm, nlist=8, m=16, ksub=256)
-        specs[("ivfpq", "rerank")] = (
-            _pairs_to_sets(
-                ivfpq.search(queries, k=k, nprobe=5, shortlist=50)
-                .select("query_id", "vec_id").collect()
-            ),
-            IVFPQ_RERANK_FLOOR,
-        )
-        specs[("ivfpq", "batch")] = (
-            _pairs_to_sets(
-                ivfpq.search_batch(
-                    queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
-                ).select("query_id", "vec_id").collect()
-            ),
-            IVFPQ_BATCH_FLOOR,
-        )
-
-    with tempfile.TemporaryDirectory(prefix="oracle_ivfsq_") as root:
-        from deployment_spark.operators.ivfsq import IVFSQIndex
-        from deployment_spark.queries import IVFSQ_FLOOR
-
-        ivfsq = IVFSQIndex(spark, root).build(norm, nlist=8)
-        specs[("ivfsq", "adc")] = (
-            _pairs_to_sets(
-                ivfsq.search(queries, k=k, nprobe=5, shortlist=None)
-                .select("query_id", "vec_id").collect()
-            ),
-            IVFSQ_FLOOR,
-        )
-        specs[("ivfsq", "rerank")] = (
-            _pairs_to_sets(
-                ivfsq.search(queries, k=k, nprobe=5, shortlist=50)
-                .select("query_id", "vec_id").collect()
-            ),
-            IVFSQ_FLOOR,
-        )
-        specs[("ivfsq", "batch")] = (
-            _pairs_to_sets(
-                ivfsq.search_batch(
-                    queries, k=k, nprobe=5, shortlist=50, num_query_blocks=3
-                ).select("query_id", "vec_id").collect()
-            ),
-            IVFSQ_BATCH_FLOOR,
-        )
-
-    sq_codec = SQCodec.train(norm)
-    sq_codes = sq_codec.encode(norm)
-    specs[("sq8", "adc")] = (
-        _pairs_to_sets(
-            sq_codec.search(sq_codes, queries, k=k).select("query_id", "vec_id").collect()
-        ),
-        SQ_ADC_FLOOR,
-    )
-    specs[("sq8", "rerank")] = (
-        _pairs_to_sets(
-            sq_codec.search_rerank(sq_codes, queries, norm, k=k, shortlist=50)
-            .select("query_id", "vec_id").collect()
-        ),
-        SQ_RERANK_FLOOR,
-    )
-    specs[("sq8", "batch")] = (
-        _pairs_to_sets(
-            sq_codec.search_batch(
-                sq_codes, queries, k=k, num_query_blocks=3, num_code_blocks=4
-            ).select("query_id", "vec_id").collect()
-        ),
-        SQ_BATCH_FLOOR,
-    )
-
-    # r12: maxsim/two_stage — the approximate sets come from the
-    # engine's token_candidates -> maxsim_rerank pipeline at the
-    # scale-derived operating point (re-run via the entry's own group
-    # builder); the EXACT maxsim ranking is re-derived here in numpy
-    # from the raw parquet (different exact than the shared cosine set,
-    # hence the override below).
-    from deployment_spark.queries import (
-        MAXSIM_TWO_STAGE_FLOOR,
-        q_maxsim_recall,
-    )
-
-    import numpy as np
-
-    mv_sink: dict = {}
-    q_maxsim_recall(spark, spark_sf, pairs_sink=mv_sink).collect()
-    specs[("maxsim", "two_stage")] = (
-        _pairs_to_sets(mv_sink[("maxsim", "two_stage")].collect()),
-        MAXSIM_TWO_STAGE_FLOOR,
-    )
-    import pyarrow.parquet as _pq
-
     _t2 = _pq.read_table(
         f"{data_sf}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -392,22 +225,8 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         _score = np.round(_per_doc.max(axis=2).sum(axis=0), 4)
         _top = np.lexsort((_ids, -_score))[:k]
         mv_exact[int(_q)] = {int(_ids[i]) for i in _top}
-    # r13: maxsim/two_stage_stream — served from the STREAMING-
-    # MAINTAINED token index after a mid-stream delete + exact repair;
-    # the exact reference is the same Σ-max ranking RESTRICTED to the
-    # survivors (the fixture's predicate is deterministic), re-derived
-    # here in numpy with no engine code
-    from deployment_spark.queries import (
-        MAXSIM_STREAM_FLOOR,
-        q_maxsim_stream_recall,
-    )
-
-    mvs_sink: dict = {}
-    q_maxsim_stream_recall(spark, spark_sf, pairs_sink=mvs_sink).collect()
-    specs[("maxsim", "two_stage_stream")] = (
-        _pairs_to_sets(mvs_sink[("maxsim", "two_stage_stream")].collect()),
-        MAXSIM_STREAM_FLOOR,
-    )
+    # maxsim/two_stage_stream: the same Σ-max ranking RESTRICTED to the
+    # survivors of the deterministic mid-stream delete
     _half = int(_ids.max()) // 2
     _surv = (_ids % 4 == 2) & ~((_ids % 17 == 3) & (_ids <= _half))
     mvs_exact: dict[int, set[int]] = {}
@@ -424,12 +243,12 @@ def check_ann_recall(spark, spark_sf: str, data_sf: str, sdf: pd.DataFrame) -> l
         ("maxsim", "two_stage_stream"): mvs_exact,
     }
 
-    problems: list[str] = []
     claimed_groups = {(r.codec, r.variant) for r in sdf.itertuples()}
-    if claimed_groups != set(specs):
-        problems.append(f"group set mismatch: {sorted(claimed_groups)} vs {sorted(specs)}")
+    if claimed_groups != set(floors):
+        problems.append(f"group set mismatch: {sorted(claimed_groups)} vs {sorted(floors)}")
         return problems
-    for (codec_name, variant), (approx, floor) in specs.items():
+    for (codec_name, variant), floor in floors.items():
+        approx = approx_sets[(codec_name, variant)]
         rows = sdf[(sdf["codec"] == codec_name) & (sdf["variant"] == variant)]
         tag = f"{codec_name}/{variant}"
         ex_ref = exact_overrides.get((codec_name, variant), exact)
