@@ -360,30 +360,35 @@ class BM25Index:
         # so staleness there would change scores, not just waste a probe.
         self._stats_cache: list | None = None
         self._stats_token_cache = None
+        self._tomb_corr_cache: tuple[int, int] | None = None
+        self._tomb_corr_token = None
 
     # -- layout metadata ----------------------------------------------------
 
-    def _stats_token(self):
-        """Freshness token for the stats cache: (name, length, mtime)
-        of every file under stats/ via one driver FS listing. Any stats
+    def _dir_token(self, path: str):
+        """Freshness token for a driver-side cache over ``path``:
+        (name, length, mtime) of every file via one FS listing. Any
         mutation — append (new part files), rebuild (new UUID-named
         files), compaction swap — changes the set, so comparing tokens
         detects SIBLING-instance writes exactly, at FS-listing cost
-        instead of a Spark job (r14: search_scores now folds N/sum_dl
-        in as literals from this cache, so the cache must stay fresh
-        under cross-instance writers too — test_bm25_maintainer_
-        detects_and_repairs pins that a long-lived reader sees a
-        sibling's rebuild on its next search)."""
+        instead of a Spark job (r14: search_scores folds N/sum_dl and
+        the tombstone corrections in as literals from these caches, so
+        they must stay fresh under cross-instance writers too —
+        test_bm25_maintainer_detects_and_repairs pins that a long-lived
+        reader sees a sibling's rebuild on its next search)."""
         try:
             fs, hp = self._fs()
             return tuple(
                 sorted(
                     (st.getPath().getName(), st.getLen(), st.getModificationTime())
-                    for st in fs.listStatus(hp(self.stats_dir))
+                    for st in fs.listStatus(hp(path))
                 )
             )
         except Exception:  # path missing
             return None
+
+    def _stats_token(self):
+        return self._dir_token(self.stats_dir)
 
     def _stats_rows(self) -> list:
         """Every stats partial, collected once per FRESH STATE of the
@@ -584,6 +589,27 @@ class BM25Index:
             return t if t.limit(1).count() else None
         except Exception:  # path missing / empty
             return None
+
+    def _tombstone_corr(self) -> tuple[int, int]:
+        """The stats corrections (killed-doc count, killed dl sum) as
+        driver scalars, cached per TOMBSTONE-DIR STATE (file-listing
+        token, the _stats_rows discipline): search_scores embeds them
+        as plan literals so a query pays zero correction stages. The
+        aggregate itself stays distributed — only the two scalars land
+        on the driver, never O(deleted) rows (§5)."""
+        token = self._dir_token(self.tombstones_dir)
+        if self._tomb_corr_cache is None or token != self._tomb_corr_token:
+            t = self._tombstones()
+            if t is None:
+                self._tomb_corr_cache = (0, 0)
+            else:
+                r = t.agg(
+                    F.count(F.lit(1)).cast("long").alias("_cn"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("_cdl"),
+                ).collect()[0]
+                self._tomb_corr_cache = (int(r["_cn"]), int(r["_cdl"]))
+            self._tomb_corr_token = token
+        return self._tomb_corr_cache
 
     def _current_write_gen(self) -> int:
         """Generation to stamp on postings written NOW: one above the
@@ -1071,42 +1097,26 @@ class BM25Index:
         srows = self._stats_rows()
         bn = sum(int(r["n_docs"]) for r in srows)
         bdl = sum(int(r["sum_dl"]) for r in srows)
-        base_n = F.lit(bn).cast("long")
-        base_dl = F.lit(bdl).cast("long")
-        dfagg = per_doc.agg(
+        if tomb is not None:
+            # tombstone-embedded corrections: the per-dir-state cached
+            # scalars (the aggregate ran distributed once; see
+            # _tombstone_corr) — same long subtraction as the aggregate
+            # form, now constant-folded
+            cn, cdl = self._tombstone_corr()
+            bn, bdl = bn - cn, bdl - cdl
+        stats = per_doc.agg(
             *[
                 F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
                 for i in range(len(terms))
             ]
+        ).select(
+            F.lit(bn).cast("long").alias("_n"),
+            (
+                F.lit(bdl).cast("long").cast("double")
+                / F.lit(bn).cast("long").cast("double")
+            ).alias("_avgdl"),
+            *[F.col(f"_df{i}") for i in range(len(terms))],
         )
-        t = tomb
-        if t is not None:
-            # the tombstone corrections stay a DISTRIBUTED aggregate +
-            # broadcast (O(deleted) can be large at scale; collecting it
-            # to the driver would violate §5)
-            corr = t.agg(
-                F.count(F.lit(1)).cast("long").alias("_cn"),
-                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("_cdl"),
-            )
-            stats = (
-                corr.select(
-                    (base_n - F.col("_cn")).alias("_bn"),
-                    (base_dl - F.col("_cdl")).alias("_bdl"),
-                )
-                .select(
-                    F.col("_bn").alias("_n"),
-                    (
-                        F.col("_bdl").cast("double") / F.col("_bn").cast("double")
-                    ).alias("_avgdl"),
-                )
-                .crossJoin(dfagg)
-            )
-        else:
-            stats = dfagg.select(
-                base_n.alias("_n"),
-                (base_dl.cast("double") / base_n.cast("double")).alias("_avgdl"),
-                *[F.col(f"_df{i}") for i in range(len(terms))],
-            )
 
         def term_weight(i: int) -> Column:
             tf = F.col(f"_tf{i}").cast("double")
