@@ -516,9 +516,13 @@ def ngram_jaccard_pairs(
     # identical (a precondition for exchange reuse; the branches still
     # differ in projection placement, so the freq scan is not yet
     # deduped — the residual cost is one narrow scan+explode+partial
-    # agg). Null ids can never appear in a pair (the a<b join drops
-    # them), so the result is unchanged. (b) tokenize once below the
-    # explode — see word_shingles(from_tokens=True).
+    # agg). Null ids can never appear in a FINAL pair (the a<b join
+    # drops them) so the verified output is unchanged — but the shingle
+    # frequency counts now exclude null-id docs, so the INTERMEDIATE
+    # prefix candidate set can differ from the pre-r13 shape; candidate-
+    # stage row counts are not apples-to-apples across versions (ADVICE
+    # r13), only the array_intersect-verified pairs are. (b) tokenize
+    # once below the explode — see word_shingles(from_tokens=True).
     base = spread_for_cpu(df).filter(F.col(id_col).isNotNull())
     tokd = base.select(id_col, tokens(text_col).alias("_toks"))
     grams = word_shingles(F.col("_toks"), shingle_words, from_tokens=True)

@@ -920,6 +920,11 @@ def _bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 store,
                 os.path.join(root, "ckpt"),
                 bm25_maintain=cfg,
+                # r14 (VERDICT r13 #8): this entry's store exists for
+                # exactly this ingest's maintainer — no other log
+                # consumer can pin it, so the bounded-log default is
+                # safe here (clock-floor proof in ingest_to_store)
+                vacuum_mutation_log=True,
             )
             q.awaitTermination(300)
 
@@ -1277,6 +1282,16 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pool invariant (ADVICE r13): nothing that runs while these three
+    # checkpoint jobs are in flight may mutate SESSION conf — the
+    # rankers' subtrees are analyzed under the current session state,
+    # and a concurrent scoped-conf pattern (the nanosAsLong /
+    # noDataMicroBatches set-restore used elsewhere) would race them.
+    # The three rankers themselves touch conf only via load_table's
+    # nanosAsLong set/restore, which always rewrites the session-level
+    # value it read (benign under interleaving). Lineage truncation is
+    # acceptable here: k-scale (≤50-row) local checkpoints, recompute
+    # on executor loss is a re-run of the entry, not data loss.
     with ThreadPoolExecutor(max_workers=3) as pool:
         bm_ranked, cos_ranked, mv_ranked = list(
             pool.map(lambda df: df.localCheckpoint(), [bm_lazy, cos_lazy, mv_lazy])
@@ -4237,6 +4252,8 @@ def _streamed_graph(
             os.path.join(root, "ckpt"),
             transform=transform,
             knn_graph_maintain=maintain,
+            # r14: single-consumer fixture store — bounded log is safe
+            vacuum_mutation_log=True,
         )
         q.awaitTermination(300)
         _STREAM_GRAPH_CACHE[key] = root
@@ -4974,6 +4991,8 @@ def _streamed_token_index(spark: SparkSession, sf_dir: str):
                 store,
                 os.path.join(root, "ckpt"),
                 token_index_maintain=cfg,
+                # r14: single-consumer fixture store — bounded log is safe
+                vacuum_mutation_log=True,
             )
             q.awaitTermination(600)
 
@@ -6612,6 +6631,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # deletes-only history this entry stages)
                     "on_mutation": "repair",
                 },
+                # r14: single-consumer fixture store — bounded log is safe
+                vacuum_mutation_log=True,
             )
             q.awaitTermination(600)
 

@@ -30,7 +30,13 @@ from deployment_spark import get_spark
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=3)
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=_positive, default=3)
     ap.add_argument("--plans", default=None, help="directory for explain output")
     ap.add_argument("--noop", action="store_true", help="also time a noop-sink write")
     ap.add_argument("--suffix", default="before")
