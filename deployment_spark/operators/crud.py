@@ -300,7 +300,9 @@ class SnapshotStore:
     def _mutations_dir(self) -> str:
         return os.path.join(self.root, "_mutations")
 
-    def _log_touched(self, keys_df: DataFrame, meta: dict) -> None:
+    def _log_touched(
+        self, keys_df: DataFrame, meta: dict, assume_distinct: bool = False
+    ) -> None:
         """O(batch) durable log of the KEYS a destructive mutation
         touches, under the clock seq the mutation will commit with —
         written BEFORE the commit publishes, so a published destructive
@@ -315,17 +317,20 @@ class SnapshotStore:
         check route replace histories to rebuild automatically. The log
         grows O(touched) per destructive mutation; bound retention with
         :meth:`vacuum_mutation_log` once every consumer's pin has
-        advanced. Determinism note: the log is a SECOND execution of
-        the caller's input frame (the first lands the data) — a
-        nondeterministic mutation input could log keys that differ
-        from the landed ones, corrupting exact repairs the same way it
-        would corrupt any replay; deterministic inputs are the store's
-        standing contract."""
+        advanced. r14: the mutating methods MATERIALIZE their O(batch)
+        key/row frames (localCheckpoint) before calling this, so the
+        log write reads the same computed rows the data write lands —
+        one execution of the caller's input chain per mutation instead
+        of two (at corpus scale the chain includes the base read), and
+        the old double-execution determinism hazard is gone by
+        construction. ``assume_distinct`` skips the per-key distinct
+        when the caller already materialized distinct keys."""
         clock = meta["mutation_clock"]
+        keys = keys_df.select(self.key)
+        if not assume_distinct:
+            keys = keys.distinct()
         (
-            keys_df.select(self.key)
-            .distinct()
-            .coalesce(1)
+            keys.coalesce(1)
             .write.mode("append")
             .parquet(os.path.join(self._mutations_dir, f"seq={int(clock['seq'])}"))
         )
@@ -913,7 +918,7 @@ class SnapshotStore:
         if v == 0:
             raise ValueError(f"snapshot store {self.root} is empty")
         if self.mode == "cow":
-            return self.spark.read.parquet(self._snapshot_path(v))
+            return self._read_seg(self._snapshot_path(v), self._strict_schema())
         m = self._read_manifest(v)
         return self._merge_files(m["segments"], m["tombstones"])
 
@@ -1047,14 +1052,37 @@ class SnapshotStore:
             return self.read(version).filter(pred).limit(0)
         return self._merge_files(kept, m["tombstones"]).filter(pred)
 
+    def _strict_schema(self):
+        """The table schema for EXPLICIT-schema segment reads, or None.
+        Every schema-less ``spark.read.parquet`` pays a schema-inference
+        JOB, and a fragmented mor read builds one reader per live file
+        set — O(files) driver jobs per plan construction (r14). In
+        strict mode (no schema_evolution) every segment carries the
+        table schema by the _check_schema contract and the schema is
+        version-invariant, so one cached inference serves every read;
+        create/drop/replace (the operations that can establish a new
+        schema) invalidate. Under schema_evolution segments genuinely
+        differ — always infer there."""
+        if self.schema_evolution:
+            return None
+        return self._schema_cache[1] if self._schema_cache is not None else None
+
+    def _read_seg(self, path: str, schema):
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(path)
+
     def _merge_files(self, segs: list[dict], tombs: list[dict]) -> DataFrame:
+        dschema = self._strict_schema()
         if len(segs) == 1 and not tombs:  # compacted fast path: plain scan
-            return self.spark.read.parquet(os.path.join(self.root, segs[0]["path"]))
+            return self._read_seg(os.path.join(self.root, segs[0]["path"]), dschema)
         data = None
         for s in segs:
-            part = self.spark.read.parquet(os.path.join(self.root, s["path"])).withColumn(
-                "_seq", F.lit(int(s["seq"]))
-            )
+            part = self._read_seg(os.path.join(self.root, s["path"]), dschema)
+            if dschema is None and not self.schema_evolution:
+                dschema = part.schema  # one inference serves the rest
+            part = part.withColumn("_seq", F.lit(int(s["seq"])))
             data = part if data is None else self._union(data, part)
         # last-wins per key across segments (upsert lands as a newer segment)
         w = Window.partitionBy(self.key).orderBy(F.desc("_seq"))
@@ -1065,10 +1093,15 @@ class SnapshotStore:
             # All tombstone files fold into ONE aggregated anti-join
             # (key → max seq), so the plan stays flat however many
             # deletes accumulated between compactions.
+            from pyspark.sql.types import StructType
+
+            tschema = (
+                StructType([dschema[self.key]]) if dschema is not None else None
+            )
             tdf = None
             for t in tombs:
                 part = (
-                    self.spark.read.parquet(os.path.join(self.root, t["path"]))
+                    self._read_seg(os.path.join(self.root, t["path"]), tschema)
                     .select(F.col(self.key).alias("_tkey"))
                     .withColumn("_tseq", F.lit(int(t["seq"])))
                 )
@@ -1105,6 +1138,9 @@ class SnapshotStore:
     # -- mutations (each returns the new version) ---------------------------
 
     def create(self, df: DataFrame, meta: dict | None = None) -> int:
+        # a create can establish a NEW schema (fresh store, or re-create
+        # after drop) — the strict-mode schema cache must not survive it
+        self._schema_cache = None
         if self.mode == "mor":
             v = self.current_version() + 1
             self._claim_version(v)
@@ -1222,16 +1258,20 @@ class SnapshotStore:
         rebuild before serving this store again (r12)."""
         base_v = self.current_version()
         base = self.read(base_v)
-        ids_df = self._keys_df(ids, base)
+        # materialize the distinct key set ONCE (r14): the key log and
+        # the tombstone/anti-join write previously each re-executed the
+        # caller's id chain (delete_last_n's chain reads the base) plus
+        # their own distinct — one O(ids) checkpoint now feeds both
+        keys = (
+            self._keys_df(ids, base).select(self.key).distinct().localCheckpoint()
+        )
         meta = self._bump_mutation("deletes")
-        self._log_touched(ids_df, meta)
+        self._log_touched(keys, meta, assume_distinct=True)
         if self.mode == "mor":
             v = base_v + 1
             self._claim_version(v)
             m = self._read_manifest(base_v)
-            tomb, tmn, tmx, _, tcnt = self._write_files(
-                ids_df.select(self.key).distinct(), f"t{v:06d}"
-            )
+            tomb, tmn, tmx, _, tcnt = self._write_files(keys, f"t{v:06d}")
             # rows=None: how many tombstoned keys actually existed is
             # unknowable without the base scan this O(ids) path exists
             # to avoid; exactness returns at the next compact()
@@ -1246,7 +1286,7 @@ class SnapshotStore:
         # scale can exceed broadcastable size — let AQE decide (matches
         # the mor tombstone read path)
         return self._commit(
-            base.join(ids_df, on=self.key, how="left_anti"),
+            base.join(keys, on=self.key, how="left_anti"),
             meta=meta,
             base_version=base_v,
         )
@@ -1271,17 +1311,24 @@ class SnapshotStore:
         self._check_schema(new_rows)
         base_v = self.current_version()
         base = self.read(base_v)
-        ids_df = self._keys_df(ids, base)
-        remaining = base.join(ids_df, on=self.key, how="left_anti")
-        new = new_rows.dropDuplicates([self.key]).join(
-            remaining.select(self.key), on=self.key, how="left_anti"
+        # materialize the two O(batch) frames ONCE (r14): the key log,
+        # the tombstone write and the segment write each consumed these
+        # chains — and `new`'s chain contains the FULL base read (the
+        # anti-join), so the un-materialized form paid two corpus reads
+        # per update at scale
+        keys = (
+            self._keys_df(ids, base).select(self.key).distinct().localCheckpoint()
+        )
+        remaining = base.join(keys, on=self.key, how="left_anti")
+        new = (
+            new_rows.dropDuplicates([self.key])
+            .join(remaining.select(self.key), on=self.key, how="left_anti")
+            .localCheckpoint()
         )
         meta = self._bump_mutation("updates")
         # touched = the deleted slots AND the re-inserted keys (which may
         # be NEW ids — their fresh content must reach exact repairs too)
-        self._log_touched(
-            ids_df.select(self.key).unionByName(new.select(self.key)), meta
-        )
+        self._log_touched(keys.unionByName(new.select(self.key)), meta)
         if self.mode == "mor":
             v = base_v + 1
             self._claim_version(v)
@@ -1290,9 +1337,7 @@ class SnapshotStore:
             # segment at the same seq: the tombstone only kills rows from
             # strictly OLDER segments (read() uses _tseq > _seq), so the
             # re-inserted rows survive their sibling tombstone.
-            tomb, tmn, tmx, _, tcnt = self._write_files(
-                ids_df.select(self.key).distinct(), f"t{v:06d}"
-            )
+            tomb, tmn, tmx, _, tcnt = self._write_files(keys, f"t{v:06d}")
             seg, smn, smx, sst, scnt = self._write_files(new, f"s{v:06d}")
             return self._commit_manifest(
                 m["segments"] + [self._entry(seg, v, smn, smx, sst, rows=scnt)],
@@ -1328,6 +1373,11 @@ class SnapshotStore:
         catch; default False."""
         self._check_schema(rows)
         if not content_preserving:
+            # materialize the batch ONCE (r14): the key log and the
+            # segment/snapshot write previously each executed the
+            # caller's row chain — for the maintainers' upserts that
+            # chain is a read over the base store
+            rows = rows.localCheckpoint()
             meta = self._bump_mutation("upserts", meta)
             self._log_touched(rows, meta)
         if self.mode == "mor":
@@ -1377,6 +1427,10 @@ class SnapshotStore:
         relayout), skipping the mutation-clock bump."""
         if not self.exists():
             return self.create(df, meta=meta)
+        # replace is the one published-store mutation that bypasses
+        # _check_schema (wholesale rewrite) — it may change the schema,
+        # so the strict-mode cache must not survive it either
+        self._schema_cache = None
         if not content_preserving:
             meta = self._bump_mutation("replaces", meta)
         base_v = self.current_version()
@@ -1418,6 +1472,7 @@ class SnapshotStore:
     def drop(self) -> None:
         """C6 — drop collection (``utility.drop_collection``,
         ``Milvus/stream1.py:516``)."""
+        self._schema_cache = None
         shutil.rmtree(self.root, ignore_errors=True)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
